@@ -1,0 +1,150 @@
+"""First-match-wins ordered rule engines.
+
+Reproduces the reference's three conf-driven rule systems
+(`/root/reference/L_DataCache.lua:70-75, 94-129, 142-160`):
+
+- **storage-schemas.conf**: ordered ``[name] pattern= retentions=`` sections;
+  the first rule whose regex matches the metric path supplies the retention
+  spec for a newly-seen series.  Default: ``1h:7d``.
+- **storage-aggregation.conf**: same shape, supplying ``xFilesFactor`` and
+  ``aggregationMethod``.  Defaults: xff 0.5, method "average".
+- **rewrite-rules.conf**: ``[pre]``/``[post]`` sections of
+  ``regex = replacement`` lines; the FIRST matching rule rewrites the path
+  ONCE (single substitution), then processing stops
+  (`L_DataCache.lua:123-129`).
+
+All rule tables are tiny and evaluated driver-side; the resulting decisions
+(retention spec per series, rewritten paths) are either broadcast or compiled
+into `when`/`otherwise` column expressions.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SchemaRule:
+    name: str
+    pattern: str  # regex matched against the metric path (search, not anchored)
+    retentions: str = "1h:7d"
+
+
+@dataclass
+class AggregationRule:
+    name: str
+    pattern: str
+    x_files_factor: float = 0.5
+    aggregation_method: str = "average"
+
+
+@dataclass
+class RewriteRule:
+    pattern: str
+    replacement: str
+
+
+DEFAULT_SCHEMA = SchemaRule(name="[default]", pattern="", retentions="1h:7d")
+DEFAULT_AGGREGATION = AggregationRule(
+    name="[default]", pattern="", x_files_factor=0.5, aggregation_method="average"
+)
+
+
+@dataclass
+class RuleEngine:
+    """Ordered first-match rule evaluation (`L_DataCache.lua:70-75`)."""
+
+    schemas: list[SchemaRule] = field(default_factory=list)
+    aggregations: list[AggregationRule] = field(default_factory=list)
+    pre_rewrites: list[RewriteRule] = field(default_factory=list)
+    post_rewrites: list[RewriteRule] = field(default_factory=list)
+
+    def match_schema(self, path: str) -> SchemaRule:
+        for rule in self.schemas:
+            if rule.pattern and re.search(rule.pattern, path):
+                return rule
+        return DEFAULT_SCHEMA
+
+    def match_aggregation(self, path: str) -> AggregationRule:
+        for rule in self.aggregations:
+            if rule.pattern and re.search(rule.pattern, path):
+                return rule
+        return DEFAULT_AGGREGATION
+
+    @staticmethod
+    def apply_rewrites(path: str, rules: list[RewriteRule]) -> str:
+        """First matching rule substitutes once, then stop (`L_DataCache.lua:123-129`)."""
+        for rule in rules:
+            new, n = re.subn(rule.pattern, rule.replacement, path, count=1)
+            if n > 0:
+                return new
+        return path
+
+    def rewrite_pre(self, path: str) -> str:
+        return self.apply_rewrites(path, self.pre_rewrites)
+
+    def rewrite_post(self, path: str) -> str:
+        return self.apply_rewrites(path, self.post_rewrites)
+
+
+def load_conf_sections(text: str) -> dict[str, dict[str, str]]:
+    """Parse Graphite-format conf text: ``[section]`` + ``key = value`` lines.
+
+    Mirrors `L_DataDaemon.lua:106-149` minimally: comments (# ;) ignored,
+    values keep their raw string form; repeated keys keep the last value
+    (the daemon's list behavior isn't needed for schema files).
+    """
+    sections: dict[str, dict[str, str]] = {}
+    current: dict[str, str] | None = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#") or line.startswith(";"):
+            continue
+        m = re.match(r"^\[(.+)\]$", line)
+        if m:
+            current = sections.setdefault(m.group(1), {})
+            continue
+        m = re.match(r"^([^=\s]+)\s*=\s*(.*)$", line)
+        if m and current is not None:
+            current[m.group(1)] = m.group(2).strip()
+    return sections
+
+
+def rule_engine_from_confs(
+    schemas_conf: str = "", aggregation_conf: str = "", rewrite_conf: str = ""
+) -> RuleEngine:
+    """Build a RuleEngine from Graphite conf file contents."""
+    engine = RuleEngine()
+    for name, kv in load_conf_sections(schemas_conf).items():
+        engine.schemas.append(
+            SchemaRule(
+                name=name,
+                pattern=kv.get("pattern", ""),
+                retentions=kv.get("retentions", "1h:7d"),
+            )
+        )
+    for name, kv in load_conf_sections(aggregation_conf).items():
+        engine.aggregations.append(
+            AggregationRule(
+                name=name,
+                pattern=kv.get("pattern", ""),
+                x_files_factor=float(kv.get("xFilesFactor", 0.5)),
+                aggregation_method=kv.get("aggregationMethod", "average"),
+            )
+        )
+    # rewrite-rules.conf: [pre]/[post] sections of  pattern = replacement
+    section = None
+    for raw in rewrite_conf.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = re.match(r"^\[(\w+)\]$", line)
+        if m:
+            section = m.group(1)
+            continue
+        m = re.match(r"^(\S+)\s*=\s*(\S*)$", line)
+        if m and section in ("pre", "post"):
+            rule = RewriteRule(pattern=m.group(1), replacement=m.group(2))
+            (engine.pre_rewrites if section == "pre" else engine.post_rewrites).append(rule)
+    return engine

@@ -1,0 +1,85 @@
+"""Rule engines (SURVEY.md §1.7, §2.2 P3; L_DataCache.lua:70-160)."""
+
+from datayours_spark.kernel.rules import (
+    RewriteRule,
+    RuleEngine,
+    load_conf_sections,
+    rule_engine_from_confs,
+)
+
+SCHEMAS_CONF = """
+# comment
+[temperature]
+pattern = :Temperature
+retentions = 10m:7d,1h:30d,3h:1y,1d:10y
+
+[energy]
+pattern = \\.Watts$
+retentions = 1m:1d,10m:7d,1h:90d,6h:1y
+
+[default]
+pattern = .*
+retentions = 1h:7d
+"""
+
+AGG_CONF = """
+[min]
+pattern = \\.min$
+xFilesFactor = 0.1
+aggregationMethod = min
+
+[sum]
+pattern = \\.count$
+xFilesFactor = 0
+aggregationMethod = sum
+"""
+
+REWRITE_CONF = """
+[pre]
+^foo\\. = bar.
+_tmp = _
+
+[post]
+\\.slow$ = .fast
+"""
+
+
+class TestConfParse:
+    def test_sections(self):
+        s = load_conf_sections(SCHEMAS_CONF)
+        assert set(s) == {"temperature", "energy", "default"}
+        assert s["temperature"]["retentions"].startswith("10m:7d")
+
+
+class TestFirstMatch:
+    def test_schema_first_match_wins(self):
+        e = rule_engine_from_confs(schemas_conf=SCHEMAS_CONF)
+        r = e.match_schema("d.urn:upnp-org:serviceId:TemperatureSensor1.CurrentTemperature")
+        assert r.name == "temperature"
+        assert e.match_schema("d.svc.Watts").name == "energy"
+        assert e.match_schema("anything.else").name == "default"
+
+    def test_schema_default_when_no_match(self):
+        e = RuleEngine()
+        assert e.match_schema("x.y").retentions == "1h:7d"
+
+    def test_aggregation_defaults(self):
+        e = rule_engine_from_confs(aggregation_conf=AGG_CONF)
+        assert e.match_aggregation("a.b.min").aggregation_method == "min"
+        assert e.match_aggregation("a.b.count").x_files_factor == 0
+        d = e.match_aggregation("a.b.c")
+        assert d.aggregation_method == "average" and d.x_files_factor == 0.5
+
+
+class TestRewrite:
+    def test_first_match_single_substitution(self):
+        e = rule_engine_from_confs(rewrite_conf=REWRITE_CONF)
+        # first rule matches → applied once, second rule NOT applied
+        assert e.rewrite_pre("foo._tmp.x") == "bar._tmp.x"
+        # first rule doesn't match → second applies (once only)
+        assert e.rewrite_pre("a_tmp.b_tmp") == "a_.b_tmp"
+        assert e.rewrite_post("query.slow") == "query.fast"
+
+    def test_no_match_identity(self):
+        e = RuleEngine(pre_rewrites=[RewriteRule("zzz", "yyy")])
+        assert e.rewrite_pre("a.b.c") == "a.b.c"
