@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` smoke-runs the flagship multi-series alignment query at
+sf0.001.  `queries()` exposes one callable per implemented operator from
+SURVEY.md §2; `oracle_sql()` gives the DuckDB-equivalent ANSI SQL for the
+driver's correctness gate (row-count + schema + order-insensitive value
+hash at sf0.01).
+
+Engine-determinism conventions (both sides follow them):
+- time arithmetic in BIGINT epoch seconds: Spark `ts div 1e9` on the
+  nanos-as-long parquet column == DuckDB `epoch_us(ts) // 1e6`;
+- last-write-wins ordering key is epoch MICROseconds (`ts div 1000` ==
+  `epoch_us(ts)`), exact in both engines;
+- float aggregates are rounded (sums→2dp, ratios/avgs→4dp) so that
+  summation-order ulp noise cannot flip the hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from datayours_spark.io import load_table
+from datayours_spark.operators.align import apply_null_policy, asof_resample
+from datayours_spark.operators.fetch import fetch_grid, lww_slots, time_grid
+from datayours_spark.operators.rollup import rollup
+from datayours_spark.sources.events import datapoints_from_events
+from datayours_spark.sources.plaintext import format_plaintext, parse_plaintext_lines
+
+# ---------------------------------------------------------------- constants
+
+T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC — events table epoch start
+DAY = 86_400
+FETCH_SERIES = "events.click.u1"
+FETCH_FROM = T0 + 3_600
+FETCH_UNTIL = T0 + 7 * DAY
+MONTH_END = T0 + 30 * DAY
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+TPCH_Q1_CUTOFF = 946_684_800  # 2000-01-01
+TPCH_Q3_DATE = 896_659_200  # 1998-06-01
+
+# DuckDB relations equivalent to datayours_spark.sources.events adapters
+DP_USER = (
+    "SELECT 'events.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS path, "
+    "epoch_us(ts) // 1000000 AS ts_sec, epoch_us(ts) AS ts_us, value FROM events"
+)
+DP_TYPE = (
+    "SELECT 'events.' || event_type AS path, "
+    "epoch_us(ts) // 1000000 AS ts_sec, epoch_us(ts) AS ts_us, value FROM events"
+)
+
+
+def _slots_sql(dp_sql: str, step: int) -> str:
+    """Last-write-wins quantized slots (oracle side of operators.fetch.lww_slots)."""
+    return (
+        f"SELECT path, ts_sec - ts_sec % {step} AS slot, arg_max(value, ts_us) AS value "
+        f"FROM ({dp_sql}) dp GROUP BY 1, 2"
+    )
+
+
+# ---------------------------------------------------------------- queries
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-series LWW rollup + grid alignment at sf0.001 (J1)."""
+    return q_align_pivot(spark, "/root/testdata/sf0.001")
 
+
+def q_ingest_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P5: plaintext 'path value ts' round-trip then per-series stats."""
+    dp = datapoints_from_events(spark, sf_dir)
+    lines = format_plaintext(dp)
+    parsed = parse_plaintext_lines(lines)
+    return parsed.groupBy("path").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_fetch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+J3+T4: dense-grid fetch of one series, nulls where no point."""
+    dp = datapoints_from_events(spark, sf_dir)
+    return fetch_grid(spark, dp, FETCH_SERIES, FETCH_FROM, FETCH_UNTIL, 3_600)
+
+
+def _q_rollup(method: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dp = datapoints_from_events(spark, sf_dir)
+        fine = lww_slots(dp, 60)
+        out = rollup(fine, 60, 3_600, method=method, xff=0.0)
+        value = F.round("value", 4) if method in ("average", "sum") else F.col("value")
+        return out.select("path", "slot", value.alias("value"), "known")
+
+    return run
+
+
+def q_rollup_xff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: xFilesFactor gate — only windows with >=20% known fine slots."""
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    fine = lww_slots(dp, 60)
+    out = rollup(fine, 60, 600, method="average", xff=0.2)
+    return out.select("path", "slot", F.round("value", 4).alias("value"), "known")
+
+
+def q_align_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+O1: union time axes of 5 series, one column per series, time-sorted."""
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    slots = lww_slots(dp, 21_600).withColumn("t", F.expr("substring(path, 8)"))
+    return (
+        slots.groupBy("slot")
+        .pivot("t", EVENT_TYPES)
+        .agg(F.first("value"))
+        .orderBy("slot")
+    )
+
+
+def q_asof_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: backward as-of resample of irregular samples onto a 6h grid."""
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    samples = (
+        dp.groupBy("path", "ts_sec").agg(F.max_by("value", "ts_us").alias("value"))
+    )
+    return asof_resample(spark, samples, T0, MONTH_END, 21_600)
+
+
+def q_null_policy_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: drawNullAs=zero over the dense fetch grid."""
+    return apply_null_policy(q_fetch_grid(spark, sf_dir), "zero")
+
+
+def q_null_policy_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: drawNullAs=hold (LOCF) over the dense fetch grid."""
+    return apply_null_policy(q_fetch_grid(spark, sf_dir), "hold")
+
+
+def q_tally_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7: per-series update tally and oldest/newest timestamps."""
+    dp = datapoints_from_events(spark, sf_dir)
+    return dp.groupBy("path").agg(
+        F.count("*").alias("n"),
+        F.min("ts_sec").alias("min_ts"),
+        F.max("ts_sec").alias("max_ts"),
+    )
+
+
+def q_treemap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: hierarchy rollup counts over path levels (GROUPING SETS)."""
+    dp = datapoints_from_events(spark, sf_dir)
+    levels = dp.select(
+        F.split("path", "\\.").getItem(1).alias("l2"),
+        F.split("path", "\\.").getItem(2).alias("l3"),
+    )
+    return levels.rollup("l2", "l3").agg(F.count("*").alias("n"))
+
+
+def q_catalog_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F6+§2.11: glob find with brace expansion over the series catalog."""
+    from datayours_spark.kernel.globs import glob_path_to_regex
+
+    regexes = glob_path_to_regex("events.{click,view}.u*")
+    dp = datapoints_from_events(spark, sf_dir)
+    catalog = dp.select("path").distinct()
+    cond = F.col("path").rlike(regexes[0])
+    for r in regexes[1:]:
+        cond = cond | F.col("path").rlike(r)
+    return catalog.where(cond).orderBy("path")
+
+
+def q_maxpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: per-series ascending scan capped at maxpoints=20 from t1."""
+    dp = datapoints_from_events(spark, sf_dir)
+    t1 = T0 + 4 * DAY
+    w = Window.partitionBy("path").orderBy("ts_us")
+    return (
+        dp.where(F.col("ts_sec") >= t1)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("path", "ts_sec", "value", "rn")
+    )
+
+
+def q_clamp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: per-channel DataOffset + [FilterMinimum, FilterMaximum] clamp."""
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    cfg = spark.createDataFrame(
+        CHANNEL_CONFIG,
+        "path string, offset double, enable int, lo double, hi double",
+    )
+    joined = dp.join(F.broadcast(cfg), "path")
+    clamped = F.when(
+        F.col("enable") == 1,
+        F.least(F.greatest(F.col("value") + F.col("offset"), F.col("lo")), F.col("hi")),
+    ).otherwise(F.col("value") + F.col("offset"))
+    return (
+        joined.select("path", clamped.alias("v"))
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+        )
+    )
+
+
+CHANNEL_CONFIG = [
+    ("events.click", 10.0, 1, 0.0, 150.0),
+    ("events.purchase", 0.0, 1, 20.0, 100.0),
+    ("events.view", -5.0, 0, 0.0, 0.0),
+    ("events.signup", 0.0, 1, 50.0, 200.0),
+    ("events.error", 100.0, 1, 0.0, 250.0),
+]
+
+REWRITE_RULES = [
+    # (pattern, spark_replacement, duckdb_replacement) — anchored so the
+    # reference's replace-once semantics hold in both engines
+    (r"^events\.(click|view)\.", r"web.$1.", r"web.\1."),
+    (r"\.u([0-9]+)$", r".user$1", r".user\1"),
+]
+
+
+def q_rewrite_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: first-matching-rule path rename, applied once."""
+    dp = datapoints_from_events(spark, sf_dir)
+    p1, s1, _ = REWRITE_RULES[0]
+    p2, s2, _ = REWRITE_RULES[1]
+    renamed = (
+        F.when(F.col("path").rlike(p1), F.regexp_replace("path", p1, s1))
+        .when(F.col("path").rlike(p2), F.regexp_replace("path", p2, s2))
+        .otherwise(F.col("path"))
+    )
+    return dp.select(renamed.alias("path")).groupBy("path").agg(F.count("*").alias("n"))
+
+
+TRANSLATION = {"click": 1.0, "view": 2.0, "purchase": 3.0}
+
+
+def q_translation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: symbolic value translation; unknown symbols dropped (P5)."""
+    events = load_table(spark, sf_dir, "events")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in TRANSLATION.items() for x in kv]
+    )
+    translated = events.select(
+        F.concat(F.lit("events."), F.col("event_type")).alias("path"),
+        mapping.getItem(F.col("event_type")).alias("code"),
+    ).where(F.col("code").isNotNull())
+    return translated.groupBy("path").agg(
+        F.count("*").alias("n"), F.round(F.sum("code"), 2).alias("sum_code")
+    )
+
+
+def q_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: per-series [min,max] interval intersected with a query window."""
+    lo, hi = T0 + 9 * DAY, T0 + 19 * DAY
+    dp = datapoints_from_events(spark, sf_dir)
+    iv = dp.groupBy("path").agg(F.min("ts_sec").alias("s"), F.max("ts_sec").alias("e"))
+    return (
+        iv.select(
+            "path",
+            F.greatest(F.col("s"), F.lit(lo)).alias("ostart"),
+            F.least(F.col("e"), F.lit(hi)).alias("oend"),
+        )
+        .where(F.col("ostart") <= F.col("oend"))
+        .withColumn("olen", F.col("oend") - F.col("ostart"))
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (bench headline aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate_sec") <= TPCH_Q1_CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: 3-way join, agg, top-10."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate_sec") < TPCH_Q3_DATE
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate_sec") > TPCH_Q3_DATE
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate_sec"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate_sec")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: broadcast metadata-enrichment join customer→nation→region."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): hash-groupBy on text, canonical id + group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n")
+    )
+
+
+def q_dedup_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (near, token-set fingerprint): docs sharing the same distinct
+    token SET collapse into one group; groups with n>1 are near-dup sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts + type-token ratio per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("ttr"),
+    )
+
+
+STOPWORDS = ("the", "a")
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality per language: doc counts, avg length, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (stop / F.size(toks)).alias("stop_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+    ).orderBy("lang")
+
+
+N_ANN_QUERIES = 3
+ANN_TOP_K = 5
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-k for query vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norms = emb.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
+    )
+    queries = (
+        norms.where(F.col("vec_id") < N_ANN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    pairs = norms.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    ranked = pairs.select(
+        "query_id", "vec_id", F.round(sim, 4).alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= ANN_TOP_K)
+
+
+# ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_ingest_parse": q_ingest_parse,
+        "q_fetch_grid": q_fetch_grid,
+        "q_rollup_avg": _q_rollup("average"),
+        "q_rollup_sum": _q_rollup("sum"),
+        "q_rollup_max": _q_rollup("max"),
+        "q_rollup_min": _q_rollup("min"),
+        "q_rollup_last": _q_rollup("last"),
+        "q_rollup_xff": q_rollup_xff,
+        "q_align_pivot": q_align_pivot,
+        "q_asof_resample": q_asof_resample,
+        "q_null_policy_zero": q_null_policy_zero,
+        "q_null_policy_hold": q_null_policy_hold,
+        "q_tally_minmax": q_tally_minmax,
+        "q_treemap_rollup": q_treemap_rollup,
+        "q_catalog_find": q_catalog_find,
+        "q_maxpoints": q_maxpoints,
+        "q_clamp_filter": q_clamp_filter,
+        "q_rewrite_rules": q_rewrite_rules,
+        "q_translation": q_translation,
+        "q_interval_algebra": q_interval_algebra,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q3": q_tpch_q3,
+        "q_join_enrich": q_join_enrich,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_tokenset": q_dedup_tokenset,
+        "q_text_stats": q_text_stats,
+        "q_lang_quality": q_lang_quality,
+        "q_ann_cosine": q_ann_cosine,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    fetch_lo = FETCH_FROM - FETCH_FROM % 3_600
+    fetch_hi = FETCH_UNTIL - FETCH_UNTIL % 3_600
+    fetch_grid_sql = f"""
+        WITH s AS (
+          SELECT ts_sec - ts_sec % 3600 AS slot, arg_max(value, ts_us) AS value
+          FROM ({DP_USER}) dp
+          WHERE path = '{FETCH_SERIES}' AND ts_sec BETWEEN {fetch_lo} AND {FETCH_UNTIL}
+          GROUP BY 1)
+        SELECT g.slot AS slot, s.value AS value
+        FROM (SELECT unnest(generate_series({fetch_lo}, {fetch_hi}, 3600)) AS slot) g
+        LEFT JOIN s USING (slot)
     """
-    return {}
+
+    def rollup_sql(method_expr: str, rounded: bool) -> str:
+        v = f"round({method_expr}, 4)" if rounded else method_expr
+        return f"""
+            WITH fine AS ({_slots_sql(DP_USER, 60)})
+            SELECT path, slot - slot % 3600 AS slot, {v} AS value, count(value) AS known
+            FROM fine GROUP BY path, slot - slot % 3600
+        """
+
+    pivot_cols = ",\n ".join(
+        f"max(CASE WHEN path = 'events.{t}' THEN value END) AS \"{t}\""
+        for t in EVENT_TYPES
+    )
+
+    channel_values = ", ".join(
+        f"('{p}', {off}, {en}, {lo}, {hi})" for p, off, en, lo, hi in CHANNEL_CONFIG
+    )
+
+    p1, _, d1 = REWRITE_RULES[0]
+    p2, _, d2 = REWRITE_RULES[1]
+
+    translation_case = " ".join(
+        f"WHEN event_type = '{k}' THEN {v}" for k, v in TRANSLATION.items()
+    )
+
+    from datayours_spark.kernel.globs import glob_path_to_regex
+
+    find_regexes = glob_path_to_regex("events.{click,view}.u*")
+    find_cond = " OR ".join(f"regexp_matches(path, '{r}')" for r in find_regexes)
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    return {
+        "q_ingest_parse": f"""
+            WITH dp AS ({DP_USER}),
+            lines AS (
+              SELECT path || ' ' || CAST(value AS VARCHAR) || ' ' || CAST(ts_sec AS VARCHAR) AS line
+              FROM dp),
+            parsed AS (
+              SELECT regexp_extract(line, '^\\s*(\\S+)\\s+(\\S+)(?:\\s+(\\S+))?\\s*$', 1) AS path,
+                     CAST(regexp_extract(line, '^\\s*(\\S+)\\s+(\\S+)(?:\\s+(\\S+))?\\s*$', 2) AS DOUBLE) AS value
+              FROM lines)
+            SELECT path, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM parsed WHERE value IS NOT NULL AND path <> '' GROUP BY path
+        """,
+        "q_fetch_grid": fetch_grid_sql,
+        "q_rollup_avg": rollup_sql("avg(value)", True),
+        "q_rollup_sum": rollup_sql("sum(value)", True),
+        "q_rollup_max": rollup_sql("max(value)", False),
+        "q_rollup_min": rollup_sql("min(value)", False),
+        "q_rollup_last": rollup_sql("arg_max(value, slot)", False),
+        "q_rollup_xff": f"""
+            WITH fine AS ({_slots_sql(DP_TYPE, 60)})
+            SELECT path, slot - slot % 600 AS slot, round(avg(value), 4) AS value,
+                   count(value) AS known
+            FROM fine GROUP BY path, slot - slot % 600
+            HAVING count(value) / 10.0 >= 0.2
+        """,
+        "q_align_pivot": f"""
+            WITH s AS ({_slots_sql(DP_TYPE, 21600)})
+            SELECT slot, {pivot_cols}
+            FROM s GROUP BY slot
+        """,
+        "q_asof_resample": f"""
+            WITH samples AS (
+              SELECT path, ts_sec, arg_max(value, ts_us) AS value
+              FROM ({DP_TYPE}) dp GROUP BY 1, 2),
+            grid AS (
+              SELECT p.path, g.slot
+              FROM (SELECT DISTINCT path FROM samples) p
+              CROSS JOIN (SELECT unnest(generate_series({T0}, {MONTH_END}, 21600)) AS slot) g)
+            SELECT grid.path AS path, grid.slot AS slot, s.value AS value
+            FROM grid ASOF LEFT JOIN samples s
+              ON grid.path = s.path AND grid.slot >= s.ts_sec
+        """,
+        "q_null_policy_zero": f"""
+            SELECT slot, coalesce(value, 0) AS value FROM ({fetch_grid_sql})
+        """,
+        "q_null_policy_hold": f"""
+            SELECT slot, last_value(value IGNORE NULLS) OVER (
+              ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM ({fetch_grid_sql})
+        """,
+        "q_tally_minmax": f"""
+            SELECT path, count(*) AS n, min(ts_sec) AS min_ts, max(ts_sec) AS max_ts
+            FROM ({DP_USER}) dp GROUP BY path
+        """,
+        "q_treemap_rollup": f"""
+            SELECT string_split(path, '.')[2] AS l2, string_split(path, '.')[3] AS l3,
+                   count(*) AS n
+            FROM ({DP_USER}) dp GROUP BY ROLLUP (l2, l3)
+        """,
+        "q_catalog_find": f"""
+            SELECT DISTINCT path FROM ({DP_USER}) dp WHERE {find_cond} ORDER BY path
+        """,
+        "q_maxpoints": f"""
+            SELECT path, ts_sec, value, rn FROM (
+              SELECT path, ts_sec, value,
+                     row_number() OVER (PARTITION BY path ORDER BY ts_us) AS rn
+              FROM ({DP_USER}) dp WHERE ts_sec >= {T0 + 4 * DAY})
+            WHERE rn <= 20
+        """,
+        "q_clamp_filter": f"""
+            WITH cfg(path, "offset", enable, lo, hi) AS (VALUES {channel_values}),
+            clamped AS (
+              SELECT dp.path,
+                     CASE WHEN enable = 1
+                          THEN least(greatest(value + "offset", lo), hi)
+                          ELSE value + "offset" END AS v
+              FROM ({DP_TYPE}) dp JOIN cfg ON dp.path = cfg.path)
+            SELECT path, count(*) AS n, round(sum(v), 2) AS sum_v, round(avg(v), 4) AS avg_v
+            FROM clamped GROUP BY path
+        """,
+        "q_rewrite_rules": f"""
+            WITH renamed AS (
+              SELECT CASE
+                WHEN regexp_matches(path, '{p1}') THEN regexp_replace(path, '{p1}', '{d1}')
+                WHEN regexp_matches(path, '{p2}') THEN regexp_replace(path, '{p2}', '{d2}')
+                ELSE path END AS path
+              FROM ({DP_USER}) dp)
+            SELECT path, count(*) AS n FROM renamed GROUP BY path
+        """,
+        "q_translation": f"""
+            SELECT 'events.' || event_type AS path, count(*) AS n,
+                   round(sum(code), 2) AS sum_code
+            FROM (SELECT event_type, CASE {translation_case} END AS code FROM events)
+            WHERE code IS NOT NULL GROUP BY 1
+        """,
+        "q_interval_algebra": f"""
+            WITH iv AS (
+              SELECT path, min(ts_sec) AS s, max(ts_sec) AS e
+              FROM ({DP_USER}) dp GROUP BY path)
+            SELECT path, greatest(s, {T0 + 9 * DAY}) AS ostart,
+                   least(e, {T0 + 19 * DAY}) AS oend,
+                   least(e, {T0 + 19 * DAY}) - greatest(s, {T0 + 9 * DAY}) AS olen
+            FROM iv WHERE greatest(s, {T0 + 9 * DAY}) <= least(e, {T0 + 19 * DAY})
+        """,
+        "q_tpch_q1": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) // 1000000 <= {TPCH_Q1_CUTOFF}
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_tpch_q3": f"""
+            SELECT l_orderkey, epoch_us(o_orderdate) // 1000000 AS o_orderdate_sec,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q3_DATE}
+              AND epoch_us(l_shipdate) // 1000000 > {TPCH_Q3_DATE}
+            GROUP BY l_orderkey, o_orderdate_sec
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q_join_enrich": """
+            SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "q_dedup_tokenset": """
+            SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+                   min(doc_id) AS canonical_id, count(*) AS n
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q_text_stats": """
+            SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   round(len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')), 4) AS ttr
+            FROM documents
+        """,
+        "q_lang_quality": f"""
+            WITH per_doc AS (
+              SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+                     len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) * 1.0
+                       / len(string_split(text, ' ')) AS stop_ratio
+              FROM documents)
+            SELECT lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens,
+                   round(avg(stop_ratio), 4) AS avg_stop_ratio
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "q_ann_cosine": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+                  WHERE vec_id < {N_ANN_QUERIES}),
+            pairs AS (
+              SELECT q.query_id, n.vec_id,
+                     round(list_dot_product(n.v, q.qv) / (n.norm * q.qnorm), 4) AS sim
+              FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM pairs)
+            SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {ANN_TOP_K}
+        """,
+    }

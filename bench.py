@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed once after a session warm-up; timing covers plan +
+execution + collect (driver-observed wall clock).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from datayours_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries — the scan/shuffle/join/window-heavy representatives
+BENCH_QUERIES = [
+    "q_ingest_parse",
+    "q_fetch_grid",
+    "q_rollup_avg",
+    "q_rollup_xff",
+    "q_align_pivot",
+    "q_asof_resample",
+    "q_tally_minmax",
+    "q_maxpoints",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_join_enrich",
+    "q_dedup_exact",
+    "q_dedup_tokenset",
+    "q_text_stats",
+    "q_ann_cosine",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("datayours-bench")
+    registry = entrymod.queries()
+
+    # warm-up: touch the biggest table so JVM/codegen startup isn't billed
+    # to the first query
+    registry["q_tally_minmax"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count() if "count" not in df.columns else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "datayours_spark bench (headline queries, wall sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Table loading for the driver's testdata parquet.
+
+The testdata timestamps are parquet TIMESTAMP(NANOS), which Spark cannot map
+to TimestampType; with ``spark.sql.legacy.parquet.nanosAsLong=true`` they
+arrive as LongType nanoseconds since the epoch.  We standardize on **epoch
+seconds (BIGINT)** for all time arithmetic — it is deterministic across
+engines (DuckDB truncates the same nanos to microseconds) and keeps every
+time expression inside whole-stage codegen (pure long arithmetic, no
+timezone machinery).
+
+At 100 TB the raw `datapoints` table would be written out partitioned by
+``date(ts)`` and bucketed by ``path`` (SURVEY.md §1.8); here we read the
+driver's unpartitioned fixtures, so the loaders only normalize columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datayours_spark.session import configure_session
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: columns that arrive as TIMESTAMP(NANOS) → long nanos per table
+NANO_TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+NANOS_PER_SECOND = 1_000_000_000
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; nano-timestamp columns gain a ``<col>_sec``
+    BIGINT epoch-seconds companion (floor division, matching DuckDB's
+    nanos→micros truncation then epoch extraction)."""
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLUMNS.get(name, []):
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos: integer floor division
+            # (positive epochs) — exact, identical to DuckDB's
+            # epoch_us(ts)//1e6 after its nanos→micros truncation
+            df = df.withColumn(f"{col}_sec", F.expr(f"{col} div {NANOS_PER_SECOND}"))
+        else:
+            # TIMESTAMP(MICROS) reads as timestamp_ntz; with the session in
+            # UTC, unix_seconds over a plain-timestamp cast is the same epoch
+            df = df.withColumn(
+                f"{col}_sec", F.expr(f"unix_seconds(cast({col} as timestamp))")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,120 @@
+"""Downsample propagation (rollups) with the xFilesFactor gate.
+
+Reproduces `propagate` (`/root/reference/L_DataWhisper.lua:469-491`):
+
+- A lower-resolution slot aggregates the higher-resolution slots it covers
+  (``lower_step / higher_step`` of them).
+- The aggregate is emitted only if ``known / total_slots >= xFilesFactor``
+  where `known` counts non-empty higher slots.
+- Aggregation methods: average, sum, last, max, min over the KNOWN values,
+  "last" meaning the latest-in-time slot's value (`L_DataWhisper.lua:205-215`).
+
+Design difference vs the reference (SURVEY.md §2.3 A4): writes always land in
+the raw table and every rollup level derives from it, rather than cascading
+archive-to-archive on each write.  Observable results match because each
+level's windows re-aggregate the full covered range.
+
+Scale notes:
+- One hash aggregation per level, keyed (path, lower_slot): partial (map-side)
+  aggregation halves the shuffle; with AQE the post-shuffle partition count
+  adapts to the actual slot cardinality.
+- `rollup_all_methods` computes all five aggregates in ONE pass and selects
+  per-series via a broadcast-joined `series_meta` — one shuffle total instead
+  of one per method group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AGG_METHODS = ("average", "sum", "last", "max", "min")
+
+
+def _method_agg(method: str) -> F.Column:
+    if method == "average":
+        return F.avg("value")
+    if method == "sum":
+        return F.sum("value")
+    if method == "last":
+        return F.max_by("value", "slot")  # latest higher-res slot's value
+    if method == "max":
+        return F.max("value")
+    if method == "min":
+        return F.min("value")
+    raise ValueError(f"Unrecognized aggregation method {method}")
+
+
+def rollup(
+    higher_slots: DataFrame,
+    higher_step: int,
+    lower_step: int,
+    method: str = "average",
+    xff: float = 0.5,
+) -> DataFrame:
+    """Aggregate (path, slot, value) at `higher_step` into `lower_step` slots.
+
+    Output: (path, slot, value, known) filtered by the xFilesFactor gate
+    ``known / (lower_step/higher_step) >= xff`` (`L_DataWhisper.lua:481-488`).
+    """
+    if lower_step % higher_step != 0:
+        raise ValueError("lower_step must be a multiple of higher_step")
+    slots_per_window = lower_step // higher_step
+    out = (
+        higher_slots.groupBy(
+            "path",
+            (F.col("slot") - (F.col("slot") % F.lit(lower_step))).alias("lslot"),
+        )
+        .agg(_method_agg(method).alias("value"), F.count("value").alias("known"))
+        .where(F.col("known") / F.lit(slots_per_window) >= F.lit(xff))
+    )
+    return out.select(F.col("path"), F.col("lslot").alias("slot"), "value", "known")
+
+
+def rollup_all_methods(
+    higher_slots: DataFrame,
+    higher_step: int,
+    lower_step: int,
+    series_meta: DataFrame,
+    default_method: str = "average",
+    default_xff: float = 0.5,
+) -> DataFrame:
+    """Per-series aggregation-method dispatch in a single aggregation pass.
+
+    `series_meta` is a small (path, method, xff) table — broadcast-joined.
+    All five aggregates are computed once; a CASE expression picks the
+    series' configured method, and the xFF gate uses the series' xff
+    (`L_DataCache.lua:146-160` rule assignment → `L_DataWhisper.lua:481-488`).
+    """
+    slots_per_window = lower_step // higher_step
+    aggregated = higher_slots.groupBy(
+        "path",
+        (F.col("slot") - (F.col("slot") % F.lit(lower_step))).alias("lslot"),
+    ).agg(
+        F.avg("value").alias("v_average"),
+        F.sum("value").alias("v_sum"),
+        F.max_by("value", "slot").alias("v_last"),
+        F.max("value").alias("v_max"),
+        F.min("value").alias("v_min"),
+        F.count("value").alias("known"),
+    )
+    joined = aggregated.join(F.broadcast(series_meta), "path", "left").fillna(
+        {"method": default_method, "xff": default_xff}
+    )
+    value = (
+        F.when(F.col("method") == "sum", F.col("v_sum"))
+        .when(F.col("method") == "last", F.col("v_last"))
+        .when(F.col("method") == "max", F.col("v_max"))
+        .when(F.col("method") == "min", F.col("v_min"))
+        .otherwise(F.col("v_average"))
+    )
+    return (
+        joined.where(F.col("known") / F.lit(slots_per_window) >= F.col("xff"))
+        .select(
+            "path",
+            F.col("lslot").alias("slot"),
+            value.alias("value"),
+            "known",
+            "method",
+        )
+    )

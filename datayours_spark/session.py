@@ -1,0 +1,47 @@
+"""SparkSession construction with the engine's standard configuration.
+
+Scale notes: these settings are tuned for the local[N] test harness but the
+shape is what a 1000-executor cluster wants too — AQE on (runtime shuffle
+coalescing + skew-join splitting), UTC session timezone for deterministic
+time arithmetic, Arrow for any Pandas-UDF hop.  `spark.sql.shuffle.partitions`
+is a starting hint only; AQE coalesces to the right size at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "datayours-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle = os.environ.get("DATAYOURS_SHUFFLE_PARTITIONS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally-created session.
+
+    The driver hands us its own SparkSession; these confs are all
+    runtime-mutable so we can adopt it safely.  nanosAsLong is required to
+    read the testdata parquet (TIMESTAMP(NANOS) columns).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

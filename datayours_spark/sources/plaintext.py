@@ -1,0 +1,65 @@
+"""Carbon plaintext protocol parsing.
+
+Reproduces the ingest wire format (`/root/reference/L_DataCache.lua:164-166`,
+`L_DataWatcher.lua:208-213`): each record is a line ``"path value timestamp"``;
+a missing timestamp defaults to "now" (arrival time); records whose value or
+timestamp fail numeric coercion are dropped (`L_DataCache.lua:178-180`).
+
+Works on any DataFrame with a string `line` column — a batch read, a
+socket/file Structured Streaming source, or a constructed test fixture.
+All expressions are built-in column ops (regexp + casts): JVM-side,
+whole-stage-codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: path = non-space run; value/ts = non-space runs; ts optional
+_LINE_RE = r"^\s*(\S+)\s+(\S+)(?:\s+(\S+))?\s*$"
+
+
+def parse_plaintext_lines(
+    lines: DataFrame,
+    line_col: str = "line",
+    now: int | Column | None = None,
+) -> DataFrame:
+    """Parse plaintext lines to (path, ts_sec, value); malformed rows dropped.
+
+    `now` supplies the default timestamp for lines that omit one (the
+    reference uses arrival time, `L_DataCache.lua:166`); defaults to the
+    current epoch second at execution.
+    """
+    if now is None:
+        now_col = F.unix_timestamp(F.current_timestamp())
+    elif isinstance(now, int):
+        now_col = F.lit(now)
+    else:
+        now_col = now
+    c = F.col(line_col)
+    parsed = lines.select(
+        F.regexp_extract(c, _LINE_RE, 1).alias("path"),
+        F.regexp_extract(c, _LINE_RE, 2).alias("raw_value"),
+        F.regexp_extract(c, _LINE_RE, 3).alias("raw_ts"),
+    )
+    return (
+        parsed.select(
+            "path",
+            F.when(F.col("raw_ts") == "", now_col)
+            .otherwise(F.col("raw_ts").cast("double").cast("bigint"))
+            .alias("ts_sec"),
+            F.col("raw_value").cast("double").alias("value"),
+        )
+        # numeric-coercion filter (P5): drop non-numeric value/ts and empty paths
+        .where(F.col("value").isNotNull() & F.col("ts_sec").isNotNull() & (F.col("path") != ""))
+    )
+
+
+def format_plaintext(datapoints: DataFrame) -> DataFrame:
+    """Inverse: (path, ts_sec, value) → one plaintext line per record
+    (the relay's outgoing datagram format, `L_DataWatcher.lua:76`)."""
+    return datapoints.select(
+        F.concat_ws(" ", F.col("path"), F.col("value").cast("string"),
+                    F.col("ts_sec").cast("string")).alias("line")
+    )
