@@ -483,7 +483,8 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT ts_sec - ts_sec % 3600 AS slot, arg_max(value, ts_us) AS value
           FROM ({DP_USER}) dp
-          WHERE path = '{FETCH_SERIES}' AND ts_sec BETWEEN {fetch_lo} AND {FETCH_UNTIL}
+          WHERE path = '{FETCH_SERIES}'
+            AND ts_sec BETWEEN {fetch_lo} AND {fetch_hi + 3599}
           GROUP BY 1)
         SELECT g.slot AS slot, s.value AS value
         FROM (SELECT unnest(generate_series({fetch_lo}, {fetch_hi}, 3600)) AS slot) g

@@ -30,16 +30,19 @@ def quantize(col: Column | str, step: int) -> Column:
     return (c - (c % F.lit(step))).alias("slot")
 
 
-def lww_slots(datapoints: DataFrame, step: int) -> DataFrame:
+def lww_slots(datapoints: DataFrame, step: int, order_col: str = "ts_us") -> DataFrame:
     """Quantize to `step` slots with last-write-wins per (path, slot).
 
-    Input: (path, ts_sec, ts_us, value). Output: (path, slot, value) where
-    value is the latest point's value in the slot, ordered by ts_us
-    (`L_DataWhisper.lua:346-354` — later writes overwrite the slot).
+    Input: (path, ts_sec, <order_col>, value). Output: (path, slot, value)
+    where value is the point with the greatest `order_col` in the slot
+    (`L_DataWhisper.lua:346-354` — later writes overwrite the slot).  The
+    order column DEFINES "last": pass an arrival sequence for the reference's
+    arrival-order overwrite semantics, or an event-time key (the default
+    ts_us) for event-time-latest semantics.
     """
     return (
         datapoints.groupBy("path", quantize("ts_sec", step).alias("slot"))
-        .agg(F.max_by("value", "ts_us").alias("value"))
+        .agg(F.max_by("value", order_col).alias("value"))
     )
 
 
@@ -83,8 +86,13 @@ def fetch_grid(
     if now is not None and until_time > now:
         until_time = now
 
+    # the filter spans WHOLE slots: a point anywhere inside the last slot
+    # (even past until_time) defines that slot's value, because the reference
+    # quantizes first and then reads the slot (`L_DataWhisper.lua:361-373`)
+    lo = from_time - from_time % step
+    hi = until_time - until_time % step
     series = datapoints.where(F.col("path") == path).where(
-        F.col("ts_sec").between(from_time - from_time % step, until_time)
+        F.col("ts_sec").between(lo, hi + step - 1)
     )
     slots = lww_slots(series, step).drop("path")
     grid = time_grid(spark, from_time, until_time, step)

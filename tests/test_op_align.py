@@ -1,0 +1,74 @@
+"""Alignment / null policy / as-of / staircase goldens
+(L_DataGraph.lua:149-254; L_DataMineServer.lua:148-164)."""
+
+from datayours_spark.operators.align import (
+    apply_null_policy,
+    asof_resample,
+    default_modes_for_method,
+    pivot_align,
+    staircase,
+)
+from datayours_spark.operators.fetch import lww_slots
+
+
+class TestPivotAlign:
+    def test_union_time_axes(self, spark, make_datapoints):
+        dp = make_datapoints([("a", 60, 1.0), ("b", 120, 2.0), ("a", 180, 3.0)])
+        out = pivot_align(lww_slots(dp, 60), ["a", "b"])
+        rows = [(r["slot"], r["a"], r["b"]) for r in out.collect()]
+        assert rows == [(60, 1.0, None), (120, None, 2.0), (180, 3.0, None)]
+
+
+class TestAsof:
+    def test_backward_lookup_carries(self, spark, make_datapoints):
+        samples = (
+            make_datapoints([("a", 95, 1.0), ("a", 250, 2.0)])
+            .select("path", "ts_sec", "value")
+        )
+        out = asof_resample(spark, samples, 100, 400, 100)
+        got = {r["slot"]: r["value"] for r in out.collect()}
+        # t=100: latest sample <= 100 is 95→1.0; t=200: still 1.0;
+        # t=300/400: 250→2.0
+        assert got == {100: 1.0, 200: 1.0, 300: 2.0, 400: 2.0}
+
+    def test_exact_time_sample_visible(self, spark, make_datapoints):
+        samples = make_datapoints([("a", 200, 5.0)]).select("path", "ts_sec", "value")
+        out = asof_resample(spark, samples, 100, 300, 100)
+        got = {r["slot"]: r["value"] for r in out.collect()}
+        assert got == {100: None, 200: 5.0, 300: 5.0}
+
+
+class TestNullPolicies:
+    def grid(self, spark):
+        return spark.createDataFrame(
+            [(60, None), (120, 1.0), (180, None), (240, 2.0), (300, None)],
+            "slot bigint, value double",
+        )
+
+    def test_zero(self, spark):
+        out = apply_null_policy(self.grid(spark), "zero").orderBy("slot")
+        assert [r["value"] for r in out.collect()] == [0.0, 1.0, 0.0, 2.0, 0.0]
+
+    def test_hold_leading_null_stays(self, spark):
+        out = apply_null_policy(self.grid(spark), "hold").orderBy("slot")
+        assert [r["value"] for r in out.collect()] == [None, 1.0, 1.0, 2.0, 2.0]
+
+    def test_null_identity(self, spark):
+        out = apply_null_policy(self.grid(spark), "null").orderBy("slot")
+        assert [r["value"] for r in out.collect()] == [None, 1.0, None, 2.0, None]
+
+    def test_defaults_by_method(self):
+        assert default_modes_for_method("average") == ("connected", "null")
+        assert default_modes_for_method("sum") == ("staircase", "zero")
+        assert default_modes_for_method("max") == ("staircase", "hold")
+
+
+class TestStaircase:
+    def test_duplicates_previous_row(self, spark):
+        rows = spark.createDataFrame(
+            [(60, 1.0), (120, 2.0), (180, 3.0)], "slot bigint, value double"
+        )
+        out = staircase(rows).collect()
+        got = [(r["slot"], r["value"]) for r in out]
+        # each new t first repeats the previous value (L_DataGraph.lua:244-254)
+        assert got == [(60, 1.0), (120, 1.0), (120, 2.0), (180, 2.0), (180, 3.0)]
