@@ -439,6 +439,155 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rank") <= ANN_TOP_K)
 
 
+def q_metrics_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 /metrics/find: glob query → branch/leaf node rows."""
+    from datayours_spark.operators.catalog import find_nodes, series_catalog
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return find_nodes(series_catalog(dp), "events.*")
+
+
+def q_metrics_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 /metrics/index.json: every leaf path, sorted (O3)."""
+    from datayours_spark.operators.catalog import index_json, series_catalog
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return index_json(series_catalog(dp))
+
+
+ROUTE_ARCHIVES_SPEC = "1m:1h,10m:6h,1h:7d"  # units s/m/h/d/y — no weeks (L_DataWhisper.lua:186)
+ROUTE_CASES = [  # (case_id, from_offset_sec before MONTH_END)
+    (1, 1_800),
+    (2, 4 * 3_600),
+    (3, 3 * DAY),
+]
+ROUTE_PATH = "events.click"
+
+
+def q_resolution_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: archive-selection routing — older from-times served by coarser
+    cascaded rollup levels."""
+    from datayours_spark.kernel.archives import parse_retention_str
+    from datayours_spark.plans.router import RollupSet
+
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    archives = parse_retention_str(ROUTE_ARCHIVES_SPEC)
+    rollups = RollupSet.build(dp, archives, method="average", xff=0.0)
+    now = MONTH_END
+    outs = []
+    for case_id, offset in ROUTE_CASES:
+        step, grid = rollups.fetch(spark, ROUTE_PATH, now - offset, now, now)
+        outs.append(
+            grid.agg(
+                F.lit(case_id).alias("case_id"),
+                F.lit(step).alias("step"),
+                F.count("*").alias("n_grid"),
+                F.count("value").alias("n_known"),
+                F.round(F.avg("value"), 4).alias("avg_v"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def q_staircase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: staircase line mode — previous row duplicated at each new t."""
+    from datayours_spark.operators.align import staircase
+
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    rows = (
+        lww_slots(dp, 21_600)
+        .where(F.col("path") == ROUTE_PATH)
+        .where(F.col("slot") < T0 + 7 * DAY)
+        .select("slot", "value")
+    )
+    return staircase(rows)
+
+
+def q_user_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: user.run UDTF — per-record flatMap emitting 0..N records."""
+    from datayours_spark.functions.userhook import apply_user_hook, example_derive_hook
+
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    out = apply_user_hook(dp, example_derive_hook(threshold=150.0))
+    return out.groupBy("path").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+AGGREGATOR_FREQ = 600
+
+
+def q_carbon_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: carbon-aggregator rules — 'agg.<type> (600) = sum events.<type>.u*'."""
+    dp = datapoints_from_events(spark, sf_dir)
+    out_path = F.concat(F.lit("agg."), F.regexp_extract("path", r"^events\.([^.]+)\.", 1))
+    return (
+        dp.groupBy(
+            out_path.alias("path"),
+            (F.col("ts_sec") - F.col("ts_sec") % AGGREGATOR_FREQ).alias("slot"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n"))
+    )
+
+
+DATAMINE_CHANNELS = [
+    ("dm.temperature.kitchen",),
+    ("dm.energy.meter",),
+    ("events.click.u1",),  # duplicate vs whisper catalog → deduped by J4
+]
+
+
+def q_store_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: multi-store find federation with path dedup."""
+    dp = datapoints_from_events(spark, sf_dir)
+    whisper_catalog = dp.select("path").distinct()
+    dm_catalog = spark.createDataFrame(DATAMINE_CHANNELS, "path string")
+    return (
+        whisper_catalog.unionByName(dm_catalog)
+        .dropDuplicates(["path"])
+        .orderBy("path")
+    )
+
+
+INGEST_MAX_RETENTION = 7 * DAY
+INGEST_NOW = T0 + 14 * DAY
+
+
+def q_ingest_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+T6: whisper update admission — reject future points and points
+    older than maxRetention (diff < maxRetention and diff >= 0)."""
+    dp = datapoints_from_events(spark, sf_dir)
+    diff = F.lit(INGEST_NOW) - F.col("ts_sec")
+    status = (
+        F.when(diff < 0, F.lit("future"))
+        .when(diff >= INGEST_MAX_RETENTION, F.lit("stale"))
+        .otherwise(F.lit("ok"))
+    )
+    return dp.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding per-label centroid norms (vector aggregate demo)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    )
+    centroid = exploded.groupBy("label", "pos").agg(F.avg("col").alias("m"))
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.count("*").alias("dim"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -471,6 +620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_quality": q_lang_quality,
         "q_ann_cosine": q_ann_cosine,
+        "q_metrics_find": q_metrics_find,
+        "q_metrics_index": q_metrics_index,
+        "q_resolution_route": q_resolution_route,
+        "q_staircase": q_staircase,
+        "q_user_hook": q_user_hook,
+        "q_carbon_aggregator": q_carbon_aggregator,
+        "q_store_federation": q_store_federation,
+        "q_ingest_reject": q_ingest_reject,
+        "q_embed_centroid": q_embed_centroid,
     }
 
 
@@ -519,6 +677,37 @@ def oracle_sql() -> dict[str, str]:
 
     find_regexes = glob_path_to_regex("events.{click,view}.u*")
     find_cond = " OR ".join(f"regexp_matches(path, '{r}')" for r in find_regexes)
+
+    mfind_regexes = glob_path_to_regex("events.*")
+    mfind_cond = " OR ".join(f"regexp_matches(prefix, '{r}')" for r in mfind_regexes)
+
+    now = MONTH_END
+    route_cases_sql = []
+    route_steps = {1: 60, 2: 600, 3: 3_600}
+    route_level = {60: "fine", 600: "mid", 3_600: "coarse"}
+    for case_id, offset in ROUTE_CASES:
+        step = route_steps[case_id]
+        frm = now - offset
+        lo, hi = frm - frm % step, now - now % step
+        n_grid = (hi - lo) // step + 1
+        route_cases_sql.append(
+            f"""(SELECT {case_id} AS case_id, {step} AS step, {n_grid} AS n_grid,
+                 count(f.value) AS n_known, round(avg(f.value), 4) AS avg_v
+                 FROM (SELECT unnest(generate_series({lo}, {hi}, {step})) AS slot) g
+                 LEFT JOIN {route_level[step]} f USING (slot))"""
+        )
+    route_sql = f"""
+        WITH fine AS (
+          SELECT slot, value FROM ({_slots_sql(DP_TYPE, 60)}) s
+          WHERE path = '{ROUTE_PATH}'),
+        mid AS (
+          SELECT slot - slot % 600 AS slot, avg(value) AS value
+          FROM fine GROUP BY 1),
+        coarse AS (
+          SELECT slot - slot % 3600 AS slot, avg(value) AS value
+          FROM mid GROUP BY 1)
+        {" UNION ALL ".join(route_cases_sql)}
+    """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -703,5 +892,75 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sim DESC, vec_id) AS rank
               FROM pairs)
             SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {ANN_TOP_K}
+        """,
+        "q_metrics_find": f"""
+            WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp),
+            pre AS (
+              SELECT array_to_string(string_split(path, '.')[1:2], '.') AS prefix,
+                     len(string_split(path, '.')) = 2 AS exact
+              FROM cat WHERE len(string_split(path, '.')) >= 2),
+            m AS (
+              SELECT prefix, bool_or(exact) AS has_leaf, bool_or(NOT exact) AS has_branch
+              FROM pre WHERE {mfind_cond} GROUP BY prefix)
+            SELECT prefix AS path, string_split(prefix, '.')[-1] AS name, is_leaf FROM (
+              SELECT prefix, false AS is_leaf FROM m WHERE has_branch
+              UNION ALL
+              SELECT prefix, true AS is_leaf FROM m WHERE has_leaf)
+            ORDER BY path, is_leaf
+        """,
+        "q_metrics_index": f"""
+            SELECT DISTINCT path FROM ({DP_USER}) dp ORDER BY path
+        """,
+        "q_resolution_route": route_sql,
+        "q_staircase": f"""
+            WITH s AS (
+              SELECT slot, value FROM ({_slots_sql(DP_TYPE, 21600)}) t
+              WHERE path = '{ROUTE_PATH}' AND slot < {T0 + 7 * DAY}),
+            b AS (
+              SELECT slot, value, lag(slot) OVER (ORDER BY slot) AS pt,
+                     lag(value) OVER (ORDER BY slot) AS pv
+              FROM s)
+            SELECT slot, value FROM b
+            UNION ALL
+            SELECT slot, pv AS value FROM b WHERE pt IS NOT NULL
+        """,
+        "q_user_hook": f"""
+            WITH dp AS ({DP_TYPE}),
+            hooked AS (
+              SELECT path, value FROM dp
+              UNION ALL
+              SELECT path || '.high' AS path, value - 150.0 AS value
+              FROM dp WHERE value > 150.0)
+            SELECT path, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM hooked GROUP BY path
+        """,
+        "q_carbon_aggregator": f"""
+            SELECT 'agg.' || regexp_extract(path, '^events\\.([^.]+)\\.', 1) AS path,
+                   ts_sec - ts_sec % {AGGREGATOR_FREQ} AS slot,
+                   round(sum(value), 2) AS value, count(*) AS n
+            FROM ({DP_USER}) dp GROUP BY 1, 2
+        """,
+        "q_store_federation": f"""
+            SELECT DISTINCT path FROM (
+              SELECT path FROM ({DP_USER}) dp
+              UNION ALL
+              SELECT * FROM (VALUES {", ".join(f"('{p}')" for (p,) in DATAMINE_CHANNELS)}) v(path))
+            ORDER BY path
+        """,
+        "q_ingest_reject": f"""
+            SELECT CASE WHEN {INGEST_NOW} - ts_sec < 0 THEN 'future'
+                        WHEN {INGEST_NOW} - ts_sec >= {INGEST_MAX_RETENTION} THEN 'stale'
+                        ELSE 'ok' END AS status,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM ({DP_USER}) dp GROUP BY 1
+        """,
+        "q_embed_centroid": """
+            WITH ex AS (
+              SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            c AS (SELECT label, pos, avg(x) AS m FROM ex GROUP BY 1, 2)
+            SELECT label, count(*) AS dim, round(sqrt(sum(m * m)), 4) AS centroid_norm
+            FROM c GROUP BY label ORDER BY label
         """,
     }

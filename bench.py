@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "q_asof_resample",
     "q_tally_minmax",
     "q_maxpoints",
+    "q_carbon_aggregator",
+    "q_user_hook",
+    "q_resolution_route",
     "q_tpch_q1",
     "q_tpch_q3",
     "q_join_enrich",

@@ -1,0 +1,97 @@
+"""Resolution router: pick the rollup level that serves a time range.
+
+Reproduces read-side archive selection (`/root/reference/L_DataWhisper.lua:
+544-549`): the FINEST archive whose retention still covers `fromTime` serves
+the query — older ranges are answered from coarser, longer-retention levels.
+This is the reference's only "planner"; here it is a small driver-side router
+over materialized rollup DataFrames (SURVEY.md §4: a parameterized view, not
+a Catalyst rule).
+
+Scale notes: each rollup level is a separate (much smaller) table; routing
+means the query touches ONLY that level — the 100 TB raw table is never
+scanned for a month-long dashboard query.  Levels are derived finest→coarsest
+so each aggregation reads the previous level, not the raw data (cascade, as
+the reference propagates archive-to-archive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datayours_spark.kernel.archives import Archive, select_read_archive
+from datayours_spark.operators.fetch import lww_slots, time_grid
+from datayours_spark.operators.rollup import rollup
+
+
+class RollupSet:
+    """Materialized rollup chain: step → (path, slot, value) DataFrame."""
+
+    def __init__(self, levels: dict[int, DataFrame], archives: list[Archive]):
+        self.levels = levels
+        self.archives = sorted(archives, key=lambda a: a.seconds_per_point)
+
+    @classmethod
+    def build(
+        cls,
+        datapoints: DataFrame,
+        archives: list[Archive],
+        method: str = "average",
+        xff: float = 0.5,
+        order_col: str = "ts_us",
+    ) -> "RollupSet":
+        """Derive every level by cascading from the finest (A2 propagation)."""
+        archives = sorted(archives, key=lambda a: a.seconds_per_point)
+        finest = archives[0].seconds_per_point
+        levels: dict[int, DataFrame] = {
+            finest: lww_slots(datapoints, finest, order_col=order_col)
+        }
+        prev_step = finest
+        for a in archives[1:]:
+            step = a.seconds_per_point
+            levels[step] = rollup(
+                levels[prev_step], prev_step, step, method=method, xff=xff
+            ).select("path", "slot", "value")
+            prev_step = step
+        return cls(levels, archives)
+
+    def route(self, from_time: int, now: int) -> int:
+        """Step of the finest archive covering from_time (A5)."""
+        return select_read_archive(self.archives, from_time, now).seconds_per_point
+
+    def fetch(
+        self,
+        spark: SparkSession,
+        path: str,
+        from_time: int,
+        until_time: int,
+        now: int,
+    ) -> tuple[int, DataFrame]:
+        """Routed dense-grid fetch: returns (chosen_step, (slot, value) grid).
+
+        Applies the reference's clamp rules (`L_DataWhisper.lua:535-542`)
+        against the coarsest archive's retention horizon.
+        """
+        coarsest = self.archives[-1]
+        oldest = coarsest.oldest(now)
+        if from_time > now or until_time < oldest:
+            step = self.route(max(from_time, oldest), now)
+            empty = spark.range(0).select(
+                F.col("id").alias("slot"), F.lit(None).cast("double").alias("value")
+            )
+            return step, empty
+        from_time = max(from_time, oldest)
+        until_time = min(until_time, now)
+        step = self.route(from_time, now)
+        slots = (
+            self.levels[step]
+            .where(F.col("path") == path)
+            .where(
+                F.col("slot").between(
+                    from_time - from_time % step, until_time - until_time % step
+                )
+            )
+            .drop("path")
+        )
+        grid = time_grid(spark, from_time, until_time, step)
+        return step, grid.join(F.broadcast(slots), "slot", "left").orderBy("slot")
