@@ -407,36 +407,10 @@ ANN_TOP_K = 5
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: brute-force cosine top-k for query vectors."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norms = emb.select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm")
-    )
-    queries = (
-        norms.where(F.col("vec_id") < N_ANN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-        )
-    )
-    pairs = norms.crossJoin(F.broadcast(queries)).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    sim = dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
-    ranked = pairs.select(
-        "query_id", "vec_id", F.round(sim, 4).alias("sim")
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-        ),
-    )
-    return ranked.where(F.col("rank") <= ANN_TOP_K)
+    from datayours_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
 
 
 def q_metrics_find(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,6 +562,80 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_BANDS, MINHASH_ROWS = 5, 4
+MINHASH_THRESHOLD = 0.5
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: shingle → minhash → LSH bands → bucket join →
+    exact-Jaccard verify (the classic MinHash-LSH pipeline)."""
+    from datayours_spark.functions.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document."""
+    from datayours_spark.functions.dedup import simhash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs)
+
+
+NGRAM_JACCARD_MIN = 0.2
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard over (lang, source)-bucketed candidate pairs."""
+    from datayours_spark.functions.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(token_shingles("text", 3)).alias("sh"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis bundle: token counts (whitespace + BPE-ish regex),
+    quality score, profile-based language ID, rolling-hash fingerprint."""
+    from datayours_spark.functions.text import text_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs)
+
+
+ANN_LSH_PLANES = 8
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketing of embeddings + bucket occupancy stats."""
+    from datayours_spark.functions.similarity import bucket_stats, lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -629,6 +677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_store_federation": q_store_federation,
         "q_ingest_reject": q_ingest_reject,
         "q_embed_centroid": q_embed_centroid,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ann_lsh": q_ann_lsh,
+        "q_text_profile": q_text_profile,
     }
 
 
@@ -963,4 +1016,144 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS dim, round(sqrt(sum(m * m)), 4) AS centroid_norm
             FROM c GROUP BY label ORDER BY label
         """,
+        "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_text_profile": _text_profile_oracle_sql(),
+        "q_dedup_simhash": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            hs AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+            bits AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+              GROUP BY doc_id, j)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                     AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "q_ngram_jaccard": f"""
+            WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t
+                          FROM documents),
+            sets AS (
+              SELECT doc_id, lang, source,
+                     list_distinct([array_to_string(t[i:i+2], ' ')
+                                    FOR i IN generate_series(1, len(t) - 2)]) AS sh
+              FROM toks WHERE len(t) >= 3)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+            FROM sets a JOIN sets b
+              ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
+                        / len(list_distinct(a.sh || b.sh)), 4) >= {NGRAM_JACCARD_MIN}
+        """,
+        "q_ann_lsh": f"""
+            WITH ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            pl AS (SELECT unnest(generate_series(0, {ANN_LSH_PLANES - 1})) AS plane),
+            w AS (
+              SELECT vec_id, plane, dim, x,
+                     ((('0x' || substr(md5(plane::VARCHAR || '_' || dim::VARCHAR), 1, 8))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS w
+              FROM ex CROSS JOIN pl),
+            d AS (SELECT vec_id, plane, round(sum(x * w), 9) AS d FROM w GROUP BY 1, 2),
+            b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+                       AS bucket
+              FROM d GROUP BY vec_id)
+            SELECT bucket, count(*) AS n, min(vec_id) AS min_vec_id
+            FROM b GROUP BY bucket
+        """,
     }
+
+
+def _text_profile_oracle_sql() -> str:
+    """DuckDB mirror of functions.text.text_profile."""
+    from datayours_spark.functions.text import (
+        BPE_TOKEN_REGEX,
+        FINGERPRINT_MOD,
+        LANG_PROFILES,
+    )
+
+    profile_structs = ", ".join(
+        "{{'s': len(list_filter(t, w -> w IN ({words}))) * 1.0 / greatest(len(t), 1), "
+        "'lang': '{lang}'}}".format(
+            words=", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang=lang
+        )
+        for lang in sorted(LANG_PROFILES)
+    )
+    # DuckDB single-quoted strings are raw (no backslash escapes) — embed as-is
+    bpe_regex = BPE_TOKEN_REGEX.replace("'", "''")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        q AS (
+          SELECT doc_id, t,
+                 len(t) AS n_tokens,
+                 len(regexp_extract_all(text, '{bpe_regex}')) AS n_bpe_tokens,
+                 CASE WHEN len(t) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END
+                   - 0.5 * (len(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                            / greatest(length(text), 1))
+                   - 0.3 * (len(list_filter(t, w -> length(w) <= 2)) * 1.0
+                            / greatest(len(t), 1)) AS rawq,
+                 list_aggregate([{profile_structs}], 'max').lang AS pred_lang,
+                 list_reduce(
+                   [(('0x' || substr(md5(t[i]), 1, 8))::BIGINT % {FINGERPRINT_MOD})
+                    * ((i % 16) + 1) FOR i IN generate_series(1, len(t))],
+                   (a, b) -> (a + b) % {FINGERPRINT_MOD}) AS fingerprint
+          FROM base)
+        SELECT doc_id, n_tokens, n_bpe_tokens,
+               round(greatest(least(rawq, 1.0), 0.0), 4) AS quality,
+               pred_lang, fingerprint
+        FROM q
+    """
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB mirror of functions.dedup.minhash_dedup — same seeded
+    permutation constants, same 32-bit md5-prefix hash domain."""
+    from datayours_spark.functions.dedup import MINHASH_PRIME, minhash_params
+
+    k = MINHASH_BANDS * MINHASH_ROWS
+    params = minhash_params(k)
+    sig_cols = ",\n                     ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        parts = ", ".join(
+            f"m{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {parts})) AS bh FROM sig"
+        )
+    bands_sql = "\n              UNION ALL ".join(band_selects)
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+          SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                                 FOR i IN generate_series(1, len(t) - 2)]) AS shingle
+          FROM toks WHERE len(t) >= 3),
+        hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+        sig AS (SELECT doc_id, {sig_cols}
+                FROM hs GROUP BY doc_id),
+        bands AS ({bands_sql}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                 FROM documents),
+        j AS (
+          SELECT id1, id2,
+                 round(len(list_intersect(s1.s, s2.s)) * 1.0
+                       / len(list_distinct(s1.s || s2.s)), 4) AS jaccard
+          FROM cand JOIN sets s1 ON id1 = s1.doc_id JOIN sets s2 ON id2 = s2.doc_id)
+        SELECT id1, id2, jaccard FROM j WHERE jaccard >= {MINHASH_THRESHOLD}
+    """

@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup detection, SimHash fingerprints, n-gram Jaccard — each
+designed for 100 TB scale:
+
+- Exact: one hash aggregate on md5(text) — map-side combine, no driver state.
+- MinHash: shingle→hash→K permuted mins computed in ONE aggregation pass
+  (K min-aggregates, no per-permutation shuffle); LSH banding turns the
+  quadratic all-pairs problem into an equi-join on (band_index, band_hash) —
+  the classic shingle→minhash→band→bucket-join pipeline.
+- All hashing is md5-derived integer arithmetic (no engine-specific hash
+  functions), so results are bit-identical across Spark and the DuckDB
+  oracle, and across cluster sizes/partitionings.
+
+Determinism note: permutation constants come from a seeded generator and are
+embedded as literals into the plan; hash domain is 32-bit (md5 prefix) so
+``a*h + b`` stays far from int64 overflow.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: prime just above 2^32 — modulus for the permutation universe
+MINHASH_PRIME = 4_294_967_311
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """K deterministic (a, b) permutation pairs, a odd-ish nonzero < 2^31."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**31 - 1)) for _ in range(k)
+    ]
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (h, canonical_id, n)."""
+    return docs.groupBy(F.md5(text_col).alias("h")).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n")
+    )
+
+
+def token_shingles(text_col: str, n: int = 3) -> Column:
+    """Token n-gram shingle array ("t1 t2 t3" strings) from a text column."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # guard: Spark's sequence(1, x) DESCENDS for x < 1, so short texts need
+    # an explicit empty-array branch rather than a clamped bound
+    return F.when(
+        F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 20,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}) minhash signature columns.
+
+    One explode + one aggregation: the K permuted minima are K independent
+    min() aggregates over the same shingle-hash stream (partial aggregation
+    keeps the shuffle at one row per doc).
+    """
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    h = md5_int32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Banding: docs sharing any band hash become candidate pairs (id1 < id2).
+
+    The band hash join is an equi-join — at scale it shuffles on
+    (band, band_hash) with bucket-local pair generation, never all-pairs.
+    """
+    k = bands * rows
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("bh"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs: (id1, id2, jaccard)."""
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(text_col, " ")).alias("tokset"),
+    )
+    j = (
+        pairs.join(sets.withColumnRenamed("doc_id", "id1").withColumnRenamed("tokset", "s1"), "id1")
+        .join(sets.withColumnRenamed("doc_id", "id2").withColumnRenamed("tokset", "s2"), "id2")
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size(F.array_union("s1", "s2"))
+    return j.select(
+        "id1", "id2", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    bands: int = 5,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: (id1, id2, jaccard >= threshold)."""
+    sigs = minhash_signatures(docs, k=bands * rows, shingle_n=shingle_n, seed=seed)
+    cand = lsh_candidate_pairs(sigs, bands, rows)
+    return jaccard_pairs(cand, docs).where(F.col("jaccard") >= threshold)
+
+
+def simhash32(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash fingerprints: (doc_id, simhash).
+
+    Per token hash, each bit contributes ±1; fingerprint bit j is 1 when the
+    signed sum is strictly positive.  Explode(tokens) × 32 bit positions —
+    a narrow generated join, aggregated with map-side combine.
+    """
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok")
+    ).withColumn("h", md5_int32(F.col("tok")))
+    bits = tokens.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    # dynamic shift amounts need the SQL form (the pyspark shiftright helper
+    # only takes a literal shift)
+    contrib = F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1)
+    sums = bits.groupBy("doc_id", "j").agg(F.sum(contrib).alias("s"))
+    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
+    return sums.groupBy("doc_id").agg(F.sum(bitval).cast("bigint").alias("simhash"))

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond the reference surface (BASELINE.json north star): image/audio/video
+assets travel as ``binary`` columns with a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched Pandas
+functions over ``mapInPandas``.
+
+The actual media decoding is STUBBED — the image/audio libraries are not in
+this container — behind ``RealDecoderUnavailable`` plus a clearly-marked
+deterministic fake (md5-derived features) so that the Spark-side plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) is real and tested.
+
+Scale notes: payloads never pass through the driver; each mapInPandas batch
+holds only `spark.sql.execution.arrow.maxRecordsPerBatch` assets, bounding
+executor memory; frame sampling is a generated explode (no Python loop over
+rows in the JVM path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id bigint, kind string, data binary, "
+    "width int, height int, duration_ms int, codec string"
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"asset_id bigint, kind string, feature array<float>"
+
+
+class RealDecoderUnavailable(NotImplementedError):
+    """Raised when a real media decode is requested in this container."""
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a decoder+encoder: md5-derived floats in
+    [-1, 1].  NOT a real decode — replace `extract_features(real=True)`
+    with an actual image/audio library in production."""
+    digest = hashlib.md5(payload).digest()
+    return [(digest[i % 16] - 128) / 128.0 for i in range(dim)]
+
+
+def extract_features(assets: DataFrame, real: bool = False) -> DataFrame:
+    """(asset_id, kind, feature[dim]) via Arrow-batched mapInPandas."""
+    if real:
+        raise RealDecoderUnavailable(
+            "media decoders are not installed in this container; "
+            "use real=False for the deterministic fake"
+        )
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feature": [_fake_features(bytes(b)) for b in pdf["data"]],
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_metadata(assets: DataFrame, max_side: int) -> DataFrame:
+    """Metadata-level resize plan: new dimensions preserving aspect ratio.
+
+    The pixel transform itself is decoder work (stubbed); the column-level
+    arithmetic — what a pipeline schedules and shuffles on — is real.
+    """
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return assets.withColumn("new_width", F.ceil(F.col("width") * scale).cast("int")) \
+        .withColumn("new_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def frame_sample_plan(videos: DataFrame, every_ms: int) -> DataFrame:
+    """One row per sampled frame timestamp: (asset_id, frame_ms).
+
+    Generated with sequence+explode — the frame list never exists driver-side.
+    """
+    return videos.where(F.col("kind") == "video").select(
+        "asset_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+        ).alias("frame_ms"),
+    )

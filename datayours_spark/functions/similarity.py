@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns.
+
+Beyond the reference surface (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline and hyperplane-LSH bucketing as the scale path.
+
+Scale notes:
+- Brute force broadcasts the (small) query set and scans candidates once —
+  O(N·Q·d) JVM-side arithmetic via zip_with/aggregate, no Python hop.
+- Hyperplane LSH assigns every vector an n-bit bucket (sign of dot with n
+  deterministic pseudo-random planes): the all-pairs problem becomes a
+  bucket equi-join; planes are md5-derived so Spark and the oracle agree
+  bit-for-bit.  At 100 TB the bucket id becomes a partition/cluster key.
+- An IVF-style variant reuses the same shape with learned centroids in place
+  of hyperplanes (bucket = argmin distance to centroid broadcast table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.dedup import md5_int32
+
+
+def as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (left-to-right, same order as the oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbours by cosine for each query id.
+
+    Output: (query_id, vec_id, sim, rank); rank ties broken by vec_id after
+    rounding sim, so ordering is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
+    norms = base.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm"))
+    queries = norms.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = norms.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    ranked = pairs.select(
+        "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
+def hyperplane_weight(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1] for (plane, dim) —
+    md5-derived so any engine computes the identical plane matrix."""
+    h = md5_int32(F.concat_ws("_", plane.cast("string"), dim.cast("string")))
+    return (h % 2001 - 1000) / F.lit(1000.0)
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH bucket per vector: (vec_id, bucket).
+
+    bucket bit j = sign(round(v · plane_j, 9) > 0); the rounding makes the
+    sign decision stable across summation orders.
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double_array(vec_col)).alias("dim", "x"),
+    )
+    planes = (
+        base.select(
+            "vec_id",
+            "dim",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
+        )
+        .withColumn("w", hyperplane_weight(F.col("plane"), F.col("dim")))
+    )
+    dots = planes.groupBy("vec_id", "plane").agg(
+        F.round(F.sum(F.col("x") * F.col("w")), 9).alias("d")
+    )
+    bit = F.when(
+        F.col("d") > 0, F.expr("shiftleft(cast(1 as bigint), cast(plane as int))")
+    ).otherwise(0)
+    return dots.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("bucket"))
+
+
+def bucket_stats(buckets: DataFrame) -> DataFrame:
+    """Bucket occupancy: (bucket, n, min_vec_id) — the ANN candidate sets."""
+    return buckets.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id")
+    )

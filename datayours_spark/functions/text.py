@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language
+identification (n-gram profile heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+
+All expressions are built-in column ops — JVM-side, whole-stage codegen, and
+md5-derived where hashing is needed so any engine reproduces them exactly.
+At 100 TB these are embarrassingly-parallel projections: no shuffle except
+the final per-group aggregates the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.dedup import md5_int32
+
+#: BPE-ish tokenizer: word pieces, numbers, or single non-space symbols —
+#: the common pre-tokenization regex shape (letters | digits | symbol).
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny per-language stopword profiles for the n-gram/profile LID heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "zh": ("的", "了", "是"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def whitespace_token_count(text_col: str) -> Column:
+    return F.size(F.split(text_col, " "))
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """Count of BPE-ish pre-tokens via regexp extraction."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def quality_score(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: length band + punctuation + short-token
+    ratios (the usual cheap pre-filter before model-based scoring)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    n_chars = F.length(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    short = F.size(F.filter(toks, lambda w: F.length(w) <= 2))
+    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.3)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    short_ratio = short / F.greatest(n, F.lit(1))
+    score = length_ok - 0.5 * punct_ratio - 0.3 * short_ratio
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def lang_scores(text_col: str) -> list[tuple[str, Column]]:
+    """Per-language profile hit ratios (stopword-profile LID heuristic)."""
+    toks = F.split(text_col, " ")
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(toks, lambda w: w.isin(*words)))
+        out.append((lang, hits / F.greatest(F.size(toks), F.lit(1))))
+    return out
+
+
+def predict_lang(text_col: str) -> Column:
+    """argmax over profile scores via struct max (field-order comparison:
+    score first, then language); ties — including the all-zero case —
+    resolve to the lexicographically GREATEST language, identically in any
+    engine with struct ordering."""
+    scores = lang_scores(text_col)
+    structs = [
+        F.struct(score.alias("s"), F.lit(lang).alias("lang"))
+        for lang, score in sorted(scores, key=lambda kv: kv[0])
+    ]
+    return F.array_max(F.array(*structs)).getField("lang")
+
+
+def rolling_fingerprint(text_col: str, window: int = 16) -> Column:
+    """Rolling-hash document fingerprint: position-weighted token-hash sum
+    mod a prime.  Deterministic, order-sensitive (unlike the token-set
+    fingerprint), cheap to compare across engines."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.size(toks))
+    weighted = F.transform(
+        idx,
+        lambda i: (md5_int32(F.element_at(toks, i)) % FINGERPRINT_MOD)
+        * ((i % window) + 1),
+    )
+    return (
+        F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % FINGERPRINT_MOD)
+    )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full per-document profile: counts, quality, predicted language,
+    fingerprint."""
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        quality_score(text_col).alias("quality"),
+        predict_lang(text_col).alias("pred_lang"),
+        rolling_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -46,10 +46,12 @@ def parse_plaintext_lines(
     return (
         parsed.select(
             "path",
+            # try_cast, not cast: ANSI mode (Spark 4 default) raises on
+            # malformed numerics, but P5 semantics DROP such records
             F.when(F.col("raw_ts") == "", now_col)
-            .otherwise(F.col("raw_ts").cast("double").cast("bigint"))
+            .otherwise(F.expr("try_cast(try_cast(raw_ts as double) as bigint)"))
             .alias("ts_sec"),
-            F.col("raw_value").cast("double").alias("value"),
+            F.expr("try_cast(raw_value as double)").alias("value"),
         )
         # numeric-coercion filter (P5): drop non-numeric value/ts and empty paths
         .where(F.col("value").isNotNull() & F.col("ts_sec").isNotNull() & (F.col("path") != ""))

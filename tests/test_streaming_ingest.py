@@ -1,0 +1,93 @@
+"""Structured Streaming ingest pipeline (SURVEY.md §2.9 T1-T7, §3.1)."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from datayours_spark.kernel.rules import RewriteRule
+from datayours_spark.streaming.ingest import IngestPipeline
+
+TMP = Path(__file__).resolve().parent / "_tmp" / "streaming"
+
+NOW = 1_704_672_000  # 2024-01-08 00:00 UTC — fixed "now" for admission
+
+
+@pytest.fixture()
+def pipeline(spark):
+    shutil.rmtree(TMP, ignore_errors=True)
+    (TMP / "in").mkdir(parents=True)
+    p = IngestPipeline(
+        spark=spark,
+        input_dir=str(TMP / "in"),
+        output_dir=str(TMP / "out"),
+        checkpoint_dir=str(TMP / "ckpt"),
+        now_override=NOW,
+        rewrites=[RewriteRule(r"^legacy\.", "metrics.")],
+        rollup_steps=(60,),
+    )
+    yield p
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def drop_file(name: str, lines: list[str]) -> None:
+    (TMP / "in" / name).write_text("\n".join(lines) + "\n")
+
+
+class TestIngest:
+    def test_end_to_end(self, pipeline, spark):
+        t = NOW - 600
+        drop_file(
+            "batch1.txt",
+            [
+                f"metrics.a 1.5 {t}",
+                f"metrics.a 2.5 {t}",            # same second → arrival LWW
+                f"legacy.b 7 {t}",               # rewrite rule applies
+                f"metrics.c notanumber {t}",     # P5 numeric coercion → drop
+                f"metrics.d 1 {NOW + 999}",      # T6 future → reject
+                f"metrics.e 1 {NOW - 8 * 86_400}",  # T3 stale → reject
+                "metrics.f 3.25",                # missing ts → now
+            ],
+        )
+        q = pipeline.start()
+        q.processAllAvailable()
+        q.stop()
+
+        dp = {(r["path"], r["ts_sec"]): r["value"]
+              for r in pipeline.datapoints().collect()}
+        assert dp[("metrics.a", t)] == 2.5          # later line won
+        assert dp[("metrics.b", t)] == 7.0          # rewritten from legacy.b
+        assert dp[("metrics.f", NOW)] == 3.25       # defaulted timestamp
+        assert not any(p.startswith("metrics.c") for p, _ in dp)
+        assert not any(p.startswith("metrics.d") for p, _ in dp)
+        assert not any(p.startswith("metrics.e") for p, _ in dp)
+
+    def test_cross_batch_lww_and_rollups(self, pipeline, spark):
+        t = NOW - 300
+        drop_file("b1.txt", [f"metrics.x 1 {t}"])
+        q = pipeline.start()
+        q.processAllAvailable()
+        drop_file("b2.txt", [f"metrics.x 9 {t}"])  # same slot, later batch
+        q.processAllAvailable()
+        q.stop()
+
+        dp = {(r["path"], r["ts_sec"]): r["value"]
+              for r in pipeline.datapoints().collect()}
+        assert dp[("metrics.x", t)] == 9.0  # later batch wins
+
+        levels = pipeline.refresh_rollups()
+        slots = {(r["path"], r["slot"]): r["value"] for r in levels[60].collect()}
+        assert slots[("metrics.x", t - t % 60)] == 9.0
+
+    def test_restart_resumes_from_checkpoint(self, pipeline, spark):
+        t = NOW - 120
+        drop_file("b1.txt", [f"metrics.r 4 {t}"])
+        q = pipeline.start()
+        q.processAllAvailable()
+        q.stop()
+        # restart: the processed file must NOT be re-ingested (exactly-once)
+        q2 = pipeline.start()
+        q2.processAllAvailable()
+        q2.stop()
+        raw = spark.read.parquet(f"{pipeline.output_dir}/datapoints")
+        assert raw.where("path = 'metrics.r'").count() == 1
