@@ -636,6 +636,198 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
 
 
+def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 /metrics/expand: flat path list, branches get a trailing dot
+    (`graphite_cgi.lua:265-283`)."""
+    from datayours_spark.operators.catalog import expand_query, series_catalog
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return expand_query(series_catalog(dp), "events.*")
+
+
+BRACE_FIND_PATTERN = "events.{click,error}.u*"
+
+
+def q_brace_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: brace expansion `a{b,c}d` in a find query — expanded driver-side
+    into a union of glob regexes (`L_DataGraph.lua:104-117`)."""
+    from datayours_spark.operators.catalog import find_nodes, series_catalog
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return find_nodes(series_catalog(dp), BRACE_FIND_PATTERN)
+
+
+RENDER_NOW = MONTH_END  # fixed "now" so relative parses are deterministic
+RENDER_FROM_EXPR = "-2w"  # F1: 0.998-shrunk relative time
+RENDER_UNTIL_EXPR = "2024-031"  # F2: ordinal date, hour defaults to noon
+
+
+def q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: the render API's time parsing driving a fetch range — relative
+    `-2w` (deliberate ×0.998 shrink, `L_DataGraph.lua:96`) to ordinal-date
+    `2024-031` (day-of-year, hour→12 default, `L_DataGraph.lua:66-87`)."""
+    from datayours_spark.kernel.timeparse import parse_time
+
+    frm = parse_time(RENDER_FROM_EXPR, now=RENDER_NOW)
+    until = parse_time(RENDER_UNTIL_EXPR)
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    return (
+        dp.where(F.col("ts_sec").between(frm, until))
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts_sec").alias("first_ts"),
+            F.max("ts_sec").alias("last_ts"),
+        )
+    )
+
+
+def _render_value_text(col: F.Column) -> F.Column:
+    """Numeric render text shared by CSV/JSON emitters: nulls → nil/null
+    handled by callers; 2dp rounding, Lua-%.14g-style '2.0' → '2'."""
+    return F.regexp_replace(F.round(col, 2).cast("string"), r"\.0$", "")
+
+
+def q_render_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+F4: Graphite CSV render rows `series,datetime,value` with missing
+    values as the text 'nil' (`graphite_cgi.lua:318-338`), distributed."""
+    from datayours_spark.render.formats import render_csv_df
+
+    dp = datapoints_from_events(spark, sf_dir)
+    grid = fetch_grid(spark, dp, FETCH_SERIES, FETCH_FROM, FETCH_UNTIL, 3_600)
+    rounded = grid.select(
+        F.lit(FETCH_SERIES).alias("path"), "slot", F.round("value", 2).alias("value")
+    )
+    return render_csv_df(rounded)
+
+
+def q_render_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: Graphite JSON render doc — one row per target with the
+    `[[v, t], ...]` datapoints text, nulls as `null`
+    (`graphite_cgi.lua:340-371`)."""
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    slots = lww_slots(dp, 21_600).where(F.col("slot") < T0 + 7 * DAY)
+    pts = slots.groupBy(F.col("path").alias("target")).agg(
+        F.sort_array(F.collect_list(F.struct("slot", "value"))).alias("pts")
+    )
+    point_text = lambda p: F.concat(  # noqa: E731
+        F.lit("["),
+        F.coalesce(_render_value_text(p["value"]), F.lit("null")),
+        F.lit(","),
+        p["slot"].cast("string"),
+        F.lit("]"),
+    )
+    return pts.select(
+        "target",
+        F.concat(
+            F.lit("["), F.array_join(F.transform("pts", point_text), ","), F.lit("]")
+        ).alias("datapoints"),
+    )
+
+
+def _documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal asset table derived from `documents`: the
+    text bytes stand in for an opaque media payload (no media libs in this
+    container); kind/width/height/duration are derived metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        F.lit("raw").alias("codec"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stub: binary payload → md5-derived feature vector
+    via Arrow-batched mapInPandas (real decoder raises
+    RealDecoderUnavailable); emits per-asset feature head + L2 norm."""
+    from datayours_spark.functions.multimodal import extract_features
+
+    assets = _documents_as_assets(spark, sf_dir)
+    feats = extract_features(assets)
+    fd = F.transform("feature", lambda x: x.cast("double"))
+    dot = F.aggregate(fd, F.lit(0.0), lambda acc, x: acc + x * x)
+    return feats.select(
+        "asset_id",
+        "kind",
+        F.round(F.element_at(fd, 1), 6).alias("f0"),
+        F.round(F.sqrt(dot), 6).alias("norm"),
+    )
+
+
+FRAME_SAMPLE_EVERY_MS = 2_500
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: one row per sampled frame timestamp,
+    generated with sequence+explode (never materialized driver-side)."""
+    from datayours_spark.functions.multimodal import frame_sample_plan
+
+    assets = _documents_as_assets(spark, sf_dir)
+    frames = frame_sample_plan(assets, FRAME_SAMPLE_EVERY_MS)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ms").cast("bigint").alias("last_frame_ms"),
+    )
+
+
+STREAM_WINDOW = "1 hour"
+STREAM_WATERMARK = "30 minutes"
+STREAM_WATERMARK_SEC = 1_800
+
+
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T5: Structured Streaming windowed rollup — event-time tumbling
+    1h windows with a 30min watermark over the events stream, run to
+    completion with availableNow; append mode emits exactly the windows the
+    watermark has closed (window_end <= max(ts) - delay)."""
+    import uuid
+
+    from datayours_spark.io import EVENTS_SCHEMA_NANOS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        # the file source requires a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.col("event_type"),
+            F.timestamp_seconds((F.col("ts") / 1_000_000_000).cast("bigint")).alias(
+                "ts"
+            ),
+            "value",
+        )
+        .withWatermark("ts", STREAM_WATERMARK)
+    )
+    agg = stream.groupBy(F.window("ts", STREAM_WINDOW), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    table = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).select(
+        F.unix_timestamp("window.start").alias("slot"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -682,6 +874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
+        "q_metrics_expand": q_metrics_expand,
+        "q_brace_find": q_brace_find,
+        "q_time_range": q_time_range,
+        "q_render_csv": q_render_csv,
+        "q_render_json": q_render_json,
+        "q_multimodal_features": q_multimodal_features,
+        "q_frame_sample": q_frame_sample,
+        "q_streaming_rollup": q_streaming_rollup,
     }
 
 
@@ -763,6 +963,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    brace_regexes = glob_path_to_regex(BRACE_FIND_PATTERN)
+    brace_cond = " OR ".join(f"regexp_matches(prefix, '{r}')" for r in brace_regexes)
+
+    # DuckDB render-value text: 2dp round, cast, Lua-%.14g-style '.0' trim —
+    # the mirror of _render_value_text
+    vtext = "regexp_replace(CAST(round(value, 2) AS VARCHAR), '\\.0$', '')"
 
     return {
         "q_ingest_parse": f"""
@@ -1068,6 +1275,95 @@ def oracle_sql() -> dict[str, str]:
               FROM d GROUP BY vec_id)
             SELECT bucket, count(*) AS n, min(vec_id) AS min_vec_id
             FROM b GROUP BY bucket
+        """,
+        "q_metrics_expand": f"""
+            WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp),
+            pre AS (
+              SELECT array_to_string(string_split(path, '.')[1:2], '.') AS prefix,
+                     len(string_split(path, '.')) = 2 AS exact
+              FROM cat WHERE len(string_split(path, '.')) >= 2),
+            m AS (
+              SELECT prefix, bool_or(exact) AS has_leaf, bool_or(NOT exact) AS has_branch
+              FROM pre WHERE {mfind_cond} GROUP BY prefix)
+            SELECT path FROM (
+              SELECT prefix || '.' AS path FROM m WHERE has_branch
+              UNION ALL
+              SELECT prefix AS path FROM m WHERE has_leaf)
+            ORDER BY path
+        """,
+        "q_brace_find": f"""
+            WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp),
+            pre AS (
+              SELECT array_to_string(string_split(path, '.')[1:3], '.') AS prefix,
+                     len(string_split(path, '.')) = 3 AS exact
+              FROM cat WHERE len(string_split(path, '.')) >= 3),
+            m AS (
+              SELECT prefix, bool_or(exact) AS has_leaf, bool_or(NOT exact) AS has_branch
+              FROM pre WHERE {brace_cond} GROUP BY prefix)
+            SELECT prefix AS path, string_split(prefix, '.')[-1] AS name, is_leaf FROM (
+              SELECT prefix, false AS is_leaf FROM m WHERE has_branch
+              UNION ALL
+              SELECT prefix, true AS is_leaf FROM m WHERE has_leaf)
+            ORDER BY path, is_leaf
+        """,
+        "q_time_range": f"""
+            -- from = now - 2*week*0.998 (the reference's deliberate shrink);
+            -- until = ordinal date 2024-031 = Jan 31, hour defaulting to noon
+            SELECT path, count(*) AS n,
+                   min(ts_sec) AS first_ts, max(ts_sec) AS last_ts
+            FROM ({DP_TYPE}) dp
+            WHERE ts_sec BETWEEN
+                    CAST(floor({RENDER_NOW} - 2 * 604800 * 0.998) AS BIGINT)
+                AND CAST(epoch(TIMESTAMP '2024-01-31 12:00:00') AS BIGINT)
+            GROUP BY path
+        """,
+        "q_render_csv": f"""
+            WITH g AS ({fetch_grid_sql})
+            SELECT '{FETCH_SERIES}' || ','
+                   || strftime(make_timestamp(slot * 1000000), '%Y-%m-%d %H:%M:%S')
+                   || ',' || coalesce({vtext}, 'nil') AS line
+            FROM g
+        """,
+        "q_render_json": f"""
+            WITH s AS ({_slots_sql(DP_TYPE, 21_600)}),
+            f AS (SELECT path, slot, value FROM s WHERE slot < {T0 + 7 * DAY})
+            SELECT path AS target,
+                   '[' || string_agg(
+                     '[' || coalesce({vtext}, 'null') || ',' || CAST(slot AS VARCHAR) || ']',
+                     ',' ORDER BY slot) || ']' AS datapoints
+            FROM f GROUP BY path
+        """,
+        "q_multimodal_features": """
+            WITH b AS (
+              SELECT doc_id,
+                     [(('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT - 128) / 128.0
+                      FOR i IN generate_series(0, 7)] AS f
+              FROM documents)
+            SELECT doc_id AS asset_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   round(f[1], 6) AS f0,
+                   round(sqrt(list_reduce(list_transform(f, x -> x * x),
+                                          (a, b) -> a + b)), 6) AS norm
+            FROM b
+        """,
+        "q_frame_sample": f"""
+            SELECT doc_id AS asset_id,
+                   ((n_chars * 10 - 1) // {FRAME_SAMPLE_EVERY_MS}) + 1 AS n_frames,
+                   ((n_chars * 10 - 1) // {FRAME_SAMPLE_EVERY_MS})
+                     * {FRAME_SAMPLE_EVERY_MS} AS last_frame_ms
+            FROM documents WHERE doc_id % 3 = 2 AND n_chars * 10 >= 1
+        """,
+        "q_streaming_rollup": f"""
+            -- batch mirror of the streaming job: append mode emits windows
+            -- the final watermark (max event time - delay) has passed
+            WITH e AS (SELECT epoch_us(ts) // 1000000 AS ts_sec, event_type, value
+                       FROM events),
+            mx AS (SELECT max(ts_sec) AS m FROM e)
+            SELECT ts_sec - ts_sec % 3600 AS slot, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM e GROUP BY 1, 2
+            HAVING slot + 3600 <= (SELECT m FROM mx) - {STREAM_WATERMARK_SEC}
         """,
     }
 

@@ -46,6 +46,13 @@ TABLES = [
 
 NANOS_PER_SECOND = 1_000_000_000
 
+#: explicit read schema for streaming reads of events.parquet (readStream
+#: requires a user schema; with nanosAsLong the ts column arrives as LONG)
+EVENTS_SCHEMA_NANOS = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
 
 def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
