@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "q_dedup_tokenset",
     "q_text_stats",
     "q_ann_cosine",
+    "q_dedup_minhash",
+    "q_text_profile",
+    "q_multimodal_features",
+    "q_render_json",
+    "q_streaming_rollup",
 ]
 
 
@@ -50,18 +55,20 @@ def main() -> None:
     spark = get_spark("datayours-bench")
     registry = entrymod.queries()
 
-    # warm-up: touch the biggest table so JVM/codegen startup isn't billed
+    # warm-up: touch the big tables so JVM/codegen startup isn't billed
     # to the first query
     registry["q_tally_minmax"](spark, SF_DIR).count()
+    registry["q_text_stats"](spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name]
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
-        n = df.count() if "count" not in df.columns else len(df.collect())
+        # noop sink: computes EVERY output column distributed (a bare
+        # .count() would let Catalyst prune the computed projections)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        _ = n
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -82,3 +82,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def write_datapoints(datapoints: DataFrame, out_dir: str) -> None:
+    """Materialize datapoints in the engine's canonical storage layout:
+    parquet partitioned by ``date(ts)``, rows sorted by (path, ts_sec)
+    within each file (SURVEY.md §1.8).
+
+    At 100 TB this layout is what replaces Whisper's per-series ring files:
+    a range fetch prunes to the covered date partitions, the path equality
+    pushes into the parquet row-group index (sorted → tight min/max stats),
+    and the ts range pushes as a plain column predicate.
+    """
+    (
+        datapoints.withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+        .repartition("date")
+        .sortWithinPartitions("path", "ts_sec")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(out_dir)
+    )
+
+
+def read_datapoints(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read a canonical datapoints table written by `write_datapoints`."""
+    return spark.read.parquet(out_dir)

@@ -94,6 +94,17 @@ def fetch_grid(
     series = datapoints.where(F.col("path") == path).where(
         F.col("ts_sec").between(lo, hi + step - 1)
     )
+    if "date" in datapoints.columns:
+        # canonical date-partitioned layout (io.write_datapoints): derive the
+        # partition predicate from the time range so the scan prunes to the
+        # covered dates — the Spark replacement for Whisper's ring-offset
+        # arithmetic (`L_DataWhisper.lua:339-344`)
+        series = series.where(
+            F.col("date").between(
+                F.to_date(F.timestamp_seconds(F.lit(lo))),
+                F.to_date(F.timestamp_seconds(F.lit(hi + step - 1))),
+            )
+        )
     slots = lww_slots(series, step).drop("path")
     grid = time_grid(spark, from_time, until_time, step)
     # single-series slot table is small → broadcast it to avoid shuffling the grid

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Physical-plan regression checks: assert the plans Catalyst produces are
+the plans a 100 TB deployment needs.
+
+Checks (each prints PASS/FAIL; nonzero exit on any FAIL):
+
+1. **Partition pruning** — a range fetch over the canonical date-partitioned
+   datapoints layout (io.write_datapoints) scans only the covered dates
+   (PartitionFilters on `date`), pushes `path =` and the ts range into the
+   parquet scan (PushedFilters), and reads only the needed columns
+   (ReadSchema).
+2. **Broadcast joins** — TPC-H Q3's dimension joins broadcast (no
+   SortMergeJoin on a small dim side); metadata enrichment broadcasts.
+3. **Partial aggregation** — rollups and LWW slots run map-side partial
+   aggregation (partial_max_by / partial_avg) before the exchange, and a
+   single shuffle serves the aggregation.
+4. **No cartesian products** — nothing degenerates to CartesianProduct;
+   the ANN brute-force cross join is an explicit BroadcastNestedLoopJoin.
+5. **Whole-stage codegen** — the rollup pipeline stays inside
+   WholeStageCodegen spans (no row-at-a-time Python in the hot path).
+
+Usage: python tools/plancheck.py   [SPARK_GRAFT_SF_DIR=... to change scale]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from datayours_spark.io import read_datapoints, write_datapoints
+from datayours_spark.operators.fetch import fetch_grid, lww_slots
+from datayours_spark.operators.rollup import rollup
+from datayours_spark.session import get_spark
+from datayours_spark.sources.events import datapoints_from_events
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "tests", "_tmp", "plancheck_datapoints")
+
+failures: list[str] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f": {detail}" if detail else ""))
+    if not ok:
+        failures.append(name)
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = get_spark("datayours-plancheck")
+
+    # ---- 1. canonical layout: partition pruning + pushdown --------------
+    dp = datapoints_from_events(spark, SF_DIR)
+    write_datapoints(dp, TMP)
+    stored = read_datapoints(spark, TMP)
+    t0 = entrymod.T0
+    grid = fetch_grid(spark, stored, "events.click.u1", t0 + 3_600, t0 + 86_400, 3_600)
+    plan = plan_of(grid)
+    check(
+        "partition pruning on date",
+        bool(re.search(r"PartitionFilters: \[[^\]]*date", plan)),
+    )
+    check(
+        "path equality pushed to parquet",
+        bool(re.search(r"PushedFilters: \[[^\]]*EqualTo\(path", plan)),
+    )
+    check(
+        "ts range pushed to parquet",
+        bool(re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts_sec", plan)),
+    )
+    check(
+        "column pruning (no value-less columns read)",
+        "ReadSchema" in plan and "props" not in plan,
+    )
+    # both partition bounds present → the scan is clipped to the covered
+    # dates (2 of ~30), not the whole table
+    check(
+        "scan clipped to covered date partitions",
+        bool(re.search(r"PartitionFilters: \[[^\]]*date#\d+ >=", plan))
+        and bool(re.search(r"PartitionFilters: \[[^\]]*date#\d+ <=", plan)),
+    )
+
+    # ---- 2. broadcast joins ---------------------------------------------
+    q3 = entrymod.queries()["q_tpch_q3"](spark, SF_DIR)
+    plan = plan_of(q3)
+    check("tpch_q3 broadcasts dims", "BroadcastHashJoin" in plan)
+    enrich = entrymod.queries()["q_join_enrich"](spark, SF_DIR)
+    check("metadata enrichment broadcasts", "BroadcastHashJoin" in plan_of(enrich))
+
+    # ---- 3. partial aggregation, single shuffle for rollup ---------------
+    fine = lww_slots(dp, 60)
+    plan = plan_of(fine)
+    check("LWW slots partial-aggregate map-side", "partial_max_by" in plan)
+    check(
+        "LWW slots need exactly one shuffle",
+        len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
+    )
+    rolled = rollup(fine, 60, 3_600, method="average", xff=0.5)
+    plan = plan_of(rolled)
+    check("rollup partial-aggregates map-side", "partial_avg" in plan)
+    # simple-mode explain stars the WholeStageCodegen stages (`*(1) ...`);
+    # AQE wraps the plan until execution, so switch it off for this look
+    import contextlib
+    import io as _io
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rollup(lww_slots(dp, 60), 60, 3_600, method="average", xff=0.5).explain()
+    simple = buf.getvalue()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # ---- 4. no cartesian products ----------------------------------------
+    for qname in ("q_ann_cosine", "q_asof_resample", "q_align_pivot"):
+        q = entrymod.queries()[qname](spark, SF_DIR)
+        check(f"{qname} has no CartesianProduct", "CartesianProduct" not in plan_of(q))
+
+    # ---- 5. whole-stage codegen ------------------------------------------
+    check("rollup stays in WholeStageCodegen", "*(" in simple)
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all plan checks passed")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
