@@ -779,6 +779,75 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# reference-shaped rule confs (storage-schemas / storage-aggregation) used by
+# the series_meta queries; patterns are unanchored regex valid in Java rlike,
+# Python re, and DuckDB regexp_matches alike
+META_SCHEMAS_CONF = """
+[clicks]
+pattern = \\.click
+retentions = 1m:1d,1h:30d
+
+[errors]
+pattern = error
+retentions = 10s:6h,10m:7d
+"""
+
+META_AGGREGATION_CONF = """
+[counters]
+pattern = \\.(click|view)
+xFilesFactor = 0.1
+aggregationMethod = sum
+
+[errors]
+pattern = error
+xFilesFactor = 0
+aggregationMethod = max
+
+[gauges]
+pattern = purchase
+xFilesFactor = 0.5
+aggregationMethod = last
+"""
+
+
+def _meta_engine():
+    from datayours_spark.kernel.rules import rule_engine_from_confs
+
+    return rule_engine_from_confs(
+        schemas_conf=META_SCHEMAS_CONF, aggregation_conf=META_AGGREGATION_CONF
+    )
+
+
+def q_series_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.7 creation-time schema assignment: ordered storage-schemas /
+    storage-aggregation regex rules compiled to a when/otherwise cascade and
+    applied DISTRIBUTED over the path catalog (`L_DataCache.lua:142-162`)."""
+    from datayours_spark.operators.catalog import series_catalog
+    from datayours_spark.operators.meta import assign_series_meta
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return assign_series_meta(series_catalog(dp), _meta_engine())
+
+
+def q_rollup_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 with per-series config: ONE aggregation pass computes all five
+    methods; a broadcast-joined series_meta picks each series' method and
+    xFilesFactor (SURVEY §4's 'genuinely custom piece (b)')."""
+    from datayours_spark.operators.catalog import series_catalog
+    from datayours_spark.operators.meta import assign_series_meta
+    from datayours_spark.operators.rollup import rollup_all_methods
+
+    dp = datapoints_from_events(spark, sf_dir)
+    meta = assign_series_meta(series_catalog(dp), _meta_engine()).select(
+        "path", "xff", "method"
+    )
+    fine = lww_slots(dp, 60)
+    out = rollup_all_methods(fine, 60, 3_600, meta)
+    return out.select(
+        "path", "slot", F.round("value", 4).alias("value"), "known", "method"
+    )
+
+
 STREAM_WINDOW = "1 hour"
 STREAM_WATERMARK = "30 minutes"
 STREAM_WATERMARK_SEC = 1_800
@@ -882,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_frame_sample": q_frame_sample,
         "q_streaming_rollup": q_streaming_rollup,
+        "q_series_meta": q_series_meta,
+        "q_rollup_meta": q_rollup_meta,
     }
 
 
@@ -1364,6 +1435,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM e GROUP BY 1, 2
             HAVING slot + 3600 <= (SELECT m FROM mx) - {STREAM_WATERMARK_SEC}
+        """,
+        "q_series_meta": f"""
+            WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp)
+            SELECT path,
+                   CASE WHEN regexp_matches(path, '\\.click') THEN '1m:1d,1h:30d'
+                        WHEN regexp_matches(path, 'error') THEN '10s:6h,10m:7d'
+                        ELSE '1h:7d' END AS retentions,
+                   CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 0.1
+                        WHEN regexp_matches(path, 'error') THEN 0.0
+                        ELSE 0.5 END AS xff,
+                   CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 'sum'
+                        WHEN regexp_matches(path, 'error') THEN 'max'
+                        WHEN regexp_matches(path, 'purchase') THEN 'last'
+                        ELSE 'average' END AS method
+            FROM cat
+        """,
+        "q_rollup_meta": f"""
+            WITH fine AS ({_slots_sql(DP_USER, 60)}),
+            agg AS (
+              SELECT path, slot - slot % 3600 AS slot,
+                     avg(value) AS v_average, sum(value) AS v_sum,
+                     arg_max(value, slot) AS v_last,
+                     max(value) AS v_max, min(value) AS v_min,
+                     count(value) AS known
+              FROM fine GROUP BY 1, 2),
+            m AS (
+              SELECT *,
+                CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 'sum'
+                     WHEN regexp_matches(path, 'error') THEN 'max'
+                     WHEN regexp_matches(path, 'purchase') THEN 'last'
+                     ELSE 'average' END AS method,
+                CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 0.1
+                     WHEN regexp_matches(path, 'error') THEN 0.0
+                     ELSE 0.5 END AS xff
+              FROM agg)
+            SELECT path, slot,
+                   round(CASE method WHEN 'sum' THEN v_sum WHEN 'last' THEN v_last
+                              WHEN 'max' THEN v_max WHEN 'min' THEN v_min
+                              ELSE v_average END, 4) AS value,
+                   known, method
+            FROM m WHERE known * 1.0 / 60 >= xff
         """,
     }
 

@@ -107,3 +107,30 @@ def write_datapoints(datapoints: DataFrame, out_dir: str) -> None:
 def read_datapoints(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read a canonical datapoints table written by `write_datapoints`."""
     return spark.read.parquet(out_dir)
+
+
+def expire_retention(table_dir: str, max_retention: int, now: int) -> list[str]:
+    """Retention expiry as partition drops (T7, SURVEY §2.9).
+
+    Whisper's ring buffer silently invalidates slots older than the archive's
+    retention (`/root/reference/L_DataWhisper.lua:332, 539-541`); on the
+    date-partitioned layout that is a metadata-only maintenance job: drop
+    every `date=` partition that lies ENTIRELY before `now - max_retention`.
+    The boundary date stays (it holds a mix); the fetch-side clamp
+    (`fetch_grid(oldest=...)`) hides the not-yet-dropped tail, exactly like
+    the reference's clamp-to-oldest.  Returns the dropped partition names.
+    """
+    import shutil
+    from datetime import datetime, timezone
+
+    cutoff = datetime.fromtimestamp(now - max_retention, tz=timezone.utc).strftime(
+        "%Y-%m-%d"
+    )
+    dropped = []
+    for entry in sorted(os.listdir(table_dir)):
+        if not entry.startswith("date="):
+            continue
+        if entry.split("=", 1)[1] < cutoff:
+            shutil.rmtree(os.path.join(table_dir, entry))
+            dropped.append(entry)
+    return dropped

@@ -15,8 +15,13 @@ Reproduces:
 
 Scale notes:
 - LOCF/as-of use a window partitioned by series path — state per partition
-  is one running value, no skew risk beyond a single series' history; long
-  series stay within one partition's sort (Spark external-sorts if needed).
+  is one running value; for series long enough to make a hot partition,
+  `locf_chunked` bounds every sort to a chunk and carries chunk boundaries
+  through a tiny summary table (identical results, verified by test).
+- `apply_null_policy`/`staircase` accept unpartitioned input ONLY because
+  their input is a fetched render grid — bounded by maxpoints per series,
+  like the reference's per-series render loop; bulk LOCF goes through the
+  partitioned/chunked paths.
 - The pivot shuffles once on the quantized timestamp; column count equals
   the (small) target list, driver-enumerated like the reference's targets.
 """
@@ -109,6 +114,52 @@ def apply_null_policy(
             )
         return grid.withColumn("value", F.last("value", ignorenulls=True).over(w))
     raise ValueError(f"unknown null policy {policy}")
+
+
+def locf_chunked(
+    grid: DataFrame,
+    chunk_span: int,
+    order_col: str = "slot",
+    partition_col: str = "path",
+) -> DataFrame:
+    """Skew-safe LOCF: identical results to the `hold` policy, but no single
+    sort partition ever exceeds `chunk_span` worth of one series.
+
+    SURVEY §7.2(c): a years-long 1s-resolution series makes
+    `Window.partitionBy(path)` a hot partition at 100 TB.  Classic two-phase
+    fix: (1) LOCF within (path, chunk) — parallel across chunks; (2) carry
+    the last known value per chunk through a window over the TINY per-chunk
+    summary (rows / chunk_span); (3) fill each chunk's leading nulls from
+    the carried value.  Total: one bounded sort + one small-table window +
+    one co-partitioned join.
+    """
+    chunk = (F.col(order_col) - (F.col(order_col) % F.lit(chunk_span))).alias("__chunk")
+    w1 = (
+        Window.partitionBy(partition_col, "__chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = grid.withColumn("__chunk", chunk).withColumn(
+        "__locf", F.last("value", ignorenulls=True).over(w1)
+    )
+    # last known value leaving each chunk = the final row's running LOCF
+    carry = within.groupBy(partition_col, "__chunk").agg(
+        F.max_by("__locf", F.col(order_col)).alias("__carry")
+    )
+    w2 = (
+        Window.partitionBy(partition_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = carry.withColumn(
+        "__incoming", F.last("__carry", ignorenulls=True).over(w2)
+    ).select(partition_col, "__chunk", "__incoming")
+    out_cols = grid.columns
+    return (
+        within.join(incoming, [partition_col, "__chunk"], "left")
+        .withColumn("value", F.coalesce("__locf", "__incoming"))
+        .select(*out_cols)
+    )
 
 
 def default_modes_for_method(method: str) -> tuple[str, str]:

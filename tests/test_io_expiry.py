@@ -1,0 +1,34 @@
+"""Retention expiry: date-partition drops + fetch clamp interplay (T7)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from datayours_spark.io import expire_retention, read_datapoints, write_datapoints
+from datayours_spark.operators.fetch import fetch_grid
+
+TMP = str(Path(__file__).parent / "_tmp" / "expiry_datapoints")
+
+DAY = 86_400
+T0 = 1_704_067_200  # 2024-01-01
+
+
+def test_expire_drops_only_whole_old_partitions(spark, make_datapoints):
+    rows = [("a.b", T0 + d * DAY + 60, float(d)) for d in range(6)]
+    write_datapoints(make_datapoints(rows), TMP)
+
+    now = T0 + 5 * DAY + 120  # during 2024-01-06
+    dropped = expire_retention(TMP, max_retention=3 * DAY, now=now)
+    # cutoff instant is inside 2024-01-03 → 01 and 02 drop, 03 (mixed) stays
+    assert dropped == ["date=2024-01-01", "date=2024-01-02"]
+    left = sorted(e for e in os.listdir(TMP) if e.startswith("date="))
+    assert left == [f"date=2024-01-0{d}" for d in (3, 4, 5, 6)]
+
+    # fetch-side clamp hides the not-yet-dropped tail of the boundary day
+    stored = read_datapoints(spark, TMP)
+    grid = fetch_grid(
+        spark, stored, "a.b", T0, now, 86_400, now=now, oldest=now - 3 * DAY
+    )
+    vals = [r["value"] for r in grid.collect()]
+    assert vals == [2.0, 3.0, 4.0, 5.0]

@@ -72,3 +72,29 @@ class TestStaircase:
         got = [(r["slot"], r["value"]) for r in out]
         # each new t first repeats the previous value (L_DataGraph.lua:244-254)
         assert got == [(60, 1.0), (120, 1.0), (120, 2.0), (180, 2.0), (180, 3.0)]
+
+
+class TestLocfChunked:
+    def test_matches_plain_hold(self, spark):
+        from datayours_spark.operators.align import locf_chunked
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (p, s * 10, float(rng.randint(0, 99)) if rng.random() < 0.4 else None)
+            for p in ("a", "b", "c")
+            for s in range(200)
+        ]
+        grid = spark.createDataFrame(rows, "path string, slot bigint, value double")
+        plain = apply_null_policy(grid, "hold", partition_cols=["path"])
+        chunked = locf_chunked(grid, chunk_span=170)  # not slot-aligned on purpose
+        key = lambda r: (r["path"], r["slot"])  # noqa: E731
+        assert sorted(chunked.collect(), key=key) == sorted(plain.collect(), key=key)
+
+    def test_all_null_chunk_carries_through(self, spark):
+        from datayours_spark.operators.align import locf_chunked
+
+        rows = [("a", 0, 5.0)] + [("a", s, None) for s in range(1, 30)]
+        grid = spark.createDataFrame(rows, "path string, slot bigint, value double")
+        out = locf_chunked(grid, chunk_span=7).orderBy("slot").collect()
+        assert [r["value"] for r in out] == [5.0] * 30
