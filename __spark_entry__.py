@@ -636,6 +636,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
 
 
+NEARDUP_PLANES = 6
+NEARDUP_THRESHOLD = 0.25
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-blocked candidate pairs verified by
+    exact cosine (the scale path for semantic dedup)."""
+    from datayours_spark.functions.similarity import cosine_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup(
+        emb, n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -953,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_rollup": q_streaming_rollup,
         "q_series_meta": q_series_meta,
         "q_rollup_meta": q_rollup_meta,
+        "q_dedup_embed": q_dedup_embed,
     }
 
 
@@ -1476,6 +1492,39 @@ def oracle_sql() -> dict[str, str]:
                               ELSE v_average END, 4) AS value,
                    known, method
             FROM m WHERE known * 1.0 / 60 >= xff
+        """,
+        "q_dedup_embed": f"""
+            WITH ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            pl AS (SELECT unnest(generate_series(0, {NEARDUP_PLANES - 1})) AS plane),
+            w AS (
+              SELECT vec_id, plane, dim, x,
+                     ((('0x' || substr(md5(plane::VARCHAR || '_' || dim::VARCHAR), 1, 8))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS w
+              FROM ex CROSS JOIN pl),
+            d AS (SELECT vec_id, plane, round(sum(x * w), 9) AS d FROM w GROUP BY 1, 2),
+            bk AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+                       AS bucket
+              FROM d GROUP BY vec_id),
+            n AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_reduce(list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                       (a, c) -> a + c)) AS nrm
+              FROM embeddings),
+            t AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk USING (vec_id)),
+            pairs AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                                      p -> p[1] * p[2]),
+                                       (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+              FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id1, id2, sim FROM pairs WHERE sim >= {NEARDUP_THRESHOLD}
         """,
     }
 

@@ -111,6 +111,46 @@ def lsh_buckets(
     return dots.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("bucket"))
 
 
+def cosine_neardup(
+    emb: DataFrame,
+    n_planes: int = 6,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    The all-pairs O(N²) problem becomes: bucket every vector (n_planes-bit
+    hyperplane signature), self-join WITHIN buckets only, verify candidates
+    with the exact cosine, keep pairs ≥ threshold.  Output (id1, id2, sim).
+
+    Scale notes: the bucket equi-join shuffles on the bucket id — at 100 TB
+    tune n_planes so bucket sizes stay join-friendly (each extra plane
+    halves the expected bucket), and band like MinHash-LSH (several
+    independent signatures OR-ed) if recall matters more than cost.
+    """
+    buckets = lsh_buckets(emb, n_planes, id_col=id_col, vec_col=vec_col)
+    vecs = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
+    norms = vecs.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    tagged = norms.join(buckets, "vec_id")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(sim, round_dp).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def bucket_stats(buckets: DataFrame) -> DataFrame:
     """Bucket occupancy: (bucket, n, min_vec_id) — the ANN candidate sets."""
     return buckets.groupBy("bucket").agg(
