@@ -636,6 +636,84 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
 
 
+# ------- dataMine federated source fixture (derived from events) -----------
+
+DM_CHANNELS = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}  # click=1, ...
+DM_OFFSET_CHANNEL = "purchase"  # gets DataOffset+filter to exercise P4
+DM_GRID_STEP = 21_600
+
+
+def _materialize_datamine(spark: SparkSession, sf_dir: str) -> str:
+    """Write a deterministic dataMine DB (weekly per-channel CSVs +
+    dataMineConfig.json) derived from the events table, once per sf.
+
+    Fixture scaffolding only: the sample volume is the events table, which
+    is dedup'd per (channel, second) BEFORE writing so the irregular-sample
+    semantics stay deterministic (the reference's bisection also resolves
+    one row per time, `L_DataBaseDM.lua:102-116`).
+    """
+    import json
+    from pathlib import Path
+
+    from datayours_spark.sources.datamine import WEEK_SECONDS
+
+    db = Path(__file__).parent / "tests" / "_tmp" / f"dm_{Path(sf_dir).name}"
+    if not (db / "dataMineConfig.json").exists():
+        events = load_table(spark, sf_dir, "events")
+        rows = (
+            events.groupBy(
+                "event_type", F.col("ts_sec").alias("t")
+            )
+            .agg(F.max_by("value", F.expr("ts div 1000")).alias("v"))
+            .collect()
+        )
+        by_file: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for r in rows:
+            ch = DM_CHANNELS[r["event_type"]]
+            by_file.setdefault((ch, r["t"] // WEEK_SECONDS), []).append(
+                (r["t"], r["v"])
+            )
+        for (ch, week), pts in by_file.items():
+            f = db / "database" / str(ch) / "raw" / f"{week}.txt"
+            f.parent.mkdir(parents=True, exist_ok=True)
+            f.write_text(
+                "\n".join(f"{t},{v!r}" for t, v in sorted(pts)) + "\n"
+            )
+        config = {
+            "Variables": [
+                {
+                    "Id": DM_CHANNELS[t],
+                    "Name": t,
+                    "DataOffset": 5.0 if t == DM_OFFSET_CHANNEL else 0.0,
+                    "FilterEnable": 1 if t == DM_OFFSET_CHANNEL else 0,
+                    "Filterminimum": 10.0,
+                    "FilterMaximum": 100.0,
+                }
+                for t in EVENT_TYPES
+            ]
+        }
+        (db / "dataMineConfig.json").write_text(json.dumps(config))
+    return str(db)
+
+
+def q_datamine_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13+S14+P4+J2 end-to-end: weekly-CSV federated scan → channel config
+    join (offset/clamp) → backward as-of resample onto a 6h grid."""
+    from datayours_spark.sources.datamine import (
+        apply_channel_filters,
+        asof_query,
+        read_channels,
+        read_config,
+    )
+
+    db_dir = _materialize_datamine(spark, sf_dir)
+    samples = apply_channel_filters(
+        read_channels(spark, db_dir), read_config(spark, db_dir)
+    )
+    out = asof_query(spark, samples, T0, T0 + 7 * DAY, DM_GRID_STEP)
+    return out.select("path", "slot", F.round("value", 4).alias("value"))
+
+
 NEARDUP_PLANES = 6
 NEARDUP_THRESHOLD = 0.25
 
@@ -969,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_series_meta": q_series_meta,
         "q_rollup_meta": q_rollup_meta,
         "q_dedup_embed": q_dedup_embed,
+        "q_datamine_asof": q_datamine_asof,
     }
 
 
@@ -1050,6 +1129,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    dm_channel_case = " ".join(
+        f"WHEN '{t}' THEN {i}" for t, i in DM_CHANNELS.items()
+    )
 
     brace_regexes = glob_path_to_regex(BRACE_FIND_PATTERN)
     brace_cond = " OR ".join(f"regexp_matches(prefix, '{r}')" for r in brace_regexes)
@@ -1525,6 +1608,28 @@ def oracle_sql() -> dict[str, str]:
                                        (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
               FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT id1, id2, sim FROM pairs WHERE sim >= {NEARDUP_THRESHOLD}
+        """,
+        "q_datamine_asof": f"""
+            -- mirror of the weekly-CSV fixture derivation + channel filters
+            -- + backward as-of resample (DuckDB's native ASOF JOIN)
+            WITH dedup AS (
+              SELECT event_type, epoch_us(ts) // 1000000 AS t,
+                     arg_max(value, epoch_us(ts)) AS v
+              FROM events GROUP BY 1, 2),
+            s AS (
+              SELECT 'dm.' || (CASE event_type {dm_channel_case} END)::VARCHAR AS path,
+                     t AS ts_sec,
+                     CASE WHEN event_type = '{DM_OFFSET_CHANNEL}'
+                          THEN least(greatest(v + 5.0, 10.0), 100.0)
+                          ELSE v END AS value
+              FROM dedup),
+            g AS (SELECT unnest(generate_series({T0}, {T0 + 7 * DAY}, {DM_GRID_STEP}))
+                    AS slot),
+            p AS (SELECT DISTINCT path FROM s),
+            pg AS (SELECT path, slot FROM p CROSS JOIN g)
+            SELECT pg.path, pg.slot, round(s.value, 4) AS value
+            FROM pg ASOF LEFT JOIN s
+              ON pg.path = s.path AND s.ts_sec <= pg.slot
         """,
     }
 
