@@ -157,18 +157,25 @@ def simhash32(
     """32-bit SimHash fingerprints: (doc_id, simhash).
 
     Per token hash, each bit contributes ±1; fingerprint bit j is 1 when the
-    signed sum is strictly positive.  Explode(tokens) × 32 bit positions —
-    a narrow generated join, aggregated with map-side combine.
+    signed sum is strictly positive.
+
+    Scale shape: ONE aggregation keyed by doc — the 32 bit-sums are 32
+    independent literal-shift sum() aggregates over the token stream, so the
+    shuffle carries one row per document (map-side combined) instead of the
+    32× bit-exploded stream.
     """
     tokens = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("tok")
     ).withColumn("h", md5_int32(F.col("tok")))
-    bits = tokens.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
-    )
-    # dynamic shift amounts need the SQL form (the pyspark shiftright helper
-    # only takes a literal shift)
-    contrib = F.when(F.expr("shiftright(h, j) & 1") == 1, 1).otherwise(-1)
-    sums = bits.groupBy("doc_id", "j").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
-    return sums.groupBy("doc_id").agg(F.sum(bitval).cast("bigint").alias("simhash"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))

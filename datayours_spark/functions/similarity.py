@@ -19,9 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datayours_spark.functions.dedup import md5_int32
-
-
 def as_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -71,11 +68,14 @@ def cosine_topk(
     return ranked.where(F.col("rank") <= k)
 
 
-def hyperplane_weight(plane: Column, dim: Column) -> Column:
+def hyperplane_weight_py(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1] for (plane, dim) —
-    md5-derived so any engine computes the identical plane matrix."""
-    h = md5_int32(F.concat_ws("_", plane.cast("string"), dim.cast("string")))
-    return (h % 2001 - 1000) / F.lit(1000.0)
+    md5-derived so any engine computes the identical plane matrix
+    (= ('0x'||substr(md5('<plane>_<dim>'),1,8)) % 2001 - 1000) / 1000)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
 
 
 def lsh_buckets(
@@ -88,27 +88,23 @@ def lsh_buckets(
 
     bucket bit j = sign(round(v · plane_j, 9) > 0); the rounding makes the
     sign decision stable across summation orders.
+
+    Scale shape: the plane matrix is tiny (n_planes × dim) and deterministic,
+    so it is precomputed driver-side and embedded as array literals — the
+    bucket id becomes a pure narrow projection (zip_with/aggregate folds,
+    whole-stage codegen, ZERO shuffles), not an explode+groupBy.
     """
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(as_double_array(vec_col)).alias("dim", "x"),
+    dim = len(emb.select(vec_col).first()[0])
+    v = as_double_array(vec_col)
+    bucket = None
+    for p in range(n_planes):
+        w = F.array(*[F.lit(hyperplane_weight_py(p, d)) for d in range(dim)])
+        d_p = F.round(dot(v, w), 9)
+        term = F.when(d_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return emb.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket")
     )
-    planes = (
-        base.select(
-            "vec_id",
-            "dim",
-            "x",
-            F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane"),
-        )
-        .withColumn("w", hyperplane_weight(F.col("plane"), F.col("dim")))
-    )
-    dots = planes.groupBy("vec_id", "plane").agg(
-        F.round(F.sum(F.col("x") * F.col("w")), 9).alias("d")
-    )
-    bit = F.when(
-        F.col("d") > 0, F.expr("shiftleft(cast(1 as bigint), cast(plane as int))")
-    ).otherwise(0)
-    return dots.groupBy("vec_id").agg(F.sum(bit).cast("bigint").alias("bucket"))
 
 
 def cosine_neardup(
