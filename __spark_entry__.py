@@ -636,6 +636,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
 
 
+RENDER_API_TARGET = "events.{click,error}.u?"  # braces + single-char glob
+RENDER_API_STEP = 21_600
+
+
+def q_render_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end via the user-facing api.render facade: brace+glob
+    target → find leaves → one distributed dense-grid fetch for ALL matched
+    series → zero null policy."""
+    from datayours_spark import api
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return api.render(
+        spark,
+        dp,
+        targets=RENDER_API_TARGET,
+        from_=FETCH_FROM,
+        until_=T0 + 3 * DAY,
+        step=RENDER_API_STEP,
+        format="df",
+        null_policy="zero",
+    ).select("path", "slot", F.round("value", 4).alias("value"))
+
+
 # ------- dataMine federated source fixture (derived from events) -----------
 
 DM_CHANNELS = {t: i + 1 for i, t in enumerate(EVENT_TYPES)}  # click=1, ...
@@ -1048,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_meta": q_rollup_meta,
         "q_dedup_embed": q_dedup_embed,
         "q_datamine_asof": q_datamine_asof,
+        "q_render_api": q_render_api,
     }
 
 
@@ -1133,6 +1157,13 @@ def oracle_sql() -> dict[str, str]:
     dm_channel_case = " ".join(
         f"WHEN '{t}' THEN {i}" for t, i in DM_CHANNELS.items()
     )
+
+    render_api_regexes = glob_path_to_regex(RENDER_API_TARGET)
+    render_api_cond = " OR ".join(
+        f"regexp_matches(path, '{r}')" for r in render_api_regexes
+    )
+    ra_lo = FETCH_FROM - FETCH_FROM % RENDER_API_STEP
+    ra_hi = (T0 + 3 * DAY) - (T0 + 3 * DAY) % RENDER_API_STEP
 
     brace_regexes = glob_path_to_regex(BRACE_FIND_PATTERN)
     brace_cond = " OR ".join(f"regexp_matches(prefix, '{r}')" for r in brace_regexes)
@@ -1630,6 +1661,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT pg.path, pg.slot, round(s.value, 4) AS value
             FROM pg ASOF LEFT JOIN s
               ON pg.path = s.path AND s.ts_sec <= pg.slot
+        """,
+        "q_render_api": f"""
+            WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp),
+            leaves AS (SELECT path FROM cat WHERE {render_api_cond}),
+            s AS (
+              SELECT * FROM ({_slots_sql(DP_USER, RENDER_API_STEP)}) t
+              WHERE slot BETWEEN {ra_lo} AND {ra_hi}),
+            g AS (SELECT unnest(generate_series({ra_lo}, {ra_hi},
+                                               {RENDER_API_STEP})) AS slot),
+            grid AS (SELECT path, slot FROM leaves CROSS JOIN g)
+            SELECT grid.path, grid.slot,
+                   round(coalesce(s.value, 0), 4) AS value
+            FROM grid LEFT JOIN s ON grid.path = s.path AND grid.slot = s.slot
         """,
     }
 

@@ -1,0 +1,125 @@
+"""The engine's user-facing query API: Graphite render/metrics semantics.
+
+This is the §3.2 pipeline (`/root/reference/graphite_cgi.lua:383-393,
+470-503`) as a library surface — what a DataYours/graphite-api user calls
+instead of the HTTP endpoints:
+
+- `render(targets, from_, until_, format)` — resolve times (relative with
+  the 0.998 shrink, ISO incl. ordinal dates, epoch ints; defaults = last
+  24 h), glob/brace-find every matching leaf, fetch dense per-series grids,
+  apply the null policy, emit Graphite JSON/CSV text or the raw grid
+  DataFrame.
+- `find(query)` / `expand(query)` / `index()` — the /metrics endpoints.
+
+Scale notes: one distributed plan serves ALL matched series (the reference
+loops per leaf): matched paths × generated time grid, left-joined against
+LWW slots — filters push to the scan, the grid never leaves executors, and
+the result is bounded by len(paths) × slots like the reference's
+points-per-query cap.  Only the final render text assembly is driver-side,
+exactly as CGI response assembly was.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datayours_spark.kernel.timeparse import default_render_range, parse_time
+from datayours_spark.operators.align import apply_null_policy
+from datayours_spark.operators.catalog import find_nodes, series_catalog
+from datayours_spark.operators.fetch import lww_slots, time_grid
+from datayours_spark.render.formats import fetched_to_series, render_csv, render_json
+
+def find(datapoints: DataFrame, query: str) -> DataFrame:
+    """/metrics/find — (path, name, is_leaf) nodes for a glob/brace query."""
+    return find_nodes(series_catalog(datapoints), query)
+
+
+def expand(datapoints: DataFrame, query: str, leaves_only: bool = False) -> DataFrame:
+    """/metrics/expand — flat path list (branches get a trailing dot)."""
+    from datayours_spark.operators.catalog import expand_query
+
+    return expand_query(series_catalog(datapoints), query, leaves_only)
+
+
+def index(datapoints: DataFrame) -> DataFrame:
+    """/metrics/index.json — every leaf path, sorted."""
+    from datayours_spark.operators.catalog import index_json
+
+    return index_json(series_catalog(datapoints))
+
+
+def render_grid(
+    spark: SparkSession,
+    datapoints: DataFrame,
+    targets: list[str] | str,
+    from_: str | int | None = None,
+    until_: str | int | None = None,
+    step: int = 3_600,
+    now: int | None = None,
+    null_policy: str = "null",
+) -> DataFrame:
+    """The distributed heart of /render: (path, slot, value) dense grids for
+    every leaf matched by any target, nulls where no point landed."""
+    import time as _time
+
+    if isinstance(targets, str):
+        targets = [targets]
+    now_ts = int(_time.time()) if now is None else parse_time(now)
+    default_from, default_until = default_render_range(now_ts)
+    frm = default_from if from_ is None else parse_time(from_, now=now_ts)
+    until = default_until if until_ is None else parse_time(until_, now=now_ts)
+
+    catalog = series_catalog(datapoints)
+    leaves = None
+    for t in targets:
+        nodes = find_nodes(catalog, t).where(F.col("is_leaf")).select("path")
+        leaves = nodes if leaves is None else leaves.unionByName(nodes)
+    leaves = leaves.dropDuplicates(["path"])
+
+    lo = frm - frm % step
+    hi = until - until % step
+    slots = (
+        lww_slots(
+            datapoints.where(F.col("ts_sec").between(lo, hi + step - 1)), step
+        )
+        .join(F.broadcast(leaves), "path")
+    )
+    grid = leaves.crossJoin(time_grid(spark, frm, until, step))
+    out = grid.join(slots, ["path", "slot"], "left")
+    return apply_null_policy(out, null_policy, partition_cols=["path"]).select(
+        "path", "slot", "value"
+    )
+
+
+def render(
+    spark: SparkSession,
+    datapoints: DataFrame,
+    targets: list[str] | str,
+    from_: str | int | None = None,
+    until_: str | int | None = None,
+    step: int = 3_600,
+    now: int | None = None,
+    format: str = "json",
+    null_policy: str = "null",
+) -> str | DataFrame:
+    """/render — Graphite-format output text for every matching series.
+
+    format: 'json' → the render JSON document; 'csv' → series,datetime,value
+    lines; 'df' → the (path, slot, value) grid DataFrame for further
+    composition.
+    """
+    grid = render_grid(
+        spark, datapoints, targets, from_, until_, step, now, null_policy
+    )
+    if format == "df":
+        return grid
+    if format == "json":
+        return render_json(fetched_to_series(grid))
+    if format == "csv":
+        rows = [
+            (r["path"], r["slot"], r["value"])
+            for r in grid.orderBy("path", "slot").collect()
+        ]
+        return render_csv(rows)
+    raise ValueError(f"unknown render format {format!r}")

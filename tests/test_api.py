@@ -1,0 +1,114 @@
+"""User-facing render/metrics API (graphite_cgi.lua:383-503 semantics)."""
+
+from __future__ import annotations
+
+from datayours_spark import api
+
+T0 = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+H = 3_600
+
+
+def _dp(make_datapoints):
+    return make_datapoints(
+        [
+            ("a.x", T0 + 0 * H + 10, 1.0),
+            ("a.x", T0 + 2 * H + 10, 3.0),
+            ("a.y", T0 + 1 * H + 10, 5.0),
+            ("b.x", T0 + 0 * H + 10, 9.0),
+        ]
+    )
+
+
+class TestMetrics:
+    def test_find_branch_and_leaf(self, spark, make_datapoints):
+        nodes = api.find(_dp(make_datapoints), "*").collect()
+        assert [(r["path"], r["is_leaf"]) for r in nodes] == [
+            ("a", False),
+            ("b", False),
+        ]
+
+    def test_expand_and_index(self, spark, make_datapoints):
+        dp = _dp(make_datapoints)
+        assert [r["path"] for r in api.expand(dp, "a.*").collect()] == ["a.x", "a.y"]
+        assert [r["path"] for r in api.index(dp).collect()] == ["a.x", "a.y", "b.x"]
+
+
+class TestRender:
+    def test_brace_target_multi_series_grid(self, spark, make_datapoints):
+        grid = api.render(
+            spark,
+            _dp(make_datapoints),
+            targets="a.{x,y}",
+            from_=T0,
+            until_=T0 + 2 * H,
+            step=H,
+            format="df",
+        )
+        got = {(r["path"], r["slot"]): r["value"] for r in grid.collect()}
+        assert got == {
+            ("a.x", T0): 1.0,
+            ("a.x", T0 + H): None,
+            ("a.x", T0 + 2 * H): 3.0,
+            ("a.y", T0): None,
+            ("a.y", T0 + H): 5.0,
+            ("a.y", T0 + 2 * H): None,
+        }
+
+    def test_csv_format_golden(self, spark, make_datapoints):
+        out = api.render(
+            spark,
+            _dp(make_datapoints),
+            targets=["b.*"],
+            from_=T0,
+            until_=T0 + H,
+            step=H,
+            format="csv",
+        )
+        assert out == (
+            "b.x,2024-01-01 00:00:00,9\nb.x,2024-01-01 01:00:00,nil"
+        )
+
+    def test_json_format_golden(self, spark, make_datapoints):
+        out = api.render(
+            spark,
+            _dp(make_datapoints),
+            targets="b.x",
+            from_=T0,
+            until_=T0 + H,
+            step=H,
+            format="json",
+        )
+        assert '"target": "b.x"' in out
+        assert f"[9, {T0}]," in out
+        assert f"[null, {T0 + H}]" in out
+
+    def test_relative_from_with_shrink(self, spark, make_datapoints):
+        # -1h with the 0.998 shrink reaches back 3592.8s → slot T0+2H kept,
+        # plus the T0+3H anchor slot = grid of 2 slots
+        dp = _dp(make_datapoints)
+        grid = api.render(
+            spark,
+            dp,
+            targets="a.x",
+            from_="-1h",
+            until_=None,
+            step=H,
+            now=T0 + 3 * H,
+            format="df",
+        )
+        slots = sorted(r["slot"] for r in grid.collect())
+        assert slots == [T0 + 2 * H, T0 + 3 * H]
+
+    def test_hold_policy(self, spark, make_datapoints):
+        grid = api.render(
+            spark,
+            _dp(make_datapoints),
+            targets="a.x",
+            from_=T0,
+            until_=T0 + 3 * H,
+            step=H,
+            format="df",
+            null_policy="hold",
+        )
+        vals = [r["value"] for r in grid.orderBy("slot").collect()]
+        assert vals == [1.0, 1.0, 3.0, 3.0]
