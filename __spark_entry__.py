@@ -752,6 +752,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-cluster centroids (coarse quantizer) → probe only
+    the query's nearest cluster → exact cosine re-rank within it."""
+    from datayours_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed": q_dedup_embed,
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
+        "q_ann_ivf": q_ann_ivf,
     }
 
 
@@ -1674,6 +1684,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT grid.path, grid.slot,
                    round(coalesce(s.value, 0), 4) AS value
             FROM grid LEFT JOIN s ON grid.path = s.path AND grid.slot = s.slot
+        """,
+        "q_ann_ivf": f"""
+            WITH n AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_reduce(list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM embeddings),
+            comp AS (
+              SELECT label AS centroid_id, generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            cm AS (SELECT centroid_id, pos, avg(x) AS m FROM comp GROUP BY 1, 2),
+            cent AS (
+              SELECT centroid_id, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
+            cn AS (
+              SELECT centroid_id, cv,
+                     sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                      (a, b) -> a + b)) AS cnorm
+              FROM cent),
+            scored AS (
+              SELECT vec_id, centroid_id,
+                     round(list_reduce(list_transform(list_zip(v, cv),
+                                                      p -> p[1] * p[2]),
+                                       (a, b) -> a + b) / (nrm * cnorm), 9) AS csim
+              FROM n CROSS JOIN cn),
+            assign AS (
+              SELECT vec_id, centroid_id AS cluster FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY csim DESC, centroid_id) AS rn
+                FROM scored) WHERE rn = 1),
+            t AS (SELECT n.vec_id, v, nrm, cluster FROM n JOIN assign USING (vec_id)),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm,
+                         cluster AS qcluster
+                  FROM t WHERE vec_id < {N_ANN_QUERIES}),
+            cand AS (
+              SELECT q.query_id, t.vec_id,
+                     round(list_reduce(list_transform(list_zip(t.v, q.qv),
+                                                      p -> p[1] * p[2]),
+                                       (a, b) -> a + b) / (t.nrm * q.qnorm), 4) AS sim
+              FROM t JOIN q ON t.cluster = q.qcluster AND t.vec_id != q.query_id)
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, vec_id) AS rank
+              FROM cand) WHERE rank <= {ANN_TOP_K}
         """,
     }
 

@@ -30,9 +30,26 @@ from datayours_spark.operators.catalog import find_nodes, series_catalog
 from datayours_spark.operators.fetch import lww_slots, time_grid
 from datayours_spark.render.formats import fetched_to_series, render_csv, render_json
 
-def find(datapoints: DataFrame, query: str) -> DataFrame:
-    """/metrics/find — (path, name, is_leaf) nodes for a glob/brace query."""
-    return find_nodes(series_catalog(datapoints), query)
+def find(
+    datapoints: DataFrame, query: str, format: str = "df"
+) -> DataFrame | list | dict:
+    """/metrics/find — nodes for a glob/brace query.
+
+    format: 'df' → (path, name, is_leaf) DataFrame; 'treejson' (the
+    endpoint's default, Grafana's contract) / 'completer' → the reference's
+    JSON-ready shapes (`graphite_cgi.lua:225-263`).
+    """
+    nodes = find_nodes(series_catalog(datapoints), query)
+    if format == "df":
+        return nodes
+    from datayours_spark.render.formats import find_completer, find_treejson
+
+    rows = [(r["path"], r["name"], r["is_leaf"]) for r in nodes.collect()]
+    if format == "treejson":
+        return find_treejson(rows)
+    if format == "completer":
+        return find_completer(rows)
+    raise ValueError(f"unknown find format {format!r}")
 
 
 def expand(datapoints: DataFrame, query: str, leaves_only: bool = False) -> DataFrame:

@@ -147,6 +147,110 @@ def cosine_neardup(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer centroids: the mean vector per seed cluster.
+
+    The fixture uses the `label` column as the seed clustering; in
+    production the seeds come from a k-means pass (same downstream shape).
+    Output: (centroid_id, cv: array<double>, cnorm).
+    """
+    comps = emb.select(
+        F.col(cluster_col).alias("centroid_id"),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "x"),
+    )
+    means = comps.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+    cent = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    return cent.select(
+        "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine:
+    (vec_id, cluster).  Ties break by centroid_id; the centroid table is
+    tiny → broadcast, so assignment is a narrow map-side pass."""
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim",
+        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")), 9),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's nearest centroid's cluster.
+
+    Scale shape vs brute force: candidate generation is an equi-join on the
+    cluster id (≈ N/n_clusters candidates per query) instead of a full scan;
+    recall is traded via nprobe (here 1).  Output matches cosine_topk:
+    (query_id, vec_id, sim, rank).
+    """
+    from pyspark.sql import Window
+
+    cent = ivf_centroids(emb, cluster_col, id_col, vec_col)
+    assign = ivf_assign(emb, cent, id_col, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    tagged = vecs.join(assign, "vec_id")
+    queries = tagged.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnorm"),
+        F.col("cluster").alias("qcluster"),
+    )
+    cand = tagged.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnorm"))
+    ranked = cand.select(
+        "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
 def bucket_stats(buckets: DataFrame) -> DataFrame:
     """Bucket occupancy: (bucket, n, min_vec_id) — the ANN candidate sets."""
     return buckets.groupBy("bucket").agg(

@@ -82,6 +82,40 @@ def render_csv_df(grid: DataFrame) -> DataFrame:
     )
 
 
+def find_treejson(nodes: list[tuple[str, str, bool]]) -> list[dict]:
+    """/metrics/find default (treejson) node shape
+    (`graphite_cgi.lua:225-234`): Grafana's tree browser contract.
+
+    nodes = [(path, name, is_leaf), ...] from operators.catalog.find_nodes.
+    """
+    return [
+        {
+            "allowChildren": 0 if is_leaf else 1,
+            "expandable": 0 if is_leaf else 1,
+            "leaf": 1 if is_leaf else 0,
+            "id": path,
+            "text": name,
+            "context": {},  # required by consumers (reference quirk kept)
+        }
+        for path, name, is_leaf in nodes
+    ]
+
+
+def find_completer(nodes: list[tuple[str, str, bool]]) -> dict:
+    """/metrics/find?format=completer shape (`graphite_cgi.lua:236-242,
+    262`): branches get a trailing dot, wrapped in a `metrics` object."""
+    return {
+        "metrics": [
+            {
+                "is_leaf": 1 if is_leaf else 0,
+                "path": path if is_leaf else path + ".",
+                "name": name,
+            }
+            for path, name, is_leaf in nodes
+        ]
+    }
+
+
 def fetched_to_series(grid: DataFrame) -> list[tuple[str, list[tuple[int, float | None]]]]:
     """Collect a (path, slot, value) grid into render_json input, ordered."""
     rows = grid.orderBy("path", "slot").collect()

@@ -112,3 +112,23 @@ class TestRender:
         )
         vals = [r["value"] for r in grid.orderBy("slot").collect()]
         assert vals == [1.0, 1.0, 3.0, 3.0]
+
+
+class TestFindFormats:
+    def test_treejson_shape(self, spark, make_datapoints):
+        out = api.find(_dp(make_datapoints), "a.*", format="treejson")
+        assert out == [
+            {"allowChildren": 0, "expandable": 0, "leaf": 1, "id": "a.x",
+             "text": "x", "context": {}},
+            {"allowChildren": 0, "expandable": 0, "leaf": 1, "id": "a.y",
+             "text": "y", "context": {}},
+        ]
+
+    def test_completer_branch_trailing_dot(self, spark, make_datapoints):
+        out = api.find(_dp(make_datapoints), "*", format="completer")
+        assert out == {
+            "metrics": [
+                {"is_leaf": 0, "path": "a.", "name": "a"},
+                {"is_leaf": 0, "path": "b.", "name": "b"},
+            ]
+        }
