@@ -752,6 +752,43 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_MAX_SIDE = 256
+
+
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plan: aspect-preserving target dimensions as pure
+    column arithmetic (the pixel transform is decoder work, stubbed)."""
+    from datayours_spark.functions.multimodal import resize_metadata
+
+    assets = _documents_as_assets(spark, sf_dir)
+    out = resize_metadata(assets, RESIZE_MAX_SIDE)
+    return out.select("asset_id", "width", "height", "new_width", "new_height")
+
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_SEC = 1_800
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 (beyond reference): session windows — per-user event sessions
+    split on 30min inactivity, via Spark's session_window (the streaming-
+    capable form of the gaps-and-islands computation)."""
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "user_id", F.timestamp_seconds("ts_sec").alias("ts"), "value"
+    )
+    out = rows.groupBy("user_id", F.session_window("ts", SESSION_GAP)).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_window.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-cluster centroids (coarse quantizer) → probe only
     the query's nearest cluster → exact cosine re-rank within it."""
@@ -1082,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
         "q_ann_ivf": q_ann_ivf,
+        "q_resize_plan": q_resize_plan,
+        "q_sessionize": q_sessionize,
     }
 
 
@@ -1731,6 +1770,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY sim DESC, vec_id) AS rank
               FROM cand) WHERE rank <= {ANN_TOP_K}
+        """,
+        "q_resize_plan": f"""
+            WITH a AS (
+              SELECT doc_id AS asset_id,
+                     (n_chars % 640 + 16)::INT AS width,
+                     (n_chars % 480 + 16)::INT AS height
+              FROM documents),
+            s AS (
+              SELECT *, least(1.0, {RESIZE_MAX_SIDE}
+                                   / greatest(width, height)::DOUBLE) AS scale
+              FROM a)
+            SELECT asset_id, width, height,
+                   CAST(ceil(width * scale) AS INT) AS new_width,
+                   CAST(ceil(height * scale) AS INT) AS new_height
+            FROM s
+        """,
+        "q_sessionize": f"""
+            -- gaps-and-islands mirror of session_window: Spark merges an
+            -- event into a session iff its gap is STRICTLY below the limit,
+            -- so a new session starts when diff >= gap
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, value
+                       FROM events),
+            o AS (
+              SELECT user_id, t, value,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w >= {SESSION_GAP_SEC}
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+            s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id, min(t) AS session_start, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
     }
 
