@@ -134,6 +134,19 @@ def main() -> None:
     # ---- 5. whole-stage codegen ------------------------------------------
     check("rollup stays in WholeStageCodegen", "*(" in simple)
 
+    # ---- 6. sweep: no query in the gate degenerates to a cartesian -------
+    registry = entrymod.queries()
+    bad = []
+    for qname, fn in sorted(registry.items()):
+        if qname == "q_streaming_rollup":
+            continue  # streaming plan; inspected via its own run
+        try:
+            if "CartesianProduct" in plan_of(fn(spark, SF_DIR)):
+                bad.append(qname)
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{qname} (plan error: {exc})")
+    check("no gate query plans a CartesianProduct", not bad, str(bad) or "all clean")
+
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
