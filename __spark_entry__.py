@@ -492,19 +492,20 @@ def q_user_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AGGREGATOR_FREQ = 600
+AGGREGATOR_CONF = f"agg.<type> ({AGGREGATOR_FREQ}) = sum events.<type>.*"
 
 
 def q_carbon_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: carbon-aggregator rules — 'agg.<type> (600) = sum events.<type>.u*'."""
+    """A9: carbon-aggregator — the conf line 'agg.<type> (600) = sum
+    events.<type>.*' parsed and applied (aggregation-rules.conf format,
+    documented-but-unimplemented in the reference)."""
+    from datayours_spark.kernel.rules import parse_aggregation_rules
+    from datayours_spark.operators.rollup import carbon_aggregate
+
+    rules = parse_aggregation_rules(AGGREGATOR_CONF)
     dp = datapoints_from_events(spark, sf_dir)
-    out_path = F.concat(F.lit("agg."), F.regexp_extract("path", r"^events\.([^.]+)\.", 1))
-    return (
-        dp.groupBy(
-            out_path.alias("path"),
-            (F.col("ts_sec") - F.col("ts_sec") % AGGREGATOR_FREQ).alias("slot"),
-        )
-        .agg(F.round(F.sum("value"), 2).alias("value"), F.count("*").alias("n"))
-    )
+    out = carbon_aggregate(dp, rules)
+    return out.select("path", "slot", F.round("value", 2).alias("value"), "n")
 
 
 DATAMINE_CHANNELS = [

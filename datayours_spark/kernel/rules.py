@@ -148,3 +148,74 @@ def rule_engine_from_confs(
             rule = RewriteRule(pattern=m.group(1), replacement=m.group(2))
             (engine.pre_rewrites if section == "pre" else engine.post_rewrites).append(rule)
     return engine
+
+
+# ---------------------------------------------------------------------------
+# carbon aggregation-rules.conf: cross-series aggregation rules
+# (`/root/reference/Configuration/aggregation-rules.conf.example:1-29`;
+# documented-but-unimplemented in the reference, `L_DataCache.lua:121` —
+# SURVEY §2.3 A9 includes it as a capability)
+
+
+@dataclass
+class CarbonAggregationRule:
+    """``output_template (frequency) = method input_pattern``.
+
+    `input_pattern` segments: ``<name>`` captures one path level, ``*``
+    matches one level uncaptured; `output_template` substitutes the captured
+    fields.  method is ``sum`` or ``avg``.
+    """
+
+    output_template: str
+    frequency: int
+    method: str
+    input_pattern: str
+
+    def compile(self) -> tuple[str, str]:
+        """→ (anchored_regex, replacement) usable by any regexp_replace
+        engine ($1-style backreferences)."""
+        group_no: dict[str, int] = {}
+        parts: list[str] = []
+        n = 0
+        for seg in self.input_pattern.split("."):
+            if seg.startswith("<") and seg.endswith(">"):
+                n += 1
+                group_no[seg[1:-1]] = n
+                parts.append("([^.]+)")
+            else:
+                escaped = "".join(
+                    "[^.]+" if ch == "*" else ("\\" + ch if ch in r"\^$.|?+()[]{}" else ch)
+                    for ch in seg
+                )
+                parts.append(escaped)
+        regex = "^" + "\\.".join(parts) + "$"
+        out: list[str] = []
+        for seg in self.output_template.split("."):
+            if seg.startswith("<") and seg.endswith(">"):
+                out.append(f"${group_no[seg[1:-1]]}")
+            else:
+                out.append(seg)
+        return regex, ".".join(out)
+
+
+_AGG_RULE_RE = re.compile(r"^(\S+)\s*\((\d+)\)\s*=\s*(\w+)\s+(\S+)$")
+
+
+def parse_aggregation_rules(conf_text: str) -> list[CarbonAggregationRule]:
+    """Parse aggregation-rules.conf lines (comments/# and blanks skipped)."""
+    rules = []
+    for raw in conf_text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _AGG_RULE_RE.match(line)
+        if m:
+            rules.append(
+                CarbonAggregationRule(
+                    output_template=m.group(1),
+                    frequency=int(m.group(2)),
+                    method=m.group(3),
+                    input_pattern=m.group(4),
+                )
+            )
+    return rules

@@ -118,3 +118,34 @@ def rollup_all_methods(
             "method",
         )
     )
+
+
+def carbon_aggregate(datapoints: DataFrame, rules) -> DataFrame:
+    """A9 carbon-aggregator: cross-series aggregation rules
+    (`aggregation-rules.conf.example:1-29`; documented but unimplemented in
+    the reference, `L_DataCache.lua:121`).
+
+    Each rule buffers matching series into `frequency`-second buckets under
+    the substituted output path.  Output: (path, slot, value, n) per rule,
+    unioned.  The rule list is tiny (driver-side); each rule is one
+    hash aggregation with map-side combine — the match/rename are JVM-side
+    regex column expressions.
+    """
+    from pyspark.sql import functions as F
+
+    outs = []
+    for rule in rules:
+        regex, replacement = rule.compile()
+        agg = F.sum("value") if rule.method == "sum" else F.avg("value")
+        outs.append(
+            datapoints.where(F.col("path").rlike(regex))
+            .groupBy(
+                F.regexp_replace("path", regex, replacement).alias("path"),
+                (F.col("ts_sec") - F.col("ts_sec") % rule.frequency).alias("slot"),
+            )
+            .agg(agg.alias("value"), F.count("*").alias("n"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

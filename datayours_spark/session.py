@@ -44,4 +44,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a plain-default session carries 200 shuffle partitions — far too many
+    # for these per-series workloads; AQE coalesces from this hint upward
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("DATAYOURS_SHUFFLE_PARTITIONS", "32"),
+    )
     return spark
