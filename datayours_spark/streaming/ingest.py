@@ -52,10 +52,17 @@ class IngestPipeline:
     rewrites: list[RewriteRule] = field(default_factory=list)
     rollup_steps: tuple[int, ...] = (60, 600)
     now_override: int | None = None  # fixed "now" for deterministic tests
+    user_hook: object | None = None  # P1: user.run flatMap, §3.1 step 2
 
     def transform(self, lines: DataFrame) -> DataFrame:
         """The record pipeline, shared by batch backfill and the stream."""
         parsed = parse_plaintext_lines(lines, now=self.now_override)
+        if self.user_hook is not None:
+            # user.run runs BEFORE the rewrite rules, like the relay hop
+            # (`L_DataWatcher.lua:206-213, 80-85`)
+            from datayours_spark.functions.userhook import apply_user_hook
+
+            parsed = apply_user_hook(parsed, self.user_hook)
         renamed = parsed.select(
             rewrite_column(self.rewrites).alias("path"), "ts_sec", "value"
         )

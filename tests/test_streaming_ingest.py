@@ -91,3 +91,38 @@ class TestIngest:
         q2.stop()
         raw = spark.read.parquet(f"{pipeline.output_dir}/datapoints")
         assert raw.where("path = 'metrics.r'").count() == 1
+
+
+class TestUserHookInStream:
+    def test_hook_drops_and_derives(self, spark):
+        import shutil
+
+        from datayours_spark.functions.userhook import example_derive_hook
+
+        base = TMP.parent / "streaming_hook"
+        shutil.rmtree(base, ignore_errors=True)
+        (base / "in").mkdir(parents=True)
+        p = IngestPipeline(
+            spark=spark,
+            input_dir=str(base / "in"),
+            output_dir=str(base / "out"),
+            checkpoint_dir=str(base / "ckpt"),
+            now_override=NOW,
+            user_hook=example_derive_hook(threshold=100.0),
+            rollup_steps=(60,),
+        )
+        t = NOW - 60
+        (base / "in" / "one.txt").write_text(
+            f"m.a 50 {t}\nm.b 150 {t}\n"
+        )
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        dp = {(r["path"], r["ts_sec"]): r["value"] for r in p.datapoints().collect()}
+        # pass-through records plus the derived .high marker (150 - 100)
+        assert dp == {
+            ("m.a", t): 50.0,
+            ("m.b", t): 150.0,
+            ("m.b.high", t): 50.0,
+        }
+        shutil.rmtree(base, ignore_errors=True)
