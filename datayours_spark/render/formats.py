@@ -25,11 +25,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: the reference's JSON representation of infinity ("looks like infinity
+#: symbols on their side", `L_DataLibrary.lua:367`)
+JSON_HUGE = "8.88e888"
+
+
 def _num(v: float | None) -> str:
     if v is None:
         return "nil"
     s = f"{v:.14g}"
     return s
+
+
+def json_number(v: float) -> str:
+    """The reference's JSON number quirks (`L_DataLibrary.lua:390-392`):
+    NaN → null, +inf → 8.88e888, -inf → -8.88e888."""
+    import math
+
+    if math.isnan(v):
+        return "null"
+    if v == math.inf:
+        return JSON_HUGE
+    if v == -math.inf:
+        return "-" + JSON_HUGE
+    return _num(v)
 
 
 def _date(t: int) -> str:
@@ -56,7 +75,7 @@ def render_json(series: list[tuple[str, list[tuple[int, float | None]]]]) -> str
         n = len(points)
         for i, (t, v) in enumerate(points, start=1):
             comma = "" if i == n else ","
-            value = "null" if v is None else _num(v)
+            value = "null" if v is None else json_number(v)
             data.append(f"  [{value}, {t}]{comma}")
         data.append("  ]")
         data.append("}")

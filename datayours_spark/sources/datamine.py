@@ -106,3 +106,16 @@ def asof_query(
         "value",
     )
     return asof_resample(spark, renamed, t1, t2, dt)
+
+
+def search_channels(config: DataFrame, **criteria) -> DataFrame:
+    """F17: dmDB.search — multi-criteria channel search where STRING
+    criteria match by substring (plain find, not regex) and everything else
+    matches exactly (`/root/reference/L_DataBaseDM.lua:82-99`)."""
+    out = config
+    for name, value in criteria.items():
+        if isinstance(value, str):
+            out = out.where(F.contains(F.col(name), F.lit(value)))
+        else:
+            out = out.where(F.col(name) == value)
+    return out

@@ -78,3 +78,16 @@ class TestDistributed:
             ("a", [(1, 1.0), (2, None)]),
             ("b", [(2, 2.0)]),
         ]
+
+
+class TestJsonNumberQuirks:
+    def test_nan_inf_representation(self):
+        import math
+
+        from datayours_spark.render.formats import json_number
+
+        assert json_number(float("nan")) == "null"
+        assert json_number(math.inf) == "8.88e888"
+        assert json_number(-math.inf) == "-8.88e888"
+        assert json_number(2.0) == "2"
+        assert json_number(0.125) == "0.125"

@@ -82,3 +82,18 @@ class TestSemantics:
         # grid at t0 (no sample yet at exactly t0? sample at t0+10 → after) —
         # t0 has no earlier sample → null; t0+3600 → 1.0; t0+7200 → 2.0
         assert got == {t0: None, t0 + 3_600: 1.0, t0 + 7_200: 2.0}
+
+
+class TestSearch:
+    def test_string_substring_other_exact(self, spark, db_dir):
+        from datayours_spark.sources.datamine import search_channels
+
+        config = read_config(spark, db_dir)
+        # substring match on name
+        got = search_channels(config, name="att")  # matches 'watts'
+        assert [r["channel_id"] for r in got.collect()] == [2]
+        # exact match on non-string
+        got = search_channels(config, channel_id=1).collect()
+        assert [r["name"] for r in got] == ["temp"]
+        # combined criteria, empty result
+        assert search_channels(config, name="temp", channel_id=2).count() == 0
