@@ -753,6 +753,24 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOCF_CHUNK_SPAN = 2 * 86_400  # deliberately not slot-aligned with the grid
+
+
+def q_locf_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe chunked LOCF over a multi-series dense grid — must equal
+    the plain hold policy (SURVEY §7.2(c) hot-partition fix)."""
+    from datayours_spark.operators.align import locf_chunked
+    from datayours_spark.operators.fetch import time_grid
+
+    dp = datapoints_from_events(spark, sf_dir, per_user=False)
+    slots = lww_slots(dp, 21_600)
+    paths = slots.select("path").distinct()
+    grid = paths.crossJoin(time_grid(spark, T0, MONTH_END, 21_600))
+    dense = grid.join(slots, ["path", "slot"], "left")
+    out = locf_chunked(dense, chunk_span=LOCF_CHUNK_SPAN)
+    return out.select("path", "slot", F.round("value", 4).alias("value"))
+
+
 RESIZE_MAX_SIDE = 256
 
 
@@ -1122,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
+        "q_locf_chunked": q_locf_chunked,
     }
 
 
@@ -1806,6 +1825,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS session_start, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "q_locf_chunked": f"""
+            -- plain hold-policy LOCF: the chunked implementation must be
+            -- indistinguishable from the single window
+            WITH s AS ({_slots_sql(DP_TYPE, 21_600)}),
+            p AS (SELECT DISTINCT path FROM s),
+            g AS (SELECT unnest(generate_series({T0}, {MONTH_END}, 21600)) AS slot),
+            dense AS (
+              SELECT p.path, g.slot, s.value
+              FROM p CROSS JOIN g
+              LEFT JOIN s ON s.path = p.path AND s.slot = g.slot)
+            SELECT path, slot,
+                   round(last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY path ORDER BY slot
+                     ROWS UNBOUNDED PRECEDING), 4) AS value
+            FROM dense
         """,
     }
 
