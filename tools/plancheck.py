@@ -134,7 +134,27 @@ def main() -> None:
     # ---- 5. whole-stage codegen ------------------------------------------
     check("rollup stays in WholeStageCodegen", "*(" in simple)
 
-    # ---- 6. sweep: no query in the gate degenerates to a cartesian -------
+    # ---- 6. bucketed layout: shuffle-free per-series aggregation ----------
+    # bucketing datapoints by path (the Whisper file-per-series co-location,
+    # SURVEY §1.8) lets every (path, slot) aggregation run with ZERO
+    # exchange — hashpartitioning(path) already clusters each group
+    warehouse = os.path.join(os.path.dirname(TMP), "plancheck_warehouse")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS plancheck LOCATION '{warehouse}'")
+    (
+        dp.write.mode("overwrite")
+        .bucketBy(16, "path")
+        .sortBy("path", "ts_sec")
+        .saveAsTable("plancheck.dp_bucketed")
+    )
+    bucketed = spark.table("plancheck.dp_bucketed")
+    plan = plan_of(lww_slots(bucketed, 60))
+    check(
+        "bucketed LWW aggregates with zero shuffle",
+        "Arguments: hashpartitioning(" not in plan,
+    )
+
+    # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
     for qname, fn in sorted(registry.items()):
