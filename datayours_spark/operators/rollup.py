@@ -10,9 +10,13 @@ Reproduces `propagate` (`/root/reference/L_DataWhisper.lua:469-491`):
   "last" meaning the latest-in-time slot's value (`L_DataWhisper.lua:205-215`).
 
 Design difference vs the reference (SURVEY.md §2.3 A4): writes always land in
-the raw table and every rollup level derives from it, rather than cascading
-archive-to-archive on each write.  Observable results match because each
-level's windows re-aggregate the full covered range.
+the raw table and every rollup level derives from the previous level's gated
+output, rather than cascading archive-to-archive on each write.  Windows
+re-aggregate the full covered range, so results match the reference's final
+state in every case except one corner: when a LATER write's cascade aborts
+at the xFF gate, the reference leaves the lower slot's PREVIOUS value in
+place (stale), while this engine reports the re-aggregated current state
+(absent until the gate passes again) — strictly fresher, never stale.
 
 Scale notes:
 - One hash aggregation per level, keyed (path, lower_slot): partial (map-side)

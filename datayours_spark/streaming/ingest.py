@@ -53,10 +53,16 @@ class IngestPipeline:
     rollup_steps: tuple[int, ...] = (60, 600)
     now_override: int | None = None  # fixed "now" for deterministic tests
     user_hook: object | None = None  # P1: user.run flatMap, §3.1 step 2
+    #: P6 watch-list predicate (`L_DataWatcher.lua:148-157`): when set, only
+    #: these series pass the relay; managed like the reference's
+    #: watch/nowatch conf (§2.11) — a small control-plane set
+    watched: list[str] | None = None
 
     def transform(self, lines: DataFrame) -> DataFrame:
         """The record pipeline, shared by batch backfill and the stream."""
         parsed = parse_plaintext_lines(lines, now=self.now_override)
+        if self.watched is not None:
+            parsed = parsed.where(F.col("path").isin(self.watched))
         if self.user_hook is not None:
             # user.run runs BEFORE the rewrite rules, like the relay hop
             # (`L_DataWatcher.lua:206-213, 80-85`)

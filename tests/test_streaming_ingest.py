@@ -126,3 +126,31 @@ class TestUserHookInStream:
             ("m.b.high", t): 50.0,
         }
         shutil.rmtree(base, ignore_errors=True)
+
+
+class TestWatchList:
+    def test_only_watched_series_relay(self, spark):
+        import shutil
+
+        base = TMP.parent / "streaming_watch"
+        shutil.rmtree(base, ignore_errors=True)
+        (base / "in").mkdir(parents=True)
+        p = IngestPipeline(
+            spark=spark,
+            input_dir=str(base / "in"),
+            output_dir=str(base / "out"),
+            checkpoint_dir=str(base / "ckpt"),
+            now_override=NOW,
+            watched=["m.watched"],
+            rollup_steps=(60,),
+        )
+        t = NOW - 60
+        (base / "in" / "one.txt").write_text(
+            f"m.watched 1 {t}\nm.ignored 2 {t}\n"
+        )
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        got = {r["path"] for r in p.datapoints().collect()}
+        assert got == {"m.watched"}
+        shutil.rmtree(base, ignore_errors=True)
