@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "q_multimodal_features",
     "q_render_json",
     "q_streaming_rollup",
+    "q_sessionize",
+    "q_render_api",
+    "q_dedup_embed",
+    "q_locf_chunked",
 ]
 
 
