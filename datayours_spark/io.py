@@ -109,6 +109,41 @@ def read_datapoints(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def compact_datapoints(spark: SparkSession, table_dir: str) -> int:
+    """LWW compaction: collapse the append-only datapoints table to one row
+    per (path, second) — the Delta-MERGE shape without Delta.
+
+    Streaming ingest appends; last-write-wins is applied on read
+    (max_by over ts_us).  This maintenance job folds that dedup into the
+    storage so read amplification stays bounded: rewrite each date
+    partition keeping only the winning row.  Runs per-partition (date is
+    in the group key), so at 100 TB it schedules as independent partition
+    rewrites.  Returns the number of rows after compaction.
+    """
+    df = spark.read.parquet(table_dir)
+    winners = (
+        df.groupBy("path", "ts_sec", "date")
+        .agg(
+            F.max_by("value", "ts_us").alias("value"),
+            F.max("ts_us").alias("ts_us"),
+        )
+        .select("path", "ts_sec", "ts_us", "value", "date")
+    )
+    tmp = table_dir.rstrip("/") + ".compacting"
+    (
+        winners.repartition("date")
+        .sortWithinPartitions("path", "ts_sec")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(tmp)
+    )
+    import shutil
+
+    shutil.rmtree(table_dir)
+    os.rename(tmp, table_dir)
+    return spark.read.parquet(table_dir).count()
+
+
 def expire_retention(table_dir: str, max_retention: int, now: int) -> list[str]:
     """Retention expiry as partition drops (T7, SURVEY §2.9).
 

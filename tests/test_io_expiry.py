@@ -32,3 +32,33 @@ def test_expire_drops_only_whole_old_partitions(spark, make_datapoints):
     )
     vals = [r["value"] for r in grid.collect()]
     assert vals == [2.0, 3.0, 4.0, 5.0]
+
+
+def test_compaction_keeps_lww_winners(spark, make_datapoints):
+    from datayours_spark.io import compact_datapoints
+
+    tmp = TMP + "_compact"
+    # three writes to one slot (arrival order = ts_us order from the fixture)
+    rows = [("a.b", T0 + 5, 1.0), ("a.b", T0 + 5, 2.0), ("a.b", T0 + 5, 3.0),
+            ("a.c", T0 + DAY, 7.0)]
+    dp = make_datapoints(rows)
+    write_datapoints(dp, tmp)
+    # append a second batch: later arrival overwrites the same second
+    import pyspark.sql.functions as F
+
+    later = dp.where("path = 'a.b'").withColumn(
+        "value", F.lit(9.0)
+    ).withColumn("ts_us", F.col("ts_us") + 1_000_000)
+    (later.withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+        .write.mode("append").partitionBy("date").parquet(tmp))
+
+    assert spark.read.parquet(tmp).count() == 7
+    n = compact_datapoints(spark, tmp)
+    assert n == 2  # one winner per (path, second)
+    got = {(r["path"], r["ts_sec"]): r["value"]
+           for r in spark.read.parquet(tmp).collect()}
+    assert got == {("a.b", T0 + 5): 9.0, ("a.c", T0 + DAY): 7.0}
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
