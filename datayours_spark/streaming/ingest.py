@@ -123,23 +123,55 @@ class IngestPipeline:
             .start()
         )
 
-    def datapoints(self) -> DataFrame:
-        """Read-side view with cross-batch LWW per (path, second)."""
+    def datapoints(self, dates: list[str] | None = None) -> DataFrame:
+        """Read-side view with cross-batch LWW per (path, second).
+
+        `dates` restricts the scan to those date partitions (pruned at the
+        parquet source) — the incremental-maintenance entry point.
+        """
         df = self.spark.read.parquet(f"{self.output_dir}/datapoints")
+        if dates is not None:
+            df = df.where(F.col("date").isin(dates))
         return df.groupBy("path", "ts_sec").agg(
             F.max_by("value", "ts_us").alias("value"),
             F.max("ts_us").alias("ts_us"),
         )
 
-    def refresh_rollups(self) -> dict[int, DataFrame]:
-        """Rollup maintenance job (T5): recompute each configured step from
-        the LWW datapoints view and persist; returns the level DataFrames."""
+    def refresh_rollups(
+        self, changed_dates: list[str] | None = None
+    ) -> dict[int, DataFrame]:
+        """Rollup maintenance job (T5).
+
+        Full refresh when `changed_dates` is None; otherwise INCREMENTAL:
+        only the touched date partitions are recomputed (source scan pruned
+        to those dates) and dynamically overwritten in the date-partitioned
+        rollup tables — untouched partitions' files are never rewritten.
+        This is how write-time propagation scales: the maintenance cost
+        follows the batch, not the table.
+        """
         from datayours_spark.operators.fetch import lww_slots
 
-        dp = self.datapoints()
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        if changed_dates is not None:
+            for step in self.rollup_steps:
+                if 86_400 % step != 0:
+                    raise ValueError(
+                        f"incremental refresh needs day-aligned steps; {step}s"
+                        " slots can span a date boundary — run a full refresh"
+                    )
+        dp = self.datapoints(dates=changed_dates)
         levels: dict[int, DataFrame] = {}
         for step in self.rollup_steps:
-            level = lww_slots(dp, step)
-            level.write.mode("overwrite").parquet(f"{self.output_dir}/rollup_{step}")
+            level = lww_slots(dp, step).withColumn(
+                "date", F.to_date(F.timestamp_seconds("slot"))
+            )
+            (
+                level.repartition("date")
+                .write.mode("overwrite")
+                .partitionBy("date")
+                .parquet(f"{self.output_dir}/rollup_{step}")
+            )
             levels[step] = self.spark.read.parquet(f"{self.output_dir}/rollup_{step}")
         return levels

@@ -154,3 +154,79 @@ class TestWatchList:
         got = {r["path"] for r in p.datapoints().collect()}
         assert got == {"m.watched"}
         shutil.rmtree(base, ignore_errors=True)
+
+
+class TestIncrementalRollups:
+    def test_only_touched_dates_rewritten(self, spark):
+        import os
+        import shutil
+
+        base = TMP.parent / "streaming_incr"
+        shutil.rmtree(base, ignore_errors=True)
+        (base / "in").mkdir(parents=True)
+        p = IngestPipeline(
+            spark=spark,
+            input_dir=str(base / "in"),
+            output_dir=str(base / "out"),
+            checkpoint_dir=str(base / "ckpt"),
+            now_override=NOW,
+            rollup_steps=(3_600,),
+        )
+        day1, day2 = NOW - 2 * 86_400, NOW - 86_400
+        (base / "in" / "one.txt").write_text(
+            f"m.a 1 {day1}\nm.a 2 {day2}\n"
+        )
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        p.refresh_rollups()  # full build
+
+        rollup_dir = base / "out" / "rollup_3600"
+        import datetime as _dt
+
+        d1_name = "date=" + _dt.datetime.fromtimestamp(
+            day1, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d")
+        d1_files = {
+            f: os.path.getmtime(rollup_dir / d1_name / f)
+            for f in os.listdir(rollup_dir / d1_name)
+            if f.endswith(".parquet")
+        }
+
+        # second batch touches only day2
+        (base / "in" / "two.txt").write_text(f"m.a 9 {day2 + 60}\n")
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        import datetime
+
+        day2_date = datetime.datetime.fromtimestamp(
+            day2, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d")
+        levels = p.refresh_rollups(changed_dates=[day2_date])
+
+        # day1 partition files untouched by the dynamic overwrite
+        d1_after = {
+            f: os.path.getmtime(rollup_dir / d1_name / f)
+            for f in os.listdir(rollup_dir / d1_name)
+            if f.endswith(".parquet")
+        }
+        assert d1_after == d1_files
+        # and the incremental result equals a full recompute
+        incr = {(r["path"], r["slot"]): r["value"] for r in levels[3_600].collect()}
+        full = {
+            (r["path"], r["slot"]): r["value"]
+            for r in p.refresh_rollups()[3_600].collect()
+        }
+        assert incr == full
+        shutil.rmtree(base, ignore_errors=True)
+
+    def test_incremental_rejects_spanning_steps(self, spark):
+        import pytest as _pytest
+
+        p = IngestPipeline(
+            spark=spark, input_dir="x", output_dir="y", checkpoint_dir="z",
+            rollup_steps=(7 * 3_600,),
+        )
+        with _pytest.raises(ValueError, match="day-aligned"):
+            p.refresh_rollups(changed_dates=["2024-01-01"])
