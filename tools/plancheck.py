@@ -138,7 +138,12 @@ def main() -> None:
     # bucketing datapoints by path (the Whisper file-per-series co-location,
     # SURVEY §1.8) lets every (path, slot) aggregation run with ZERO
     # exchange — hashpartitioning(path) already clusters each group
+    import shutil
+
     warehouse = os.path.join(os.path.dirname(TMP), "plancheck_warehouse")
+    # each run starts a fresh derby metastore that has forgotten the managed
+    # table, but its files survive — clear the location for idempotence
+    shutil.rmtree(warehouse, ignore_errors=True)
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS plancheck LOCATION '{warehouse}'")
     (
