@@ -101,6 +101,28 @@ def render_csv_df(grid: DataFrame) -> DataFrame:
     )
 
 
+SYSLOG_USER_INFO = 14  # facility=user, severity=info (`L_DataDaemon.lua:251`)
+
+
+def syslog_line(
+    message: str, host: str, tag: str = "DataDaemon", when: int | None = None
+) -> str:
+    """S6: the daemon's syslog datagram format
+    (`/root/reference/L_DataDaemon.lua:246-259`):
+    ``<14>%b %d %H:%M:%S HOST tag: message\\n``.
+
+    A sink wanting syslog echo formats each record with this and hands the
+    lines to any text sink (`foreachBatch` → socket/file).
+    """
+    from datetime import datetime, timezone
+
+    ts = datetime.now(tz=timezone.utc) if when is None else datetime.fromtimestamp(
+        when, tz=timezone.utc
+    )
+    stamp = ts.strftime("%b %d %H:%M:%S")
+    return f"<{SYSLOG_USER_INFO}>{stamp} {host} {tag}: {message}\n"
+
+
 def find_treejson(nodes: list[tuple[str, str, bool]]) -> list[dict]:
     """/metrics/find default (treejson) node shape
     (`graphite_cgi.lua:225-234`): Grafana's tree browser contract.

@@ -91,3 +91,12 @@ class TestJsonNumberQuirks:
         assert json_number(-math.inf) == "-8.88e888"
         assert json_number(2.0) == "2"
         assert json_number(0.125) == "0.125"
+
+
+class TestSyslogLine:
+    def test_format(self):
+        from datayours_spark.render.formats import syslog_line
+
+        # 2024-01-08 00:00:05 UTC
+        got = syslog_line("metrics.a 1 99", host="vera1", when=1_704_672_005)
+        assert got == "<14>Jan 08 00:00:05 vera1 DataDaemon: metrics.a 1 99\n"
