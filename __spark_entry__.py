@@ -753,6 +753,30 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's enriched series listing (`L_DataDash.lua:180-209`):
+    per-series activity stats (A7: first/last/points) + latest value joined
+    with the storage metadata a whisper header would carry (S11/J5:
+    retentions, xff, method from series_meta) — one aggregation plus one
+    broadcast join."""
+    from datayours_spark.operators.catalog import series_catalog
+    from datayours_spark.operators.meta import assign_series_meta
+
+    dp = datapoints_from_events(spark, sf_dir)
+    meta = assign_series_meta(series_catalog(dp), _meta_engine())
+    stats = dp.groupBy("path").agg(
+        F.count("*").alias("n_points"),
+        F.min("ts_sec").alias("first_ts"),
+        F.max("ts_sec").alias("last_ts"),
+        F.max_by("value", "ts_us").alias("latest"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return stats.join(F.broadcast(meta), "path").select(
+        "path", "n_points", "first_ts", "last_ts", "latest", "avg_value",
+        "retentions", "xff", "method",
+    )
+
+
 LOCF_CHUNK_SPAN = 2 * 86_400  # deliberately not slot-aligned with the grid
 
 
@@ -1141,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
+        "q_dash_report": q_dash_report,
     }
 
 
@@ -1841,6 +1866,27 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY path ORDER BY slot
                      ROWS UNBOUNDED PRECEDING), 4) AS value
             FROM dense
+        """,
+        "q_dash_report": f"""
+            WITH dp AS ({DP_USER}),
+            stats AS (
+              SELECT path, count(*) AS n_points,
+                     min(ts_sec) AS first_ts, max(ts_sec) AS last_ts,
+                     arg_max(value, ts_us) AS latest,
+                     round(avg(value), 4) AS avg_value
+              FROM dp GROUP BY path)
+            SELECT path, n_points, first_ts, last_ts, latest, avg_value,
+                   CASE WHEN regexp_matches(path, '\\.click') THEN '1m:1d,1h:30d'
+                        WHEN regexp_matches(path, 'error') THEN '10s:6h,10m:7d'
+                        ELSE '1h:7d' END AS retentions,
+                   CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 0.1
+                        WHEN regexp_matches(path, 'error') THEN 0.0
+                        ELSE 0.5 END AS xff,
+                   CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 'sum'
+                        WHEN regexp_matches(path, 'error') THEN 'max'
+                        WHEN regexp_matches(path, 'purchase') THEN 'last'
+                        ELSE 'average' END AS method
+            FROM stats
         """,
     }
 
