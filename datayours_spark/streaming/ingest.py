@@ -51,6 +51,11 @@ class IngestPipeline:
     watermark_delay: str = "1 hour"
     rewrites: list[RewriteRule] = field(default_factory=list)
     rollup_steps: tuple[int, ...] = (60, 600)
+    #: whisper propagation settings for levels beyond the finest
+    #: (`L_DataWhisper.lua:469-491`): the finest level is the LWW slot table,
+    #: coarser levels aggregate the previous level with method + xFF gate
+    rollup_method: str = "average"
+    rollup_xff: float = 0.5
     now_override: int | None = None  # fixed "now" for deterministic tests
     user_hook: object | None = None  # P1: user.run flatMap, §3.1 step 2
     #: P6 watch-list predicate (`L_DataWatcher.lua:148-157`): when set, only
@@ -161,17 +166,34 @@ class IngestPipeline:
                         f"incremental refresh needs day-aligned steps; {step}s"
                         " slots can span a date boundary — run a full refresh"
                     )
+        from datayours_spark.operators.rollup import rollup
+
         dp = self.datapoints(dates=changed_dates)
+        steps = sorted(self.rollup_steps)
         levels: dict[int, DataFrame] = {}
-        for step in self.rollup_steps:
-            level = lww_slots(dp, step).withColumn(
+        prev_step: int | None = None
+        prev_level: DataFrame | None = None
+        for step in steps:
+            if prev_level is None:
+                # finest level: the LWW slot table itself
+                level = lww_slots(dp, step)
+            else:
+                # whisper propagation: aggregate the PREVIOUS level with the
+                # configured method, gated by xFilesFactor
+                # (`L_DataWhisper.lua:469-491`)
+                level = rollup(
+                    prev_level, prev_step, step,
+                    method=self.rollup_method, xff=self.rollup_xff,
+                ).select("path", "slot", "value")
+            out = level.withColumn(
                 "date", F.to_date(F.timestamp_seconds("slot"))
             )
             (
-                level.repartition("date")
+                out.repartition("date")
                 .write.mode("overwrite")
                 .partitionBy("date")
                 .parquet(f"{self.output_dir}/rollup_{step}")
             )
             levels[step] = self.spark.read.parquet(f"{self.output_dir}/rollup_{step}")
+            prev_step, prev_level = step, level
         return levels

@@ -230,3 +230,37 @@ class TestIncrementalRollups:
         )
         with _pytest.raises(ValueError, match="day-aligned"):
             p.refresh_rollups(changed_dates=["2024-01-01"])
+
+
+class TestRollupCascade:
+    def test_coarser_level_uses_method_and_xff(self, spark):
+        import shutil
+
+        base = TMP.parent / "streaming_cascade"
+        shutil.rmtree(base, ignore_errors=True)
+        (base / "in").mkdir(parents=True)
+        p = IngestPipeline(
+            spark=spark,
+            input_dir=str(base / "in"),
+            output_dir=str(base / "out"),
+            checkpoint_dir=str(base / "ckpt"),
+            now_override=NOW,
+            rollup_steps=(60, 600),
+            rollup_method="average",
+            rollup_xff=0.3,
+        )
+        t = NOW - 1_200  # window start, 600-aligned
+        # window 1: 4 of 10 minutes known (passes xff 0.3) → avg
+        # window 2: 2 of 10 known (fails xff 0.3) → absent
+        lines = [f"m.a {v} {t + i * 60}" for i, v in enumerate([10, 20, 30, 40])]
+        lines += [f"m.a {v} {t + 600 + i * 60}" for i, v in enumerate([5, 7])]
+        (base / "in" / "one.txt").write_text("\n".join(lines) + "\n")
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        levels = p.refresh_rollups()
+        coarse = {
+            r["slot"]: r["value"] for r in levels[600].where("path='m.a'").collect()
+        }
+        assert coarse == {t: 25.0}  # avg(10,20,30,40); window 2 gated out
+        shutil.rmtree(base, ignore_errors=True)
