@@ -74,6 +74,16 @@ def main() -> None:
     bench("locf_chunked_hot_series", locf_chunked(hot, chunk_span=3_600 * 24), N // 3)
     rules = parse_aggregation_rules("agg.all (600) = sum s.*")
     bench("carbon_aggregate_600s", carbon_aggregate(dp, rules), N)
+    # as-of resample: every series onto a 1h grid across the full span —
+    # the union-merge + per-path LOCF window over ALL rows
+    from datayours_spark.operators.align import asof_resample
+
+    samples = dp.select("path", "ts_sec", "value")
+    bench(
+        "asof_resample_all_series_1h",
+        asof_resample(spark, samples, T0, T0 + span, 3_600),
+        N,
+    )
 
     print(
         json.dumps(
