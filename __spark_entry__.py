@@ -753,6 +753,33 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORPUS_QUALITY_MIN = 0.5
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: quality-score filter +
+    MinHash-LSH near-dup removal (keep the lowest doc_id of each dup pair).
+    One anti-join against the dup-loser set — the shape a 100 TB corpus
+    clean runs at."""
+    from datayours_spark.functions.dedup import minhash_dedup
+    from datayours_spark.functions.text import text_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = text_profile(docs).select("doc_id", "n_tokens", "quality", "pred_lang")
+    dup_losers = (
+        minhash_dedup(
+            docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+            threshold=MINHASH_THRESHOLD,
+        )
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        prof.where(F.col("quality") >= CORPUS_QUALITY_MIN)
+        .join(dup_losers, "doc_id", "left_anti")
+    )
+
+
 def q_dash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dashboard's enriched series listing (`L_DataDash.lua:180-209`):
     per-series activity stats (A7: first/last/points) + latest value joined
@@ -1166,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
         "q_dash_report": q_dash_report,
+        "q_corpus_clean": q_corpus_clean,
     }
 
 
@@ -1887,6 +1915,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN regexp_matches(path, 'purchase') THEN 'last'
                         ELSE 'average' END AS method
             FROM stats
+        """,
+        "q_corpus_clean": f"""
+            WITH prof AS ({_text_profile_oracle_sql()}),
+            dups AS ({_minhash_oracle_sql()})
+            SELECT doc_id, n_tokens, quality, pred_lang
+            FROM prof
+            WHERE quality >= {CORPUS_QUALITY_MIN}
+              AND doc_id NOT IN (SELECT DISTINCT id2 FROM dups)
         """,
     }
 
