@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "datayours-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "datayours-spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
@@ -31,6 +35,10 @@ def get_spark(app_name: str = "datayours-spark", cpus: int | None = None) -> Spa
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if driver_memory:
+        # only effective when this call launches the JVM (local mode: the
+        # driver heap IS the executor heap)
+        builder = builder.config("spark.driver.memory", driver_memory)
     return builder.getOrCreate()
 
 

@@ -34,7 +34,11 @@ T0 = 1_704_067_200
 
 
 def main() -> None:
-    spark = get_spark("datayours-scalesmoke")
+    # local mode: driver heap is the executor heap — size for the 100M run
+    spark = get_spark(
+        "datayours-scalesmoke",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
 
     # one datapoint per (series, second); 30% of all rows hit ONE hot path —
     # the skew shape that breaks naive per-path processing
