@@ -47,17 +47,30 @@ def read_channels(spark: SparkSession, db_dir: str) -> DataFrame:
 
 def read_config(spark: SparkSession, db_dir: str) -> DataFrame:
     """Channel config from dataMineConfig.json's Variables array:
-    (channel_id, name, data_offset, filter_enable, filter_min, filter_max)."""
+    (pos, channel_id, name, data_offset, filter_enable, filter_min,
+    filter_max[, device, service, variable]).
+
+    ``pos`` is the array position — the reference's index order, which
+    breaks ties when a search key matches several channels (``found[1]``,
+    `L_DataBaseDM.lua:362-365`). The Luup coordinates (Device/Service/
+    Variable) are carried when present in the JSON.
+    """
     raw = spark.read.option("multiLine", "true").json(f"{db_dir}/dataMineConfig.json")
-    vars_df = raw.select(F.explode("Variables").alias("v"))
-    return vars_df.select(
+    vars_df = raw.select(F.posexplode("Variables").alias("pos", "v"))
+    cols = [
+        F.col("pos"),
         F.col("v.Id").cast("int").alias("channel_id"),
         F.col("v.Name").alias("name"),
         F.coalesce(F.col("v.DataOffset"), F.lit(0.0)).cast("double").alias("data_offset"),
         F.coalesce(F.col("v.FilterEnable"), F.lit(0)).cast("int").alias("filter_enable"),
         F.col("v.Filterminimum").cast("double").alias("filter_min"),
         F.col("v.FilterMaximum").cast("double").alias("filter_max"),
-    )
+    ]
+    fields = {f.name for f in vars_df.schema["v"].dataType.fields}
+    for src, out in (("Device", "device"), ("Service", "service"), ("Variable", "variable")):
+        if src in fields:
+            cols.append(F.col(f"v.{src}").alias(out))
+    return vars_df.select(*cols)
 
 
 def apply_channel_filters(samples: DataFrame, config: DataFrame) -> DataFrame:
@@ -119,3 +132,132 @@ def search_channels(config: DataFrame, **criteria) -> DataFrame:
         else:
             out = out.where(F.col(name) == value)
     return out
+
+
+# --- dmDB CLI (`lr_dmDB`) -------------------------------------------------
+#
+# The reference's HTTP command-line surface over dataMine
+# (`/root/reference/L_DataMineServer.lua:502-591`): parameter groups
+# times (t1/t2/dt), searchKeys (Device/Service/Variable/Id/Name), and
+# format (csv | iso | Table | LineChart | AreaChart).
+
+#: dt durations (`L_DataMineServer.lua:503-504`) — NOTE month=31d here,
+#: unlike the Graphite relative-time parse where mon=30d (F1).
+DT_SECONDS = {"day": 86_400, "week": 7 * 86_400, "month": 31 * 86_400, "year": 365 * 86_400}
+
+#: CLI alias → canonical name, from the cli.parameter spec
+#: (`L_DataMineServer.lua:572-591`).
+_TIME_ALIASES = {"t1": "t1", "start": "t1", "from": "t1",
+                 "t2": "t2", "stop": "t2", "to": "t2", "until": "t2",
+                 "dt": "dt", "interval": "dt"}
+_KEY_ALIASES = {"devicenum": "device", "serviceid": "service",
+                "variable": "variable", "channel": "channel_id", "name": "name"}
+
+
+def resolve_times(
+    t1=None, t2=None, dt: str | None = None, now: int | None = None
+) -> tuple[int | None, int | None]:
+    """The handler's time-group resolution (`L_DataMineServer.lua:508-526`):
+    t1/t2 parse as relative or ISO (unparseable t1 → now-24h, t2 → now);
+    dt extends whichever endpoint is missing and is IGNORED when both are
+    given; neither+dt → [now-dt, now]."""
+    import time as _time
+
+    from datayours_spark.kernel.timeparse import parse_time
+
+    now = int(_time.time()) if now is None else now
+    r1 = (parse_time(t1, now) or now - 86_400) if t1 is not None else None
+    r2 = (parse_time(t2, now) or now) if t2 is not None else None
+    if dt is not None:
+        if dt not in DT_SECONDS:
+            raise ValueError(f"bad dt '{dt}' (expected one of {sorted(DT_SECONDS)})")
+        span = DT_SECONDS[dt]
+        if r1 is not None and r2 is None:
+            r2 = r1 + span
+        elif r2 is not None and r1 is None:
+            r1 = r2 - span
+        elif r1 is None and r2 is None:
+            r2 = now
+            r1 = r2 - span
+    return r1, r2
+
+
+def dmdb_query(
+    samples: DataFrame,
+    config: DataFrame,
+    params: dict,
+    now: int | None = None,
+    maxpoints: int = 10_080,
+) -> str:
+    """One dmDB CLI query → formatted report string
+    (`L_DataMineServer.lua:502-567`).
+
+    params uses the CLI names/aliases, e.g. ``{"channel": 2, "format":
+    "iso", "start": "-1day"}``. Channel selection mirrors openCursor: a
+    direct Id wins; otherwise the FIRST index entry matching the search
+    keys (string keys by substring) — `L_DataBaseDM.lua:358-365`.
+
+    The bounded (maxpoints-capped) rows are collected and formatted
+    driver-side like every reference report; the scan itself stays a
+    pruned Spark job. Output quirk kept: the reference concatenates lines
+    plus a final lone ``"\\n"`` element with newline separators, so a
+    non-empty report ends ``"\\n\\n"`` (`L_DataMineServer.lua:558-560`).
+    """
+    from datetime import datetime, timezone
+
+    times = {}
+    keys = {}
+    options = {}
+    for name, value in params.items():
+        name = name.lower()
+        if name in _TIME_ALIASES:
+            times[_TIME_ALIASES[name]] = value
+        elif name in _KEY_ALIASES:
+            keys[_KEY_ALIASES[name]] = value
+        elif name in ("format", "width", "height"):
+            options[name] = value
+
+    t1, t2 = resolve_times(times.get("t1"), times.get("t2"), times.get("dt"), now)
+
+    # openCursor: direct Id, else first search match in index order
+    if "channel_id" in keys:
+        channel = keys["channel_id"]
+        info = {"Id": channel}
+        picked = config.where(F.col("channel_id") == channel).limit(1).collect()
+        if picked:
+            info["Name"] = picked[0]["name"]
+    else:
+        picked = search_channels(config, **keys).orderBy("pos").limit(1).collect()
+        if not picked:
+            return "cursor key not found"
+        channel = picked[0]["channel_id"]
+        info = {"Id": channel, "Name": picked[0]["name"]}
+
+    scan = samples.where(F.col("channel_id") == channel)
+    if t1 is not None:
+        scan = scan.where(F.col("ts_sec") >= t1)
+    if t2 is not None:
+        scan = scan.where(F.col("ts_sec") <= t2)
+    rows = [
+        (r["ts_sec"], r["value"])
+        for r in scan.orderBy("ts_sec").limit(maxpoints).collect()
+    ]
+
+    fmt = options.get("format", "csv")
+    if fmt == "csv":  # "%d,%g" (`L_DataMineServer.lua:553`)
+        lines = ["%d,%g" % (t, v) for t, v in rows]
+    elif fmt == "iso":  # "%s,%g" with ISO datetime (:555, ISOdateTime :102-104)
+        lines = [
+            "%s,%g" % (datetime.fromtimestamp(t, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%S"), v)
+            for t, v in rows
+        ]
+    elif fmt in ("Table", "LineChart", "AreaChart"):
+        from datayours_spark.render.gviz import gviz_chart
+
+        # title = channel info pairs (`L_DataMineServer.lua:427-431`);
+        # deterministic key order where the reference's pairs() is unspecified
+        title = ", ".join(f"{k}={info[k]}" for k in sorted(info))
+        lines = [gviz_chart(rows, fmt, title, options)]
+    else:
+        raise ValueError(f"bad format '{fmt}'")
+    return "\n".join(lines + ["\n"])

@@ -97,3 +97,67 @@ class TestSearch:
         assert [r["name"] for r in got] == ["temp"]
         # combined criteria, empty result
         assert search_channels(config, name="temp", channel_id=2).count() == 0
+
+
+class TestCLI:
+    """dmDB CLI dispatch (`L_DataMineServer.lua:502-567`)."""
+
+    def test_csv_default_format(self, spark, db_dir):
+        from datayours_spark.sources.datamine import dmdb_query
+
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"channel": 1}, now=2823 * WEEK,
+        )
+        t0 = 2821 * WEEK
+        # "%d,%g" lines, reference's trailing lone-"\n" element quirk
+        assert out == f"{t0 + 10},1\n{t0 + 5000},2\n{2822 * WEEK + 60},3\n\n"
+
+    def test_iso_format_and_time_range(self, spark, db_dir):
+        from datayours_spark.sources.datamine import dmdb_query
+
+        t0 = 2821 * WEEK
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"channel": 1, "format": "iso", "start": t0, "until": t0 + 5000},
+            now=2823 * WEEK,
+        )
+        lines = [ln for ln in out.split("\n") if ln]
+        assert len(lines) == 2 and lines[0].endswith(",1")
+        assert "T" in lines[0]  # ISO 8601 datetime
+
+    def test_search_key_picks_first_index_match(self, spark, db_dir):
+        from datayours_spark.sources.datamine import dmdb_query
+
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"name": "watts", "dt": "week", "t2": 2822 * WEEK},
+            now=2823 * WEEK,
+        )
+        # channel 2's two samples fall in [t2-week, t2]
+        assert out.count(",") == 2
+        assert dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"name": "nosuch"}, now=2823 * WEEK,
+        ) == "cursor key not found"
+
+    def test_chart_format(self, spark, db_dir):
+        from datayours_spark.sources.datamine import dmdb_query
+
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"channel": 2, "format": "LineChart"}, now=2823 * WEEK,
+        )
+        assert "google.visualization.ChartWrapper(" in out
+        assert "chartType:'LineChart'" in out
+        assert "{v: new Date (" in out
+        assert "title:'Id=2, Name=watts'" in out
+
+    def test_maxpoints_cap(self, spark, db_dir):
+        from datayours_spark.sources.datamine import dmdb_query
+
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"channel": 1}, now=2823 * WEEK, maxpoints=1,
+        )
+        assert out == f"{2821 * WEEK + 10},1\n\n"
