@@ -590,28 +590,46 @@ NGRAM_JACCARD_MIN = 0.2
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-3-gram Jaccard over (lang, source)-bucketed candidate pairs."""
+    """Token-3-gram Jaccard over (lang, source)-bucketed candidate pairs.
+
+    Inverted-index shape: explode distinct shingles, equi-join on
+    (shingle, lang, source) to COUNT each pair's intersection, then
+    |union| = n1 + n2 - inter.  Work scales with Σ per-shingle bucket²
+    (shared-shingle pairs only), not with per-(lang,source) bucket² as the
+    naive all-pairs array_intersect join would — the only viable shape at
+    100 TB.  Pairs sharing no shingle have jaccard 0 < threshold, so
+    skipping them is exact for any positive threshold.
+    """
     from datayours_spark.functions.dedup import token_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     sets = docs.select(
         "doc_id", "lang", "source",
         F.array_distinct(token_shingles("text", 3)).alias("sh"),
-    )
-    a, b = sets.alias("a"), sets.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size(F.array_union("a.sh", "b.sh"))
-    return (
-        pairs.select(
+    ).select("doc_id", "lang", "source", "sh", F.size("sh").alias("n"))
+    ex = sets.select("doc_id", "lang", "source", "n", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
-            F.round(inter / union, 4).alias("jaccard"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.select(
+            "id1", "id2",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4)
+            .alias("jaccard"),
         )
         .where(F.col("jaccard") >= NGRAM_JACCARD_MIN)
     )
@@ -765,7 +783,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.text import text_profile
 
     docs = load_table(spark, sf_dir, "documents")
-    prof = text_profile(docs).select("doc_id", "n_tokens", "quality", "pred_lang")
+    prof = text_profile(docs, fingerprint=False).select(
+        "doc_id", "n_tokens", "quality", "pred_lang"
+    )
     dup_losers = (
         minhash_dedup(
             docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,

@@ -50,14 +50,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def token_shingles(text_col: str, n: int = 3) -> Column:
-    """Token n-gram shingle array ("t1 t2 t3" strings) from a text column."""
+    """Token n-gram shingle array ("t1 t2 t3" strings) from a text column.
+
+    Built as a zip_with chain over n shifted slices of the token array —
+    higher-order functions are interpreted (not codegen'd) per element, so
+    the per-element work must be a cheap concat; the earlier
+    ``transform(idx, i -> concat_ws(slice(toks, i, n)))`` formulation
+    allocated an array per shingle and measured ~3× slower.
+    """
     toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    # guard: Spark's sequence(1, x) DESCENDS for x < 1, so short texts need
-    # an explicit empty-array branch rather than a clamped bound
-    return F.when(
-        F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    sz = F.size(toks)
+    m = sz - (n - 1)  # shingle count when sz >= n
+    chain = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        chain = F.zip_with(
+            chain, F.slice(toks, j, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    # guard: slice lengths go negative for sz < n; emit an explicit empty array
+    return F.when(sz >= n, chain).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -72,11 +82,19 @@ def minhash_signatures(
 
     One explode + one aggregation: the K permuted minima are K independent
     min() aggregates over the same shingle-hash stream (partial aggregation
-    keeps the shuffle at one row per doc).
+    keeps the shuffle at one row per doc).  ``array_distinct`` first —
+    duplicate shingles cannot change a min, and repeated tokens are common,
+    so it cuts the exploded row count (and its md5 work) before the explode.
+
+    Plan-shape note: a per-row ``array_min(transform(hs, ...))`` formulation
+    with a shared hashed-shingle array would avoid the explode entirely, but
+    Catalyst's CollapseProject inlines the shared array into all K minima,
+    recomputing the md5 per permutation (~K× slower, measured).  The explode
+    keeps the hash evaluated exactly once per shingle.
     """
     shingled = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(token_shingles(text_col, shingle_n)).alias("shingle"),
+        F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias("shingle"),
     )
     h = md5_int32(F.col("shingle"))
     aggs = [
