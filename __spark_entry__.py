@@ -1109,12 +1109,21 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/T2/T5: Structured Streaming windowed rollup — event-time tumbling
     1h windows with a 30min watermark over the events stream, run to
     completion with availableNow; append mode emits exactly the windows the
-    watermark has closed (window_end <= max(ts) - delay)."""
+    watermark has closed (window_end <= max(ts) - delay).
+
+    The streaming aggregation's state store keeps one file per shuffle
+    partition per micro-batch; state here is tiny (5 keys × a few windows),
+    so the stream runs with 8 state partitions (scoped override, restored
+    after termination — measured ~2× on the per-query wall clock).  On a
+    real cluster, size state partitions to distinct-key volume, not to the
+    batch default."""
     import uuid
 
     from datayours_spark.io import EVENTS_SCHEMA_NANOS
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         # the file source requires a directory; glob-filter to the one table
@@ -1133,14 +1142,17 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     table = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(table).select(
         F.unix_timestamp("window.start").alias("slot"),
         "event_type",
