@@ -578,6 +578,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (hash-min label
+    propagation) over the MinHash-LSH near-dup pair graph — the transitive
+    closure step between pair detection and an actual corpus dedup."""
+    from datayours_spark.functions.dedup import dup_clusters, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(
+        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD
+    )
+    return dup_clusters(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document."""
     from datayours_spark.functions.dedup import simhash32
@@ -1203,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ingest_reject": q_ingest_reject,
         "q_embed_centroid": q_embed_centroid,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dup_clusters": q_dup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
@@ -1579,6 +1593,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        # connected components as a recursive transitive-closure CTE: node v
+        # belongs to cluster min(reachable ids).  Closure size is bounded by
+        # sum of component sizes squared — fine for an oracle at sf0.01.
+        "q_dup_clusters": f"""
+            WITH RECURSIVE
+            dups AS ({_minhash_oracle_sql()}),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM dups
+                      UNION SELECT id2, id1 FROM dups),
+            reach(node, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
+            SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        """,
         "q_text_profile": _text_profile_oracle_sql(),
         "q_dedup_simhash": """
             WITH tok AS (

@@ -169,6 +169,59 @@ def minhash_dedup(
     return jaccard_pairs(cand, docs).where(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id, cluster_id)
+    with cluster_id = the smallest doc_id reachable through dup pairs.
+
+    Pair emission (MinHash-LSH & co.) finds EDGES; an actual corpus dedup
+    needs the transitive closure — A~B and B~C must collapse to one cluster
+    even when A~C was never emitted.  This is hash-min label propagation:
+    every node starts labelled with itself, and each round takes the min of
+    its own and its neighbours' labels.  Each round is one distributed
+    groupBy-min + join (no driver-side graph state); rounds needed = graph
+    diameter, which for near-dup clusters is small.  Convergence is detected
+    by the monotone invariant sum(label): labels only ever decrease, so an
+    unchanged sum means a fixpoint — one cheap action per round instead of a
+    changed-rows anti-join.  Lineage is cut per round with localCheckpoint
+    so the plan doesn't grow with iterations.  At extreme diameters the
+    large-star/small-star variant cuts rounds to O(log n); dup graphs don't
+    need it.
+    """
+    fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    rev = pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    if prev_total is None:  # no pairs at all
+        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if total == prev_total:
+            break
+        prev_total = total
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash32(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
