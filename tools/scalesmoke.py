@@ -7,6 +7,12 @@ claims: per-operator wall time and rows/s for the LWW slot aggregation,
 rollup cascade, routed dense fetch, skew-safe chunked LOCF, and the carbon
 aggregator — all over generated data (spark.range, never collected).
 
+Also smokes the training-data ops on a generated document corpus
+(SCALE_DOCS, default 200k — 40x the gate fixture): 20% of docs are paired
+near-duplicates (48 of 50 tokens shared, shingle-Jaccard ≈ 0.92) so the
+MinHash-LSH pipeline and cluster resolution do real pair work, not
+empty-result work.
+
 Usage: python tools/scalesmoke.py          [SCALE_ROWS=30000000 to go bigger]
 Prints one JSON line per run.
 """
@@ -29,8 +35,42 @@ from datayours_spark.operators.rollup import carbon_aggregate, rollup
 from datayours_spark.session import get_spark
 
 N = int(os.environ.get("SCALE_ROWS", 10_000_000))
+N_DOCS = int(os.environ.get("SCALE_DOCS", 200_000))
 N_SERIES = 500
 T0 = 1_704_067_200
+
+
+def synthetic_documents(spark, n_docs: int):
+    """(doc_id, text) with 50 pseudo-random tokens per doc, fully
+    column-expression generated (never collected).  Docs with id % 10 in
+    {0, 1} form near-dup PAIRS: both share their family's first 48 tokens
+    and keep 2 id-specific tokens, so exact dedup finds nothing but
+    shingle-Jaccard ≈ 0.92 puts them squarely above the 0.5 near-dup
+    threshold."""
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    family = F.when(
+        F.col("doc_id") % 10 < 2, (F.col("doc_id") / 2).cast("bigint") * 2
+    ).otherwise(F.col("doc_id"))
+    # token j: family-seeded for j < 48, doc-seeded for the last 2.
+    # The index formula must be (a) over a prime modulus >> n_docs — a small
+    # vocab makes the seed periodic, i.e. seed and seed+vocab yield IDENTICAL
+    # docs — and (b) non-linear in BOTH seed and j: a linear form makes doc
+    # s2 a Δ-shifted copy of s1 whenever c·(s1−s2) ≡ r·Δ (mod p) lands on a
+    # small Δ, which at 200k docs manufactured ~2M spurious near-dup pairs.
+    # Quadratic terms kill shifted copies (2qΔ ≡ 0 forces Δ = 0) and cap
+    # same-position copies at one mirror seed per doc.
+    tok = lambda seed, j: F.concat(
+        F.lit("w"),
+        (
+            (seed * seed + seed * 2_654_435_761 + j * j * 7_919 + j * 104_729)
+            % 1_000_003
+        ).cast("string"),
+    )
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(50)),
+        lambda j: F.when(j <= 48, tok(family, j)).otherwise(tok(F.col("doc_id"), j)),
+    )
+    return base.select("doc_id", F.concat_ws(" ", toks).alias("text"))
 
 
 def main() -> None:
@@ -89,13 +129,60 @@ def main() -> None:
         N,
     )
 
+    # ---- training-data ops over a generated document corpus ----
+    from datayours_spark.functions.dedup import (
+        dup_clusters,
+        exact_dedup,
+        minhash_dedup,
+        simhash32,
+    )
+    from datayours_spark.functions.text import text_profile
+
+    # materialize the corpus to parquet and read it back: joins over a
+    # bare spark.range lineage carry no size stats, so AQE broadcasts the
+    # 200k-doc token-set side and OOMs the driver — with file-backed input
+    # the planner sees real sizes and picks shuffle joins, exactly as it
+    # would on a real corpus
+    import shutil
+    import tempfile
+
+    docs_dir = tempfile.mkdtemp(prefix="scalesmoke_docs_", dir="/root/repo/spark-warehouse")
+    synthetic_documents(spark, N_DOCS).write.mode("overwrite").parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir)
+    doc_timings: dict[str, dict] = {}
+
+    def dbench(name: str, df) -> None:
+        t = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t
+        doc_timings[name] = {
+            "sec": round(dt, 2),
+            "docs": N_DOCS,
+            "docs_per_sec": int(N_DOCS / dt),
+        }
+
+    dbench("text_profile", text_profile(docs))
+    dbench("exact_dedup", exact_dedup(docs))
+    dbench("simhash32", simhash32(docs))
+    dbench("minhash_lsh_neardup", minhash_dedup(docs))
+    t = time.perf_counter()
+    n_clustered = dup_clusters(minhash_dedup(docs)).count()
+    doc_timings["dup_clusters"] = {
+        "sec": round(time.perf_counter() - t, 2),
+        "docs": N_DOCS,
+        "clustered_docs": n_clustered,
+    }
+
+    shutil.rmtree(docs_dir, ignore_errors=True)
     print(
         json.dumps(
             {
-                "metric": "scale smoke (synthetic datapoints)",
+                "metric": "scale smoke (synthetic datapoints + documents)",
                 "rows": N,
                 "series": N_SERIES + 1,
                 "ops": timings,
+                "docs": N_DOCS,
+                "doc_ops": doc_timings,
             }
         )
     )
