@@ -111,6 +111,88 @@ def load_conf_sections(text: str) -> dict[str, dict[str, str]]:
     return sections
 
 
+_CTRL_CHARS = re.compile(r"[\x01-\x1f]")
+_SECTION_LINE = re.compile(r"^\s*\[([^\]]+)\]")
+# param name excludes '=', '(' and whitespace; an optional "(n)" numeric tag
+# after the name is parsed and discarded, exactly as the reference does
+_PARAM_LINE = re.compile(r"^\s*([^=(\s]+)\s*(?:\(\s*\d*\s*\))?\s*=\s*(.*?)\s*$")
+
+
+def _coerce_value(param: str, value: str):
+    """Reference value coercion (`L_DataDaemon.lua:121-128`).
+
+    ``pattern`` values are kept VERBATIM: the reference rewrites ``\\`` to
+    ``%`` only because its match engine speaks Lua patterns
+    (`L_DataDaemon.lua:126` — "both their own escapes!"); our rule engines
+    feed Python/Spark regex where ``\\d`` etc. is already the native escape,
+    so the faithful translation of that line is the identity.
+    """
+    if param == "pattern":
+        return value
+    if value.upper() == "TRUE":
+        return True
+    if value.upper() == "FALSE":
+        return False
+    try:
+        return int(value)
+    except ValueError:
+        try:
+            return float(value)
+        except ValueError:
+            return value
+
+
+def read_daemon_conf(text: str) -> tuple[list[dict], dict[str, dict]]:
+    """Full-fidelity port of the daemon conf reader (`L_DataDaemon.lua:106-149`).
+
+    Returns ``(items, index)`` like the reference's ``read_conf_file``:
+    ``items`` is the ORDERED list of ``{"name": section, param: value, ...}``
+    dicts (duplicate section names each get their own item), ``index`` maps
+    section name → item (last section of a name wins).  Quirks reproduced:
+
+    - only ``#`` starts a comment (``;`` is NOT a comment to this parser);
+    - parameters before any ``[section]`` land in a ``[_anon_]`` item;
+    - an optional numeric tag ``param (3) = v`` is stripped from the name;
+    - control characters are removed from values;
+    - all-digit parameter names become ints;
+    - values coerce TRUE/FALSE → bool, numeric strings → numbers,
+      else stay strings (``pattern`` exempt — see `_coerce_value`);
+    - a repeated parameter within a section becomes a list of values.
+    """
+    items: list[dict] = []
+    index: dict[str, dict] = {}
+    current: dict | None = None
+
+    def open_section(name: str) -> dict:
+        item: dict = {"name": name}
+        items.append(item)
+        index[name] = item
+        return item
+
+    for raw in text.splitlines():
+        if re.match(r"^\s*#", raw):
+            continue
+        m = _SECTION_LINE.match(raw)
+        if m:
+            current = open_section(m.group(1))
+            continue
+        m = _PARAM_LINE.match(raw)
+        if m:
+            param, value = m.group(1), _CTRL_CHARS.sub("", m.group(2))
+            key = int(param) if param.isdigit() else param
+            coerced = _coerce_value(param, value)
+            if current is None:
+                current = open_section("_anon_")
+            if key in current:
+                existing = current[key]
+                if not isinstance(existing, list):
+                    existing = [existing]
+                existing.append(coerced)
+                coerced = existing
+            current[key] = coerced
+    return items, index
+
+
 def rule_engine_from_confs(
     schemas_conf: str = "", aggregation_conf: str = "", rewrite_conf: str = ""
 ) -> RuleEngine:

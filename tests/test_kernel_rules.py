@@ -4,6 +4,7 @@ from datayours_spark.kernel.rules import (
     RewriteRule,
     RuleEngine,
     load_conf_sections,
+    read_daemon_conf,
     rule_engine_from_confs,
 )
 
@@ -83,3 +84,66 @@ class TestRewrite:
     def test_no_match_identity(self):
         e = RuleEngine(pre_rewrites=[RewriteRule("zzz", "yyy")])
         assert e.rewrite_pre("a.b.c") == "a.b.c"
+
+
+DAEMON_CONF = """
+orphan = before any section
+# a comment line
+  [carbon]
+LOCAL_DATA_DIR = /data/whisper
+ENABLE_UDP_LISTENER = True
+udp_receiver_port = 2003
+MAX_CACHE_SIZE = inf
+DESTINATIONS = 127.0.0.1:2004
+DESTINATIONS = 127.0.0.1:2005
+; not a comment to this parser
+[relay]
+42 = answer
+RELAY_METHOD (3) = rules
+pattern = \\.Watts$
+threshold = 1.5
+[relay]
+RELAY_METHOD = consistent-hashing
+"""
+
+
+class TestDaemonConf:
+    """Full-fidelity conf reader (L_DataDaemon.lua:106-149)."""
+
+    def test_ordered_items_and_anon_section(self):
+        items, index = read_daemon_conf(DAEMON_CONF)
+        assert [i["name"] for i in items] == ["_anon_", "carbon", "relay", "relay"]
+        assert items[0]["orphan"] == "before any section"
+        # duplicate section names: both kept in order, index keeps the LAST
+        assert index["relay"] is items[3]
+        assert index["relay"]["RELAY_METHOD"] == "consistent-hashing"
+
+    def test_value_coercion(self):
+        _, index = read_daemon_conf(DAEMON_CONF)
+        carbon = index["carbon"]
+        assert carbon["ENABLE_UDP_LISTENER"] is True
+        assert carbon["udp_receiver_port"] == 2003
+        assert carbon["MAX_CACHE_SIZE"] == float("inf")  # tonumber("inf")
+        assert index["relay"] is not None
+        relay = [i for i in read_daemon_conf(DAEMON_CONF)[0] if i["name"] == "relay"][0]
+        assert relay["threshold"] == 1.5
+        # all-digit parameter names become ints
+        assert relay[42] == "answer"
+        # the "(3)" numeric tag is stripped from the name and discarded
+        assert relay["RELAY_METHOD"] == "rules"
+
+    def test_repeated_param_becomes_list(self):
+        _, index = read_daemon_conf(DAEMON_CONF)
+        assert index["carbon"]["DESTINATIONS"] == ["127.0.0.1:2004", "127.0.0.1:2005"]
+
+    def test_semicolon_is_not_a_comment(self):
+        items, _ = read_daemon_conf(DAEMON_CONF)
+        relay1 = items[2]
+        # "; not a comment..." has no '=' so it is simply ignored as a non-param
+        assert "not" not in relay1
+        # pattern values are verbatim (no Lua %-escape rewrite; see _coerce_value)
+        assert relay1["pattern"] == "\\.Watts$"
+
+    def test_control_chars_stripped(self):
+        _, index = read_daemon_conf("[s]\nk = a\x01b\x1fc\n")
+        assert index["s"]["k"] == "abc"
