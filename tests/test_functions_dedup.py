@@ -30,6 +30,14 @@ class TestDupClusters:
         got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
         assert got == {1: 1, 2: 1, 5: 1, 9: 1}
 
+    def test_deep_chain_converges_within_log_rounds(self, spark):
+        # path graph of 120 edges: diameter 120 >> max_iter — plain hash-min
+        # would silently return unconverged labels; pointer jumping halves
+        # the remaining path every round so ~log2(120) rounds suffice
+        out = dup_clusters(_pairs(spark, [(i, i + 1) for i in range(1, 121)]), max_iter=15)
+        assert {r["cluster_id"] for r in out.collect()} == {1}
+        assert out.count() == 121
+
     def test_empty_pairs(self, spark):
         out = dup_clusters(_pairs(spark, []))
         assert out.count() == 0
