@@ -1174,6 +1174,110 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- training-pipeline sampling / mixing / repetition / slides
+
+#: data-mixing keep-rates (percent) — downsample en, upsample low-resource
+SAMPLE_RATES = {"de": 60, "en": 15, "es": 50, "fr": 50, "zh": 40}
+QUOTA_K = 2
+REP_THRESHOLD = 0.2
+SLIDE_STEP = 900
+SLIDE_WINDOW = 3_600
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (stratified sample): md5-bucket sampling per language.
+
+    Pure row-local projection + filter — no shuffle, no count pre-pass; the
+    keep decision is a function of the row alone, so the sampled corpus
+    re-derives identically on any cluster size or partitioning (unlike
+    ``df.sample``).  See functions/sampling.py."""
+    from datayours_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", SAMPLE_RATES).select(
+        "doc_id", "lang", "source", "bucket"
+    )
+
+
+def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (per-stratum quota): top-K docs per (lang, source) by
+    n_chars, doc_id tiebreak — bounded selection toward a target corpus mix.
+    One shuffle on the stratum key; the rank filter caps per-group state at
+    O(K) via Spark's window top-k rewrite."""
+    from datayours_spark.functions.sampling import quota_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_topk(docs, ["lang", "source"], "n_chars", "doc_id", QUOTA_K).select(
+        "doc_id", "lang", "source", "n_chars", "rk"
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality (repetition): flag docs whose most frequent token is
+    >= REP_THRESHOLD of all tokens (the cheap boilerplate/spam pre-filter).
+
+    Shape: one explode, one (doc_id, tok) count aggregate, then both window
+    functions (total + rank) share the doc_id partitioning — a single
+    window exchange; n_tokens is recovered as sum(n) over the partition so
+    no token array is carried through the Generate."""
+    ex = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id")
+    wo = w.orderBy(F.col("n").desc(), "tok")
+    ratio = F.round(F.col("n") / F.col("n_tokens"), 4)
+    return (
+        cnt.select(
+            "doc_id",
+            "tok",
+            "n",
+            F.sum("n").over(w).alias("n_tokens"),
+            F.row_number().over(wo).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("tok").alias("top_tok"),
+            F.col("n").alias("top_n"),
+            ratio.alias("rep_ratio"),
+        )
+        .where(F.col("rep_ratio") >= REP_THRESHOLD)
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per language (bucket = tokens div 10 * 10) —
+    the distribution snapshot a mixing policy is tuned against.  Two-key
+    hash aggregate, map-side combinable, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr("CAST(size(split(text, ' ')) div 10 * 10 AS BIGINT)")
+    return (
+        docs.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 extension: sliding-window event rate — 1h windows sliding every
+    15min, per event_type, via the native window() generator (4 epoch-aligned
+    window rows per event, then a map-side-combinable aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.timestamp_seconds(F.col("ts_sec")), "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1240,6 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_locf_chunked": q_locf_chunked,
         "q_dash_report": q_dash_report,
         "q_corpus_clean": q_corpus_clean,
+        "q_sample_stratified": q_sample_stratified,
+        "q_quota_topk": q_quota_topk,
+        "q_repetition_filter": q_repetition_filter,
+        "q_token_histogram": q_token_histogram,
+        "q_sliding_rate": q_sliding_rate,
     }
 
 
@@ -1339,6 +1448,11 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB render-value text: 2dp round, cast, Lua-%.14g-style '.0' trim —
     # the mirror of _render_value_text
     vtext = "regexp_replace(CAST(round(value, 2) AS VARCHAR), '\\.0$', '')"
+
+    sample_rate_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    n_slides = SLIDE_WINDOW // SLIDE_STEP - 1
 
     return {
         "q_ingest_parse": f"""
@@ -1983,6 +2097,58 @@ def oracle_sql() -> dict[str, str]:
             FROM prof
             WHERE quality >= {CORPUS_QUALITY_MIN}
               AND doc_id NOT IN (SELECT DISTINCT id2 FROM dups)
+        """,
+        "q_sample_stratified": f"""
+            WITH b AS (
+              SELECT doc_id, lang, source,
+                     ('0x' || substr(md5('strat' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 100 AS bucket
+              FROM documents)
+            SELECT doc_id, lang, source, bucket
+            FROM b
+            WHERE bucket < CASE lang {sample_rate_case} ELSE 0 END
+        """,
+        "q_quota_topk": f"""
+            SELECT doc_id, lang, source, n_chars, rk FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) r
+            WHERE rk <= {QUOTA_K}
+        """,
+        "q_repetition_filter": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            cnt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+            r AS (
+              SELECT doc_id, tok, n,
+                     (sum(n) OVER (PARTITION BY doc_id))::BIGINT AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, tok) AS rk
+              FROM cnt)
+            SELECT doc_id, n_tokens, tok AS top_tok, n AS top_n,
+                   round(n * 1.0 / n_tokens, 4) AS rep_ratio
+            FROM r
+            WHERE rk = 1 AND round(n * 1.0 / n_tokens, 4) >= {REP_THRESHOLD}
+        """,
+        "q_token_histogram": """
+            SELECT lang,
+                   (len(string_split(text, ' ')) // 10 * 10)::BIGINT AS bucket,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_sliding_rate": f"""
+            WITH e AS (
+              SELECT epoch_us(ts) // 1000000 AS ts_sec, event_type, value
+              FROM events),
+            w AS (
+              SELECT unnest([ts_sec - ts_sec % {SLIDE_STEP} - {SLIDE_STEP} * g
+                             FOR g IN generate_series(0, {n_slides})]) AS win_start,
+                     event_type, value
+              FROM e)
+            SELECT win_start, event_type, count(*) AS n,
+                   round(avg(value), 4) AS avg_value
+            FROM w GROUP BY 1, 2
         """,
     }
 

@@ -1,0 +1,82 @@
+"""Sampling and data-mixing operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): deterministic
+hash-based stratified sampling and per-group quota top-k selection — the two
+primitives behind corpus "data mixing" (up/down-weighting languages or
+sources to a target distribution).
+
+Scale design:
+- Stratified sampling is a pure projection + filter: the keep/drop decision
+  is ``md5(doc_id) % 100 < rate[stratum]``, evaluated row-local with NO
+  shuffle, no sort, no count pre-pass.  Unlike ``df.sample()`` the decision
+  is a function of the row alone, so it is reproducible across engines,
+  cluster sizes, partitionings, and reruns — essential when the sample
+  defines a training corpus that must be re-derivable.
+- Quota top-k is one shuffle on the stratum key + a bounded per-group sort;
+  with AQE skew-split a hot stratum (e.g. ``en`` at 60% of the corpus)
+  splits across reducers.  For k << group size, Spark's window TopK rewrite
+  (rank filter pushed into the sort) keeps state at O(k) per partition.
+
+The rate/quota tables are tiny driver-side literals folded into the plan
+(a ``CASE WHEN`` cascade), not a join — nothing to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.dedup import md5_int32
+
+
+def hash_bucket(id_col: Column, salt: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): md5-derived, engine-portable."""
+    return md5_int32(F.concat(F.lit(salt), id_col.cast("string"))) % buckets
+
+
+def rate_column(stratum_col: Column, rates: dict[str, int], default: int = 0) -> Column:
+    """Percent keep-rate for a stratum as a literal CASE cascade."""
+    expr: Column = F.lit(default)
+    for key, rate in sorted(rates.items()):
+        expr = F.when(stratum_col == key, F.lit(rate)).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    ``rates`` maps stratum value -> percent (0..100).  Unlisted strata are
+    dropped.  Adds the ``bucket`` column so the decision is auditable.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    return (
+        df.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate_column(F.col(stratum_col), rates))
+    )
+
+
+def quota_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-group quota: the top-k rows by (order_col DESC, tiebreak ASC).
+
+    The deterministic tiebreak makes the selected set unique, so the same
+    quota re-derives identically on any cluster.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

@@ -1,0 +1,87 @@
+"""Tests for functions.sampling — deterministic stratified sampling and
+per-group quota top-k (the data-mixing primitives)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.sampling import (
+    hash_bucket,
+    quota_topk,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "de")
+        .when(F.col("id") % 4 == 2, "fr")
+        .otherwise("xx")
+        .alias("lang"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") * 7 % 101).alias("n_chars"),
+    )
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    docs = _docs(spark)
+    rates = {"en": 100, "de": 50, "fr": 0}
+    out = stratified_sample(docs, "lang", "doc_id", rates)
+
+    rows = {r.doc_id: r for r in out.collect()}
+    again = {r.doc_id: r for r in stratified_sample(docs, "lang", "doc_id", rates).collect()}
+    assert rows.keys() == again.keys()  # reproducible selection
+
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en") == 100  # rate 100 keeps every en doc
+    assert "fr" not in by_lang  # rate 0 drops all
+    assert "xx" not in by_lang  # unlisted stratum dropped
+    assert 20 <= by_lang.get("de", 0) <= 80  # ~50% of 100
+
+    # every kept row's bucket is under its stratum rate
+    assert out.where(F.col("bucket") >= 100).count() == 0
+    assert out.where((F.col("lang") == "de") & (F.col("bucket") >= 50)).count() == 0
+
+
+def test_hash_bucket_matches_duckdb_md5(spark):
+    import duckdb
+
+    df = spark.range(50).select(
+        F.col("id"), hash_bucket(F.col("id"), "strat").alias("b")
+    )
+    got = {r.id: r.b for r in df.collect()}
+    want = dict(
+        duckdb.sql(
+            "SELECT i, ('0x' || substr(md5('strat' || i::VARCHAR), 1, 8))::BIGINT % 100 "
+            "FROM generate_series(0, 49) t(i)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_quota_topk_bounded_and_tiebroken(spark):
+    docs = _docs(spark)
+    out = quota_topk(docs, ["lang", "source"], "n_chars", "doc_id", 3)
+
+    sizes = out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in sizes)
+    assert len(sizes) == 12  # 4 langs x 3 sources all represented
+
+    # per group: ordered by n_chars desc then doc_id asc, rk contiguous
+    for (lang, source), grp in _group(out.collect()):
+        grp.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in grp] == list(range(1, len(grp) + 1))
+        keys = [(-r["n_chars"], r["doc_id"]) for r in grp]
+        assert keys == sorted(keys)
+
+
+def _group(rows):
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["lang"], r["source"]), []).append(r)
+    return groups.items()
