@@ -1278,6 +1278,82 @@ def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 2_048  # tokens per training context window
+PACK_SHARDS = 8  # independent packing streams per language
+NGRAM_TOP_K = 20
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing manifest: concat-and-chunk docs into fixed
+    PACK_CAPACITY-token context windows, the standard LLM pretraining
+    packing.  Docs are concatenated per (lang, shard) in doc_id order; each
+    doc's byte range maps to chunk ids ``offset div C .. (offset+n-1) div C``.
+
+    Scale shape: the running-sum window partitions by (lang, shard) where
+    shard is an md5 bucket of doc_id — packing streams are independent, so
+    partitions stay bounded (~1/Nth of a language) and the whole manifest is
+    one shuffle; no driver-side loop, re-derivable on any cluster."""
+    from datayours_spark.functions.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        hash_bucket(F.col("doc_id"), "pack", PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    packed = staged.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        "offset",
+        F.expr(f"offset div {PACK_CAPACITY}").alias("first_chunk"),
+        F.expr(f"(offset + n_tokens - 1) div {PACK_CAPACITY}").alias("last_chunk"),
+    ).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        "offset",
+        "first_chunk",
+        (F.col("last_chunk") - F.col("first_chunk") + 1).alias("n_chunks"),
+    )
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram frequency: top-K token trigrams per language — the
+    contamination/boilerplate screening primitive.  One explode + two-key
+    hash aggregate (map-side combinable), then a per-language window top-k
+    (rank rewrite keeps per-partition state at O(K))."""
+    from datayours_spark.functions.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang", F.explode(token_shingles("text", 3)).alias("ngram")
+    )
+    cnt = grams.groupBy("lang", "ngram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "ngram")
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= NGRAM_TOP_K)
+        .select("lang", "ngram", "n", "rk")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1349,6 +1425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": q_repetition_filter,
         "q_token_histogram": q_token_histogram,
         "q_sliding_rate": q_sliding_rate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_top_ngrams": q_top_ngrams,
     }
 
 
@@ -2149,6 +2227,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_start, event_type, count(*) AS n,
                    round(avg(value), 4) AS avg_value
             FROM w GROUP BY 1, 2
+        """,
+        "q_pack_sequences": f"""
+            WITH staged AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {PACK_SHARDS} AS shard,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, lang, shard, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS "offset"
+              FROM staged)
+            SELECT doc_id, lang, shard, n_tokens, "offset",
+                   "offset" // {PACK_CAPACITY} AS first_chunk,
+                   (("offset" + n_tokens - 1) // {PACK_CAPACITY})
+                     - ("offset" // {PACK_CAPACITY}) + 1 AS n_chunks
+            FROM p
+        """,
+        "q_top_ngrams": f"""
+            WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+            g AS (
+              SELECT lang, unnest([array_to_string(t[i:i+2], ' ')
+                                   FOR i IN generate_series(1, len(t) - 2)]) AS ngram
+              FROM toks WHERE len(t) >= 3),
+            cnt AS (SELECT lang, ngram, count(*) AS n FROM g GROUP BY 1, 2),
+            r AS (SELECT lang, ngram, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, ngram) AS rk
+                  FROM cnt)
+            SELECT lang, ngram, n, rk FROM r WHERE rk <= {NGRAM_TOP_K}
         """,
     }
 

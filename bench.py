@@ -51,6 +51,13 @@ BENCH_QUERIES = [
     "q_render_api",
     "q_dedup_embed",
     "q_locf_chunked",
+    "q_sample_stratified",
+    "q_quota_topk",
+    "q_repetition_filter",
+    "q_token_histogram",
+    "q_sliding_rate",
+    "q_pack_sequences",
+    "q_top_ngrams",
 ]
 
 

@@ -85,3 +85,22 @@ def _group(rows):
     for r in rows:
         groups.setdefault((r["lang"], r["source"]), []).append(r)
     return groups.items()
+
+
+def test_pack_sequences_manifest_invariants(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.q_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    streams: dict = {}
+    for r in rows:
+        streams.setdefault((r["lang"], r["shard"]), []).append(r)
+    for grp in streams.values():
+        grp.sort(key=lambda r: r["doc_id"])
+        # offsets are the exclusive running sum: stream is gapless
+        expect = 0
+        for r in grp:
+            assert r["offset"] == expect
+            expect += r["n_tokens"]
+            assert r["n_chunks"] >= 1
+            # a doc spans exactly the chunks its byte range covers
+            assert r["n_chunks"] == (r["offset"] + r["n_tokens"] - 1) // entry.PACK_CAPACITY - r["offset"] // entry.PACK_CAPACITY + 1
