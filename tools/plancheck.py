@@ -159,6 +159,25 @@ def main() -> None:
         "Arguments: hashpartitioning(" not in plan,
     )
 
+    # ---- 6b. training-pipeline ops: shuffle counts ------------------------
+    registry = entrymod.queries()
+    plan = plan_of(registry["q_sample_stratified"](spark, SF_DIR))
+    check(
+        "stratified sample is shuffle-free (row-local keep/drop)",
+        "Arguments: hashpartitioning(" not in plan and "Exchange" not in plan,
+    )
+    plan = plan_of(registry["q_token_histogram"](spark, SF_DIR))
+    check("token histogram partial-aggregates map-side", "partial_count" in plan)
+    check(
+        "token histogram needs exactly one shuffle",
+        len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
+    )
+    plan = plan_of(registry["q_pack_sequences"](spark, SF_DIR))
+    check(
+        "sequence packing is one shuffle (the stream partitioning)",
+        len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
+    )
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
