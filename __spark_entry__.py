@@ -599,6 +599,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs)
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via banded blocking (4 x 8-bit slices; by
+    pigeonhole every pair within hamming distance 3 shares a slice) + a
+    popcount verify — no all-pairs comparison anywhere."""
+    from datayours_spark.functions.dedup import simhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup(docs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
 NGRAM_JACCARD_MIN = 0.2
 
 
@@ -1398,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dup_clusters": q_dup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
@@ -1800,20 +1814,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         """,
         "q_text_profile": _text_profile_oracle_sql(),
-        "q_dedup_simhash": """
-            WITH tok AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-            hs AS (
-              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
-            bits AS (
-              SELECT doc_id, j,
-                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-              FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
-              GROUP BY doc_id, j)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
-                     AS simhash
-            FROM bits GROUP BY doc_id
+        "q_dedup_simhash": _simhash_oracle_sql(),
+        "q_simhash_neardup": f"""
+            WITH sig AS ({_simhash_oracle_sql()}),
+            banded AS (
+              SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+              FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+                     l.simhash AS h1, r.simhash AS h2
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
+            SELECT id1, id2, bit_count(xor(h1, h2))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
         """,
         "q_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t
@@ -2261,6 +2274,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, ngram, n, rk FROM r WHERE rk <= {NGRAM_TOP_K}
         """,
     }
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of functions.dedup.simhash32 (token-multiplicity ±1
+    bit votes over 32-bit md5-prefix hashes)."""
+    return """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        hs AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+        bits AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+          GROUP BY doc_id, j)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id
+    """
 
 
 def _text_profile_oracle_sql() -> str:

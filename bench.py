@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q_sliding_rate",
     "q_pack_sequences",
     "q_top_ngrams",
+    "q_simhash_neardup",
 ]
 
 

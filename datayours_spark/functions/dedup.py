@@ -264,3 +264,59 @@ def simhash32(
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: (id1, id2, hamming) with hamming <= max_hamming.
+
+    Banded blocking: the 32-bit fingerprint splits into ``bands`` equal
+    slices; by pigeonhole any pair within hamming distance < bands shares at
+    least one identical slice, so candidates come from ``bands`` equality
+    self-joins (one shuffle keyed by (band, slice-value)) — never an all-pairs
+    comparison.  Candidates sharing several bands dedup BEFORE the verify so
+    each pair's popcount runs once.
+
+    Skew note at 100 TB: boilerplate-heavy corpora concentrate identical
+    fingerprints in one band bucket; pre-collapsing identical simhashes to a
+    representative doc (exact-dup groups) before the join bounds any bucket
+    by the distinct-fingerprint count.
+    """
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sig = simhash32(docs, text_col=text_col, id_col=id_col)
+    slices = F.array(
+        *[
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(slices).alias("band", "bv")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id1"),
+            F.col("r.doc_id").alias("id2"),
+            F.col("l.simhash").alias("h1"),
+            F.col("r.simhash").alias("h2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("bigint")
+    return cand.select("id1", "id2", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -42,3 +42,45 @@ class TestDupClusters:
         out = dup_clusters(_pairs(spark, []))
         assert out.count() == 0
         assert out.columns == ["doc_id", "cluster_id"]
+
+
+class TestSimhashNeardup:
+    def test_banded_blocking_matches_brute_force(self, spark):
+        from datayours_spark.functions.dedup import simhash32, simhash_neardup
+
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        docs = spark.createDataFrame(
+            [
+                (1, base + "alpha beta gamma"),
+                (2, base + "alpha beta gamma"),  # exact dup of 1
+                (3, base + "alpha beta delta"),  # near dup
+                (4, "completely different content about spark physical plans"),
+                (5, base + "epsilon zeta eta theta iota kappa"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_neardup(docs, max_hamming=3).collect()
+        }
+
+        sig = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+        want = {}
+        ids = sorted(sig)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                d = bin(sig[a] ^ sig[b]).count("1")
+                if d <= 3:
+                    want[(a, b)] = d
+        # banded blocking guarantees recall for hamming <= bands - 1
+        assert got == want
+        assert got[(1, 2)] == 0  # exact dup pair survives with distance 0
+
+    def test_no_pairs_across_distant_fingerprints(self, spark):
+        from datayours_spark.functions.dedup import simhash_neardup
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc dd ee ff gg hh"), (2, "zz yy xx ww vv uu tt ss")],
+            "doc_id bigint, text string",
+        )
+        assert simhash_neardup(docs).count() == 0
