@@ -1816,9 +1816,10 @@ def oracle_sql() -> dict[str, str]:
         "q_text_profile": _text_profile_oracle_sql(),
         "q_dedup_simhash": _simhash_oracle_sql(),
         "q_simhash_neardup": f"""
-            WITH sig AS ({_simhash_oracle_sql()}),
+            WITH sig AS ({_simhash_oracle_sql(60)}),
             banded AS (
-              SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS bv
+              SELECT doc_id, simhash, b AS band,
+                     (simhash >> (15 * b)) & 32767 AS bv
               FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
             cand AS (
               SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
@@ -2276,18 +2277,19 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB mirror of functions.dedup.simhash32 (token-multiplicity ±1
-    bit votes over 32-bit md5-prefix hashes)."""
-    return """
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    """DuckDB mirror of functions.dedup.simhash_fingerprint
+    (token-multiplicity ±1 bit votes over md5-prefix hashes)."""
+    return f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         hs AS (
-          SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, {bits // 4}))::BIGINT AS h
+          FROM tok),
         bits AS (
           SELECT doc_id, j,
                  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-          FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) js
+          FROM hs CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j) js
           GROUP BY doc_id, j)
         SELECT doc_id,
                CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)

@@ -46,7 +46,10 @@ class TestDupClusters:
 
 class TestSimhashNeardup:
     def test_banded_blocking_matches_brute_force(self, spark):
-        from datayours_spark.functions.dedup import simhash32, simhash_neardup
+        from datayours_spark.functions.dedup import (
+            simhash_fingerprint,
+            simhash_neardup,
+        )
 
         base = "the quick brown fox jumps over the lazy dog " * 3
         docs = spark.createDataFrame(
@@ -64,7 +67,10 @@ class TestSimhashNeardup:
             for r in simhash_neardup(docs, max_hamming=3).collect()
         }
 
-        sig = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+        sig = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_fingerprint(docs, 60).collect()
+        }
         want = {}
         ids = sorted(sig)
         for i, a in enumerate(ids):

@@ -135,6 +135,7 @@ def main() -> None:
         exact_dedup,
         minhash_dedup,
         simhash32,
+        simhash_neardup,
     )
     from datayours_spark.functions.text import text_profile
 
@@ -164,6 +165,7 @@ def main() -> None:
     dbench("text_profile", text_profile(docs))
     dbench("exact_dedup", exact_dedup(docs))
     dbench("simhash32", simhash32(docs))
+    dbench("simhash_neardup", simhash_neardup(docs))
     dbench("minhash_lsh_neardup", minhash_dedup(docs))
     t = time.perf_counter()
     n_clustered = dup_clusters(minhash_dedup(docs)).count()
