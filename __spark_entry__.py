@@ -1291,6 +1291,39 @@ def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language: exact median/p90 of n_chars
+    plus doc and distinct-source counts.
+
+    Exact percentile sorts each group's values (fine for per-language
+    cardinalities); at 100 TB swap `F.percentile` for `approx_percentile`
+    (t-digest sketch, map-side combinable) — same call shape.  The distinct
+    count is Spark's two-phase partial-distinct aggregate; its sketch
+    analogue is `approx_count_distinct`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.round(F.percentile("n_chars", 0.5), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
+    )
+
+
+def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume: day-bucketed distinct-user count.
+    One two-phase aggregate; the 100 TB path replaces the exact distinct
+    with approx_count_distinct (HLL) to keep the shuffle row-width flat."""
+    events = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_sec") - F.col("ts_sec") % 86_400).alias("day_sec")
+    return (
+        events.groupBy(day)
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 PACK_CAPACITY = 2_048  # tokens per training context window
 PACK_SHARDS = 8  # independent packing streams per language
 NGRAM_TOP_K = 20
@@ -1441,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_rate": q_sliding_rate,
         "q_pack_sequences": q_pack_sequences,
         "q_top_ngrams": q_top_ngrams,
+        "q_quantile_profile": q_quantile_profile,
+        "q_daily_active": q_daily_active,
     }
 
 
@@ -2273,6 +2308,20 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY n DESC, ngram) AS rk
                   FROM cnt)
             SELECT lang, ngram, n, rk FROM r WHERE rk <= {NGRAM_TOP_K}
+        """,
+        "q_quantile_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_daily_active": """
+            SELECT ts_sec - ts_sec % 86400 AS day_sec,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
+            GROUP BY 1
         """,
     }
 

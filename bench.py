@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_top_ngrams",
     "q_simhash_neardup",
+    "q_quantile_profile",
+    "q_daily_active",
 ]
 
 
