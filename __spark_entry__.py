@@ -599,6 +599,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs)
 
 
+INCR_BATCH_MOD = 10  # docs with doc_id % 10 == 0 form the "new" batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: docs with doc_id % 10 == 0 arrive
+    as a new batch against the standing LSH index of the rest.  Must emit
+    exactly the full pipeline's pairs that touch the batch — per-batch cost
+    scales with the batch, not the corpus."""
+    from datayours_spark.functions.dedup import minhash_incremental, minhash_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return minhash_incremental(
+        new,
+        minhash_index(old, bands=MINHASH_BANDS, rows=MINHASH_ROWS),
+        docs,
+        bands=MINHASH_BANDS,
+        rows=MINHASH_ROWS,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -1444,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dup_clusters": q_dup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_simhash_neardup": q_simhash_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
@@ -1850,6 +1874,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_profile": _text_profile_oracle_sql(),
         "q_dedup_simhash": _simhash_oracle_sql(),
+        "q_dedup_incremental": f"""
+            WITH dups AS ({_minhash_oracle_sql()})
+            SELECT id1, id2, jaccard FROM dups
+            WHERE id1 % {INCR_BATCH_MOD} = 0 OR id2 % {INCR_BATCH_MOD} = 0
+        """,
         "q_simhash_neardup": f"""
             WITH sig AS ({_simhash_oracle_sql(60)}),
             banded AS (

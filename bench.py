@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_simhash_neardup",
     "q_quantile_profile",
     "q_daily_active",
+    "q_dedup_incremental",
 ]
 
 

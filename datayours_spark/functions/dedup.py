@@ -107,22 +107,48 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
-    """Banding: docs sharing any band hash become candidate pairs (id1 < id2).
-
-    The band hash join is an equi-join — at scale it shuffles on
-    (band, band_hash) with bucket-local pair generation, never all-pairs.
-    """
-    k = bands * rows
+def _banded_rows(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bh) LSH index rows from signature columns."""
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("bh"))
         )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_index(
+    docs: DataFrame,
+    bands: int = 5,
+    rows: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable LSH index of a corpus: (doc_id, band, bh) rows.
+
+    At scale this is a table bucketed by (band, bh) — incremental batches
+    join against it without touching document text, and appending a batch's
+    own index rows keeps it current (signatures are per-doc, so old rows
+    never change)."""
+    sigs = minhash_signatures(
+        docs, k=bands * rows, shingle_n=shingle_n, seed=seed,
+        text_col=text_col, id_col=id_col,
+    )
+    return _banded_rows(sigs, bands, rows)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Banding: docs sharing any band hash become candidate pairs (id1 < id2).
+
+    The band hash join is an equi-join — at scale it shuffles on
+    (band, band_hash) with bucket-local pair generation, never all-pairs.
+    """
+    banded = _banded_rows(signatures, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -156,6 +182,50 @@ def jaccard_pairs(
     return j.select(
         "id1", "id2", F.round(inter / union, 4).alias("jaccard")
     )
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    bands: int = 5,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs introduced by a new batch, against a standing LSH index.
+
+    ``index`` is the (doc_id, band, bh) table from :func:`minhash_index` over
+    the existing corpus; ``corpus_docs`` must cover the text of every doc a
+    pair can touch (existing ∪ new — only matched candidates' text is read).
+    Emits exactly the pairs the full pipeline would emit that involve at
+    least one new doc: new×old via the index join, new×new among the batch.
+
+    This is the 100 TB operational path: per-batch cost scales with the
+    BATCH (signature one explode+agg over new docs; one equi-join against
+    the bucketed index), not the corpus — the full recompute never reruns.
+    Appending the batch's own index rows afterwards keeps the index current.
+    """
+    new_banded = minhash_index(
+        new_docs, bands=bands, rows=rows, shingle_n=shingle_n, seed=seed
+    )
+    both = index.unionByName(new_banded).alias("r")
+    left = new_banded.alias("l")
+    cand = (
+        left.join(
+            both,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("id1"),
+            F.greatest("l.doc_id", "r.doc_id").alias("id2"),
+        )
+        .distinct()
+    )
+    return jaccard_pairs(cand, corpus_docs).where(F.col("jaccard") >= threshold)
 
 
 def minhash_dedup(

@@ -90,3 +90,39 @@ class TestSimhashNeardup:
             "doc_id bigint, text string",
         )
         assert simhash_neardup(docs).count() == 0
+
+
+class TestMinhashIncremental:
+    def test_incremental_equals_full_restricted_to_batch(self, spark):
+        from datayours_spark.functions.dedup import (
+            minhash_dedup,
+            minhash_incremental,
+            minhash_index,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [
+                (1, base + " one"),
+                (2, base + " two"),        # near dup of 1 (old-old pair)
+                (3, "unrelated words entirely distinct content here now"),
+                (10, base + " ten"),       # new; near dup of 1 and 2
+                (11, base + " eleven"),    # new; near dup of 1, 2, 10
+            ],
+            "doc_id bigint, text string",
+        )
+        new = docs.where("doc_id >= 10")
+        old = docs.where("doc_id < 10")
+
+        incr = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in minhash_incremental(new, minhash_index(old), docs).collect()
+        }
+        full = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in minhash_dedup(docs).collect()
+            if r["id1"] >= 10 or r["id2"] >= 10
+        }
+        assert incr == full
+        assert incr  # the batch really introduced pairs
+        assert all(a >= 10 or b >= 10 for a, b in incr)  # no old-old recompute
