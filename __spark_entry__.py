@@ -1314,6 +1314,50 @@ def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_EVAL_MOD = 97  # docs with doc_id % 97 == 0 stand in for the eval set
+CONTAM_SHINGLE_N = 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc fraction of distinct 5-token
+    shingles that appear anywhere in the eval set (docs with
+    doc_id % CONTAM_EVAL_MOD == 0 stand in for it).
+
+    Scale shape: the eval shingle set is small by construction (eval
+    benchmarks are thousands of docs, not billions) so it BROADCASTS; the
+    corpus side streams through one explode + broadcast left-join + doc
+    aggregate — no corpus-wide shuffle except the final per-doc combine."""
+    from datayours_spark.functions.dedup import token_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
+        .select(F.explode(token_shingles("text", CONTAM_SHINGLE_N)).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        "doc_id",
+        F.explode(F.array_distinct(token_shingles("text", CONTAM_SHINGLE_N))).alias(
+            "shingle"
+        ),
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("contamination"),
+        )
+    )
+
+
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution per language: exact median/p90 of n_chars
     plus doc and distinct-source counts.
@@ -1500,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_ngrams": q_top_ngrams,
         "q_quantile_profile": q_quantile_profile,
         "q_daily_active": q_daily_active,
+        "q_contamination": q_contamination,
     }
 
 
@@ -2351,6 +2396,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
             GROUP BY 1
+        """,
+        "q_contamination": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            ev AS (
+              SELECT DISTINCT
+                     unnest([array_to_string(t[i:i+{CONTAM_SHINGLE_N - 1}], ' ')
+                             FOR i IN generate_series(1, len(t) - {CONTAM_SHINGLE_N - 1})])
+                       AS shingle
+              FROM toks
+              WHERE doc_id % {CONTAM_EVAL_MOD} = 0 AND len(t) >= {CONTAM_SHINGLE_N}),
+            corpus AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(t[i:i+{CONTAM_SHINGLE_N - 1}], ' ')
+                        FOR i IN generate_series(1, len(t) - {CONTAM_SHINGLE_N - 1})]))
+                       AS shingle
+              FROM toks
+              WHERE doc_id % {CONTAM_EVAL_MOD} != 0 AND len(t) >= {CONTAM_SHINGLE_N}),
+            j AS (
+              SELECT c.doc_id, CASE WHEN e.shingle IS NULL THEN NULL ELSE 1 END AS hit
+              FROM corpus c LEFT JOIN ev e ON c.shingle = e.shingle)
+            SELECT doc_id, count(*) AS n_shingles,
+                   coalesce(sum(hit), 0)::BIGINT AS n_hits,
+                   round(coalesce(sum(hit), 0) * 1.0 / count(*), 4) AS contamination
+            FROM j GROUP BY doc_id
         """,
     }
 

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "q_quantile_profile",
     "q_daily_active",
     "q_dedup_incremental",
+    "q_contamination",
 ]
 
 

@@ -177,6 +177,8 @@ def main() -> None:
         "sequence packing is one shuffle (the stream partitioning)",
         len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
     )
+    plan = plan_of(registry["q_contamination"](spark, SF_DIR))
+    check("contamination eval set broadcasts", "BroadcastHashJoin" in plan)
 
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
