@@ -264,3 +264,71 @@ class TestRollupCascade:
         }
         assert coarse == {t: 25.0}  # avg(10,20,30,40); window 2 gated out
         shutil.rmtree(base, ignore_errors=True)
+
+
+class TestSlidingWindowStream:
+    def test_streaming_sliding_rate_matches_batch_closed_windows(self, spark):
+        """The T9 sliding-window rate runs identically as a watermarked
+        stream: append mode emits exactly the batch result restricted to
+        windows the final watermark closed (window_end <= max_ts - delay)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        import __spark_entry__ as entry
+        from datayours_spark.io import EVENTS_SCHEMA_NANOS, load_table
+
+        sf_dir = "/root/testdata/sf0.001"
+        delay_s = 1_800
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                "event_type",
+                F.timestamp_seconds(
+                    (F.col("ts") / 1_000_000_000).cast("bigint")
+                ).alias("ts"),
+                "value",
+            )
+            .withWatermark("ts", f"{delay_s} seconds")
+        )
+        agg = (
+            stream.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(
+                F.col("w.start").cast("long").alias("win_start"),
+                F.col("w.end").cast("long").alias("win_end"),
+                "event_type",
+                "n",
+                "avg_value",
+            )
+        )
+        table = f"sliding_rate_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["win_start"], r["event_type"]): (r["n"], r["avg_value"])
+            for r in spark.table(table).collect()
+        }
+
+        events = load_table(spark, sf_dir, "events")
+        max_ts = events.agg(F.max("ts_sec")).collect()[0][0]
+        closed = max_ts - delay_s
+        want = {
+            (r["win_start"], r["event_type"]): (r["n"], r["avg_value"])
+            for r in entry.q_sliding_rate(spark, sf_dir).collect()
+            if r["win_start"] + 3_600 <= closed
+        }
+        assert got == want
+        assert want  # the fixture actually closes windows
