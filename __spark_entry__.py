@@ -1248,6 +1248,35 @@ def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIFORM_K = 3
+TOKEN_BUDGET = 4_000
+
+
+def q_sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (exact count): k docs per (lang, source), uniform via the
+    salted-hash permutation — deterministic reservoir sampling."""
+    from datayours_spark.functions.sampling import uniform_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return uniform_sample_k(docs, ["lang", "source"], "doc_id", UNIFORM_K).select(
+        "doc_id", "lang", "source", "rk"
+    )
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (token budget): per language, keep docs in salted-hash
+    order until TOKEN_BUDGET tokens are consumed (every kept doc STARTS
+    under the budget).  One running-sum window shuffle."""
+    from datayours_spark.functions.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("bigint")
+    )
+    return token_budget_sample(
+        docs, ["lang"], "doc_id", "n_tokens", TOKEN_BUDGET
+    ).select("doc_id", "lang", "n_tokens", "offset")
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality (repetition): flag docs whose most frequent token is
     >= REP_THRESHOLD of all tokens (the cheap boilerplate/spam pre-filter).
@@ -1536,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dash_report": q_dash_report,
         "q_corpus_clean": q_corpus_clean,
         "q_sample_stratified": q_sample_stratified,
+        "q_sample_uniform_k": q_sample_uniform_k,
+        "q_token_budget": q_token_budget,
         "q_quota_topk": q_quota_topk,
         "q_repetition_filter": q_repetition_filter,
         "q_token_histogram": q_token_histogram,
@@ -2308,6 +2339,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, bucket
             FROM b
             WHERE bucket < CASE lang {sample_rate_case} ELSE 0 END
+        """,
+        "q_sample_uniform_k": f"""
+            SELECT doc_id, lang, source, rk FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY ('0x' || substr(md5('unif' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                                doc_id) AS rk
+              FROM documents) r
+            WHERE rk <= {UNIFORM_K}
+        """,
+        "q_token_budget": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     ('0x' || substr(md5('budget' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     (sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS "offset"
+              FROM t)
+            SELECT doc_id, lang, n_tokens, "offset"
+            FROM c WHERE "offset" < {TOKEN_BUDGET}
         """,
         "q_quota_topk": f"""
             SELECT doc_id, lang, source, n_chars, rk FROM (

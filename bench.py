@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "q_daily_active",
     "q_dedup_incremental",
     "q_contamination",
+    "q_sample_uniform_k",
+    "q_token_budget",
 ]
 
 

@@ -61,6 +61,61 @@ def stratified_sample(
     )
 
 
+def uniform_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "unif",
+) -> DataFrame:
+    """Exactly-k uniform sample per group, without replacement: rank rows by
+    their salted md5 hash and keep the k smallest.
+
+    The hash order is a uniform random permutation that any engine
+    re-derives, so this is the deterministic counterpart of per-group
+    reservoir sampling — same window top-k shape as :func:`quota_topk`
+    (O(k) per-partition state), one shuffle on the group key.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    size_col: str,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Fill a per-group size budget: walk the group's rows in salted-hash
+    order (a re-derivable uniform shuffle) and keep every row that STARTS
+    under the budget — the standard "sample languages to a target token
+    count" mixing op.  The kept set is unique and engine-independent; the
+    last kept row may overshoot the budget by at most one document.
+
+    One shuffle (the running-sum window on the group key); ``offset`` — the
+    tokens consumed before each kept row — is exposed for auditability.
+    """
+    order = [
+        md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    ]
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(size_col).over(w)
+    return (
+        df.withColumn("offset", (cum - F.col(size_col)).cast("bigint"))
+        .where(F.col("offset") < budget)
+    )
+
+
 def quota_topk(
     df: DataFrame,
     group_cols: list[str],

@@ -104,3 +104,37 @@ def test_pack_sequences_manifest_invariants(spark):
             assert r["n_chunks"] >= 1
             # a doc spans exactly the chunks its byte range covers
             assert r["n_chunks"] == (r["offset"] + r["n_tokens"] - 1) // entry.PACK_CAPACITY - r["offset"] // entry.PACK_CAPACITY + 1
+
+
+def test_uniform_sample_k_exact_count_and_determinism(spark):
+    from datayours_spark.functions.sampling import uniform_sample_k
+
+    docs = _docs(spark)
+    out = uniform_sample_k(docs, ["lang"], "doc_id", 5)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"en": 5, "de": 5, "fr": 5, "xx": 5}
+    ids = sorted(r["doc_id"] for r in out.collect())
+    again = sorted(r["doc_id"] for r in uniform_sample_k(docs, ["lang"], "doc_id", 5).collect())
+    assert ids == again  # re-derivable permutation
+
+
+def test_token_budget_sample_fills_without_gaps(spark):
+    from datayours_spark.functions.sampling import token_budget_sample
+
+    docs = _docs(spark).withColumn("n_tokens", (F.col("n_chars") % 7 + 1).cast("bigint"))
+    budget = 30
+    out = token_budget_sample(docs, ["lang"], "doc_id", "n_tokens", budget)
+    rows: dict = {}
+    for r in out.collect():
+        rows.setdefault(r["lang"], []).append(r)
+    assert set(rows) == {"en", "de", "fr", "xx"}
+    for grp in rows.values():
+        grp.sort(key=lambda r: r["offset"])
+        # offsets tile the budget with no gaps: each row starts where the
+        # previous ended, and every kept row starts under the budget
+        expect = 0
+        for r in grp:
+            assert r["offset"] == expect
+            assert r["offset"] < budget
+            expect += r["n_tokens"]
+        assert expect >= budget  # the budget is actually filled
