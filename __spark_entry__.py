@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datayours_spark.io import load_table
+from datayours_spark.io import epoch_us_col, load_table
 from datayours_spark.operators.align import apply_null_policy, asof_resample
 from datayours_spark.operators.fetch import fetch_grid, lww_slots, time_grid
 from datayours_spark.operators.rollup import rollup
@@ -696,12 +696,23 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_LSH_PLANES = 8
 
 
+def _emb_dim(sf_dir: str) -> int:
+    """Embedding width from the parquet footer + one row-group peek —
+    driver-side, no Spark job at plan-build time (ADVICE r1)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    return len(pf.read_row_group(0, columns=["embedding"]).column(0)[0])
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketing of embeddings + bucket occupancy stats."""
     from datayours_spark.functions.similarity import bucket_stats, lsh_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return bucket_stats(lsh_buckets(emb, n_planes=ANN_LSH_PLANES))
+    return bucket_stats(
+        lsh_buckets(emb, n_planes=ANN_LSH_PLANES, dim=_emb_dim(sf_dir))
+    )
 
 
 RENDER_API_TARGET = "events.{click,error}.u?"  # braces + single-char glob
@@ -755,7 +766,7 @@ def _materialize_datamine(spark: SparkSession, sf_dir: str) -> str:
             events.groupBy(
                 "event_type", F.col("ts_sec").alias("t")
             )
-            .agg(F.max_by("value", F.expr("ts div 1000")).alias("v"))
+            .agg(F.max_by("value", epoch_us_col(events, "ts")).alias("v"))
             .collect()
         )
         by_file: dict[tuple[int, int], list[tuple[int, float]]] = {}
@@ -816,7 +827,8 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup(
-        emb, n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD
+        emb, n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD,
+        dim=_emb_dim(sf_dir),
     )
 
 
@@ -1168,24 +1180,12 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch default."""
     import uuid
 
-    from datayours_spark.io import EVENTS_SCHEMA_NANOS
+    from datayours_spark.io import events_stream_source
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-        # the file source requires a directory; glob-filter to the one table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.col("event_type"),
-            F.timestamp_seconds((F.col("ts") / 1_000_000_000).cast("bigint")).alias(
-                "ts"
-            ),
-            "value",
-        )
-        .withWatermark("ts", STREAM_WATERMARK)
+    stream = events_stream_source(spark, sf_dir).withWatermark(
+        "ts", STREAM_WATERMARK
     )
     agg = stream.groupBy(F.window("ts", STREAM_WINDOW), "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")

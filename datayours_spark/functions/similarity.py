@@ -78,11 +78,19 @@ def hyperplane_weight_py(plane: int, dim: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
+def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector width of `vec_col`, from a single-row peek.  Runs one tiny
+    Spark job — prefer passing `dim` explicitly where the caller knows it
+    (plan construction should not trigger execution)."""
+    return len(emb.select(vec_col).first()[0])
+
+
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Hyperplane-LSH bucket per vector: (vec_id, bucket).
 
@@ -94,7 +102,8 @@ def lsh_buckets(
     bucket id becomes a pure narrow projection (zip_with/aggregate folds,
     whole-stage codegen, ZERO shuffles), not an explode+groupBy.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = embedding_dim(emb, vec_col)
     v = as_double_array(vec_col)
     bucket = None
     for p in range(n_planes):
@@ -114,6 +123,7 @@ def cosine_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -126,7 +136,7 @@ def cosine_neardup(
     halves the expected bucket), and band like MinHash-LSH (several
     independent signatures OR-ed) if recall matters more than cost.
     """
-    buckets = lsh_buckets(emb, n_planes, id_col=id_col, vec_col=vec_col)
+    buckets = lsh_buckets(emb, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
     vecs = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
     norms = vecs.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
     tagged = norms.join(buckets, "vec_id")

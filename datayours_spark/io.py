@@ -1,12 +1,14 @@
 """Table loading for the driver's testdata parquet.
 
-The testdata timestamps are parquet TIMESTAMP(NANOS), which Spark cannot map
-to TimestampType; with ``spark.sql.legacy.parquet.nanosAsLong=true`` they
-arrive as LongType nanoseconds since the epoch.  We standardize on **epoch
-seconds (BIGINT)** for all time arithmetic — it is deterministic across
-engines (DuckDB truncates the same nanos to microseconds) and keeps every
-time expression inside whole-stage codegen (pure long arithmetic, no
-timezone machinery).
+The testdata timestamps have shipped in two physical encodings across driver
+rounds: parquet TIMESTAMP(NANOS) (unmappable to TimestampType — with
+``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as LongType
+nanoseconds) and parquet timestamp[us] (arrives as TIMESTAMP_NTZ).  Every
+loader here branches on the observed dtype so either vintage works.  We
+standardize on **epoch seconds (BIGINT)** for all time arithmetic — it is
+deterministic across engines (DuckDB truncates the same instants to
+microseconds) and keeps every time expression inside whole-stage codegen
+(pure long arithmetic, no timezone machinery).
 
 At 100 TB the raw `datapoints` table would be written out partitioned by
 ``date(ts)`` and bucketed by ``path`` (SURVEY.md §1.8); here we read the
@@ -46,12 +48,35 @@ TABLES = [
 
 NANOS_PER_SECOND = 1_000_000_000
 
-#: explicit read schema for streaming reads of events.parquet (readStream
-#: requires a user schema; with nanosAsLong the ts column arrives as LONG)
-EVENTS_SCHEMA_NANOS = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
+
+def epoch_us_col(df: DataFrame, col: str) -> F.Column:
+    """Epoch-microseconds BIGINT from either physical encoding of `col`:
+    long nanos (TIMESTAMP(NANOS) under nanosAsLong) → integer floor-div;
+    TIMESTAMP/TIMESTAMP_NTZ → unix_micros (epoch-exact with a UTC session)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.expr(f"unix_micros(cast({col} as timestamp))")
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet as (event_type, ts TIMESTAMP, value).
+
+    readStream requires an explicit schema; we take it from a batch-read
+    footer peek (metadata-only) so the same code handles both fixture
+    vintages (long-nanos ts vs timestamp[us] ts)."""
+    configure_session(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        # the file source requires a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_sec = (epoch_us_col(batch, "ts") / 1_000_000).cast("bigint")
+    return stream.select(
+        "event_type", F.timestamp_seconds(ts_sec).alias("ts"), "value"
+    )
 
 
 def sf_dir_from_env() -> str:
@@ -139,8 +164,15 @@ def compact_datapoints(spark: SparkSession, table_dir: str) -> int:
     )
     import shutil
 
-    shutil.rmtree(table_dir)
+    # crash-safe swap: rename the live table ASIDE first, then promote the
+    # compacted copy, then drop the old data — every failure point leaves a
+    # complete table at either `table_dir` or `table_dir + ".old"` (the old
+    # rmtree-then-rename order had a window where the table vanished)
+    old = table_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(table_dir, old)
     os.rename(tmp, table_dir)
+    shutil.rmtree(old)
     return spark.read.parquet(table_dir).count()
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from datayours_spark.kernel.archives import Archive, select_read_archive
 from datayours_spark.operators.fetch import lww_slots, time_grid
-from datayours_spark.operators.rollup import rollup
+from datayours_spark.operators.rollup import rollup, rollup_all_methods
 
 
 class RollupSet:
@@ -39,8 +39,17 @@ class RollupSet:
         method: str = "average",
         xff: float = 0.5,
         order_col: str = "ts_us",
+        series_meta: DataFrame | None = None,
     ) -> "RollupSet":
-        """Derive every level by cascading from the finest (A2 propagation)."""
+        """Derive every level by cascading from the finest (A2 propagation).
+
+        With `series_meta` (a small (path, method, xff) table), every cascade
+        hop dispatches the aggregation method and xFilesFactor PER SERIES —
+        the reference reads both from storage-aggregation.conf on every
+        propagate (`L_DataWhisper.lua:493-523`, assignment
+        `L_DataCache.lua:146-160`); `method`/`xff` become the defaults for
+        unmatched paths.  Without it, one global method/xff applies.
+        """
         archives = sorted(archives, key=lambda a: a.seconds_per_point)
         finest = archives[0].seconds_per_point
         levels: dict[int, DataFrame] = {
@@ -49,9 +58,16 @@ class RollupSet:
         prev_step = finest
         for a in archives[1:]:
             step = a.seconds_per_point
-            levels[step] = rollup(
-                levels[prev_step], prev_step, step, method=method, xff=xff
-            ).select("path", "slot", "value")
+            if series_meta is not None:
+                level = rollup_all_methods(
+                    levels[prev_step], prev_step, step, series_meta,
+                    default_method=method, default_xff=xff,
+                )
+            else:
+                level = rollup(
+                    levels[prev_step], prev_step, step, method=method, xff=xff
+                )
+            levels[step] = level.select("path", "slot", "value")
             prev_step = step
         return cls(levels, archives)
 

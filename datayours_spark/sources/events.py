@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datayours_spark.io import load_table
+from datayours_spark.io import epoch_us_col, load_table
 
 #: number of user buckets folded into the series path (50 series at 5 types)
 USER_BUCKETS = 10
@@ -47,7 +47,7 @@ def datapoints_from_events(
     return events.select(
         path.alias("path"),
         F.col("ts_sec"),
-        F.expr("ts div 1000").alias("ts_us"),
+        epoch_us_col(events, "ts").alias("ts_us"),
         F.col("value"),
     )
 

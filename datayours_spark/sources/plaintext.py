@@ -20,12 +20,14 @@ def parse_plaintext_lines(
     lines: DataFrame,
     line_col: str = "line",
     now: int | Column | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Parse plaintext lines to (path, ts_sec, value); malformed rows dropped.
 
     `now` supplies the default timestamp for lines that omit one (the
     reference uses arrival time, `L_DataCache.lua:166`); defaults to the
-    current epoch second at execution.
+    current epoch second at execution.  `carry` names extra input columns to
+    pass through unchanged (e.g. source-file provenance for arrival ordering).
     """
     if now is None:
         now_col = F.unix_timestamp(F.current_timestamp())
@@ -37,7 +39,8 @@ def parse_plaintext_lines(
     # ~3x faster); leading whitespace yields an empty first token, dropped
     # by the filter.  A line is well-formed iff it has exactly 2 or 3 fields.
     parts = F.filter(F.split(F.col(line_col), r"\s+"), lambda x: x != "")
-    parsed = lines.select(parts.alias("p")).where(F.size("p").isin(2, 3))
+    extra = list(carry or [])
+    parsed = lines.select(parts.alias("p"), *extra).where(F.size("p").isin(2, 3))
     return (
         parsed.select(
             F.element_at("p", 1).alias("path"),
@@ -47,6 +50,7 @@ def parse_plaintext_lines(
             .otherwise(F.expr("try_cast(try_cast(element_at(p, 3) as double) as bigint)"))
             .alias("ts_sec"),
             F.expr("try_cast(element_at(p, 2) as double)").alias("value"),
+            *extra,
         )
         # numeric-coercion filter (P5): drop non-numeric value/ts
         .where(F.col("value").isNotNull() & F.col("ts_sec").isNotNull())

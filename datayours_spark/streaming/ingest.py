@@ -56,6 +56,11 @@ class IngestPipeline:
     #: coarser levels aggregate the previous level with method + xFF gate
     rollup_method: str = "average"
     rollup_xff: float = 0.5
+    #: storage-aggregation rule engine: when set, every cascade hop
+    #: dispatches method/xff PER SERIES, rule-assigned from the conf exactly
+    #: like the reference's propagate (`L_DataWhisper.lua:493-523`,
+    #: `L_DataCache.lua:146-160`); rollup_method/xff become the defaults
+    rule_engine: object | None = None
     now_override: int | None = None  # fixed "now" for deterministic tests
     user_hook: object | None = None  # P1: user.run flatMap, §3.1 step 2
     #: P6 watch-list predicate (`L_DataWatcher.lua:148-157`): when set, only
@@ -63,19 +68,27 @@ class IngestPipeline:
     #: watch/nowatch conf (§2.11) — a small control-plane set
     watched: list[str] | None = None
 
+    #: provenance columns threaded from the file source for deterministic
+    #: in-batch arrival ordering (see `_write_batch`)
+    _CARRY = ("src_mtime", "src_file")
+
     def transform(self, lines: DataFrame) -> DataFrame:
         """The record pipeline, shared by batch backfill and the stream."""
-        parsed = parse_plaintext_lines(lines, now=self.now_override)
+        carry = [c for c in self._CARRY if c in lines.columns]
+        parsed = parse_plaintext_lines(lines, now=self.now_override, carry=carry)
         if self.watched is not None:
             parsed = parsed.where(F.col("path").isin(self.watched))
         if self.user_hook is not None:
             # user.run runs BEFORE the rewrite rules, like the relay hop
-            # (`L_DataWatcher.lua:206-213, 80-85`)
+            # (`L_DataWatcher.lua:206-213, 80-85`); the hook's flatMap schema
+            # is (path, ts_sec, value) only, so provenance does not survive it
             from datayours_spark.functions.userhook import apply_user_hook
 
             parsed = apply_user_hook(parsed, self.user_hook)
+            carry = []
         renamed = parsed.select(
-            rewrite_column(self.rewrites).alias("path"), "ts_sec", "value"
+            rewrite_column(self.rewrites).alias("path"), "ts_sec", "value",
+            *carry,
         )
         now_col = (
             F.lit(self.now_override)
@@ -90,19 +103,30 @@ class IngestPipeline:
 
     def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
         # per-batch slot LWW dedup (T4): one row per (path, second) survives,
-        # the latest-arriving one; cross-batch LWW happens on read / rollup
-        # arrival proxy within the batch for LWW tie-breaks (the wire protocol
-        # carries no sequence; reference semantics are arrival-order
-        # overwrite, L_DataWhisper.lua:346-354) — assigned here because
-        # monotonically_increasing_id is not allowed on streaming frames
+        # the latest-arriving one (the wire protocol carries no sequence;
+        # reference semantics are arrival-order overwrite,
+        # L_DataWhisper.lua:346-354).  In-batch arrival key: source-file
+        # modification time, then file name, then within-file line order
+        # (monotonically_increasing_id — assigned here because it is not
+        # allowed on streaming frames; split/partition order for a file
+        # source follows file offset, so the struct is a deterministic total
+        # order for a given input set, not a partition-layout accident).
+        order_cols = [c for c in self._CARRY if c in batch.columns]
+        seq = F.struct(
+            *[F.col(c) for c in order_cols],
+            F.monotonically_increasing_id().alias("mono"),
+        )
         deduped = (
-            batch.withColumn("seq", F.monotonically_increasing_id())
+            batch.withColumn("seq", seq)
             .groupBy("path", "ts_sec", "date")
             .agg(F.max_by("value", "seq").alias("value"))
-            # cross-batch order key: batch_id ascending → later batches win
-            # the read-side LWW (batch counts stay far below the 1e6 slot)
+            # cross-batch order key: batch_id is the checkpoint's monotone
+            # epoch — unwrapped (no modulo), so later batches win the
+            # read-side max_by(ts_us) LWW forever; ts_us only ever compares
+            # within one (path, ts_sec) group, so magnitude never collides
+            # across seconds, and BIGINT overflow needs ~9e18 batches
             .withColumn(
-                "ts_us", F.col("ts_sec") * 1_000_000 + F.lit(batch_id % 1_000_000)
+                "ts_us", F.col("ts_sec") * 1_000_000 + F.lit(batch_id)
             )
         )
         (
@@ -119,7 +143,12 @@ class IngestPipeline:
             self.spark.readStream.format("text")
             .option("maxFilesPerTrigger", 16)  # T8 flow limit analogue
             .load(self.input_dir)
-            .withColumnRenamed("value", "line")
+            .select(
+                F.col("value").alias("line"),
+                # file provenance → deterministic in-batch arrival order
+                F.col("_metadata.file_modification_time").alias("src_mtime"),
+                F.col("_metadata.file_name").alias("src_file"),
+            )
         )
         out = self.transform(lines).withWatermark("ts", self.watermark_delay)
         return (
@@ -166,9 +195,19 @@ class IngestPipeline:
                         f"incremental refresh needs day-aligned steps; {step}s"
                         " slots can span a date boundary — run a full refresh"
                     )
-        from datayours_spark.operators.rollup import rollup
+        from datayours_spark.operators.rollup import rollup, rollup_all_methods
 
         dp = self.datapoints(dates=changed_dates)
+        meta: DataFrame | None = None
+        if self.rule_engine is not None:
+            # rule-assigned per-series meta over the CURRENT catalog: newly
+            # seen series pick up their conf row on the next refresh, the
+            # Spark shape of creation-time assignment (`L_DataCache.lua:142-162`)
+            from datayours_spark.operators.meta import assign_series_meta
+
+            meta = assign_series_meta(
+                dp.select("path").distinct(), self.rule_engine
+            ).select("path", "method", "xff")
         steps = sorted(self.rollup_steps)
         levels: dict[int, DataFrame] = {}
         prev_step: int | None = None
@@ -177,6 +216,15 @@ class IngestPipeline:
             if prev_level is None:
                 # finest level: the LWW slot table itself
                 level = lww_slots(dp, step)
+            elif meta is not None:
+                # whisper propagation with PER-SERIES method/xff dispatch
+                # (`L_DataWhisper.lua:493-523`): one aggregation pass computes
+                # all five methods, the broadcast meta picks per path
+                level = rollup_all_methods(
+                    prev_level, prev_step, step, meta,
+                    default_method=self.rollup_method,
+                    default_xff=self.rollup_xff,
+                ).select("path", "slot", "value")
             else:
                 # whisper propagation: aggregate the PREVIOUS level with the
                 # configured method, gated by xFilesFactor

@@ -50,11 +50,20 @@ def locf_fill_stream(datapoints: DataFrame, step: int) -> DataFrame:
         for pdf in pdfs:
             for t, v in zip(pdf["ts_sec"], pdf["value"]):
                 rows[int(t) - int(t) % step] = float(v)
-        if not rows:
-            return
         last_slot, last_value = (
             state.get if state.exists else (None, None)
         )
+        if last_slot is not None:
+            # late/out-of-order guard: slots at or before the emitted cursor
+            # were already produced (append mode must never re-emit), and a
+            # batch of ONLY stale slots must not regress the cursor — drop
+            # them and leave state untouched.  Callers bound the staleness
+            # with an upstream watermark; within that bound this is the
+            # hold-policy semantics (the late value is older than what the
+            # fill already carried forward).
+            rows = {s: v for s, v in rows.items() if s > last_slot}
+        if not rows:
+            return
         out_slot: list[int] = []
         out_value: list[float] = []
         out_filled: list[bool] = []

@@ -79,6 +79,55 @@ class TestIngest:
         slots = {(r["path"], r["slot"]): r["value"] for r in levels[60].collect()}
         assert slots[("metrics.x", t - t % 60)] == 9.0
 
+    def test_lww_monotone_across_batches_and_restart(self, pipeline, spark):
+        """Cross-batch order key: each later batch overwrites the same slot,
+        including after a checkpoint restart — the batch epoch never wraps
+        or regresses (ADVICE: the old `batch_id % 1_000_000` key wrapped)."""
+        t = NOW - 300
+        q = pipeline.start()
+        for i in range(3):
+            drop_file(f"gen{i}.txt", [f"metrics.m {i} {t}"])
+            q.processAllAvailable()
+        q.stop()
+        # restart: the epoch resumes from the checkpoint, still monotone
+        q2 = pipeline.start()
+        drop_file("gen3.txt", [f"metrics.m 42 {t}"])
+        q2.processAllAvailable()
+        q2.stop()
+
+        dp = {(r["path"], r["ts_sec"]): r["value"]
+              for r in pipeline.datapoints().collect()}
+        assert dp[("metrics.m", t)] == 42.0  # newest batch wins post-restart
+        raw = (
+            spark.read.parquet(f"{pipeline.output_dir}/datapoints")
+            .where("path = 'metrics.m'")
+            .orderBy("ts_us")
+            .collect()
+        )
+        keys = [r["ts_us"] for r in raw]
+        assert len(keys) == 4 and keys == sorted(set(keys))  # strictly ↑
+        assert [r["value"] for r in raw] == [0.0, 1.0, 2.0, 42.0]
+
+    def test_in_batch_arrival_order_uses_file_provenance(self, pipeline, spark):
+        """Two files land in ONE micro-batch writing the same slot: the later
+        file (by mtime, then name) wins — a deterministic arrival order, not
+        a partition-layout accident."""
+        import os
+        import time
+
+        t = NOW - 240
+        drop_file("a_first.txt", [f"metrics.p 1 {t}"])
+        # ensure a strictly later mtime for the second file
+        later = time.time() + 2
+        drop_file("b_second.txt", [f"metrics.p 2 {t}"])
+        os.utime(TMP / "in" / "b_second.txt", (later, later))
+        q = pipeline.start()
+        q.processAllAvailable()
+        q.stop()
+        dp = {(r["path"], r["ts_sec"]): r["value"]
+              for r in pipeline.datapoints().collect()}
+        assert dp[("metrics.p", t)] == 2.0
+
     def test_restart_resumes_from_checkpoint(self, pipeline, spark):
         t = NOW - 120
         drop_file("b1.txt", [f"metrics.r 4 {t}"])
@@ -276,24 +325,13 @@ class TestSlidingWindowStream:
         from pyspark.sql import functions as F
 
         import __spark_entry__ as entry
-        from datayours_spark.io import EVENTS_SCHEMA_NANOS, load_table
+        from datayours_spark.io import events_stream_source, load_table
 
         sf_dir = "/root/testdata/sf0.001"
         delay_s = 1_800
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select(
-                "event_type",
-                F.timestamp_seconds(
-                    (F.col("ts") / 1_000_000_000).cast("bigint")
-                ).alias("ts"),
-                "value",
-            )
-            .withWatermark("ts", f"{delay_s} seconds")
+        stream = events_stream_source(spark, sf_dir).withWatermark(
+            "ts", f"{delay_s} seconds"
         )
         agg = (
             stream.groupBy(
