@@ -1161,6 +1161,50 @@ def q_rollup_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: archives for the routed per-series cascade: the 1m level ages out after a
+#: day, so a 3-day-old window routes to the 1h level (A5)
+ROUTED_RETENTIONS = "1m:1d,1h:7d,6h:35d"
+ROUTED_PATHS = ("events.click.u1", "events.error.u1", "events.signup.u1")
+ROUTED_FROM_AGE = 3 * 86_400
+ROUTED_SPAN = 86_400
+
+
+def q_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A5 through the MAINTAINED per-series cascade: RollupSet.build
+    derives every level via rollup_all_methods (method/xff rule-assigned per
+    series from storage-aggregation conf, `L_DataWhisper.lua:493-523`), the
+    router picks the 1h level for a 3-day-old window (past the 1m archive's
+    retention), and three series with different conf methods (sum / max /
+    default-average) are fetched from that same maintained level."""
+    from datayours_spark.kernel.archives import parse_retention_str
+    from datayours_spark.operators.catalog import series_catalog
+    from datayours_spark.operators.meta import assign_series_meta
+    from datayours_spark.plans.router import RollupSet
+
+    dp = datapoints_from_events(spark, sf_dir)
+    meta = assign_series_meta(series_catalog(dp), _meta_engine()).select(
+        "path", "method", "xff"
+    )
+    rs = RollupSet.build(
+        dp, parse_retention_str(ROUTED_RETENTIONS), series_meta=meta
+    )
+    now = dp.agg(F.max("ts_sec")).collect()[0][0]
+    from_t = now - ROUTED_FROM_AGE
+    until_t = from_t + ROUTED_SPAN
+    out = None
+    for path in ROUTED_PATHS:
+        step, grid = rs.fetch(spark, path, from_t, until_t, now)
+        if step != 3_600:  # the routing invariant this query demonstrates
+            raise RuntimeError(f"expected the 1h level, routed to {step}s")
+        part = grid.select(
+            F.lit(path).alias("path"),
+            "slot",
+            F.round("value", 4).alias("value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 STREAM_WINDOW = "1 hour"
 STREAM_WATERMARK = "30 minutes"
 STREAM_WATERMARK_SEC = 1_800
@@ -1555,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streaming_rollup": q_streaming_rollup,
         "q_series_meta": q_series_meta,
         "q_rollup_meta": q_rollup_meta,
+        "q_rollup_routed": q_rollup_routed,
         "q_dedup_embed": q_dedup_embed,
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
@@ -2134,6 +2179,45 @@ def oracle_sql() -> dict[str, str]:
                               ELSE v_average END, 4) AS value,
                    known, method
             FROM m WHERE known * 1.0 / 60 >= xff
+        """,
+        "q_rollup_routed": f"""
+            WITH dpu AS ({DP_USER}),
+            fine AS (
+              SELECT path, ts_sec - ts_sec % 60 AS slot,
+                     arg_max(value, ts_us) AS value
+              FROM dpu GROUP BY 1, 2),
+            agg AS (
+              SELECT path, slot - slot % 3600 AS slot,
+                     avg(value) AS v_average, sum(value) AS v_sum,
+                     arg_max(value, slot) AS v_last,
+                     max(value) AS v_max, min(value) AS v_min,
+                     count(value) AS known
+              FROM fine GROUP BY 1, 2),
+            lvl AS (
+              SELECT path, slot,
+                CASE WHEN regexp_matches(path, '\\.(click|view)') THEN v_sum
+                     WHEN regexp_matches(path, 'error') THEN v_max
+                     WHEN regexp_matches(path, 'purchase') THEN v_last
+                     ELSE v_average END AS value
+              FROM agg
+              WHERE known * 1.0 / 60 >=
+                CASE WHEN regexp_matches(path, '\\.(click|view)') THEN 0.1
+                     WHEN regexp_matches(path, 'error') THEN 0.0
+                     ELSE 0.5 END),
+            b AS (
+              SELECT (max(ts_sec) - {ROUTED_FROM_AGE})
+                       - (max(ts_sec) - {ROUTED_FROM_AGE}) % 3600 AS lo,
+                     (max(ts_sec) - {ROUTED_FROM_AGE} + {ROUTED_SPAN})
+                       - (max(ts_sec) - {ROUTED_FROM_AGE} + {ROUTED_SPAN}) % 3600 AS hi
+              FROM dpu),
+            g AS (
+              SELECT p.path, s.slot
+              FROM (VALUES {", ".join(f"('{p}')" for p in ROUTED_PATHS)}) p(path)
+              CROSS JOIN (
+                SELECT unnest(generate_series((SELECT lo FROM b),
+                                              (SELECT hi FROM b), 3600)) AS slot) s)
+            SELECT g.path AS path, g.slot AS slot, round(lvl.value, 4) AS value
+            FROM g LEFT JOIN lvl ON g.path = lvl.path AND g.slot = lvl.slot
         """,
         "q_dedup_embed": f"""
             WITH ex AS (

@@ -28,6 +28,49 @@ class TestRouting:
         assert rollups.route(NOW - 10 * 86_400, NOW) == 3_600
 
 
+class TestPerSeriesMeta:
+    def test_build_dispatches_method_and_xff_per_series(
+        self, spark, make_datapoints
+    ):
+        """The cascade applies each series' conf-assigned method/xff
+        (`L_DataWhisper.lua:493-523`); unmatched paths use the defaults."""
+        archives = parse_retention_str("1m:1h,10m:6h")
+        t0 = 96_000  # 600-aligned
+        rows = [
+            (p, t0 + i * 60, float(i + 1))
+            for p in ("a.sum", "b.max", "c.default")
+            for i in range(10)
+        ]
+        # d.sparse: 2 of 10 minute slots known → gated at xff 0.5, not 0.1
+        rows += [("d.sparse", t0 + i * 60, 1.0) for i in (0, 1)]
+        meta = spark.createDataFrame(
+            [("a.sum", "sum", 0.0), ("b.max", "max", 0.0),
+             ("d.sparse", "average", 0.1)],
+            "path string, method string, xff double",
+        )
+        rs = RollupSet.build(
+            make_datapoints(rows), archives, method="average", xff=0.5,
+            series_meta=meta,
+        )
+        lvl = {
+            (r["path"], r["slot"]): r["value"]
+            for r in rs.levels[600].collect()
+        }
+        assert lvl[("a.sum", t0)] == 55.0      # sum(1..10)
+        assert lvl[("b.max", t0)] == 10.0      # max
+        assert lvl[("c.default", t0)] == 5.5   # default average
+        assert lvl[("d.sparse", t0)] == 1.0    # own xff 0.1 admits 2/10
+        # ...but the default xff 0.5 would have gated it:
+        rs_def = RollupSet.build(
+            make_datapoints(rows), archives, method="average", xff=0.5,
+        )
+        gated = {
+            (r["path"], r["slot"])
+            for r in rs_def.levels[600].collect()
+        }
+        assert ("d.sparse", t0) not in gated
+
+
 class TestRoutedFetch:
     def test_fetch_recent(self, spark, rollups):
         step, grid = rollups.fetch(spark, "s", NOW - 1_200, NOW, NOW)

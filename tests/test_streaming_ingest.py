@@ -315,6 +315,59 @@ class TestRollupCascade:
         shutil.rmtree(base, ignore_errors=True)
 
 
+class TestPerSeriesRollupDispatch:
+    def test_rule_engine_dispatches_method_and_xff(self, spark):
+        """refresh_rollups with a storage-aggregation rule engine: each
+        series' cascade hop uses ITS conf-assigned method/xff, not one
+        global setting (`L_DataWhisper.lua:493-523`)."""
+        import shutil
+
+        from datayours_spark.kernel.rules import rule_engine_from_confs
+
+        base = TMP.parent / "streaming_per_series"
+        shutil.rmtree(base, ignore_errors=True)
+        (base / "in").mkdir(parents=True)
+        engine = rule_engine_from_confs(
+            aggregation_conf="""
+[sums]
+pattern = \\.sum\\.
+xFilesFactor = 0
+aggregationMethod = sum
+
+[maxes]
+pattern = \\.max\\.
+xFilesFactor = 0
+aggregationMethod = max
+"""
+        )
+        p = IngestPipeline(
+            spark=spark,
+            input_dir=str(base / "in"),
+            output_dir=str(base / "out"),
+            checkpoint_dir=str(base / "ckpt"),
+            now_override=NOW,
+            rollup_steps=(60, 600),
+            rule_engine=engine,
+        )
+        t = NOW - 1_200  # 600-aligned window start
+        lines = []
+        for series in ("m.sum.a", "m.max.a", "m.plain"):
+            # 5 of 10 minute-slots known → passes the default xff 0.5 too
+            lines += [f"{series} {v} {t + i * 60}" for i, v in enumerate([1, 2, 3, 4, 5])]
+        (base / "in" / "one.txt").write_text("\n".join(lines) + "\n")
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        levels = p.refresh_rollups()
+        coarse = {
+            (r["path"], r["slot"]): r["value"] for r in levels[600].collect()
+        }
+        assert coarse[("m.sum.a", t)] == 15.0  # conf: sum
+        assert coarse[("m.max.a", t)] == 5.0   # conf: max
+        assert coarse[("m.plain", t)] == 3.0   # default: average
+        shutil.rmtree(base, ignore_errors=True)
+
+
 class TestSlidingWindowStream:
     def test_streaming_sliding_rate_matches_batch_closed_windows(self, spark):
         """The T9 sliding-window rate runs identically as a watermarked
