@@ -635,6 +635,33 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup(docs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
+def q_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-guarded SimHash near-dup: identical fingerprints collapse
+    to one representative BEFORE the banded self-join (bucket width =
+    distinct fingerprints, boilerplate-proof) and the exact pair set is
+    reconstituted by expansion — the oracle is the UNGUARDED pipeline's SQL,
+    so a green row proves pair-set equivalence."""
+    from datayours_spark.functions.dedup import simhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup(
+        docs, max_hamming=SIMHASH_MAX_HAMMING, collapse_identical=True
+    )
+
+
+def q_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-guarded MinHash-LSH near-dup: identical signatures
+    collapse to a representative before the band bucket join; same emitted
+    pairs (oracle = the unguarded pipeline's SQL)."""
+    from datayours_spark.functions.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        threshold=MINHASH_THRESHOLD, collapse_identical=True,
+    )
+
+
 NGRAM_JACCARD_MIN = 0.2
 
 
@@ -940,13 +967,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_IVF_K = 8
+ANN_IVF_ITERS = 3
+ANN_IVF_SEED = 42
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: per-cluster centroids (coarse quantizer) → probe only
-    the query's nearest cluster → exact cosine re-rank within it."""
-    from datayours_spark.functions.similarity import ivf_topk
+    """IVF-style ANN with a LEARNED coarse quantizer: deterministic
+    DataFrame k-means (md5-derived init, fixed Lloyd iterations, rounded
+    arithmetic — the DuckDB oracle replays the identical iterations) →
+    probe only the query's nearest cluster → exact cosine re-rank."""
+    from datayours_spark.functions.similarity import ivf_topk, kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
+    cent = kmeans_centroids(
+        emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS, seed=ANN_IVF_SEED
+    )
+    return ivf_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent)
 
 
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1195,31 @@ def q_rollup_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rollup_all_methods(fine, 60, 3_600, meta)
     return out.select(
         "path", "slot", F.round("value", 4).alias("value"), "known", "method"
+    )
+
+
+MIXED_PATHS = ("events.click.u1", "events.error.u1", "events.signup.u1")
+MIXED_FROM_AGE = 20 * 3_600
+MIXED_UNTIL_AGE = 3_600
+
+
+def q_render_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-timebase multi-target render (J1+A5, `L_DataGraph.lua:205-254`):
+    three targets whose storage-schemas rules assign DIFFERENT archive sets
+    fetch the same 19-hour window — click routes to its 1m level, error's
+    10s archive has aged out so it routes to its 10m level (aggregated with
+    its conf method max), signup serves from its default 1h archive.  One
+    union, three slot cadences."""
+    from datayours_spark.plans.router import mixed_fetch
+
+    dp = datapoints_from_events(spark, sf_dir)
+    now = dp.agg(F.max("ts_sec")).collect()[0][0]
+    out = mixed_fetch(
+        spark, dp, _meta_engine(), list(MIXED_PATHS),
+        now - MIXED_FROM_AGE, now - MIXED_UNTIL_AGE, now,
+    )
+    return out.select(
+        "path", "slot", F.round("value", 4).alias("value"), "step"
     )
 
 
@@ -1586,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_incremental": q_dedup_incremental,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_simhash_guarded": q_simhash_guarded,
+        "q_minhash_guarded": q_minhash_guarded,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
@@ -1600,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_series_meta": q_series_meta,
         "q_rollup_meta": q_rollup_meta,
         "q_rollup_routed": q_rollup_routed,
+        "q_render_mixed": q_render_mixed,
         "q_dedup_embed": q_dedup_embed,
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
@@ -2000,20 +2065,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id1, id2, jaccard FROM dups
             WHERE id1 % {INCR_BATCH_MOD} = 0 OR id2 % {INCR_BATCH_MOD} = 0
         """,
-        "q_simhash_neardup": f"""
-            WITH sig AS ({_simhash_oracle_sql(60)}),
-            banded AS (
-              SELECT doc_id, simhash, b AS band,
-                     (simhash >> (15 * b)) & 32767 AS bv
-              FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
-                     l.simhash AS h1, r.simhash AS h2
-              FROM banded l JOIN banded r
-                ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
-            SELECT id1, id2, bit_count(xor(h1, h2))::BIGINT AS hamming
-            FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
-        """,
+        "q_simhash_neardup": _simhash_neardup_oracle_sql(),
+        # the guarded variants MUST reproduce the unguarded pipelines'
+        # pair sets exactly — same oracle, so a green row is the
+        # pair-set-equivalence proof for the hot-bucket guard
+        "q_simhash_guarded": _simhash_neardup_oracle_sql(),
+        "q_minhash_guarded": _minhash_oracle_sql(),
         "q_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t
                           FROM documents),
@@ -2180,6 +2237,58 @@ def oracle_sql() -> dict[str, str]:
                    known, method
             FROM m WHERE known * 1.0 / 60 >= xff
         """,
+        "q_render_mixed": f"""
+            WITH dpu AS ({DP_USER}),
+            b AS (SELECT max(ts_sec) AS now FROM dpu),
+            -- click: finest archive of '1m:1d,1h:30d' still covers -20h
+            c_s AS (
+              SELECT ts_sec - ts_sec % 60 AS slot, arg_max(value, ts_us) AS value
+              FROM dpu WHERE path = 'events.click.u1' GROUP BY 1),
+            c_g AS (
+              SELECT 'events.click.u1' AS path, g.slot, c_s.value, 60 AS step
+              FROM (SELECT unnest(generate_series(
+                      (SELECT (now - {MIXED_FROM_AGE})
+                              - (now - {MIXED_FROM_AGE}) % 60 FROM b),
+                      (SELECT (now - {MIXED_UNTIL_AGE})
+                              - (now - {MIXED_UNTIL_AGE}) % 60 FROM b),
+                      60)) AS slot) g
+              LEFT JOIN c_s USING (slot)),
+            -- error: 10s:6h aged out at -20h → routed to the 10m level,
+            -- aggregated with its conf method max (xff 0 gates nothing)
+            e_f AS (
+              SELECT ts_sec - ts_sec % 10 AS slot, arg_max(value, ts_us) AS value
+              FROM dpu WHERE path = 'events.error.u1' GROUP BY 1),
+            e_a AS (
+              SELECT slot - slot % 600 AS slot, max(value) AS value
+              FROM e_f GROUP BY 1),
+            e_g AS (
+              SELECT 'events.error.u1' AS path, g.slot, e_a.value, 600 AS step
+              FROM (SELECT unnest(generate_series(
+                      (SELECT (now - {MIXED_FROM_AGE})
+                              - (now - {MIXED_FROM_AGE}) % 600 FROM b),
+                      (SELECT (now - {MIXED_UNTIL_AGE})
+                              - (now - {MIXED_UNTIL_AGE}) % 600 FROM b),
+                      600)) AS slot) g
+              LEFT JOIN e_a USING (slot)),
+            -- signup: default '1h:7d' single archive
+            s_s AS (
+              SELECT ts_sec - ts_sec % 3600 AS slot, arg_max(value, ts_us) AS value
+              FROM dpu WHERE path = 'events.signup.u1' GROUP BY 1),
+            s_g AS (
+              SELECT 'events.signup.u1' AS path, g.slot, s_s.value, 3600 AS step
+              FROM (SELECT unnest(generate_series(
+                      (SELECT (now - {MIXED_FROM_AGE})
+                              - (now - {MIXED_FROM_AGE}) % 3600 FROM b),
+                      (SELECT (now - {MIXED_UNTIL_AGE})
+                              - (now - {MIXED_UNTIL_AGE}) % 3600 FROM b),
+                      3600)) AS slot) g
+              LEFT JOIN s_s USING (slot))
+            SELECT path, slot, round(value, 4) AS value, step FROM c_g
+            UNION ALL
+            SELECT path, slot, round(value, 4) AS value, step FROM e_g
+            UNION ALL
+            SELECT path, slot, round(value, 4) AS value, step FROM s_g
+        """,
         "q_rollup_routed": f"""
             WITH dpu AS ({DP_USER}),
             fine AS (
@@ -2287,53 +2396,7 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(s.value, 0), 4) AS value
             FROM grid LEFT JOIN s ON grid.path = s.path AND grid.slot = s.slot
         """,
-        "q_ann_ivf": f"""
-            WITH n AS (
-              SELECT vec_id, label,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-                     sqrt(list_reduce(list_transform(
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                       x -> x * x), (a, b) -> a + b)) AS nrm
-              FROM embeddings),
-            comp AS (
-              SELECT label AS centroid_id, generate_subscripts(embedding, 1) AS pos,
-                     CAST(unnest(embedding) AS DOUBLE) AS x
-              FROM embeddings),
-            cm AS (SELECT centroid_id, pos, avg(x) AS m FROM comp GROUP BY 1, 2),
-            cent AS (
-              SELECT centroid_id, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
-            cn AS (
-              SELECT centroid_id, cv,
-                     sqrt(list_reduce(list_transform(cv, x -> x * x),
-                                      (a, b) -> a + b)) AS cnorm
-              FROM cent),
-            scored AS (
-              SELECT vec_id, centroid_id,
-                     round(list_reduce(list_transform(list_zip(v, cv),
-                                                      p -> p[1] * p[2]),
-                                       (a, b) -> a + b) / (nrm * cnorm), 9) AS csim
-              FROM n CROSS JOIN cn),
-            assign AS (
-              SELECT vec_id, centroid_id AS cluster FROM (
-                SELECT vec_id, centroid_id,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY csim DESC, centroid_id) AS rn
-                FROM scored) WHERE rn = 1),
-            t AS (SELECT n.vec_id, v, nrm, cluster FROM n JOIN assign USING (vec_id)),
-            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm,
-                         cluster AS qcluster
-                  FROM t WHERE vec_id < {N_ANN_QUERIES}),
-            cand AS (
-              SELECT q.query_id, t.vec_id,
-                     round(list_reduce(list_transform(list_zip(t.v, q.qv),
-                                                      p -> p[1] * p[2]),
-                                       (a, b) -> a + b) / (t.nrm * q.qnorm), 4) AS sim
-              FROM t JOIN q ON t.cluster = q.qcluster AND t.vec_id != q.query_id)
-            SELECT query_id, vec_id, sim, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim DESC, vec_id) AS rank
-              FROM cand) WHERE rank <= {ANN_TOP_K}
-        """,
+        "q_ann_ivf": _kmeans_ivf_oracle_sql(),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -2625,6 +2688,111 @@ def _text_profile_oracle_sql() -> str:
                round(greatest(least(rawq, 1.0), 0.0), 4) AS quality,
                pred_lang, fingerprint
         FROM q
+    """
+
+
+def _kmeans_ivf_oracle_sql() -> str:
+    """DuckDB replay of functions.similarity.kmeans_centroids + ivf_topk:
+    the exact md5-derived init and the exact ANN_IVF_ITERS Lloyd iterations
+    (assignment by 9-dp-rounded cosine, means rounded to 6 dp) unrolled as a
+    CTE chain — bit-stable across engines because every cross-engine float
+    difference is below the rounding."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+        " (a, b) -> a + b)"
+    )
+    sqls = [
+        f"""
+        WITH ex AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                 sqrt(list_reduce(list_transform(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   x -> x * x), (a, b) -> a + b)) AS nrm
+          FROM embeddings),
+        comp AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT row_number() OVER (
+                   ORDER BY md5('{ANN_IVF_SEED}_' || CAST(vec_id AS VARCHAR)),
+                            vec_id) - 1 AS centroid_id,
+                 v AS cv
+          FROM ex
+          QUALIFY row_number() OVER (
+                    ORDER BY md5('{ANN_IVF_SEED}_' || CAST(vec_id AS VARCHAR)),
+                             vec_id) <= {ANN_IVF_K})"""
+    ]
+    for i in range(1, ANN_IVF_ITERS + 1):
+        p = f"c{i - 1}"
+        sqls.append(f"""
+        cn{i} AS MATERIALIZED (
+          SELECT centroid_id, cv,
+                 sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                  (a, b) -> a + b)) AS cnorm
+          FROM {p}),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, centroid_id AS cluster FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round({dot.format(a="e.v", b="c.cv")}
+                           / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
+            FROM ex e CROSS JOIN cn{i} c) WHERE rn = 1),
+        m{i} AS (
+          SELECT a.cluster AS centroid_id, comp.pos, round(avg(comp.x), 6) AS m
+          FROM comp JOIN a{i} a USING (vec_id) GROUP BY 1, 2),
+        g{i} AS (SELECT centroid_id, list(m ORDER BY pos) AS ncv
+                 FROM m{i} GROUP BY 1),
+        c{i} AS MATERIALIZED (
+          SELECT p.centroid_id, coalesce(g.ncv, p.cv) AS cv
+          FROM {p} p LEFT JOIN g{i} g USING (centroid_id))""")
+    last = f"c{ANN_IVF_ITERS}"
+    sqls.append(f"""
+        cn AS MATERIALIZED (
+          SELECT centroid_id, cv,
+                 sqrt(list_reduce(list_transform(cv, x -> x * x),
+                                  (a, b) -> a + b)) AS cnorm
+          FROM {last}),
+        assign AS MATERIALIZED (
+          SELECT vec_id, centroid_id AS cluster FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round({dot.format(a="e.v", b="c.cv")}
+                           / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
+            FROM ex e CROSS JOIN cn c) WHERE rn = 1),
+        t AS MATERIALIZED (SELECT ex.vec_id, v, nrm, cluster FROM ex JOIN assign USING (vec_id)),
+        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm,
+                     cluster AS qcluster
+              FROM t WHERE vec_id < {N_ANN_QUERIES}),
+        cand AS (
+          SELECT q.query_id, t.vec_id,
+                 round({dot.format(a="t.v", b="q.qv")}
+                       / (t.nrm * q.qnorm), 4) AS sim
+          FROM t JOIN q ON t.cluster = q.qcluster AND t.vec_id != q.query_id)
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM cand) WHERE rank <= {ANN_TOP_K}""")
+    return ",".join(sqls)
+
+
+def _simhash_neardup_oracle_sql() -> str:
+    """DuckDB mirror of functions.dedup.simhash_neardup (60-bit, 4 bands);
+    shared by the guarded variant, whose output must be identical."""
+    return f"""
+        WITH sig AS ({_simhash_oracle_sql(60)}),
+        banded AS (
+          SELECT doc_id, simhash, b AS band,
+                 (simhash >> (15 * b)) & 32767 AS bv
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+                 l.simhash AS h1, r.simhash AS h2
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
+        SELECT id1, id2, bit_count(xor(h1, h2))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
     """
 
 

@@ -66,6 +66,10 @@ def index(datapoints: DataFrame) -> DataFrame:
     return index_json(series_catalog(datapoints))
 
 
+class RenderCapExceeded(ValueError):
+    """A render would materialize more than max_points (leaves × slots)."""
+
+
 def render_grid(
     spark: SparkSession,
     datapoints: DataFrame,
@@ -75,9 +79,22 @@ def render_grid(
     step: int = 3_600,
     now: int | None = None,
     null_policy: str = "null",
+    max_points: int | None = None,
+    on_exceed: str = "coarsen",
 ) -> DataFrame:
     """The distributed heart of /render: (path, slot, value) dense grids for
-    every leaf matched by any target, nulls where no point landed."""
+    every leaf matched by any target, nulls where no point landed.
+
+    ``max_points`` bounds the result to len(matched leaves) × slot count —
+    the reference's points-per-query guard (`dataMineServer maxpoints`,
+    SURVEY §2.4 O4) applied BEFORE anything materializes: the leaf count is
+    one tiny catalog aggregation, the slot count is arithmetic.  On overflow,
+    ``on_exceed='coarsen'`` multiplies the step by the smallest integer
+    factor that fits (Graphite's maxDataPoints consolidation);
+    ``'error'`` raises :class:`RenderCapExceeded` — so an over-wide glob can
+    never drown the driver at collect time.
+    """
+    import math
     import time as _time
 
     if isinstance(targets, str):
@@ -93,6 +110,18 @@ def render_grid(
         nodes = find_nodes(catalog, t).where(F.col("is_leaf")).select("path")
         leaves = nodes if leaves is None else leaves.unionByName(nodes)
     leaves = leaves.dropDuplicates(["path"])
+
+    if max_points is not None:
+        n_leaves = leaves.count()
+        n_slots = (until - until % step) // step - (frm - frm % step) // step + 1
+        if n_leaves * n_slots > max_points:
+            if on_exceed == "error":
+                raise RenderCapExceeded(
+                    f"{n_leaves} leaves x {n_slots} slots exceeds "
+                    f"max_points={max_points}; narrow the glob or range"
+                )
+            factor = math.ceil(n_leaves * n_slots / max_points)
+            step = step * factor
 
     lo = frm - frm % step
     hi = until - until % step
@@ -119,15 +148,19 @@ def render(
     now: int | None = None,
     format: str = "json",
     null_policy: str = "null",
+    max_points: int | None = 200_000,
+    on_exceed: str = "coarsen",
 ) -> str | DataFrame:
     """/render — Graphite-format output text for every matching series.
 
     format: 'json' → the render JSON document; 'csv' → series,datetime,value
     lines; 'df' → the (path, slot, value) grid DataFrame for further
-    composition.
+    composition.  Text formats collect to the driver, so `max_points`
+    defaults ON here (see :func:`render_grid`); pass None to disable.
     """
     grid = render_grid(
-        spark, datapoints, targets, from_, until_, step, now, null_policy
+        spark, datapoints, targets, from_, until_, step, now, null_policy,
+        max_points=max_points, on_exceed=on_exceed,
     )
     if format == "df":
         return grid

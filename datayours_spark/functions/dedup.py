@@ -142,12 +142,28 @@ def minhash_index(
     return _banded_rows(sigs, bands, rows)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows: int, collapse_identical: bool = False
+) -> DataFrame:
     """Banding: docs sharing any band hash become candidate pairs (id1 < id2).
 
     The band hash join is an equi-join — at scale it shuffles on
     (band, band_hash) with bucket-local pair generation, never all-pairs.
+
+    ``collapse_identical`` is the HOT-BUCKET GUARD: a boilerplate-heavy
+    corpus puts thousands of identical signatures into every band bucket,
+    and the bucket-local pair generation is quadratic in bucket width.  The
+    guard groups identical signatures to one representative first, runs the
+    banded self-join over DISTINCT signatures only (bucket width = distinct
+    signatures, not documents), and reconstitutes the exact same pair set as
+    intra-group pairs plus cross-group member products — output-sized work,
+    no quadratic join.  Use :func:`lsh_collapsed_candidates` directly when
+    clusters are an acceptable output and even the expanded pair set would
+    be too large to materialize.
     """
+    if collapse_identical:
+        members, rep_pairs = lsh_collapsed_candidates(signatures, bands, rows)
+        return _expand_collapsed(members, rep_pairs)
     banded = _banded_rows(signatures, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -163,6 +179,67 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int, rows: int) -> DataFra
         )
         .distinct()
     )
+
+
+def lsh_collapsed_candidates(
+    signatures: DataFrame, bands: int, rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """Signature-collapsed LSH candidates: (members, rep_pairs).
+
+    members: (doc_id, rep) — every doc mapped to the least doc_id sharing
+    its FULL signature (identical signatures are mutual candidates by
+    construction: they agree in every band).
+    rep_pairs: (id1, id2) candidate pairs between DISTINCT signatures'
+    representatives, from the banded equi-join over one row per signature.
+
+    Together they encode the exact candidate set of
+    :func:`lsh_candidate_pairs` with join cost quadratic only in distinct
+    signatures per bucket — the guard that survives a corpus where 30% of
+    documents are the same boilerplate (one bucket would otherwise hold
+    0.3·N docs and generate 0.045·N² pairs).
+    """
+    sigcols = [c for c in signatures.columns if c != "doc_id"]
+    groups = signatures.groupBy(*sigcols).agg(F.min("doc_id").alias("rep"))
+    members = signatures.join(groups, sigcols).select("doc_id", "rep")
+    rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sigcols)
+    rep_pairs = lsh_candidate_pairs(rep_sigs, bands, rows)
+    return members, rep_pairs
+
+
+def _expand_collapsed(
+    members: DataFrame, rep_pairs: DataFrame, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """Explicit pair set from a collapsed representation: all pairs WITHIN a
+    rep group plus the member products ACROSS each rep pair.  Groups are
+    disjoint, so no pair is emitted twice; `extra_cols` (e.g. hamming) pass
+    through from rep_pairs, with intra-group pairs taking 0."""
+    extra = extra_cols or []
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = m1.join(
+        m2,
+        (F.col("m1.rep") == F.col("m2.rep"))
+        & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+    ).select(
+        F.col("m1.doc_id").alias("id1"),
+        F.col("m2.doc_id").alias("id2"),
+        *[F.lit(0).cast("bigint").alias(c) for c in extra],
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("id1"), F.col("doc_id").alias("a")),
+            "id1",
+        )
+        .join(
+            members.select(F.col("rep").alias("id2"), F.col("doc_id").alias("b")),
+            "id2",
+        )
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            *extra,
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def jaccard_pairs(
@@ -235,10 +312,16 @@ def minhash_dedup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     seed: int = 42,
+    collapse_identical: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: (id1, id2, jaccard >= threshold)."""
+    """Full MinHash-LSH near-dup pipeline: (id1, id2, jaccard >= threshold).
+
+    ``collapse_identical`` enables the hot-bucket guard (see
+    :func:`lsh_candidate_pairs`) — identical signatures join once via their
+    representative; the emitted pair set is provably identical.
+    """
     sigs = minhash_signatures(docs, k=bands * rows, shingle_n=shingle_n, seed=seed)
-    cand = lsh_candidate_pairs(sigs, bands, rows)
+    cand = lsh_candidate_pairs(sigs, bands, rows, collapse_identical=collapse_identical)
     return jaccard_pairs(cand, docs).where(F.col("jaccard") >= threshold)
 
 
@@ -351,36 +434,44 @@ def simhash32(
     return simhash_fingerprint(docs, 32, text_col=text_col, id_col=id_col)
 
 
-def simhash_neardup(
+def simhash_collapsed_neardup(
     docs: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """SimHash near-dup pairs: (id1, id2, hamming) with hamming <= max_hamming.
+) -> tuple[DataFrame, DataFrame]:
+    """Fingerprint-collapsed SimHash near-dup: (members, rep_pairs).
 
-    Banded blocking: the fingerprint splits into ``bands`` equal slices; by
-    pigeonhole any pair within hamming distance < bands shares at least one
-    identical slice, so candidates come from ``bands`` equality self-joins
-    (one shuffle keyed by (band, slice-value)) — never an all-pairs
-    comparison.  Candidates sharing several bands dedup BEFORE the verify so
-    each pair's popcount runs once.
+    members: (doc_id, rep) — docs grouped by IDENTICAL fingerprint (pairwise
+    hamming 0, trivially near-dups); rep = least doc_id of the group.
+    rep_pairs: (id1, id2, hamming) between representatives of DISTINCT
+    fingerprints, 1 <= hamming <= max_hamming, via the banded join over one
+    row per fingerprint.
 
-    Band width is what makes this survive scale: an 8-bit slice (32-bit
-    fingerprint / 4) has only 256 buckets, so N docs put ~N/256 in each and
-    the self-join grows as N²/256 — measured 539 s for 200k docs on 32
-    threads.  15-bit slices (60-bit fingerprint, the BIGINT-safe analogue of
-    the published 64-bit/4-band scheme) give 32k buckets and push the
-    quadratic blow-up out by ~128×.  Residual skew (boilerplate corpora
-    concentrating one fingerprint) can be bounded by pre-collapsing
-    identical fingerprints to a representative before the join, at the cost
-    of emitting clusters instead of explicit intra-cluster pairs.
+    This is the hot-bucket guard for boilerplate-heavy corpora: the banded
+    self-join's bucket width is the number of DISTINCT fingerprints sharing
+    a slice, so 30% of a corpus being one boilerplate no longer creates a
+    quadratic bucket.  :func:`simhash_neardup(collapse_identical=True)`
+    expands this back to the exact explicit pair set; use the collapsed form
+    directly when the expansion itself would be output-quadratic.
     """
+    sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
+    groups = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    members = sig.join(groups, "simhash").select("doc_id", "rep")
+    rep_sigs = groups.select(F.col("rep").alias("doc_id"), "simhash")
+    rep_pairs = _simhash_banded_pairs(rep_sigs, max_hamming, bands, bits)
+    return members, rep_pairs
+
+
+def _simhash_banded_pairs(
+    sig: DataFrame, max_hamming: int, bands: int, bits: int
+) -> DataFrame:
+    """Banded-blocking pair generation over a (doc_id, simhash) relation:
+    (id1, id2, hamming) with hamming <= max_hamming."""
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
     slices = F.array(
         *[
             F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
@@ -411,3 +502,41 @@ def simhash_neardup(
     return cand.select("id1", "id2", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    collapse_identical: bool = False,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id1, id2, hamming) with hamming <= max_hamming.
+
+    Banded blocking: the fingerprint splits into ``bands`` equal slices; by
+    pigeonhole any pair within hamming distance < bands shares at least one
+    identical slice, so candidates come from ``bands`` equality self-joins
+    (one shuffle keyed by (band, slice-value)) — never an all-pairs
+    comparison.  Candidates sharing several bands dedup BEFORE the verify so
+    each pair's popcount runs once.
+
+    Band width is what makes this survive scale: an 8-bit slice (32-bit
+    fingerprint / 4) has only 256 buckets, so N docs put ~N/256 in each and
+    the self-join grows as N²/256 — measured 539 s for 200k docs on 32
+    threads.  15-bit slices (60-bit fingerprint, the BIGINT-safe analogue of
+    the published 64-bit/4-band scheme) give 32k buckets and push the
+    quadratic blow-up out by ~128×.  Residual skew (boilerplate corpora
+    concentrating one fingerprint) is bounded by ``collapse_identical``:
+    identical fingerprints pre-collapse to a representative before the join
+    (see :func:`simhash_collapsed_neardup`) and the exact pair set is
+    reconstituted by expansion — same output, no quadratic bucket.
+    """
+    if collapse_identical:
+        members, rep_pairs = simhash_collapsed_neardup(
+            docs, max_hamming, bands, bits, text_col=text_col, id_col=id_col
+        )
+        return _expand_collapsed(members, rep_pairs, extra_cols=["hamming"])
+    sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
+    return _simhash_banded_pairs(sig, max_hamming, bands, bits)

@@ -45,14 +45,34 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [(digest[i % 16] - 128) / 128.0 for i in range(dim)]
 
 
-def extract_features(assets: DataFrame, real: bool = False) -> DataFrame:
-    """(asset_id, kind, feature[dim]) via Arrow-batched mapInPandas."""
-    if real:
+#: contract for a real decoder: (payload_bytes, kind) -> feature list.  The
+#: callable ships to executors inside the mapInPandas closure, so it must be
+#: picklable (a top-level function wrapping e.g. PIL/torchvision/librosa).
+Decoder = "Callable[[bytes, str], list[float]]"
+
+
+def extract_features(
+    assets: DataFrame, real: bool = False, decoder=None
+) -> DataFrame:
+    """(asset_id, kind, feature[dim]) via Arrow-batched mapInPandas.
+
+    ``decoder`` injects the real per-asset decode+embed callable — the
+    production path: the SAME plumbing (schema, Arrow batching, partition
+    shape) runs with a real media library plugged in.  ``real=True`` without
+    a decoder raises :class:`RealDecoderUnavailable` (none is installed in
+    this container); the default is the clearly-marked deterministic fake.
+    """
+    if real and decoder is None:
         raise RealDecoderUnavailable(
             "media decoders are not installed in this container; "
-            "use real=False for the deterministic fake"
+            "inject one via decoder=, or use real=False for the "
+            "deterministic fake"
         )
     import pandas as pd
+
+    fn = decoder if decoder is not None else (
+        lambda payload, kind: _fake_features(payload)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -60,7 +80,10 @@ def extract_features(assets: DataFrame, real: bool = False) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "feature": [_fake_features(bytes(b)) for b in pdf["data"]],
+                    "feature": [
+                        fn(bytes(b), k)
+                        for b, k in zip(pdf["data"], pdf["kind"])
+                    ],
                 }
             )
 

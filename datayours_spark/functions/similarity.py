@@ -184,6 +184,71 @@ def ivf_centroids(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Deterministic DataFrame k-means coarse quantizer:
+    (centroid_id, cv, cnorm).
+
+    Engine-portable by construction (the DuckDB oracle replays the exact
+    iterations):
+
+    - Init: the k vectors with the smallest ``md5('<seed>_<vec_id>')`` hex
+      string (md5 is identical everywhere; no RNG state).
+    - Exactly ``iters`` Lloyd iterations, no convergence test: assign each
+      vector to its nearest centroid by cosine ROUNDED to 9 dp (ties →
+      lowest centroid_id), then recompute each centroid as the per-dimension
+      mean ROUNDED to ``round_dp`` — the rounding swamps float summation-
+      order differences between engines, making every iteration bit-stable.
+    - Empty clusters keep their previous centroid.
+
+    Scale shape: per iteration one broadcast cross-join assignment (k rows
+    broadcast) + one (cluster, dim) mean aggregation; lineage is cut per
+    iteration with localCheckpoint so the plan stays flat.
+    """
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
+    seeded = vecs.withColumn("hk", hk).orderBy("hk", "vec_id").limit(k)
+    w = Window.orderBy("hk", "vec_id")  # k rows — the tiny-sort is fine
+    cent = seeded.withColumn("centroid_id", F.row_number().over(w) - 1).select(
+        "centroid_id", F.col("v").alias("cv")
+    )
+    comps = vecs.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    for _ in range(iters):
+        cn = cent.select(
+            "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+        )
+        assign = ivf_assign(emb, cn, id_col=id_col, vec_col=vec_col)
+        means = (
+            comps.join(assign, "vec_id")
+            .groupBy(F.col("cluster").alias("centroid_id"), "pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        )
+        newc = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("ncv")
+        )
+        cent = (
+            cent.join(newc, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("ncv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent.select(
+        "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -220,8 +285,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe only the query's nearest centroid's cluster.
+
+    `centroids` supplies the coarse quantizer — pass
+    :func:`kmeans_centroids` output for the learned (production) path;
+    defaults to the `cluster_col`-seeded means for fixture parity.
 
     Scale shape vs brute force: candidate generation is an equi-join on the
     cluster id (≈ N/n_clusters candidates per query) instead of a full scan;
@@ -230,7 +300,11 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cent = ivf_centroids(emb, cluster_col, id_col, vec_col)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, cluster_col, id_col, vec_col)
+    )
     assign = ivf_assign(emb, cent, id_col, vec_col)
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")

@@ -111,3 +111,66 @@ class RollupSet:
         )
         grid = time_grid(spark, from_time, until_time, step)
         return step, grid.join(F.broadcast(slots), "slot", "left").orderBy("slot")
+
+
+def mixed_fetch(
+    spark: SparkSession,
+    datapoints: DataFrame,
+    engine,
+    paths: list[str],
+    from_time: int,
+    until_time: int,
+    now: int,
+    order_col: str = "ts_us",
+) -> DataFrame:
+    """Mixed-timebase multi-target fetch (J1 + A5 combined): every path is
+    served from ITS OWN schema-assigned archive set, at the step its own
+    retention routes to for the same [from, until] window.
+
+    The reference's "mixed timebase support" (`L_DataGraph.lua:205-254`):
+    one graph can span a 1-minute series and a 1-hour series — each series
+    fetches at its own archive resolution and the time axis unions them.
+    Here `engine` (kernel.rules.RuleEngine) assigns retentions (storage-
+    schemas) and method/xff (storage-aggregation) per path; paths sharing a
+    retention spec share one cascaded RollupSet, so N targets cost
+    #distinct-specs cascades, not N.
+
+    Output: (path, slot, value, step) — rows at different slot cadences per
+    path, the union the reference draws.
+    """
+    from pyspark.sql import functions as F
+
+    from datayours_spark.kernel.archives import parse_retention_str
+
+    by_spec: dict[str, list[str]] = {}
+    for p in paths:
+        by_spec.setdefault(engine.match_schema(p).retentions, []).append(p)
+    out: DataFrame | None = None
+    for spec, spec_paths in sorted(by_spec.items()):
+        meta = spark.createDataFrame(
+            [
+                (
+                    p,
+                    engine.match_aggregation(p).aggregation_method,
+                    engine.match_aggregation(p).x_files_factor,
+                )
+                for p in spec_paths
+            ],
+            "path string, method string, xff double",
+        )
+        rs = RollupSet.build(
+            datapoints.where(F.col("path").isin(spec_paths)),
+            parse_retention_str(spec),
+            order_col=order_col,
+            series_meta=meta,
+        )
+        for p in spec_paths:
+            step, grid = rs.fetch(spark, p, from_time, until_time, now)
+            part = grid.select(
+                F.lit(p).alias("path"),
+                "slot",
+                "value",
+                F.lit(step).alias("step"),
+            )
+            out = part if out is None else out.unionByName(part)
+    return out

@@ -64,9 +64,17 @@ class IngestPipeline:
     now_override: int | None = None  # fixed "now" for deterministic tests
     user_hook: object | None = None  # P1: user.run flatMap, §3.1 step 2
     #: P6 watch-list predicate (`L_DataWatcher.lua:148-157`): when set, only
-    #: these series pass the relay; managed like the reference's
-    #: watch/nowatch conf (§2.11) — a small control-plane set
-    watched: list[str] | None = None
+    #: these series pass the relay.  Accepts a plain list OR a
+    #: `streaming.watchlist.WatchList` (the mutable watch/nowatch control
+    #: plane, §2.11): a WatchList is re-read at every (re)start — the moment
+    #: the reference re-registers its variable watches from the conf file
+    watched: object | None = None
+
+    def _watched_paths(self) -> list[str] | None:
+        if self.watched is None:
+            return None
+        paths = getattr(self.watched, "paths", None)
+        return paths() if callable(paths) else list(self.watched)
 
     #: provenance columns threaded from the file source for deterministic
     #: in-batch arrival ordering (see `_write_batch`)
@@ -76,8 +84,9 @@ class IngestPipeline:
         """The record pipeline, shared by batch backfill and the stream."""
         carry = [c for c in self._CARRY if c in lines.columns]
         parsed = parse_plaintext_lines(lines, now=self.now_override, carry=carry)
-        if self.watched is not None:
-            parsed = parsed.where(F.col("path").isin(self.watched))
+        watched_paths = self._watched_paths()
+        if watched_paths is not None:
+            parsed = parsed.where(F.col("path").isin(watched_paths))
         if self.user_hook is not None:
             # user.run runs BEFORE the rewrite rules, like the relay hop
             # (`L_DataWatcher.lua:206-213, 80-85`); the hook's flatMap schema

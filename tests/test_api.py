@@ -114,6 +114,51 @@ class TestRender:
         assert vals == [1.0, 1.0, 3.0, 3.0]
 
 
+class TestRenderCap:
+    def test_over_wide_render_raises_on_error_mode(self, spark, make_datapoints):
+        import pytest
+
+        with pytest.raises(api.RenderCapExceeded, match="exceeds"):
+            api.render(
+                spark,
+                _dp(make_datapoints),
+                targets="*.*",          # 3 leaves
+                from_=T0,
+                until_=T0 + 10 * H,     # x 11 slots = 33 points
+                step=H,
+                format="csv",
+                max_points=10,
+                on_exceed="error",
+            )
+
+    def test_coarsen_mode_fits_within_cap(self, spark, make_datapoints):
+        # 3 leaves x 11 slots = 33 > 10 → step coarsens by ceil(33/10) = 4
+        grid = api.render(
+            spark,
+            _dp(make_datapoints),
+            targets="*.*",
+            from_=T0,
+            until_=T0 + 10 * H,
+            step=H,
+            format="df",
+            max_points=10,
+        )
+        rows = grid.collect()
+        assert len(rows) <= 10
+        slots = sorted({r["slot"] for r in rows})
+        assert slots[1] - slots[0] == 4 * H  # coarsened step
+        # values survive at the coarser resolution (LWW within the new slot)
+        got = {(r["path"], r["slot"]): r["value"] for r in rows}
+        assert got[("a.x", T0)] == 3.0  # T0+2H point wins the 4h slot (LWW)
+
+    def test_cap_off_for_df_by_default(self, spark, make_datapoints):
+        grid = api.render_grid(
+            spark, _dp(make_datapoints), targets="*.*",
+            from_=T0, until_=T0 + 10 * H, step=H,
+        )
+        assert grid.count() == 33  # ungoverned distributed grid
+
+
 class TestFindFormats:
     def test_treejson_shape(self, spark, make_datapoints):
         out = api.find(_dp(make_datapoints), "a.*", format="treejson")

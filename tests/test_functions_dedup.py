@@ -126,3 +126,81 @@ class TestMinhashIncremental:
         assert incr == full
         assert incr  # the batch really introduced pairs
         assert all(a >= 10 or b >= 10 for a, b in incr)  # no old-old recompute
+
+
+class TestHotBucketGuard:
+    """collapse_identical must emit EXACTLY the unguarded pair set while
+    keeping the banded self-join quadratic only in distinct fingerprints —
+    exercised with a boilerplate-heavy corpus (30%+ identical docs)."""
+
+    def _corpus(self, spark):
+        boiler = "subscribe to our newsletter terms of service apply " * 4
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        rows = [(i, boiler) for i in range(1, 7)]  # 6 identical boilerplate
+        rows += [
+            (10, base + "alpha beta gamma"),
+            (11, base + "alpha beta gamma"),   # exact dup of 10
+            (12, base + "alpha beta delta"),   # near dup of 10/11
+            (13, "completely different content about spark physical plans"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_simhash_guarded_equals_unguarded(self, spark):
+        from datayours_spark.functions.dedup import simhash_neardup
+
+        docs = self._corpus(spark)
+        plain = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_neardup(docs, max_hamming=3).collect()
+        }
+        guarded = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_neardup(
+                docs, max_hamming=3, collapse_identical=True
+            ).collect()
+        }
+        assert guarded == plain
+        assert plain  # the corpus really has near-dup pairs
+        # the boilerplate block collapses into intra-group hamming-0 pairs
+        assert all(plain[(a, b)] == 0 for a in range(1, 7) for b in range(a + 1, 7))
+
+    def test_collapsed_form_stays_small(self, spark):
+        from datayours_spark.functions.dedup import simhash_collapsed_neardup
+
+        docs = self._corpus(spark)
+        members, rep_pairs = simhash_collapsed_neardup(docs, max_hamming=3)
+        reps = {r["rep"] for r in members.collect()}
+        # 6 boilerplate + (10,11) collapse: at most 5 distinct fingerprints
+        assert len(reps) <= 5
+        # rep_pairs never contains two members of one fingerprint group
+        for r in rep_pairs.collect():
+            assert r["hamming"] >= 1
+
+    def test_minhash_guarded_equals_unguarded(self, spark):
+        from datayours_spark.functions.dedup import (
+            lsh_candidate_pairs,
+            minhash_dedup,
+            minhash_signatures,
+        )
+
+        docs = self._corpus(spark)
+        sigs = minhash_signatures(docs, k=20)
+        plain = {
+            (r["id1"], r["id2"]) for r in lsh_candidate_pairs(sigs, 5, 4).collect()
+        }
+        guarded = {
+            (r["id1"], r["id2"])
+            for r in lsh_candidate_pairs(
+                sigs, 5, 4, collapse_identical=True
+            ).collect()
+        }
+        assert guarded == plain and plain
+        full_plain = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in minhash_dedup(docs).collect()
+        }
+        full_guarded = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in minhash_dedup(docs, collapse_identical=True).collect()
+        }
+        assert full_guarded == full_plain

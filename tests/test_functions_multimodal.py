@@ -37,6 +37,29 @@ class TestFeatures:
         with pytest.raises(RealDecoderUnavailable):
             extract_features(assets, real=True)
 
+    def test_injected_decoder_exercises_real_path(self, assets):
+        """A decoder callable plugs into the SAME mapInPandas plumbing the
+        real media library would — here a fake 'library' that derives
+        features from payload length and kind, proving the payload bytes
+        and kind reach the decoder intact through the Arrow batches."""
+        out = {
+            r["asset_id"]: r["feature"]
+            for r in extract_features(
+                assets, real=True, decoder=_length_kind_decoder
+            ).collect()
+        }
+        assert out[1][:2] == [float(len(b"png-payload-1")), 1.0]
+        assert out[2][:2] == [float(len(b"png-payload-2")), 1.0]
+        assert out[3][:2] == [float(len(b"mp4-payload")), 2.0]
+        assert all(len(v) == FEATURE_DIM for v in out.values())
+
+
+def _length_kind_decoder(payload: bytes, kind: str) -> list[float]:
+    """Stands in for a real decode+embed library; must be top-level so the
+    mapInPandas closure pickles."""
+    head = [float(len(payload)), 1.0 if kind == "image" else 2.0]
+    return head + [0.0] * (FEATURE_DIM - 2)
+
 
 class TestResize:
     def test_aspect_preserved_downscale(self, assets):

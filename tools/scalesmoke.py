@@ -40,13 +40,17 @@ N_SERIES = 500
 T0 = 1_704_067_200
 
 
-def synthetic_documents(spark, n_docs: int):
+def synthetic_documents(spark, n_docs: int, boilerplate_pct: int = 0):
     """(doc_id, text) with 50 pseudo-random tokens per doc, fully
     column-expression generated (never collected).  Docs with id % 10 in
     {0, 1} form near-dup PAIRS: both share their family's first 48 tokens
     and keep 2 id-specific tokens, so exact dedup finds nothing but
     shingle-Jaccard ≈ 0.92 puts them squarely above the 0.5 near-dup
-    threshold."""
+    threshold.
+
+    ``boilerplate_pct`` (0-100) makes that share of the corpus ONE identical
+    boilerplate document — the adversarial shape that concentrates a single
+    fingerprint/band-hash and breaks unguarded LSH self-joins."""
     base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
     family = F.when(
         F.col("doc_id") % 10 < 2, (F.col("doc_id") / 2).cast("bigint") * 2
@@ -70,7 +74,13 @@ def synthetic_documents(spark, n_docs: int):
         F.sequence(F.lit(1), F.lit(50)),
         lambda j: F.when(j <= 48, tok(family, j)).otherwise(tok(F.col("doc_id"), j)),
     )
-    return base.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+    text = F.concat_ws(" ", toks)
+    if boilerplate_pct:
+        boiler = " ".join(f"b{j}" for j in range(50))
+        text = F.when(
+            F.col("doc_id") % 100 < boilerplate_pct, F.lit(boiler)
+        ).otherwise(text)
+    return base.select("doc_id", text.alias("text"))
 
 
 def main() -> None:
@@ -167,6 +177,50 @@ def main() -> None:
     dbench("simhash32", simhash32(docs))
     dbench("simhash_neardup", simhash_neardup(docs))
     dbench("minhash_lsh_neardup", minhash_dedup(docs))
+
+    # ---- hot-bucket guard under an adversarial (boilerplate) corpus ----
+    # 30% of docs are ONE identical document: unguarded banded self-joins
+    # would put 0.3·N docs in one bucket (0.045·N² pairs — hours); the
+    # collapsed form must stay within ~2× of the uniform corpus's time.
+    from datayours_spark.functions.dedup import (
+        lsh_collapsed_candidates,
+        minhash_signatures,
+        simhash_collapsed_neardup,
+    )
+
+    adv_dir = tempfile.mkdtemp(
+        prefix="scalesmoke_adv_", dir="/root/repo/spark-warehouse"
+    )
+    synthetic_documents(spark, N_DOCS, boilerplate_pct=30).write.mode(
+        "overwrite"
+    ).parquet(adv_dir)
+    adv_docs = spark.read.parquet(adv_dir)
+
+    def collapsed_bench(name: str, docs_df) -> float:
+        t = time.perf_counter()
+        members, rep_pairs = simhash_collapsed_neardup(docs_df)
+        members.write.format("noop").mode("overwrite").save()
+        rep_pairs.write.format("noop").mode("overwrite").save()
+        sigs = minhash_signatures(docs_df, k=20)
+        m2, rp2 = lsh_collapsed_candidates(sigs, 5, 4)
+        m2.write.format("noop").mode("overwrite").save()
+        rp2.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t
+        doc_timings[name] = {
+            "sec": round(dt, 2),
+            "docs": N_DOCS,
+            "docs_per_sec": int(N_DOCS / dt),
+        }
+        return dt
+
+    t_uniform = collapsed_bench("collapsed_neardup_uniform", docs)
+    t_adv = collapsed_bench("collapsed_neardup_adversarial_30pct", adv_docs)
+    doc_timings["adversarial_over_uniform_ratio"] = {
+        "ratio": round(t_adv / t_uniform, 2)
+    }
+
+    # last: dup_clusters pins localCheckpoint RDD blocks in executor memory
+    # for the rest of the session, which skews any timing run after it
     t = time.perf_counter()
     n_clustered = dup_clusters(minhash_dedup(docs)).count()
     doc_timings["dup_clusters"] = {
@@ -175,6 +229,7 @@ def main() -> None:
         "clustered_docs": n_clustered,
     }
 
+    shutil.rmtree(adv_dir, ignore_errors=True)
     shutil.rmtree(docs_dir, ignore_errors=True)
     print(
         json.dumps(
