@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_sample_uniform_k",
     "q_token_budget",
+    # round 2 additions
+    "q_rollup_routed",
+    "q_render_mixed",
+    "q_simhash_guarded",
+    "q_minhash_guarded",
+    "q_ann_ivf",
 ]
 
 
