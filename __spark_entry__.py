@@ -527,6 +527,30 @@ def q_store_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MR_PATHS = ("events.click.u1", "events.error.u1")
+MR_STEP = 600
+MR_HOLE = 1_800  # store 1 is missing every 3rd slot; store 2 fills them
+
+
+def q_multireader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+: MultiReader leaf merge — the same series is a leaf in TWO
+    stores (a primary archive with holes and a complete fallback whose
+    values are offset by +1000 to be distinguishable); the merge takes the
+    highest-priority non-null value per slot.  graphite-web MultiReader
+    semantics, which the reference left TODO
+    (`L_DataGraphiteAPI.lua:384-386`)."""
+    from datayours_spark.operators.federate import multireader_merge
+
+    dp = datapoints_from_events(spark, sf_dir)
+    base = lww_slots(dp.where(F.col("path").isin(list(MR_PATHS))), MR_STEP)
+    primary = base.where(F.col("slot") % MR_HOLE != 0)
+    fallback = base.select(
+        "path", "slot", (F.col("value") + 1_000).alias("value")
+    )
+    out = multireader_merge([primary, fallback])
+    return out.select("path", "slot", F.round("value", 4).alias("value"))
+
+
 INGEST_MAX_RETENTION = 7 * DAY
 INGEST_NOW = T0 + 14 * DAY
 
@@ -856,6 +880,35 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup(
         emb, n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD,
         dim=_emb_dim(sf_dir),
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tf-idf: one token explode → per-(source, term) term
+    frequency, source-level document frequency, idf = ln(n_sources/df),
+    top-k terms per source.  The classic corpus-characterization pass a
+    training-data pipeline runs per shard: explode + two hash aggregations
+    + one bounded window — no driver-side vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nsrc = docs.agg(F.countDistinct("source").alias("n_src"))
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(nsrc)).select(
+        "source", "term", "tf",
+        F.round(
+            F.col("tf") * F.log(F.col("n_src") * 1.0 / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
     )
 
 
@@ -1665,6 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_meta": q_rollup_meta,
         "q_rollup_routed": q_rollup_routed,
         "q_render_mixed": q_render_mixed,
+        "q_multireader": q_multireader,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_embed": q_dedup_embed,
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
@@ -2236,6 +2291,38 @@ def oracle_sql() -> dict[str, str]:
                               ELSE v_average END, 4) AS value,
                    known, method
             FROM m WHERE known * 1.0 / 60 >= xff
+        """,
+        "q_multireader": f"""
+            WITH s AS (
+              SELECT path, ts_sec - ts_sec % {MR_STEP} AS slot,
+                     arg_max(value, ts_us) AS value
+              FROM ({DP_USER}) dp
+              WHERE path IN ({", ".join(f"'{p}'" for p in MR_PATHS)})
+              GROUP BY 1, 2)
+            -- store 1 (holes at slot % {MR_HOLE} = 0) wins where present;
+            -- the +1000 fallback fills the holes
+            SELECT path, slot,
+                   round(CASE WHEN slot % {MR_HOLE} != 0 THEN value
+                              ELSE value + 1000 END, 4) AS value
+            FROM s
+        """,
+        "q_tfidf_terms": f"""
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            t AS (SELECT source, term, count(*) AS tf
+                  FROM toks WHERE term != '' GROUP BY 1, 2),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+            n AS (SELECT count(DISTINCT source) AS n_src FROM documents),
+            s AS (
+              SELECT t.source, t.term, t.tf,
+                     round(t.tf * ln(n_src * 1.0 / d.df), 6) AS score
+              FROM t JOIN d USING (term) CROSS JOIN n)
+            SELECT source, term, tf, score, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY score DESC, term) AS rank
+              FROM s)
+            WHERE rank <= {TFIDF_TOP_K}
         """,
         "q_render_mixed": f"""
             WITH dpu AS ({DP_USER}),

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q_simhash_guarded",
     "q_minhash_guarded",
     "q_ann_ivf",
+    "q_multireader",
+    "q_tfidf_terms",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Streaming near-dup maintenance: the operational dedup path as a stream.
+
+The batch operator (`functions.dedup.minhash_incremental`) answers "which
+pairs does THIS batch introduce against the standing index".  This module
+runs it continuously: a Structured Streaming document source feeds
+foreachBatch; every micro-batch
+
+1. computes its near-dup pairs against the standing LSH index (new×old via
+   the index equi-join, new×new within the batch),
+2. appends the verified pairs to the ``pairs`` table,
+3. appends the batch's own band rows to the ``index`` table and its text to
+   the ``corpus`` table — keeping both current for the next batch.
+
+Invariant (tested): the union of per-batch pair emissions equals the full
+recompute's pair set — every pair is emitted exactly once, by the first
+batch that completes it.
+
+Scale notes: per-batch cost follows the BATCH (one explode+agg for its
+signatures, one equi-join against the bucketed index); the corpus text is
+only read for verified candidates.  This is the T5 incremental-maintenance
+story applied to the training-data ops (SURVEY §2.9 shape), checkpointed
+exactly-once by the sink tables' idempotent append-per-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datayours_spark.functions.dedup import minhash_incremental, minhash_index
+
+DOC_SCHEMA = "doc_id bigint, text string"
+INDEX_SCHEMA = "doc_id bigint, band int, bh string"
+PAIRS_SCHEMA = "id1 bigint, id2 bigint, jaccard double"
+
+
+@dataclass
+class DedupStream:
+    """Continuous MinHash-LSH maintenance over a document file stream."""
+
+    spark: SparkSession
+    input_dir: str       # streaming source: parquet drops of (doc_id, text)
+    store_dir: str       # holds corpus/, index/, pairs/
+    checkpoint_dir: str
+    bands: int = 5
+    rows: int = 4
+    threshold: float = 0.5
+    shingle_n: int = 3
+    seed: int = 42
+
+    def _read_or_empty(self, name: str, schema: str) -> DataFrame:
+        path = os.path.join(self.store_dir, name)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        new = batch.select("doc_id", "text")
+        index = self._read_or_empty("index", INDEX_SCHEMA)
+        corpus = self._read_or_empty("corpus", DOC_SCHEMA)
+        pairs = minhash_incremental(
+            new,
+            index,
+            corpus.unionByName(new),
+            bands=self.bands,
+            rows=self.rows,
+            threshold=self.threshold,
+            shingle_n=self.shingle_n,
+            seed=self.seed,
+        )
+        (
+            pairs.write.mode("append")
+            .parquet(os.path.join(self.store_dir, "pairs"))
+        )
+        # append AFTER the pair emission so the batch never joins itself
+        # through the standing index (new×new is handled inside
+        # minhash_incremental)
+        (
+            minhash_index(
+                new, bands=self.bands, rows=self.rows,
+                shingle_n=self.shingle_n, seed=self.seed,
+            )
+            .write.mode("append")
+            .parquet(os.path.join(self.store_dir, "index"))
+        )
+        new.write.mode("append").parquet(os.path.join(self.store_dir, "corpus"))
+
+    def start(self):
+        docs = (
+            self.spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(self.input_dir)
+        )
+        return (
+            docs.writeStream.foreachBatch(self._process)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def pairs(self) -> DataFrame:
+        return self._read_or_empty("pairs", PAIRS_SCHEMA)

@@ -62,3 +62,23 @@ def test_compaction_keeps_lww_winners(spark, make_datapoints):
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compaction_swap_leaves_no_debris_and_recovers(spark, make_datapoints):
+    """The rename-aside swap: after a successful compaction neither the
+    .compacting scratch nor the .old backup remains, and a leftover .old
+    from a previous crash is cleared on the next run."""
+    import os
+
+    from datayours_spark.io import compact_datapoints
+
+    tmp = TMP + "_swapsafe"
+    write_datapoints(make_datapoints([("a.b", T0 + 5, 1.0)]), tmp)
+    # simulate debris from a crashed earlier run
+    os.makedirs(tmp + ".old", exist_ok=True)
+    with open(tmp + ".old/marker", "w") as f:
+        f.write("stale")
+    compact_datapoints(spark, tmp)
+    assert not os.path.exists(tmp + ".old")
+    assert not os.path.exists(tmp + ".compacting")
+    assert spark.read.parquet(tmp).count() == 1

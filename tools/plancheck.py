@@ -180,6 +180,31 @@ def main() -> None:
     plan = plan_of(registry["q_contamination"](spark, SF_DIR))
     check("contamination eval set broadcasts", "BroadcastHashJoin" in plan)
 
+    # ---- 6c. round-2 operators --------------------------------------------
+    # guarded dedup: the expansion joins must be plain equi-joins (hash
+    # shuffles), never a cartesian, and the series-meta dispatch broadcasts
+    plan = plan_of(registry["q_simhash_guarded"](spark, SF_DIR))
+    check(
+        "guarded simhash expansion stays equi-join",
+        "CartesianProduct" not in plan,
+    )
+    plan = plan_of(registry["q_rollup_routed"](spark, SF_DIR))
+    check(
+        "routed cascade broadcasts series_meta",
+        "BroadcastHashJoin" in plan,
+    )
+    check(
+        "routed fetch broadcasts the slot side into the grid join",
+        "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
+    )
+    plan = plan_of(registry["q_multireader"](spark, SF_DIR))
+    check(
+        "multireader merge partial-aggregates map-side",
+        "partial_min_by" in plan,
+    )
+    plan = plan_of(registry["q_tfidf_terms"](spark, SF_DIR))
+    check("tf-idf n_sources scalar broadcasts", "BroadcastNestedLoopJoin" in plan)
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
