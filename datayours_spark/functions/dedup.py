@@ -198,9 +198,16 @@ def lsh_collapsed_candidates(
     documents are the same boilerplate (one bucket would otherwise hold
     0.3·N docs and generate 0.045·N² pairs).
     """
+    # materialize the signature relation ONCE: every downstream consumer
+    # (groups, members, the banded join) would otherwise re-run the whole
+    # shingle→hash→K-min pipeline — measured 20 parquet scans / 0 reused
+    # exchanges in the expanded plan without this cut
+    signatures = signatures.localCheckpoint(eager=True)
     sigcols = [c for c in signatures.columns if c != "doc_id"]
     groups = signatures.groupBy(*sigcols).agg(F.min("doc_id").alias("rep"))
-    members = signatures.join(groups, sigcols).select("doc_id", "rep")
+    members = signatures.join(groups, sigcols).select(
+        "doc_id", "rep"
+    ).localCheckpoint(eager=True)
     rep_sigs = groups.select(F.col("rep").alias("doc_id"), *sigcols)
     rep_pairs = lsh_candidate_pairs(rep_sigs, bands, rows)
     return members, rep_pairs
@@ -457,9 +464,16 @@ def simhash_collapsed_neardup(
     expands this back to the exact explicit pair set; use the collapsed form
     directly when the expansion itself would be output-quadratic.
     """
-    sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
+    # one materialization of the fingerprints: groups, members, and the
+    # banded join all consume it — without the cut each reference re-runs
+    # the token explode + 60 bit-sum aggregation
+    sig = simhash_fingerprint(
+        docs, bits, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     groups = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
-    members = sig.join(groups, "simhash").select("doc_id", "rep")
+    members = sig.join(groups, "simhash").select(
+        "doc_id", "rep"
+    ).localCheckpoint(eager=True)
     rep_sigs = groups.select(F.col("rep").alias("doc_id"), "simhash")
     rep_pairs = _simhash_banded_pairs(rep_sigs, max_hamming, bands, bits)
     return members, rep_pairs
