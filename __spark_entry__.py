@@ -1306,18 +1306,12 @@ def q_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = dp.agg(F.max("ts_sec")).collect()[0][0]
     from_t = now - ROUTED_FROM_AGE
     until_t = from_t + ROUTED_SPAN
-    out = None
-    for path in ROUTED_PATHS:
-        step, grid = rs.fetch(spark, path, from_t, until_t, now)
-        if step != 3_600:  # the routing invariant this query demonstrates
-            raise RuntimeError(f"expected the 1h level, routed to {step}s")
-        part = grid.select(
-            F.lit(path).alias("path"),
-            "slot",
-            F.round("value", 4).alias("value"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    step, grid = rs.fetch_many(
+        spark, list(ROUTED_PATHS), from_t, until_t, now
+    )
+    if step != 3_600:  # the routing invariant this query demonstrates
+        raise RuntimeError(f"expected the 1h level, routed to {step}s")
+    return grid.select("path", "slot", F.round("value", 4).alias("value"))
 
 
 STREAM_WINDOW = "1 hour"

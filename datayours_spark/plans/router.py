@@ -112,6 +112,48 @@ class RollupSet:
         grid = time_grid(spark, from_time, until_time, step)
         return step, grid.join(F.broadcast(slots), "slot", "left").orderBy("slot")
 
+    def fetch_many(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        from_time: int,
+        until_time: int,
+        now: int,
+    ) -> tuple[int, DataFrame]:
+        """Multi-target routed fetch in ONE distributed pass.
+
+        Same clamping/routing as :meth:`fetch` (all targets share the
+        window, so they route to the same level), but the level is scanned
+        once with ``path IN (...)`` and the dense grid is `paths ×
+        time_grid` — N targets cost one filtered aggregation + one join,
+        not N plan copies (the reference loops per leaf; at 100 TB the loop
+        is the difference between 1 scan and N scans).  Returns
+        (step, (path, slot, value) grid).
+        """
+        coarsest = self.archives[-1]
+        oldest = coarsest.oldest(now)
+        if from_time > now or until_time < oldest:
+            step = self.route(max(from_time, oldest), now)
+            empty = spark.range(0).select(
+                F.lit("").alias("path"),
+                F.col("id").alias("slot"),
+                F.lit(None).cast("double").alias("value"),
+            )
+            return step, empty
+        from_time = max(from_time, oldest)
+        until_time = min(until_time, now)
+        step = self.route(from_time, now)
+        slots = self.levels[step].where(F.col("path").isin(paths)).where(
+            F.col("slot").between(
+                from_time - from_time % step, until_time - until_time % step
+            )
+        )
+        grid = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .crossJoin(time_grid(spark, from_time, until_time, step))
+        )
+        return step, grid.join(F.broadcast(slots), ["path", "slot"], "left")
+
 
 def mixed_fetch(
     spark: SparkSession,
@@ -164,13 +206,11 @@ def mixed_fetch(
             order_col=order_col,
             series_meta=meta,
         )
-        for p in spec_paths:
-            step, grid = rs.fetch(spark, p, from_time, until_time, now)
-            part = grid.select(
-                F.lit(p).alias("path"),
-                "slot",
-                "value",
-                F.lit(step).alias("step"),
-            )
-            out = part if out is None else out.unionByName(part)
+        # one distributed pass per retention spec (all its paths share the
+        # routing), not one plan copy per target
+        step, grid = rs.fetch_many(
+            spark, spec_paths, from_time, until_time, now
+        )
+        part = grid.select("path", "slot", "value", F.lit(step).alias("step"))
+        out = part if out is None else out.unionByName(part)
     return out

@@ -89,6 +89,28 @@ class TestRoutedFetch:
         _, grid = rollups.fetch(spark, "s", NOW + 100, NOW + 200, NOW)
         assert grid.count() == 0
 
+    def test_fetch_many_matches_per_path_fetch(self, spark, make_datapoints):
+        """The single-pass multi-target fetch returns exactly the union of
+        per-path fetches (one scan instead of N plan copies)."""
+        rows = [("s", NOW - 86_400 + i * 300, float(i)) for i in range(288)]
+        rows += [("t", NOW - 86_400 + i * 600, float(i * 2)) for i in range(144)]
+        rs = RollupSet.build(
+            make_datapoints(rows), ARCHIVES, method="average", xff=0.0
+        )
+        frm, until = NOW - 5 * 3_600, NOW - 4 * 3_600
+        step_m, grid = rs.fetch_many(spark, ["s", "t"], frm, until, NOW)
+        many = {(r["path"], r["slot"]): r["value"] for r in grid.collect()}
+        singles = {}
+        for p in ("s", "t"):
+            step, g = rs.fetch(spark, p, frm, until, NOW)
+            assert step == step_m
+            singles.update({(p, r["slot"]): r["value"] for r in g.collect()})
+        assert many == singles and many
+
+    def test_fetch_many_future_range_empty(self, spark, rollups):
+        _, grid = rollups.fetch_many(spark, ["s"], NOW + 100, NOW + 200, NOW)
+        assert grid.count() == 0
+
     def test_clamps_to_retention(self, spark, rollups):
         step, grid = rollups.fetch(spark, "s", NOW - 10 * 86_400, NOW, NOW)
         assert step == 3_600
