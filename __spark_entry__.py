@@ -140,6 +140,14 @@ def q_null_policy_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_null_policy(q_fetch_grid(spark, sf_dir), "hold")
 
 
+def q_null_policy_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: connected line mode — interior null runs linearly interpolated
+    between their surrounding observations (the reference draws this at
+    plot time, `L_DataGraph.lua:149-156, 264`); edge nulls stay null."""
+    grid = apply_null_policy(q_fetch_grid(spark, sf_dir), "connected")
+    return grid.select("slot", F.round("value", 6).alias("value"))
+
+
 def q_tally_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6+A7: per-series update tally and oldest/newest timestamps."""
     dp = datapoints_from_events(spark, sf_dir)
@@ -1665,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_resample": q_asof_resample,
         "q_null_policy_zero": q_null_policy_zero,
         "q_null_policy_hold": q_null_policy_hold,
+        "q_null_policy_connected": q_null_policy_connected,
         "q_tally_minmax": q_tally_minmax,
         "q_treemap_rollup": q_treemap_rollup,
         "q_catalog_find": q_catalog_find,
@@ -1890,6 +1899,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT slot, last_value(value IGNORE NULLS) OVER (
               ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
             FROM ({fetch_grid_sql})
+        """,
+        "q_null_policy_connected": f"""
+            WITH g AS ({fetch_grid_sql}),
+            ends AS (
+              SELECT slot, value,
+                last_value(value IGNORE NULLS) OVER (
+                  ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS pv,
+                last_value(CASE WHEN value IS NOT NULL THEN slot END IGNORE NULLS)
+                  OVER (ORDER BY slot
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                first_value(value IGNORE NULLS) OVER (
+                  ORDER BY slot ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                ) AS nv,
+                first_value(CASE WHEN value IS NOT NULL THEN slot END IGNORE NULLS)
+                  OVER (ORDER BY slot
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM g)
+            SELECT slot,
+                   round(CASE WHEN value IS NOT NULL THEN value
+                              ELSE pv + (nv - pv) * (slot - pt) / (nt - pt)
+                         END, 6) AS value
+            FROM ends
         """,
         "q_tally_minmax": f"""
             SELECT path, count(*) AS n, min(ts_sec) AS min_ts, max(ts_sec) AS max_ts

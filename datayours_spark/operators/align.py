@@ -98,21 +98,41 @@ def apply_null_policy(
     """drawNullAs semantics over a dense fetch grid (`L_DataGraph.lua:226-231`).
 
     policy: 'null' (identity), 'zero' (coalesce 0), 'hold' (LOCF within the
-    fetched range — previous starts empty, so leading nulls stay null).
+    fetched range — previous starts empty, so leading nulls stay null),
+    'connected' (linear interpolation across interior null runs — the
+    reference's connected line mode, `L_DataGraph.lua:149-156, 264`, drawn
+    at plot time there, materialized here; leading/trailing nulls stay
+    null because there is no second endpoint to connect to).
     """
     if policy == "null":
         return grid
     if policy == "zero":
         return grid.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
-    if policy == "hold":
-        w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-        if partition_cols:
-            w = (
-                Window.partitionBy(*partition_cols)
-                .orderBy(order_col)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-        return grid.withColumn("value", F.last("value", ignorenulls=True).over(w))
+    if policy in ("hold", "connected"):
+        def _w(rows):
+            w = Window.orderBy(order_col)
+            if partition_cols:
+                w = Window.partitionBy(*partition_cols).orderBy(order_col)
+            return w.rowsBetween(*rows)
+        back = _w((Window.unboundedPreceding, 0))
+        held = F.last("value", ignorenulls=True).over(back)
+        if policy == "hold":
+            return grid.withColumn("value", held)
+        fwd = _w((0, Window.unboundedFollowing))
+        slot = F.col(order_col)
+        prev_v = held
+        prev_t = F.last(
+            F.when(F.col("value").isNotNull(), slot), ignorenulls=True
+        ).over(back)
+        next_v = F.first("value", ignorenulls=True).over(fwd)
+        next_t = F.first(
+            F.when(F.col("value").isNotNull(), slot), ignorenulls=True
+        ).over(fwd)
+        interp = prev_v + (next_v - prev_v) * (slot - prev_t) / (next_t - prev_t)
+        return grid.withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("value")).otherwise(interp),
+        )
     raise ValueError(f"unknown null policy {policy}")
 
 

@@ -57,6 +57,31 @@ class TestNullPolicies:
         out = apply_null_policy(self.grid(spark), "null").orderBy("slot")
         assert [r["value"] for r in out.collect()] == [None, 1.0, None, 2.0, None]
 
+    def test_connected_interpolates_interior_only(self, spark):
+        # interior null at 180 lands midway between 1.0 and 2.0; edge nulls
+        # have no second endpoint → stay null (F9 connected line mode)
+        out = apply_null_policy(self.grid(spark), "connected").orderBy("slot")
+        assert [r["value"] for r in out.collect()] == [None, 1.0, 1.5, 2.0, None]
+
+    def test_connected_long_gap_is_linear_in_slot(self, spark):
+        grid = spark.createDataFrame(
+            [(0, 10.0), (60, None), (120, None), (180, None), (240, 50.0)],
+            "slot bigint, value double",
+        )
+        out = apply_null_policy(grid, "connected").orderBy("slot")
+        assert [r["value"] for r in out.collect()] == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+    def test_connected_per_series_partitions(self, spark):
+        grid = spark.createDataFrame(
+            [("a", 0, 0.0), ("a", 60, None), ("a", 120, 6.0),
+             ("b", 0, 100.0), ("b", 60, None), ("b", 120, 200.0)],
+            "path string, slot bigint, value double",
+        )
+        out = apply_null_policy(grid, "connected", partition_cols=["path"])
+        got = {(r["path"], r["slot"]): r["value"] for r in out.collect()}
+        assert got[("a", 60)] == 3.0
+        assert got[("b", 60)] == 150.0  # b never sees a's values
+
     def test_defaults_by_method(self):
         assert default_modes_for_method("average") == ("connected", "null")
         assert default_modes_for_method("sum") == ("staircase", "zero")
