@@ -1264,20 +1264,24 @@ MIXED_FROM_AGE = 20 * 3_600
 MIXED_UNTIL_AGE = 3_600
 
 
+MIXED_TARGET = "events.{click,error,signup}.u1"
+
+
 def q_render_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed-timebase multi-target render (J1+A5, `L_DataGraph.lua:205-254`):
-    three targets whose storage-schemas rules assign DIFFERENT archive sets
-    fetch the same 19-hour window — click routes to its 1m level, error's
-    10s archive has aged out so it routes to its 10m level (aggregated with
-    its conf method max), signup serves from its default 1h archive.  One
+    """Mixed-timebase multi-target render (J1+A5, `L_DataGraph.lua:205-254`)
+    through the user-facing render surface: one brace-glob target whose
+    three matched leaves have DIFFERENT storage-schemas archive sets, over
+    the same 19-hour window — click routes to its 1m level, error's 10s
+    archive has aged out so it routes to its 10m level (aggregated with its
+    conf method max), signup serves from its default 1h archive.  One
     union, three slot cadences."""
-    from datayours_spark.plans.router import mixed_fetch
+    from datayours_spark import api
 
     dp = datapoints_from_events(spark, sf_dir)
     now = dp.agg(F.max("ts_sec")).collect()[0][0]
-    out = mixed_fetch(
-        spark, dp, _meta_engine(), list(MIXED_PATHS),
-        now - MIXED_FROM_AGE, now - MIXED_UNTIL_AGE, now,
+    out = api.render_mixed(
+        spark, dp, MIXED_TARGET, _meta_engine(),
+        from_=now - MIXED_FROM_AGE, until_=now - MIXED_UNTIL_AGE, now=now,
     )
     return out.select(
         "path", "slot", F.round("value", 4).alias("value"), "step"

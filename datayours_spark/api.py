@@ -138,6 +138,52 @@ def render_grid(
     )
 
 
+def render_mixed(
+    spark: SparkSession,
+    datapoints: DataFrame,
+    targets: list[str] | str,
+    engine,
+    from_: str | int | None = None,
+    until_: str | int | None = None,
+    now: int | None = None,
+    max_leaves: int = 1_000,
+) -> DataFrame:
+    """Mixed-timebase /render (the reference's "mixed timebase support",
+    `L_DataGraph.lua:205-254`): same target glob/brace expansion and time
+    parsing as :func:`render`, but every matched leaf is served at the step
+    ITS OWN storage-schemas archives route to for the window — a 1-minute
+    series and a 1-hour series union onto one time axis at their native
+    cadences.  `engine` is the kernel.rules.RuleEngine holding the
+    storage-schemas / storage-aggregation rules.
+
+    Output: (path, slot, value, step).  The matched-leaf list is driver-side
+    (it parameterizes per-spec routing), so it is capped at `max_leaves` —
+    :class:`RenderCapExceeded` past that.
+    """
+    import time as _time
+
+    from datayours_spark.plans.router import mixed_fetch
+
+    if isinstance(targets, str):
+        targets = [targets]
+    now_ts = int(_time.time()) if now is None else parse_time(now)
+    default_from, default_until = default_render_range(now_ts)
+    frm = default_from if from_ is None else parse_time(from_, now=now_ts)
+    until = default_until if until_ is None else parse_time(until_, now=now_ts)
+
+    catalog = series_catalog(datapoints)
+    leaves = None
+    for t in targets:
+        nodes = find_nodes(catalog, t).where(F.col("is_leaf")).select("path")
+        leaves = nodes if leaves is None else leaves.unionByName(nodes)
+    paths = [r["path"] for r in leaves.dropDuplicates(["path"]).collect()]
+    if len(paths) > max_leaves:
+        raise RenderCapExceeded(
+            f"{len(paths)} matched leaves exceeds max_leaves={max_leaves}"
+        )
+    return mixed_fetch(spark, datapoints, engine, sorted(paths), frm, until, now_ts)
+
+
 def render(
     spark: SparkSession,
     datapoints: DataFrame,

@@ -159,6 +159,54 @@ class TestRenderCap:
         assert grid.count() == 33  # ungoverned distributed grid
 
 
+class TestRenderMixed:
+    def _engine(self):
+        from datayours_spark.kernel.rules import rule_engine_from_confs
+
+        return rule_engine_from_confs(
+            schemas_conf="""
+[fine]
+pattern = ^a\\.
+retentions = 1m:1d
+
+[coarse]
+pattern = ^b\\.
+retentions = 1h:1d
+"""
+        )
+
+    def test_each_leaf_serves_at_its_own_step(self, spark, make_datapoints):
+        from datayours_spark import api
+
+        dp = make_datapoints(
+            [("a.x", T0 + i * 60, float(i)) for i in range(120)]
+            + [("b.x", T0 + i * 60, float(i)) for i in range(120)]
+        )
+        now = T0 + 2 * H
+        out = api.render_mixed(
+            spark, dp, "*.x", self._engine(),
+            from_=T0, until_=T0 + H, now=now,
+        )
+        steps = {r["path"]: r["step"] for r in out.collect()}
+        assert steps == {"a.x": 60, "b.x": 3_600}
+        rows = {(r["path"], r["slot"]): r["value"] for r in out.collect()}
+        assert rows[("a.x", T0 + 10 * 60)] == 10.0   # 1m cadence
+        assert ("b.x", T0 + 10 * 60) not in rows     # only 1h slots for b
+        assert ("b.x", T0) in rows
+
+    def test_leaf_cap(self, spark, make_datapoints):
+        import pytest
+
+        from datayours_spark import api
+
+        dp = _dp(make_datapoints)
+        with pytest.raises(api.RenderCapExceeded, match="matched leaves"):
+            api.render_mixed(
+                spark, dp, "*.*", self._engine(),
+                from_=T0, until_=T0 + H, now=T0 + 2 * H, max_leaves=2,
+            )
+
+
 class TestFindFormats:
     def test_treejson_shape(self, spark, make_datapoints):
         out = api.find(_dp(make_datapoints), "a.*", format="treejson")
