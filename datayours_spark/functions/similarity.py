@@ -214,8 +214,15 @@ def kmeans_centroids(
     """
     from pyspark.sql import Window
 
-    vecs = emb.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    # materialize (vec_id, v, nrm) ONCE: every Lloyd iteration re-reads the
+    # vectors for assignment and the per-dim means — without the cut each
+    # iteration re-scans the source parquet and recomputes the norms
+    vecs = (
+        emb.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=True)
     )
     hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
     seeded = vecs.withColumn("hk", hk).orderBy("hk", "vec_id").limit(k)
@@ -224,11 +231,24 @@ def kmeans_centroids(
         "centroid_id", F.col("v").alias("cv")
     )
     comps = vecs.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
     for _ in range(iters):
         cn = cent.select(
             "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
         )
-        assign = ivf_assign(emb, cn, id_col=id_col, vec_col=vec_col)
+        # inline assignment over the checkpointed vecs (same semantics as
+        # ivf_assign: 9-dp-rounded cosine, ties to the lowest centroid)
+        scored = vecs.crossJoin(F.broadcast(cn)).withColumn(
+            "csim",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")), 9
+            ),
+        )
+        assign = (
+            scored.withColumn("rn", F.row_number().over(aw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("centroid_id").alias("cluster"))
+        )
         means = (
             comps.join(assign, "vec_id")
             .groupBy(F.col("cluster").alias("centroid_id"), "pos")

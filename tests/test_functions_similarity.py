@@ -1,0 +1,116 @@
+"""Similarity/ANN operator tests: determinism and golden behavior."""
+
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_buckets,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from datayours_spark.io import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+class TestKmeansDeterminism:
+    def test_partition_layout_invariant(self, spark):
+        """The rounded-arithmetic contract: identical centroids no matter
+        how the input is partitioned — float summation-order differences
+        stay below the 6-dp mean rounding, so a cluster-size change can
+        never alter the result (the property the DuckDB oracle relies on)."""
+        emb = _emb(spark)
+        c1 = {
+            r["centroid_id"]: r["cv"]
+            for r in kmeans_centroids(emb, k=4, iters=2).collect()
+        }
+        c2 = {
+            r["centroid_id"]: r["cv"]
+            for r in kmeans_centroids(emb.repartition(7), k=4, iters=2).collect()
+        }
+        assert c1 == c2
+        assert len(c1) == 4
+
+    def test_seed_changes_init(self, spark):
+        emb = _emb(spark)
+        a = kmeans_centroids(emb, k=4, iters=1, seed=42).collect()
+        b = kmeans_centroids(emb, k=4, iters=1, seed=43).collect()
+        assert {tuple(r["cv"]) for r in a} != {tuple(r["cv"]) for r in b}
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # two far groups, k=3: one centroid inevitably ends up unassigned
+        # after the first step and must survive with its init vector
+        rows = [(i, [0.0, 0.0, 1.0]) for i in range(5)]
+        rows += [(i, [1.0, 1.0, 0.0]) for i in range(5, 10)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        cent = kmeans_centroids(emb, k=3, iters=2).collect()
+        assert len(cent) == 3  # nobody vanished
+        assert all(r["cnorm"] > 0 for r in cent)
+
+
+class TestTopK:
+    def test_cosine_topk_excludes_self_and_ranks(self, spark):
+        emb = _emb(spark)
+        out = cosine_topk(emb, query_ids=[0, 1], k=3).collect()
+        by_q = {}
+        for r in out:
+            assert r["vec_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["sim"]))
+        for q, rows in by_q.items():
+            rows.sort()
+            assert [rk for rk, _ in rows] == [1, 2, 3]
+            sims = [s for _, s in rows]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_ivf_probe_subset_of_brute_force_candidates(self, spark):
+        """IVF with a learned quantizer returns ranks over ONE cluster's
+        candidates — every returned neighbour must appear in the brute-force
+        ordering with sim equal to the exact cosine."""
+        emb = _emb(spark)
+        cent = kmeans_centroids(emb, k=4, iters=2)
+        ivf = ivf_topk(emb, [0], 5, centroids=cent).collect()
+        brute = {
+            r["vec_id"]: r["sim"]
+            for r in cosine_topk(emb, [0], 500).collect()
+        }
+        assert ivf
+        for r in ivf:
+            assert brute[r["vec_id"]] == r["sim"]
+
+    def test_ivf_assign_broadcast_no_shuffle_on_vectors(self, spark):
+        import contextlib
+        import io
+
+        emb = _emb(spark)
+        cent = kmeans_centroids(emb, k=4, iters=1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ivf_assign(emb, cent).explain("formatted")
+        assert "BroadcastNestedLoopJoin" in buf.getvalue()
+
+
+class TestLshBuckets:
+    def test_dim_param_matches_inferred(self, spark):
+        emb = _emb(spark)
+        a = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 6).collect()}
+        b = {
+            r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 6, dim=64).collect()
+        }
+        assert a == b
+
+    def test_buckets_partition_invariant(self, spark):
+        emb = _emb(spark)
+        a = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 8).collect()}
+        b = {
+            r["vec_id"]: r["bucket"]
+            for r in lsh_buckets(emb.repartition(5), 8).collect()
+        }
+        assert a == b
