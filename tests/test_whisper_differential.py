@@ -80,3 +80,52 @@ def test_differential_pipeline(spark, make_datapoints, seed):
             for r in fetch_grid(spark, dp, p, a, b, fine_step).collect()
         }
         assert s_grid == oracle.fetch(o_fine, a, b, fine_step)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_differential_per_series_method_dispatch(spark, seed):
+    """rollup_all_methods vs the oracle: every series gets ITS OWN random
+    method/xff (the storage-aggregation dispatch path) and must match the
+    oracle's per-series propagation exactly."""
+    from datayours_spark.operators.rollup import rollup_all_methods
+
+    rng = random.Random(seed)
+    t_max = 4 * 3600
+    paths = [f"s.p{i}" for i in range(6)]
+    per_path = {p: random_writes(rng, 100, t_max) for p in paths}
+    conf = {
+        p: (rng.choice(METHODS), rng.choice([0.0, 0.25, 0.5]))
+        for p in paths[:4]  # the last two fall back to the defaults
+    }
+    default_method, default_xff = "average", 0.5
+
+    rows = [
+        (p, ts, seq, v)
+        for p, ws in per_path.items()
+        for seq, (ts, v) in enumerate(ws)
+    ]
+    dp = spark.createDataFrame(
+        rows, "path string, ts_sec bigint, ts_us bigint, value double"
+    )
+    meta = spark.createDataFrame(
+        [(p, m, x) for p, (m, x) in conf.items()],
+        "path string, method string, xff double",
+    )
+    fine_step, coarse_step = 60, 600
+    out = rollup_all_methods(
+        lww_slots(dp, fine_step), fine_step, coarse_step, meta,
+        default_method=default_method, default_xff=default_xff,
+    )
+    for p in paths:
+        method, xff = conf.get(p, (default_method, default_xff))
+        o_fine = oracle.lww(per_path[p], fine_step)
+        o_coarse = oracle.rollup_level(
+            o_fine, fine_step, coarse_step, method, xff
+        )
+        s_coarse = {
+            r["slot"]: r["value"] for r in out.where(out.path == p).collect()
+        }
+        assert s_coarse == pytest.approx(o_coarse), (
+            f"per-series dispatch diverges for {p} "
+            f"method={method} xff={xff} (seed {seed})"
+        )
