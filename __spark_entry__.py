@@ -1385,6 +1385,27 @@ SLIDE_STEP = 900
 SLIDE_WINDOW = 3_600
 
 
+SPLIT_TRAIN_PCT = 90
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val split: near-dup CLUSTERS are the split unit —
+    every member of a duplicate cluster lands on the same side, so eval can
+    never contain a near-copy of a training doc.  Composes the MinHash-LSH
+    pair graph → connected components → salted-md5 side decision."""
+    from datayours_spark.functions.dedup import dup_clusters, minhash_dedup
+    from datayours_spark.functions.sampling import leakage_free_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(
+        minhash_dedup(
+            docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+            threshold=MINHASH_THRESHOLD,
+        )
+    )
+    return leakage_free_split(docs, clusters, train_pct=SPLIT_TRAIN_PCT)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing (stratified sample): md5-bucket sampling per language.
 
@@ -1736,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_locf_chunked": q_locf_chunked,
         "q_dash_report": q_dash_report,
         "q_corpus_clean": q_corpus_clean,
+        "q_leakage_split": q_leakage_split,
         "q_sample_stratified": q_sample_stratified,
         "q_sample_uniform_k": q_sample_uniform_k,
         "q_token_budget": q_token_budget,
@@ -2142,6 +2164,27 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
             SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q_leakage_split": f"""
+            WITH RECURSIVE
+            dups AS ({_minhash_oracle_sql()}),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM dups
+                      UNION SELECT id2, id1 FROM dups),
+            reach(node, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+            comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY node),
+            lab AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c USING (doc_id))
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ('0x' || substr(md5('split42_' ||
+                              cluster_id::VARCHAR), 1, 8))::BIGINT % 100
+                             < {SPLIT_TRAIN_PCT}
+                        THEN 'train' ELSE 'val' END AS split
+            FROM lab
         """,
         "q_text_profile": _text_profile_oracle_sql(),
         "q_dedup_simhash": _simhash_oracle_sql(),

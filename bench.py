@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q_ann_ivf",
     "q_multireader",
     "q_tfidf_terms",
+    "q_leakage_split",
 ]
 
 

@@ -135,3 +135,36 @@ def quota_topk(
         df.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def leakage_free_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    train_pct: int = 90,
+    salt: str = "split42_",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware train/val split: (doc_id, cluster_id, split).
+
+    The split UNIT is the near-dup cluster, not the document — every member
+    of a duplicate cluster lands on the same side, so the eval set can never
+    contain a near-copy of a training document (the leakage failure mode of
+    naive per-doc splits).  Singletons (docs in no cluster) use their own id
+    as the cluster id.  The side decision is the engine-portable salted-md5
+    bucket, so the split is re-derivable from ids alone.
+
+    `clusters` is :func:`~datayours_spark.functions.dedup.dup_clusters`
+    output — (doc_id, cluster_id).  Scale shape: one left join on doc_id
+    (clusters is small relative to the corpus — only docs with a dup) plus
+    a row-local hash; no shuffle beyond the join.
+    """
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        clusters, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    side = F.when(
+        hash_bucket(F.col("cluster_id"), salt) < train_pct, F.lit("train")
+    ).otherwise(F.lit("val"))
+    return labeled.withColumn("split", side)

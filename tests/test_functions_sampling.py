@@ -138,3 +138,36 @@ def test_token_budget_sample_fills_without_gaps(spark):
             assert r["offset"] < budget
             expect += r["n_tokens"]
         assert expect >= budget  # the budget is actually filled
+
+
+class TestLeakageFreeSplit:
+    def test_clusters_never_straddle_the_split(self, spark):
+        from datayours_spark.functions.sampling import leakage_free_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 51)], "doc_id bigint"
+        )
+        # clusters: {1,2,3}, {10,11}, rest singletons
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id bigint, cluster_id bigint",
+        )
+        out = leakage_free_split(docs, clusters, train_pct=50).collect()
+        side = {r["doc_id"]: r["split"] for r in out}
+        assert len(side) == 50
+        # the leakage invariant: all members of a cluster share a side
+        assert side[1] == side[2] == side[3]
+        assert side[10] == side[11]
+        # both sides are populated at 50%
+        assert {"train", "val"} == set(side.values())
+
+    def test_deterministic_and_rederivable(self, spark):
+        from datayours_spark.functions.sampling import leakage_free_split
+
+        docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+        empty = spark.createDataFrame([], "doc_id bigint, cluster_id bigint")
+        a = {r["doc_id"]: r["split"]
+             for r in leakage_free_split(docs, empty).collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in leakage_free_split(docs.repartition(7), empty).collect()}
+        assert a == b  # md5 decision: partition-layout invariant
