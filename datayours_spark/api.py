@@ -79,7 +79,7 @@ def render_grid(
     step: int = 3_600,
     now: int | None = None,
     null_policy: str = "null",
-    max_points: int | None = None,
+    max_points: int | None = 10_080,
     on_exceed: str = "coarsen",
 ) -> DataFrame:
     """The distributed heart of /render: (path, slot, value) dense grids for
@@ -88,9 +88,12 @@ def render_grid(
     ``max_points`` bounds the result to len(matched leaves) × slot count —
     the reference's points-per-query guard (`dataMineServer maxpoints`,
     SURVEY §2.4 O4) applied BEFORE anything materializes: the leaf count is
-    one tiny catalog aggregation, the slot count is arithmetic.  On overflow,
-    ``on_exceed='coarsen'`` multiplies the step by the smallest integer
-    factor that fits (Graphite's maxDataPoints consolidation);
+    one tiny catalog aggregation, the slot count is arithmetic.  The default
+    is the reference's own default bound (10080, a week of minutes —
+    `L_DataBaseDM.lua:74`); pass ``None`` to disable, a larger int to raise.
+    On overflow, ``on_exceed='coarsen'`` multiplies the step by the smallest
+    integer factor that fits (Graphite's maxDataPoints consolidation),
+    re-checking the post-quantization slot count until the bound truly holds;
     ``'error'`` raises :class:`RenderCapExceeded` — so an over-wide glob can
     never drown the driver at collect time.
     """
@@ -113,15 +116,28 @@ def render_grid(
 
     if max_points is not None:
         n_leaves = leaves.count()
-        n_slots = (until - until % step) // step - (frm - frm % step) // step + 1
-        if n_leaves * n_slots > max_points:
+
+        def _n_slots(s: int) -> int:
+            return (until - until % s) // s - (frm - frm % s) // s + 1
+
+        if n_leaves * _n_slots(step) > max_points:
             if on_exceed == "error":
                 raise RenderCapExceeded(
-                    f"{n_leaves} leaves x {n_slots} slots exceeds "
+                    f"{n_leaves} leaves x {_n_slots(step)} slots exceeds "
                     f"max_points={max_points}; narrow the glob or range"
                 )
-            factor = math.ceil(n_leaves * n_slots / max_points)
-            step = step * factor
+            if n_leaves > max_points:
+                # Coarsening bottoms out at one slot per leaf; past that the
+                # glob itself is too wide for the bound.
+                raise RenderCapExceeded(
+                    f"{n_leaves} matched leaves alone exceed "
+                    f"max_points={max_points}; narrow the glob"
+                )
+            # ceil(ratio) undershoots when quantized slot edges shift, so
+            # re-check at the post-quantization slot count until it holds.
+            while n_leaves * _n_slots(step) > max_points:
+                factor = math.ceil(n_leaves * _n_slots(step) / max_points)
+                step = step * max(2, factor)
 
     lo = frm - frm % step
     hi = until - until % step
@@ -194,15 +210,15 @@ def render(
     now: int | None = None,
     format: str = "json",
     null_policy: str = "null",
-    max_points: int | None = 200_000,
+    max_points: int | None = 10_080,
     on_exceed: str = "coarsen",
 ) -> str | DataFrame:
     """/render — Graphite-format output text for every matching series.
 
     format: 'json' → the render JSON document; 'csv' → series,datetime,value
     lines; 'df' → the (path, slot, value) grid DataFrame for further
-    composition.  Text formats collect to the driver, so `max_points`
-    defaults ON here (see :func:`render_grid`); pass None to disable.
+    composition.  `max_points` defaults to the reference's 10080 bound
+    (`L_DataBaseDM.lua:74`, see :func:`render_grid`); pass None to disable.
     """
     grid = render_grid(
         spark, datapoints, targets, from_, until_, step, now, null_policy,

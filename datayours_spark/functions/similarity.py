@@ -80,9 +80,42 @@ def hyperplane_weight_py(plane: int, dim: int) -> float:
 
 def embedding_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
     """Vector width of `vec_col`, from a single-row peek.  Runs one tiny
-    Spark job — prefer passing `dim` explicitly where the caller knows it
-    (plan construction should not trigger execution)."""
+    Spark job — an EXPLICIT probe for callers that truly don't know the
+    width.  Plan-building functions (:func:`lsh_buckets`,
+    :func:`cosine_neardup`) never call this implicitly: they take ``dim``
+    or read it from column metadata (:func:`with_embedding_dim`), so no
+    job fires before the first action."""
     return len(emb.select(vec_col).first()[0])
+
+
+def with_embedding_dim(
+    emb: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Stamp the vector width onto `vec_col`'s column metadata so downstream
+    plan builders can resolve it without a job.  At scale this is the
+    catalog's job (table properties / column metadata survive parquet
+    round-trips via the Spark schema); here it is one projection."""
+    cols = [
+        F.col(c).alias(c, metadata={"dim": dim}) if c == vec_col else F.col(c)
+        for c in emb.columns
+    ]
+    return emb.select(*cols)
+
+
+def _resolve_dim(emb: DataFrame, vec_col: str, dim: int | None) -> int:
+    """`dim` argument > column metadata; anything else is an error — plan
+    construction must not trigger execution (the old implicit `.first()`
+    probe ran a Spark job before the caller's first action)."""
+    if dim is not None:
+        return dim
+    meta = emb.schema[vec_col].metadata or {}
+    if "dim" in meta:
+        return int(meta["dim"])
+    raise ValueError(
+        f"embedding width unknown: pass dim= explicitly or stamp it with "
+        f"with_embedding_dim(df, dim, {vec_col!r}) "
+        f"(use embedding_dim(df) to probe it with an explicit job)"
+    )
 
 
 def lsh_buckets(
@@ -102,8 +135,7 @@ def lsh_buckets(
     bucket id becomes a pure narrow projection (zip_with/aggregate folds,
     whole-stage codegen, ZERO shuffles), not an explode+groupBy.
     """
-    if dim is None:
-        dim = embedding_dim(emb, vec_col)
+    dim = _resolve_dim(emb, vec_col, dim)
     v = as_double_array(vec_col)
     bucket = None
     for p in range(n_planes):

@@ -173,7 +173,6 @@ class GraphiteApp:
     # -- WSGI --
 
     def __call__(self, environ: dict, start_response):
-        p = get_parameters(environ)
         script = (environ.get("PATH_INFO") or "").rstrip("/") or "/"
         handler = self.dispatch.get(script)
         if handler is None:
@@ -181,8 +180,12 @@ class GraphiteApp:
                 f"Not Implemented: {script}", 501, "text/plain"
             )
         else:
+            # Parameter parsing sits inside the try: a malformed POST body
+            # (e.g. broken JSON) gets the same 500-empty-body envelope as a
+            # handler failure (`graphite_cgi.lua:494-498`), never a
+            # server-dependent traceback page.
             try:
-                body, status, ctype = handler(p)
+                body, status, ctype = handler(get_parameters(environ))
             except Exception:
                 body, status, ctype = "", 500, "text/plain"
         payload = body.encode()

@@ -151,12 +151,47 @@ class TestRenderCap:
         got = {(r["path"], r["slot"]): r["value"] for r in rows}
         assert got[("a.x", T0)] == 3.0  # T0+2H point wins the 4h slot (LWW)
 
-    def test_cap_off_for_df_by_default(self, spark, make_datapoints):
+    def test_default_cap_is_reference_10080(self, spark, make_datapoints):
+        # No max_points passed: the reference's 10080 default bound
+        # (L_DataBaseDM.lua:74) engages on its own — a wide window coarsens
+        # down to fit without the caller asking for protection.
         grid = api.render_grid(
             spark, _dp(make_datapoints), targets="*.*",
-            from_=T0, until_=T0 + 10 * H, step=H,
+            from_=T0, until_=T0 + 10_000 * H, step=H,  # 3 x 10001 > 10080
         )
-        assert grid.count() == 33  # ungoverned distributed grid
+        assert grid.count() <= 10_080
+
+    def test_default_cap_raises_when_leaves_alone_exceed(
+        self, spark, make_datapoints
+    ):
+        # Coarsening bottoms out at one slot per leaf, so a glob matching
+        # more leaves than max_points raises even in coarsen mode — the
+        # unbounded wide-glob render can never reach collect.
+        import pytest
+
+        dp = make_datapoints(
+            [(f"wide.s{i:05d}", T0, 1.0) for i in range(10_081)]
+        )
+        with pytest.raises(api.RenderCapExceeded, match="leaves alone"):
+            api.render_grid(
+                spark, dp, targets="wide.*", from_=T0, until_=T0 + H, step=H,
+            )
+
+    def test_coarsen_cap_is_true_upper_bound(self, spark, make_datapoints):
+        # Regression for the one-shot factor undershoot: boundary
+        # misalignment plus the +1 could leave n_leaves * n_slots' above the
+        # cap for short windows with many leaves. The loop re-checks at the
+        # post-quantization slot count, so the bound always holds.
+        dp = make_datapoints(
+            [(f"m.s{i}", T0 + 7, float(i)) for i in range(7)]
+        )
+        for until_off in (H - 1, H, 2 * H - 1, 3 * H + 1):
+            grid = api.render_grid(
+                spark, dp, targets="m.*",
+                from_=T0 + 1, until_=T0 + until_off, step=60,
+                max_points=13,
+            )
+            assert grid.count() <= 13, f"cap broken at until=+{until_off}"
 
 
 class TestRenderMixed:

@@ -98,19 +98,47 @@ class TestTopK:
 
 
 class TestLshBuckets:
-    def test_dim_param_matches_inferred(self, spark):
+    def test_metadata_dim_matches_explicit(self, spark):
+        from datayours_spark.functions.similarity import with_embedding_dim
+
         emb = _emb(spark)
-        a = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 6).collect()}
+        a = {
+            r["vec_id"]: r["bucket"]
+            for r in lsh_buckets(with_embedding_dim(emb, 64), 6).collect()
+        }
         b = {
             r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 6, dim=64).collect()
         }
         assert a == b
 
+    def test_unknown_dim_raises_not_probes(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="embedding width unknown"):
+            lsh_buckets(_emb(spark), 6)
+
+    def test_plan_build_runs_no_spark_job(self, spark):
+        # The old implicit .first() probe ran a job at plan-build time; now
+        # building the bucket plan (dim explicit or via metadata) must not
+        # touch the cluster before the caller's first action.
+        from datayours_spark.functions.similarity import with_embedding_dim
+
+        emb = _emb(spark)  # reading parquet may run listing jobs; not under test
+        sc = spark.sparkContext
+        sc.setJobGroup("lsh-plan-build", "plan construction must be lazy")
+        try:
+            lsh_buckets(emb, 6, dim=64)
+            lsh_buckets(with_embedding_dim(emb, 64), 6)
+            jobs = sc.statusTracker().getJobIdsForGroup("lsh-plan-build")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert list(jobs) == []
+
     def test_buckets_partition_invariant(self, spark):
         emb = _emb(spark)
-        a = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 8).collect()}
+        a = {r["vec_id"]: r["bucket"] for r in lsh_buckets(emb, 8, dim=64).collect()}
         b = {
             r["vec_id"]: r["bucket"]
-            for r in lsh_buckets(emb.repartition(5), 8).collect()
+            for r in lsh_buckets(emb.repartition(5), 8, dim=64).collect()
         }
         assert a == b

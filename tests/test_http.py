@@ -187,3 +187,26 @@ class TestRenderEndpoint:
         )
         assert status == "500 Internal Server Error"
         assert body == ""
+
+    def test_malformed_json_post_body_500_envelope(self, spark, make_datapoints):
+        # Request parsing failures get the same 500-empty-body envelope as
+        # handler failures (graphite_cgi.lua:494-498) — never a traceback.
+        app = GraphiteApp(spark, _dp(make_datapoints))
+        status, headers, body = call(
+            app, "/render", method="POST",
+            body=b'{"target": broken', ctype="application/json",
+        )
+        assert status == "500 Internal Server Error"
+        assert body == ""
+        assert headers["Content-Type"] == "text/plain"
+
+    def test_malformed_body_on_unknown_path_still_501(self, spark, make_datapoints):
+        # Unknown paths never touch the body parser, so the 501 dispatch
+        # envelope survives a broken body too.
+        app = GraphiteApp(spark, _dp(make_datapoints))
+        status, _, body = call(
+            app, "/nope", method="POST",
+            body=b"not json", ctype="application/json",
+        )
+        assert status == "501 Not Implemented"
+        assert body == "Not Implemented: /nope"
