@@ -130,21 +130,37 @@ def q_asof_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_resample(spark, samples, T0, MONTH_END, 21_600)
 
 
+def _null_policy_grid(spark: SparkSession, sf_dir: str, policy: str) -> DataFrame:
+    """Dense fetch grid through the multi-series render surface: the grid
+    keeps its REAL path column, so the null-policy window partitions by the
+    series key (a literal column would be constant-folded out of the
+    partition spec, bringing back the WindowExec single-partition
+    warning)."""
+    from datayours_spark import api
+
+    dp = datapoints_from_events(spark, sf_dir)
+    return api.render_grid(
+        spark, dp, targets=FETCH_SERIES,
+        from_=FETCH_FROM, until_=FETCH_UNTIL, step=3_600, now=FETCH_UNTIL,
+        null_policy=policy,
+    )
+
+
 def q_null_policy_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: drawNullAs=zero over the dense fetch grid."""
-    return apply_null_policy(q_fetch_grid(spark, sf_dir), "zero")
+    return _null_policy_grid(spark, sf_dir, "zero").select("slot", "value")
 
 
 def q_null_policy_hold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: drawNullAs=hold (LOCF) over the dense fetch grid."""
-    return apply_null_policy(q_fetch_grid(spark, sf_dir), "hold")
+    return _null_policy_grid(spark, sf_dir, "hold").select("slot", "value")
 
 
 def q_null_policy_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9: connected line mode — interior null runs linearly interpolated
     between their surrounding observations (the reference draws this at
     plot time, `L_DataGraph.lua:149-156, 264`); edge nulls stay null."""
-    grid = apply_null_policy(q_fetch_grid(spark, sf_dir), "connected")
+    grid = _null_policy_grid(spark, sf_dir, "connected")
     return grid.select("slot", F.round("value", 6).alias("value"))
 
 
@@ -483,9 +499,9 @@ def q_staircase(spark: SparkSession, sf_dir: str) -> DataFrame:
         lww_slots(dp, 21_600)
         .where(F.col("path") == ROUTE_PATH)
         .where(F.col("slot") < T0 + 7 * DAY)
-        .select("slot", "value")
+        .select("path", "slot", "value")
     )
-    return staircase(rows)
+    return staircase(rows, partition_cols=["path"]).select("slot", "value")
 
 
 def q_user_hook(spark: SparkSession, sf_dir: str) -> DataFrame:

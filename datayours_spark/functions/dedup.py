@@ -143,7 +143,11 @@ def minhash_index(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int, rows: int, collapse_identical: bool = False
+    signatures: DataFrame,
+    bands: int,
+    rows: int,
+    collapse_identical: bool = False,
+    max_group: int | None = 10_000,
 ) -> DataFrame:
     """Banding: docs sharing any band hash become candidate pairs (id1 < id2).
 
@@ -163,7 +167,7 @@ def lsh_candidate_pairs(
     """
     if collapse_identical:
         members, rep_pairs = lsh_collapsed_candidates(signatures, bands, rows)
-        return _expand_collapsed(members, rep_pairs)
+        return _expand_collapsed(members, rep_pairs, max_group=max_group)
     banded = _banded_rows(signatures, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -213,14 +217,46 @@ def lsh_collapsed_candidates(
     return members, rep_pairs
 
 
+class ExpandedPairsTooLarge(ValueError):
+    """Expanding a collapsed pair set would materialize O(group²) rows.
+
+    A boilerplate-heavy corpus can put millions of documents behind one
+    representative; the explicit pair set is then quadratic BY CONSTRUCTION
+    (200k docs with one 30% boilerplate group ≈ 1.8e9 pairs).  Consume the
+    collapsed (members, rep_pairs) form instead — cluster membership carries
+    the same information at linear size — or raise ``max_group`` knowingly.
+    """
+
+
 def _expand_collapsed(
-    members: DataFrame, rep_pairs: DataFrame, extra_cols: list[str] | None = None
+    members: DataFrame,
+    rep_pairs: DataFrame,
+    extra_cols: list[str] | None = None,
+    max_group: int | None = 10_000,
 ) -> DataFrame:
     """Explicit pair set from a collapsed representation: all pairs WITHIN a
     rep group plus the member products ACROSS each rep pair.  Groups are
     disjoint, so no pair is emitted twice; `extra_cols` (e.g. hamming) pass
-    through from rep_pairs, with intra-group pairs taking 0."""
+    through from rep_pairs, with intra-group pairs taking 0.
+
+    ``max_group`` bounds the widest rep group the expansion will accept
+    (default 10k members ≈ 50M intra pairs): wider raises
+    :class:`ExpandedPairsTooLarge` BEFORE any quadratic work, from one tiny
+    aggregation over the (linear-sized) members table.  ``None`` disables
+    the check."""
     extra = extra_cols or []
+    if max_group is not None:
+        widest = (
+            members.groupBy("rep").count().agg(F.max("count")).first()[0]
+        )
+        if widest is not None and widest > max_group:
+            raise ExpandedPairsTooLarge(
+                f"widest identical-signature group has {widest} members "
+                f"(> max_group={max_group}); expanding would materialize "
+                f"~{widest * (widest - 1) // 2:,} intra-group pairs — "
+                "consume the collapsed (members, rep_pairs) form, or pass "
+                "a larger max_group deliberately"
+            )
     m1, m2 = members.alias("m1"), members.alias("m2")
     intra = m1.join(
         m2,
@@ -526,6 +562,7 @@ def simhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     collapse_identical: bool = False,
+    max_group: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id1, id2, hamming) with hamming <= max_hamming.
 
@@ -551,6 +588,8 @@ def simhash_neardup(
         members, rep_pairs = simhash_collapsed_neardup(
             docs, max_hamming, bands, bits, text_col=text_col, id_col=id_col
         )
-        return _expand_collapsed(members, rep_pairs, extra_cols=["hamming"])
+        return _expand_collapsed(
+            members, rep_pairs, extra_cols=["hamming"], max_group=max_group
+        )
     sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
     return _simhash_banded_pairs(sig, max_hamming, bands, bits)

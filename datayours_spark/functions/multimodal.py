@@ -51,6 +51,42 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 Decoder = "Callable[[bytes, str], list[float]]"
 
 
+def pillow_decoder(payload: bytes, kind: str) -> list[float]:
+    """Pillow-backed image decode + trivial embed: per-channel mean/std of
+    a 16×16 RGB thumbnail plus the thumbnail aspect — FEATURE_DIM floats.
+    Top-level so the mapInPandas closure pickles.  Images only: any other
+    kind raises (an image library must not silently fake audio/video)."""
+    if kind != "image":
+        raise RealDecoderUnavailable(
+            f"pillow_decoder decodes images only, got kind={kind!r}"
+        )
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("RGB")
+    img.thumbnail((16, 16))
+    arr = np.asarray(img, dtype="float64") / 255.0
+    means = arr.mean(axis=(0, 1))
+    stds = arr.std(axis=(0, 1))
+    return [
+        float(x)
+        for x in (*means, *stds, arr.shape[1] / 16.0, arr.shape[0] / 16.0)
+    ][:FEATURE_DIM]
+
+
+def default_real_decoder():
+    """The opportunistic in-container default for ``real=True``: Pillow's
+    image decoder when Pillow imports, else None (the honest stub path —
+    no media library ships in this container)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return None
+    return pillow_decoder
+
+
 def extract_features(
     assets: DataFrame, real: bool = False, decoder=None
 ) -> DataFrame:
@@ -59,15 +95,19 @@ def extract_features(
     ``decoder`` injects the real per-asset decode+embed callable — the
     production path: the SAME plumbing (schema, Arrow batching, partition
     shape) runs with a real media library plugged in.  ``real=True`` without
-    a decoder raises :class:`RealDecoderUnavailable` (none is installed in
-    this container); the default is the clearly-marked deterministic fake.
+    a decoder first tries the opportunistic default
+    (:func:`default_real_decoder` — Pillow, when importable) and raises
+    :class:`RealDecoderUnavailable` otherwise; the ``real=False`` default
+    is the clearly-marked deterministic fake.
     """
     if real and decoder is None:
-        raise RealDecoderUnavailable(
-            "media decoders are not installed in this container; "
-            "inject one via decoder=, or use real=False for the "
-            "deterministic fake"
-        )
+        decoder = default_real_decoder()
+        if decoder is None:
+            raise RealDecoderUnavailable(
+                "media decoders are not installed in this container; "
+                "inject one via decoder=, or use real=False for the "
+                "deterministic fake"
+            )
     import pandas as pd
 
     fn = decoder if decoder is not None else (

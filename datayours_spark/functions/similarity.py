@@ -257,10 +257,19 @@ def kmeans_centroids(
         .localCheckpoint(eager=True)
     )
     hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
-    seeded = vecs.withColumn("hk", hk).orderBy("hk", "vec_id").limit(k)
-    w = Window.orderBy("hk", "vec_id")  # k rows — the tiny-sort is fine
-    cent = seeded.withColumn("centroid_id", F.row_number().over(w) - 1).select(
-        "centroid_id", F.col("v").alias("cv")
+    # the k seed vectors are an explicit driver-side materialization (the
+    # iteration is already eager via localCheckpoint): top-k by hash is a
+    # distributed takeOrdered, and numbering k rows on the driver avoids a
+    # partitionless row_number window (the WindowExec single-partition path)
+    seed_rows = (
+        vecs.withColumn("hk", hk)
+        .select("hk", "vec_id", "v")
+        .orderBy("hk", "vec_id")
+        .take(k)
+    )
+    cent = emb.sparkSession.createDataFrame(
+        [(i, list(r["v"])) for i, r in enumerate(seed_rows)],
+        "centroid_id int, cv array<double>",
     )
     comps = vecs.select("vec_id", F.posexplode("v").alias("pos", "x"))
     aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")

@@ -146,13 +146,20 @@ def compact_datapoints(spark: SparkSession, table_dir: str) -> int:
     rewrites.  Returns the number of rows after compaction.
     """
     df = spark.read.parquet(table_dir)
+    # streaming ingest writes the uncapped arrival epoch as batch_seq (the
+    # ts_us addend is capped below 1e6 so it stays across-seconds-safe);
+    # prefer it for the within-second "last write" decision
+    order = "batch_seq" if "batch_seq" in df.columns else "ts_us"
+    keep = (
+        ["ts_us", "batch_seq"] if "batch_seq" in df.columns else ["ts_us"]
+    )
     winners = (
         df.groupBy("path", "ts_sec", "date")
         .agg(
-            F.max_by("value", "ts_us").alias("value"),
-            F.max("ts_us").alias("ts_us"),
+            F.max_by("value", order).alias("value"),
+            *[F.max(c).alias(c) for c in keep],
         )
-        .select("path", "ts_sec", "ts_us", "value", "date")
+        .select("path", "ts_sec", *keep, "value", "date")
     )
     tmp = table_dir.rstrip("/") + ".compacting"
     (

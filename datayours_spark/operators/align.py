@@ -192,17 +192,27 @@ def default_modes_for_method(method: str) -> tuple[str, str]:
     return action.get(method, "connected"), nulls.get(method, "null")
 
 
-def staircase(rows: DataFrame, order_col: str = "slot") -> DataFrame:
+def staircase(
+    rows: DataFrame,
+    order_col: str = "slot",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
     """Duplicate the previous row at each new timestamp (`L_DataGraph.lua:244-254`).
 
     Input rows (slot, value...); output interleaves, for every consecutive
     pair (t_prev, t), an extra row carrying t with t_prev's values.  The
     first timestamp gets no duplicate.  Implemented with lag + posexplode —
-    no driver loop, one window pass.
+    no driver loop, one window pass.  Pass `partition_cols` (e.g. the
+    series key) whenever the input holds one — the lag window then
+    parallelizes per series instead of sorting globally on one partition.
     """
-    value_cols = [c for c in rows.columns if c != order_col]
+    parts = list(partition_cols or [])
+    value_cols = [c for c in rows.columns if c != order_col and c not in parts]
     w = Window.orderBy(order_col)
+    if parts:
+        w = Window.partitionBy(*parts).orderBy(order_col)
     lagged = rows.select(
+        *[F.col(c) for c in parts],
         F.col(order_col),
         *[F.col(c) for c in value_cols],
         *[F.lag(c).over(w).alias(f"__prev_{c}") for c in value_cols],
@@ -219,10 +229,13 @@ def staircase(rows: DataFrame, order_col: str = "slot") -> DataFrame:
         F.col("__prev_t").isNotNull(), F.array(dup_struct, cur_struct)
     ).otherwise(F.array(cur_struct))
     exploded = lagged.select(
-        F.col(order_col), F.explode(pair).alias("r")
+        *[F.col(c) for c in parts],
+        F.col(order_col),
+        F.explode(pair).alias("r"),
     ).select(
+        *[F.col(c) for c in parts],
         F.col(order_col),
         F.col("r.__ord").alias("__ord"),
         *[F.col(f"r.{c}").alias(c) for c in value_cols],
     )
-    return exploded.orderBy(order_col, "__ord").drop("__ord")
+    return exploded.orderBy(*parts, order_col, "__ord").drop("__ord")

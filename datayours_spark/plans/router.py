@@ -173,44 +173,138 @@ def mixed_fetch(
     one graph can span a 1-minute series and a 1-hour series — each series
     fetches at its own archive resolution and the time axis unions them.
     Here `engine` (kernel.rules.RuleEngine) assigns retentions (storage-
-    schemas) and method/xff (storage-aggregation) per path; paths sharing a
-    retention spec share one cascaded RollupSet, so N targets cost
-    #distinct-specs cascades, not N.
+    schemas) and method/xff (storage-aggregation) per path.
 
     Output: (path, slot, value, step) — rows at different slot cadences per
     path, the union the reference draws.
+
+    One-scan plan: K retention specs used to mean K filtered scans of
+    `datapoints` (one RollupSet per spec); now the routing arithmetic is
+    all driver-side and the data path is a SINGLE scan tagged with a
+    broadcast path→(spec, method, xff, finest step, time bounds) map,
+    cascaded hop-by-hop with per-row step columns.  Specs that reached
+    their routed step ride the remaining hops as exact identity
+    aggregations (single-row groups: every method and the xFF gate are
+    fixpoints), so the lineage stays linear — no per-spec branch ever
+    re-scans the source.  At 100 TB that is 1 scan instead of K.
     """
     from pyspark.sql import functions as F
 
-    from datayours_spark.kernel.archives import parse_retention_str
+    from datayours_spark.kernel.archives import (
+        parse_retention_str,
+        select_read_archive,
+    )
 
     by_spec: dict[str, list[str]] = {}
     for p in paths:
         by_spec.setdefault(engine.match_schema(p).retentions, []).append(p)
-    out: DataFrame | None = None
-    for spec, spec_paths in sorted(by_spec.items()):
-        meta = spark.createDataFrame(
-            [
-                (
-                    p,
-                    engine.match_aggregation(p).aggregation_method,
-                    engine.match_aggregation(p).x_files_factor,
-                )
-                for p in spec_paths
-            ],
-            "path string, method string, xff double",
+
+    # -- driver-side routing arithmetic (|specs| ~ a dashboard, tiny) --
+    specs: list[tuple[int, list[str], int, int, int, list[int]]] = []
+    path_rows: list[tuple] = []
+    for spec_id, (spec, spec_paths) in enumerate(sorted(by_spec.items())):
+        archives = parse_retention_str(spec)
+        oldest = archives[-1].oldest(now)
+        if from_time > now or until_time < oldest:
+            # reference clamp: nothing to serve (`L_DataWhisper.lua:535-542`)
+            continue
+        from_c = max(from_time, oldest)
+        until_c = min(until_time, now)
+        routed = select_read_archive(archives, from_c, now).seconds_per_point
+        steps = [a.seconds_per_point for a in archives]
+        chain = steps[: steps.index(routed) + 1]
+        # whisper validates consecutive divisibility, so `routed` is a
+        # multiple of every finer step in its chain: a raw filter aligned
+        # at the routed step captures exactly the points that can reach
+        # the in-window routed slots at every cascade level.
+        lo = from_c - from_c % routed
+        hi = until_c - until_c % routed + routed - 1
+        specs.append((spec_id, spec_paths, from_c, until_c, routed, chain))
+        for p in spec_paths:
+            agg = engine.match_aggregation(p)
+            path_rows.append(
+                (p, spec_id, agg.aggregation_method, agg.x_files_factor,
+                 chain[0], lo, hi)
+            )
+
+    if not specs:
+        return spark.range(0).select(
+            F.lit("").alias("path"),
+            F.col("id").alias("slot"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("step"),
         )
-        rs = RollupSet.build(
-            datapoints.where(F.col("path").isin(spec_paths)),
-            parse_retention_str(spec),
-            order_col=order_col,
-            series_meta=meta,
+
+    path_meta = spark.createDataFrame(
+        path_rows,
+        "path string, spec_id int, method string, xff double, "
+        "f0 bigint, lo bigint, hi bigint",
+    )
+
+    # -- the ONE datapoints scan: tag, bound, LWW at each spec's finest --
+    tagged = (
+        datapoints.where(F.col("path").isin([r[0] for r in path_rows]))
+        .join(F.broadcast(path_meta), "path")
+        .where(F.col("ts_sec").between(F.col("lo"), F.col("hi")))
+    )
+    cur = tagged.groupBy(
+        "path", "spec_id", "method", "xff",
+        (F.col("ts_sec") - F.col("ts_sec") % F.col("f0")).alias("slot"),
+    ).agg(F.max_by("value", order_col).alias("value"))
+
+    # -- cascade hops with per-row steps; finished specs are identity --
+    max_hops = max(len(chain) - 1 for *_, chain in specs)
+    for i in range(1, max_hops + 1):
+        hop_rows = []
+        for spec_id, *_, chain in specs:
+            prev_s, this_s = (
+                (chain[i - 1], chain[i]) if len(chain) > i
+                else (chain[-1], chain[-1])
+            )
+            hop_rows.append((spec_id, this_s, this_s // prev_s))
+        hop = spark.createDataFrame(
+            hop_rows, "spec_id int, this_step bigint, ratio int"
         )
-        # one distributed pass per retention spec (all its paths share the
-        # routing), not one plan copy per target
-        step, grid = rs.fetch_many(
-            spark, spec_paths, from_time, until_time, now
+        agged = (
+            cur.join(F.broadcast(hop), "spec_id")
+            .groupBy(
+                "path", "spec_id", "method", "xff", "ratio",
+                (F.col("slot") - F.col("slot") % F.col("this_step"))
+                .alias("lslot"),
+            )
+            .agg(
+                F.avg("value").alias("v_average"),
+                F.sum("value").alias("v_sum"),
+                F.max_by("value", "slot").alias("v_last"),
+                F.max("value").alias("v_max"),
+                F.min("value").alias("v_min"),
+                F.count("value").alias("known"),
+            )
+            .where(F.col("known") / F.col("ratio") >= F.col("xff"))
         )
-        part = grid.select("path", "slot", "value", F.lit(step).alias("step"))
-        out = part if out is None else out.unionByName(part)
-    return out
+        value = (
+            F.when(F.col("method") == "sum", F.col("v_sum"))
+            .when(F.col("method") == "last", F.col("v_last"))
+            .when(F.col("method") == "max", F.col("v_max"))
+            .when(F.col("method") == "min", F.col("v_min"))
+            .otherwise(F.col("v_average"))
+        )
+        cur = agged.select(
+            "path", "spec_id", "method", "xff",
+            F.col("lslot").alias("slot"), value.alias("value"),
+        )
+
+    slots = cur.select("path", "slot", "value")
+
+    # -- dense grids per spec: generated (range+sequence), never a scan --
+    grid: DataFrame | None = None
+    for spec_id, spec_paths, from_c, until_c, routed, chain in specs:
+        g = (
+            spark.createDataFrame([(p,) for p in spec_paths], "path string")
+            .crossJoin(time_grid(spark, from_c, until_c, routed))
+            .withColumn("step", F.lit(routed))
+        )
+        grid = g if grid is None else grid.unionByName(g)
+    return grid.join(F.broadcast(slots), ["path", "slot"], "left").select(
+        "path", "slot", "value", "step"
+    )

@@ -18,8 +18,16 @@ batch that completes it.
 Scale notes: per-batch cost follows the BATCH (one explode+agg for its
 signatures, one equi-join against the bucketed index); the corpus text is
 only read for verified candidates.  This is the T5 incremental-maintenance
-story applied to the training-data ops (SURVEY §2.9 shape), checkpointed
-exactly-once by the sink tables' idempotent append-per-batch.
+story applied to the training-data ops (SURVEY §2.9 shape).
+
+Exactly-once: foreachBatch is at-least-once, so every sink write is keyed
+by batch_id — each batch lands in its own ``batch-<id>`` subdirectory and a
+fully-committed replay is a no-op.  Readers only see subdirectories whose
+``_SUCCESS`` marker exists, so a crash between the pairs/index/corpus
+writes and the checkpoint commit can neither duplicate rows (the replay
+overwrites the same subdirectories) nor leak half-written files into the
+next batch's index join (uncommitted directories are invisible, and the
+replay recomputes from exactly the inputs the first attempt saw).
 """
 
 from __future__ import annotations
@@ -50,15 +58,40 @@ class DedupStream:
     shingle_n: int = 3
     seed: int = 42
 
+    def _committed_dirs(self, name: str) -> list[str]:
+        """Batch subdirectories whose write fully committed (_SUCCESS)."""
+        root = os.path.join(self.store_dir, name)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
+        )
+
     def _read_or_empty(self, name: str, schema: str) -> DataFrame:
-        path = os.path.join(self.store_dir, name)
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        dirs = self._committed_dirs(name)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
+        # idempotence under foreachBatch's at-least-once contract: every
+        # sink write is keyed by batch_id; a replay of a fully-committed
+        # batch is a no-op, a replay of a partially-committed batch
+        # overwrites the same subdirectories with identical content (the
+        # inputs are the committed dirs only — exactly what the first
+        # attempt saw, since this batch's own dirs weren't committed)
+        sub = f"batch-{batch_id:012d}"
+        dests = {
+            name: os.path.join(self.store_dir, name, sub)
+            for name in ("pairs", "index", "corpus")
+        }
+        if all(
+            os.path.isfile(os.path.join(d, "_SUCCESS"))
+            for d in dests.values()
+        ):
+            return
         new = batch.select("doc_id", "text")
         index = self._read_or_empty("index", INDEX_SCHEMA)
         corpus = self._read_or_empty("corpus", DOC_SCHEMA)
@@ -72,22 +105,19 @@ class DedupStream:
             shingle_n=self.shingle_n,
             seed=self.seed,
         )
-        (
-            pairs.write.mode("append")
-            .parquet(os.path.join(self.store_dir, "pairs"))
-        )
-        # append AFTER the pair emission so the batch never joins itself
-        # through the standing index (new×new is handled inside
-        # minhash_incremental)
+        pairs.write.mode("overwrite").parquet(dests["pairs"])
+        # the index/corpus writes land AFTER the pair emission so the batch
+        # never joins itself through the standing index (new×new is handled
+        # inside minhash_incremental)
         (
             minhash_index(
                 new, bands=self.bands, rows=self.rows,
                 shingle_n=self.shingle_n, seed=self.seed,
             )
-            .write.mode("append")
-            .parquet(os.path.join(self.store_dir, "index"))
+            .write.mode("overwrite")
+            .parquet(dests["index"])
         )
-        new.write.mode("append").parquet(os.path.join(self.store_dir, "corpus"))
+        new.write.mode("overwrite").parquet(dests["corpus"])
 
     def start(self):
         docs = (

@@ -129,17 +129,28 @@ class IngestPipeline:
             batch.withColumn("seq", seq)
             .groupBy("path", "ts_sec", "date")
             .agg(F.max_by("value", "seq").alias("value"))
-            # cross-batch order key: batch_id is the checkpoint's monotone
-            # epoch — unwrapped (no modulo), so later batches win the
-            # read-side max_by(ts_us) LWW forever; ts_us only ever compares
-            # within one (path, ts_sec) group, so magnitude never collides
-            # across seconds, and BIGINT overflow needs ~9e18 batches
+            # cross-batch arrival order lives in its OWN column: batch_id is
+            # the checkpoint's monotone epoch, unwrapped — read-side LWW
+            # within a (path, second) orders by it directly, so it never
+            # saturates (BIGINT overflow needs ~9e18 batches).
+            .withColumn("batch_seq", F.lit(batch_id))
+            # ts_us stays the ACROSS-seconds event-time order key for slot
+            # consumers (lww_slots max_by spans seconds within a slot), so
+            # the arrival addend is capped below one second's worth: an
+            # unwrapped addend would, past batch 1e6 (~12 days at 1 batch/s),
+            # let a late write to an older second outrank newer seconds.
+            # Same-second arrival ties beyond the cap are broken by
+            # batch_seq in `datapoints()` / `compact_datapoints`.
             .withColumn(
-                "ts_us", F.col("ts_sec") * 1_000_000 + F.lit(batch_id)
+                "ts_us",
+                F.col("ts_sec") * 1_000_000
+                + F.lit(min(batch_id, 999_999)),
             )
         )
         (
-            deduped.select("path", "ts_sec", "ts_us", "value", "date")
+            deduped.select(
+                "path", "ts_sec", "ts_us", "batch_seq", "value", "date"
+            )
             .write.mode("append")
             .partitionBy("date")
             .parquet(f"{self.output_dir}/datapoints")
@@ -175,8 +186,12 @@ class IngestPipeline:
         df = self.spark.read.parquet(f"{self.output_dir}/datapoints")
         if dates is not None:
             df = df.where(F.col("date").isin(dates))
+        # within one (path, second) the uncapped batch_seq defines "last";
+        # the surviving ts_us (capped addend) remains safe to compare
+        # across seconds in downstream slot LWW
+        order = "batch_seq" if "batch_seq" in df.columns else "ts_us"
         return df.groupBy("path", "ts_sec").agg(
-            F.max_by("value", "ts_us").alias("value"),
+            F.max_by("value", order).alias("value"),
             F.max("ts_us").alias("ts_us"),
         )
 

@@ -204,3 +204,53 @@ class TestHotBucketGuard:
             for r in minhash_dedup(docs, collapse_identical=True).collect()
         }
         assert full_guarded == full_plain
+
+    def test_expansion_refuses_over_wide_group(self, spark):
+        """max_group guard: a rep group wider than the bound raises BEFORE
+        any quadratic work, pointing at the collapsed form — a production
+        caller can't accidentally materialize O(group²) pairs."""
+        import pytest
+
+        from datayours_spark.functions.dedup import (
+            ExpandedPairsTooLarge,
+            simhash_neardup,
+        )
+
+        docs = self._corpus(spark)  # widest identical group: 6 boilerplate
+        with pytest.raises(ExpandedPairsTooLarge, match="max_group=5"):
+            simhash_neardup(
+                docs, max_hamming=3, collapse_identical=True, max_group=5
+            )
+        # at or above the widest group the expansion proceeds and still
+        # matches the unguarded pair set
+        plain = {
+            (r["id1"], r["id2"])
+            for r in simhash_neardup(docs, max_hamming=3).collect()
+        }
+        ok = {
+            (r["id1"], r["id2"])
+            for r in simhash_neardup(
+                docs, max_hamming=3, collapse_identical=True, max_group=6
+            ).collect()
+        }
+        assert ok == plain
+
+    def test_lsh_expansion_guard_and_disable(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import (
+            ExpandedPairsTooLarge,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        sigs = minhash_signatures(self._corpus(spark), k=20)
+        with pytest.raises(ExpandedPairsTooLarge):
+            lsh_candidate_pairs(
+                sigs, 5, 4, collapse_identical=True, max_group=2
+            )
+        # max_group=None disables the check entirely
+        got = lsh_candidate_pairs(
+            sigs, 5, 4, collapse_identical=True, max_group=None
+        )
+        assert got.count() > 0

@@ -34,8 +34,54 @@ class TestFeatures:
         assert out == again  # md5-derived → stable across runs
 
     def test_real_decoder_stubbed(self, assets):
+        from datayours_spark.functions.multimodal import default_real_decoder
+
+        if default_real_decoder() is not None:
+            pytest.skip("a real decoder (Pillow) is importable here")
         with pytest.raises(RealDecoderUnavailable):
             extract_features(assets, real=True)
+
+    def test_pillow_default_decodes_real_images(self, spark):
+        """Skipped where Pillow is absent (this container): with Pillow
+        importable, real=True uses it as the default decoder end-to-end
+        through the same Arrow plumbing."""
+        pytest.importorskip("PIL")
+        import io as _io
+
+        from PIL import Image
+
+        from datayours_spark.functions.multimodal import pillow_decoder
+
+        def png_bytes(color):
+            buf = _io.BytesIO()
+            Image.new("RGB", (32, 16), color).save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = [
+            (1, "image", bytearray(png_bytes((255, 0, 0))), 32, 16, None, "png"),
+            (2, "image", bytearray(png_bytes((0, 0, 255))), 32, 16, None, "png"),
+        ]
+        assets = spark.createDataFrame(
+            rows,
+            "asset_id bigint, kind string, data binary, width int, "
+            "height int, duration_ms int, codec string",
+        )
+        out = {
+            r["asset_id"]: r["feature"]
+            for r in extract_features(assets, real=True).collect()
+        }
+        assert all(len(v) == FEATURE_DIM for v in out.values())
+        # a solid-red and a solid-blue image must embed differently, with
+        # the red channel mean dominating for asset 1 and blue for asset 2
+        assert out[1][0] > 0.9 and out[1][2] < 0.1
+        assert out[2][0] < 0.1 and out[2][2] > 0.9
+
+    def test_pillow_decoder_refuses_non_images(self):
+        pytest.importorskip("PIL")
+        from datayours_spark.functions.multimodal import pillow_decoder
+
+        with pytest.raises(RealDecoderUnavailable, match="images only"):
+            pillow_decoder(b"mp4-bytes", "video")
 
     def test_injected_decoder_exercises_real_path(self, assets):
         """A decoder callable plugs into the SAME mapInPandas plumbing the

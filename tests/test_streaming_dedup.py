@@ -83,3 +83,58 @@ class TestDedupStream:
         after = {(r["id1"], r["id2"]) for r in ds.pairs().collect()}
         assert (1, 30) in after and (11, 30) in after  # joined the family
         shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_foreachbatch_replay_is_idempotent(self, spark):
+        """foreachBatch is at-least-once: a crash between the sink writes
+        and the checkpoint commit replays the batch.  Replays must not
+        duplicate pairs or double the index/corpus (ADVICE regression)."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        ds = DedupStream(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+        )
+
+        def counts():
+            return (
+                len(ds.pairs().collect()),
+                ds._read_or_empty("index", "doc_id bigint, band int, bh string").count(),
+                ds._read_or_empty("corpus", "doc_id bigint, text string").count(),
+            )
+
+        b0 = spark.createDataFrame(
+            [d for d in DOCS if d[0] < 10], "doc_id bigint, text string"
+        )
+        ds._process(b0, 0)
+        first = counts()
+        assert first[0] == 1  # the (1, 2) pair
+
+        # full replay of a committed batch: a strict no-op
+        ds._process(b0, 0)
+        assert counts() == first
+
+        # partial-commit replay: simulate a crash after the pairs write by
+        # deleting the index/corpus markers, then replay — converges to the
+        # same state, no duplicated pairs, no self-join through a
+        # half-written index
+        import os
+
+        for name in ("index", "corpus"):
+            os.remove(TMP / "store" / name / "batch-000000000000" / "_SUCCESS")
+        ds._process(b0, 0)
+        assert counts() == first
+
+        # the next batch still sees exactly one standing copy
+        b1 = spark.createDataFrame(
+            [d for d in DOCS if d[0] >= 10], "doc_id bigint, text string"
+        )
+        ds._process(b1, 1)
+        got = {(r["id1"], r["id2"]) for r in ds.pairs().collect()}
+        from datayours_spark.functions.dedup import minhash_dedup
+
+        all_docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+        want = {(r["id1"], r["id2"]) for r in minhash_dedup(all_docs).collect()}
+        assert got == want
+        shutil.rmtree(TMP, ignore_errors=True)

@@ -108,6 +108,65 @@ class TestIngest:
         assert len(keys) == 4 and keys == sorted(set(keys))  # strictly ↑
         assert [r["value"] for r in raw] == [0.0, 1.0, 2.0, 42.0]
 
+    def test_batch_epoch_past_1e6_never_outranks_newer_seconds(
+        self, pipeline, spark
+    ):
+        """ADVICE regression: with the raw ts_us = sec*1e6 + batch_id key, a
+        batch id >= 1e6 (~12 days of 1 Hz batches) bled into the seconds
+        domain — a LATE write to an OLD second outranked every value from
+        newer seconds in the same slot, corrupting slot LWW and all cascaded
+        rollups.  The addend is now capped below one second's worth and the
+        uncapped epoch lives in its own batch_seq column."""
+        from pyspark.sql import functions as F
+
+        from datayours_spark.operators.fetch import lww_slots
+
+        t = NOW - 300  # slot start (t % 60 == 0)
+
+        def batch(rows):
+            return (
+                spark.createDataFrame(
+                    rows, "path string, ts_sec bigint, value double"
+                )
+                .withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+            )
+
+        # day-1 batch writes the newer second of the slot...
+        pipeline._write_batch(batch([("m.s", t + 30, 1.0)]), 5)
+        # ...then, >12 days of batches later, a straggler lands on the
+        # OLDER second of the same slot
+        pipeline._write_batch(batch([("m.s", t, 99.0)]), 2_000_005)
+
+        slot = {
+            r["slot"]: r["value"]
+            for r in lww_slots(pipeline.datapoints(), 60).collect()
+        }
+        # event-time-latest second must win the slot, not the late arrival
+        assert slot[t] == 1.0
+
+    def test_same_second_ties_past_the_cap_break_by_batch_seq(
+        self, pipeline, spark
+    ):
+        """Both writes land on one second from batches beyond the 999_999
+        addend cap: their ts_us tie, but the uncapped batch_seq still
+        decides last-write-wins."""
+        from pyspark.sql import functions as F
+
+        t = NOW - 300
+
+        def batch(rows):
+            return (
+                spark.createDataFrame(
+                    rows, "path string, ts_sec bigint, value double"
+                )
+                .withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+            )
+
+        pipeline._write_batch(batch([("m.t", t, 1.0)]), 1_200_000)
+        pipeline._write_batch(batch([("m.t", t, 2.0)]), 1_500_000)
+        dp = {r["ts_sec"]: r["value"] for r in pipeline.datapoints().collect()}
+        assert dp[t] == 2.0  # later batch epoch wins despite the ts_us tie
+
     def test_in_batch_arrival_order_uses_file_provenance(self, pipeline, spark):
         """Two files land in ONE micro-batch writing the same slot: the later
         file (by mtime, then name) wins — a deterministic arrival order, not

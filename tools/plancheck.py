@@ -197,6 +197,17 @@ def main() -> None:
         "routed fetch broadcasts the slot side into the grid join",
         "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan,
     )
+    # single-pass mixed fetch: K retention specs must plan exactly ONE scan
+    # of the datapoints source (the per-spec RollupSet loop used to plan K)
+    plan = plan_of(registry["q_render_mixed"](spark, SF_DIR))
+    # count tree nodes ("Scan parquet  (id)"), not their detail sections
+    n_scans = len(re.findall(r"Scan parquet\s*\S*\s*\(\d+\)", plan))
+    check(
+        "mixed_fetch plans exactly one datapoints scan for N specs",
+        n_scans == 1,
+        f"saw {n_scans} parquet scans",
+    )
+
     plan = plan_of(registry["q_multireader"](spark, SF_DIR))
     check(
         "multireader merge partial-aggregates map-side",
