@@ -1,0 +1,157 @@
+"""Conf-driven launcher: boot the daemon set from Graphite confs end-to-end
+(`L_DataYours.lua:146-229` Startup/create_daemons, `:110-130` heartbeat)."""
+
+import json
+import shutil
+import urllib.parse
+import urllib.request
+from pathlib import Path
+
+from datayours_spark.launcher import HEARTBEAT_PATH, start_from_conf
+
+TMP = Path(__file__).resolve().parent / "_tmp" / "launcher"
+REF_CONF = Path("/root/reference/Configuration")
+
+NOW = 1_704_672_000  # 2024-01-08 00:00 UTC
+
+
+def _setup_confs() -> Path:
+    """A conf dir seeded from the reference's own shipped configuration."""
+    conf = TMP / "conf"
+    conf.mkdir(parents=True)
+    # the reference's real storage confs, verbatim
+    shutil.copy(REF_CONF / "storage-schemas.conf", conf)
+    shutil.copy(REF_CONF / "storage-aggregation.conf", conf)
+    (conf / "carbon.conf").write_text(
+        "[cache]\n"
+        "MAX_CACHE_SIZE = inf\n"
+        "[graph]\n"
+        f"DATAMINE_DIR = {TMP}/dmDB\n"
+    )
+    (conf / "rewrite-rules.conf").write_text(
+        "# strip the legacy prefix as soon as records arrive\n"
+        "[pre]\n"
+        "^legacy\\. = house.\n"
+    )
+    return conf
+
+
+class TestStartFromConf:
+    def test_boot_ingest_heartbeat_render(self, spark):
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        work = TMP / "work"
+        stack = start_from_conf(
+            spark, str(conf), str(work),
+            daemons="Watch Cache Graph Mine", now_override=NOW,
+            start=False,  # watch the series first; the predicate is read
+            # at every (re)start, like the reference re-registering its
+            # variable watches from the conf file
+        )
+        try:
+            assert stack.daemons == ["Watch", "Cache", "Graph", "Mine"]
+            # carbon.conf parameterized the daemons (DATAMINE_DIR reaches
+            # the stack like the reference's graph section)
+            assert stack.dm_dir == f"{TMP}/dmDB"
+            # the reference's own storage-schemas rules drive routing:
+            # ':Temperature' series get the 10m:7d,... chain
+            rule = stack.engine.match_schema("house.room:Temperature")
+            assert rule.retentions.startswith("10m:7d")
+            agg = stack.engine.match_aggregation("house.room:Temperature")
+            assert agg.aggregation_method == "average"
+
+            # watch the incoming tags (the predicate applies pre-rewrite,
+            # like the Watcher relay); the heartbeat is auto-watched
+            stack.watchlist.watch("house.room:Temperature")
+            stack.watchlist.watch("legacy.attic:Temperature")
+            assert HEARTBEAT_PATH in stack.watchlist.paths()
+            stack.start()
+
+            t = NOW - 600
+            (work / "in" / "drop1.txt").write_text(
+                f"house.room:Temperature 20.0 {t}\n"
+                f"house.room:Temperature 21.0 {t + 60}\n"
+                f"legacy.attic:Temperature 5.5 {t}\n"   # pre-rewrite applies
+                f"unwatched.series 1.0 {t}\n"           # fails the watch list
+            )
+            stack.process_available()
+
+            dp = {
+                (r["path"], r["ts_sec"]): r["value"]
+                for r in stack.datapoints().collect()
+            }
+            assert dp[("house.room:Temperature", t + 60)] == 21.0
+            assert dp[("house.attic:Temperature", t)] == 5.5  # rewritten
+            assert not any(p.startswith("unwatched") for p, _ in dp)
+
+            # heartbeat: counts the database's metrics and publishes the
+            # count THROUGH the ingest path (DataYoursPulse analogue)
+            n = stack.heartbeat()
+            assert n == 2  # house.room + house.attic
+            stack.process_available()
+            dp2 = {
+                (r["path"], r["ts_sec"]): r["value"]
+                for r in stack.datapoints().collect()
+            }
+            assert dp2[(HEARTBEAT_PATH, NOW)] == 2.0
+            assert stack.heartbeat() == 3  # now counts itself
+
+            # rollup maintenance over the maintained chain, method/xff
+            # rule-assigned from the conf (average for :Temperature)
+            levels = stack.refresh_rollups()
+            hour = {
+                (r["path"], r["slot"]): r["value"]
+                for r in levels[3_600].collect()
+            }
+            slot = t - t % 3_600
+            assert abs(hour[("house.room:Temperature", slot)] - 20.5) < 1e-9
+
+            # serve /metrics and /render over a real WSGI server
+            self._assert_http(stack)
+        finally:
+            stack.stop()
+            shutil.rmtree(TMP, ignore_errors=True)
+
+    def _assert_http(self, stack) -> None:
+        import threading
+        from wsgiref.simple_server import WSGIServer, make_server
+
+        class Quiet(WSGIServer):
+            def handle_error(self, request, client_address):  # noqa: D102
+                pass
+
+        app = stack.graphite_app(step=3_600, now=NOW)
+        srv = make_server("127.0.0.1", 0, app, server_class=Quiet)
+        srv.RequestHandlerClass.log_message = lambda *a, **k: None
+        port = srv.server_address[1]
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        try:
+            def get(path, **params):
+                q = urllib.parse.urlencode(params)
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}?{q}", timeout=120
+                ) as resp:
+                    return resp.status, resp.read().decode()
+
+            status, body = get("/metrics/index.json")
+            assert status == 200
+            paths = json.loads(body)
+            assert "house.room:Temperature" in paths
+            assert HEARTBEAT_PATH in paths
+
+            status, body = get(
+                "/render",
+                target="house.room:Temperature",
+                format="json",
+                **{"from": str(NOW - 3_600), "until": str(NOW)},
+            )
+            assert status == 200
+            doc = json.loads(body)
+            series = {d["target"]: d["datapoints"] for d in doc}
+            pts = {ts: v for v, ts in series["house.room:Temperature"]}
+            slot = (NOW - 600) - (NOW - 600) % 3_600
+            assert pts[slot] == 21.0  # LWW within the hour slot
+        finally:
+            srv.shutdown()
+            srv.server_close()

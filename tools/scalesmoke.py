@@ -14,7 +14,10 @@ MinHash-LSH pipeline and cluster resolution do real pair work, not
 empty-result work.
 
 Usage: python tools/scalesmoke.py          [SCALE_ROWS=30000000 to go bigger]
-Prints one JSON line per run.
+       python tools/scalesmoke.py mixed_fetch     # isolated composition run
+       python tools/scalesmoke.py refresh_routed  # isolated composition run
+Prints one JSON line per run.  The named modes time ONE composition path in
+a fresh session (concurrent Spark jobs skew shared-session timings).
 """
 
 from __future__ import annotations
@@ -246,5 +249,170 @@ def main() -> None:
     spark.stop()
 
 
+def _scale_datapoints(spark, spread: int = 1):
+    """The main run's synthetic shape: N rows over 500 series + one hot
+    path taking 30% of all rows.  `spread` stretches the per-series sample
+    interval (seconds) so the same row count covers `spread`× the span —
+    used by the refresh smoke to cross date-partition boundaries."""
+    base = spark.range(N)
+    return base.select(
+        F.when(F.col("id") % 10 < 3, F.lit("s.hot"))
+        .otherwise(F.concat(F.lit("s.p"), (F.col("id") % N_SERIES).cast("string")))
+        .alias("path"),
+        (F.lit(T0) + (F.col("id") / N_SERIES).cast("bigint") * spread)
+        .alias("ts_sec"),
+        (F.lit(T0).cast("bigint") * 1_000_000 + F.col("id")).alias("ts_us"),
+        (F.col("id") % 1_000).cast("double").alias("value"),
+    )
+
+
+def smoke_mixed_fetch() -> None:
+    """Isolated: single-pass mixed-timebase fetch (plans/router.mixed_fetch)
+    over the full synthetic table — three retention specs, one scan, per-row
+    cascade hops, mixed output cadences."""
+    spark = get_spark(
+        "scalesmoke-mixed",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.kernel.rules import rule_engine_from_confs
+    from datayours_spark.plans.router import mixed_fetch
+
+    dp = _scale_datapoints(spark)
+    span = N // N_SERIES
+    now = T0 + span
+    engine = rule_engine_from_confs(
+        schemas_conf="""
+[fine-short]
+pattern = ^s\\.p[0-3]
+retentions = 1m:1h,10m:1d
+
+[fine-long]
+pattern = ^s\\.hot
+retentions = 1m:6h,1h:1d
+
+[default]
+pattern = .
+retentions = 10m:1d
+""",
+        aggregation_conf="""
+[hot]
+pattern = ^s\\.hot
+xFilesFactor = 0
+aggregationMethod = max
+""",
+    )
+    paths = ["s.hot"] + [f"s.p{i}" for i in range(N_SERIES)]
+    # 3h-old window: past the 1m:1h archives (those specs cascade to their
+    # 10m level) but inside s.hot's 1m:6h (served at 1m) — mixed cadences
+    t = time.perf_counter()
+    out = mixed_fetch(spark, dp, engine, paths, now - 3 * 3_600, now, now)
+    out.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t
+    steps = sorted(
+        r["step"] for r in out.select("step").distinct().collect()
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "scale smoke: single-pass mixed_fetch",
+                "rows": N,
+                "paths": len(paths),
+                "distinct_steps": steps,
+                "sec": round(dt, 2),
+                "rows_per_sec": int(N / dt),
+            }
+        )
+    )
+    spark.stop()
+
+
+def smoke_refresh_routed() -> None:
+    """Isolated: rollup maintenance with per-series method/xff dispatch
+    (IngestPipeline.refresh_rollups with a rule engine) — full refresh and
+    a one-date incremental over a date-partitioned 30M-row table."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-refresh",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.kernel.rules import rule_engine_from_confs
+    from datayours_spark.streaming.ingest import IngestPipeline
+
+    out_root = tempfile.mkdtemp(
+        prefix="scalesmoke_refresh_", dir="/root/repo/spark-warehouse"
+    )
+    # 7s per-series cadence → ~5 days of data → real date partitions for
+    # the incremental (one changed date out of several)
+    dp = (
+        _scale_datapoints(spark, spread=7)
+        .withColumn("batch_seq", F.lit(0))
+        .withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+    )
+    (
+        dp.repartition("date")
+        .write.mode("overwrite")
+        .partitionBy("date")
+        .parquet(f"{out_root}/datapoints")
+    )
+    engine = rule_engine_from_confs(
+        aggregation_conf="""
+[hot]
+pattern = ^s\\.hot
+xFilesFactor = 0
+aggregationMethod = max
+
+[evens]
+pattern = ^s\\.p\\d*[02468]$
+xFilesFactor = 0.2
+aggregationMethod = sum
+"""
+    )
+    pipe = IngestPipeline(
+        spark=spark,
+        input_dir=out_root,  # unused by refresh
+        output_dir=out_root,
+        checkpoint_dir=out_root,
+        rollup_steps=(60, 3_600),
+        rule_engine=engine,
+    )
+    t = time.perf_counter()
+    levels = pipe.refresh_rollups()
+    full_sec = time.perf_counter() - t
+    level_rows = {step: df.count() for step, df in levels.items()}
+
+    dates = sorted(
+        r["date"].isoformat()
+        for r in spark.read.parquet(f"{out_root}/datapoints")
+        .select("date").distinct().collect()
+    )
+    t = time.perf_counter()
+    pipe.refresh_rollups(changed_dates=[dates[0]])
+    incr_sec = time.perf_counter() - t
+    print(
+        json.dumps(
+            {
+                "metric": "scale smoke: routed rollup maintenance",
+                "rows": N,
+                "series": N_SERIES + 1,
+                "full_refresh_sec": round(full_sec, 2),
+                "full_rows_per_sec": int(N / full_sec),
+                "level_rows": level_rows,
+                "incremental_one_date_sec": round(incr_sec, 2),
+                "dates": len(dates),
+            }
+        )
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "mixed_fetch":
+        smoke_mixed_fetch()
+    elif mode == "refresh_routed":
+        smoke_refresh_routed()
+    else:
+        main()
