@@ -89,6 +89,10 @@ class DataYoursStack:
     watchlist: WatchList | None
     carbon: dict[str, dict]
     dm_dir: str | None = None
+    #: relay parameters (`L_DataYours.lua:205-206`): syslog emitter (S6
+    #: transport, `streaming.transport.SyslogSink`) and fan-out targets
+    syslog: object | None = None
+    destinations: list[str] = field(default_factory=list)
     started_at: str = field(default_factory=lambda: time.strftime("%c"))
     query = None  # the running StreamingQuery, set by start()
 
@@ -227,6 +231,27 @@ def start_from_conf(
     for section in ("mine", "graph", "dash"):
         dm_dir = dm_dir or carbon.get(section, {}).get("DATAMINE_DIR")
 
+    # relay section: syslog destination + fan-out targets (`Startup`'s
+    # relay parameter block, `L_DataYours.lua:205-206`)
+    relay_conf = carbon.get("relay", {})
+    syslog: "object | None" = None
+    syslog_dest = relay_conf.get("SYSLOG")
+    if syslog_dest:
+        import socket as _socket
+
+        from datayours_spark.streaming.transport import SyslogSink
+
+        try:
+            syslog = SyslogSink(str(syslog_dest), host=_socket.gethostname())
+            syslog.send("starting...")  # the reference's startup log line
+        except (ValueError, OSError):
+            syslog = None  # fire-and-forget transport: bad dest ≠ bad boot
+    destinations = [
+        d.strip()
+        for d in str(relay_conf.get("DESTINATIONS") or "").split(",")
+        if d.strip()
+    ]
+
     pipeline = IngestPipeline(
         spark=spark,
         input_dir=_dir("in"),
@@ -248,6 +273,8 @@ def start_from_conf(
         watchlist=watchlist,
         carbon=carbon,
         dm_dir=dm_dir,
+        syslog=syslog,
+        destinations=destinations,
     )
     if start and "Cache" in wanted:
         stack.start()

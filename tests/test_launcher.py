@@ -112,6 +112,40 @@ class TestStartFromConf:
             stack.stop()
             shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_relay_syslog_and_destinations_from_conf(self, spark):
+        """[relay] SYSLOG/DESTINATIONS parameterize the boot like the
+        reference's relay block — the startup syslog line goes out over a
+        real UDP socket (S6 transport)."""
+        import socket
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rx.bind(("127.0.0.1", 0))
+        port = rx.getsockname()[1]
+        try:
+            conf = TMP / "conf2"
+            conf.mkdir(parents=True)
+            (conf / "carbon.conf").write_text(
+                "[relay]\n"
+                f"SYSLOG = 127.0.0.1:{port}\n"
+                "DESTINATIONS = 127.0.0.1:2003, 127.0.0.1:2004\n"
+            )
+            stack = start_from_conf(
+                spark, str(conf), str(TMP / "work2"),
+                daemons="Cache", now_override=NOW, start=False,
+            )
+            assert stack.destinations == ["127.0.0.1:2003", "127.0.0.1:2004"]
+            assert stack.syslog is not None
+            rx.settimeout(10)
+            gram = rx.recvfrom(65_535)[0].decode()
+            assert gram.startswith("<14>") and gram.endswith(
+                "DataDaemon: starting...\n"
+            )
+            stack.syslog.close()
+        finally:
+            rx.close()
+            shutil.rmtree(TMP, ignore_errors=True)
+
     def _assert_http(self, stack) -> None:
         import threading
         from wsgiref.simple_server import WSGIServer, make_server
