@@ -1063,6 +1063,27 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent)
 
 
+ANN_IVF_NPROBE = 2
+
+
+def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: same learned quantizer, but each query scans
+    its 2 nearest centroids' inverted lists — the recall/cost dial between
+    single-probe IVF and brute force (nprobe=n_clusters degrades gracefully
+    to the exact search).  The oracle replays the identical probe ranking
+    (9-dp-rounded cosine against the broadcast centroid table)."""
+    from datayours_spark.functions.similarity import ivf_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(
+        emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS, seed=ANN_IVF_SEED
+    )
+    return ivf_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
+        centroids=cent, nprobe=ANN_IVF_NPROBE,
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -1768,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_datamine_asof": q_datamine_asof,
         "q_render_api": q_render_api,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_probe2": q_ann_ivf_probe2,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -2573,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grid LEFT JOIN s ON grid.path = s.path AND grid.slot = s.slot
         """,
         "q_ann_ivf": _kmeans_ivf_oracle_sql(),
+        "q_ann_ivf_probe2": _kmeans_ivf_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -2867,12 +2890,13 @@ def _text_profile_oracle_sql() -> str:
     """
 
 
-def _kmeans_ivf_oracle_sql() -> str:
+def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
     """DuckDB replay of functions.similarity.kmeans_centroids + ivf_topk:
     the exact md5-derived init and the exact ANN_IVF_ITERS Lloyd iterations
     (assignment by 9-dp-rounded cosine, means rounded to 6 dp) unrolled as a
     CTE chain — bit-stable across engines because every cross-engine float
-    difference is below the rounding."""
+    difference is below the rounding.  ``nprobe`` replays the multi-probe
+    search: each query scans its `nprobe` nearest centroids' lists."""
     dot = (
         "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
         " (a, b) -> a + b)"
@@ -2938,9 +2962,17 @@ def _kmeans_ivf_oracle_sql() -> str:
                            / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
             FROM ex e CROSS JOIN cn c) WHERE rn = 1),
         t AS MATERIALIZED (SELECT ex.vec_id, v, nrm, cluster FROM ex JOIN assign USING (vec_id)),
-        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, nrm AS qnorm,
-                     cluster AS qcluster
-              FROM t WHERE vec_id < {N_ANN_QUERIES}),
+        q AS MATERIALIZED (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qnorm,
+                 centroid_id AS qcluster
+          FROM (
+            SELECT e.vec_id, e.v, e.nrm, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round({dot.format(a="e.v", b="c.cv")}
+                           / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
+            FROM ex e CROSS JOIN cn c
+            WHERE e.vec_id < {N_ANN_QUERIES})
+          WHERE rn <= {nprobe}),
         cand AS (
           SELECT q.query_id, t.vec_id,
                  round({dot.format(a="t.v", b="q.qv")}

@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "q_multireader",
     "q_tfidf_terms",
     "q_leakage_split",
+    # round 3 additions
+    "q_ann_ivf_probe2",
 ]
 
 

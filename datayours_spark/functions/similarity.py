@@ -347,16 +347,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_dp: int = 4,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style ANN: probe only the query's nearest centroid's cluster.
+    """IVF-style ANN: probe the query's `nprobe` nearest centroids' clusters.
 
     `centroids` supplies the coarse quantizer — pass
     :func:`kmeans_centroids` output for the learned (production) path;
     defaults to the `cluster_col`-seeded means for fixture parity.
 
     Scale shape vs brute force: candidate generation is an equi-join on the
-    cluster id (≈ N/n_clusters candidates per query) instead of a full scan;
-    recall is traded via nprobe (here 1).  Output matches cosine_topk:
+    cluster id (≈ nprobe·N/n_clusters candidates per query) instead of a
+    full scan; `nprobe` is the recall/cost dial — 1 reads one inverted
+    list per query, n_clusters degrades gracefully to exact brute force.
+    The probe set is computed on the tiny broadcast centroid table with the
+    same 9-dp-rounded cosine as assignment, so nprobe=1 is exactly "the
+    query's own cluster".  Output matches cosine_topk:
     (query_id, vec_id, sim, rank).
     """
     from pyspark.sql import Window
@@ -371,11 +376,29 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     tagged = vecs.join(assign, "vec_id")
-    queries = tagged.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnorm"),
-        F.col("cluster").alias("qcluster"),
+    # probe sets: each query's nprobe nearest centroids (rank 1 == its own
+    # assignment, so nprobe=1 reproduces single-probe IVF bit-for-bit)
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    queries = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                9,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnorm"),
+            F.col("centroid_id").alias("qcluster"),
+        )
     )
     cand = tagged.join(
         F.broadcast(queries),

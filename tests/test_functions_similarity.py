@@ -85,6 +85,49 @@ class TestTopK:
         for r in ivf:
             assert brute[r["vec_id"]] == r["sim"]
 
+    def test_nprobe_all_clusters_is_exact_brute_force(self, spark):
+        """nprobe = n_clusters probes every inverted list, so the result
+        must be IDENTICAL to the exact cosine top-k — the graceful
+        degradation end of the recall/cost dial."""
+        emb = _emb(spark)
+        cent = kmeans_centroids(emb, k=4, iters=1)
+        ivf = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+            for r in ivf_topk(
+                emb, [0, 1], 5, centroids=cent, nprobe=4
+            ).collect()
+        }
+        brute = {
+            (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+            for r in cosine_topk(emb, [0, 1], 5).collect()
+        }
+        assert ivf == brute
+
+    def test_nprobe_recall_is_monotone(self, spark):
+        """Probing more lists can only improve (or tie) the neighbours at
+        every rank: sims at nprobe=2 dominate nprobe=1, and both are lower
+        bounds on exact."""
+        emb = _emb(spark)
+        cent = kmeans_centroids(emb, k=4, iters=1)
+
+        def sims(nprobe):
+            rows = ivf_topk(
+                emb, [0], 5, centroids=cent, nprobe=nprobe
+            ).collect()
+            return [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+
+        s1, s2 = sims(1), sims(2)
+        exact = [
+            r["sim"]
+            for r in sorted(
+                cosine_topk(emb, [0], 5).collect(), key=lambda r: r["rank"]
+            )
+        ]
+        for a, b in zip(s1, s2):
+            assert b >= a
+        for b, e in zip(s2, exact):
+            assert e >= b
+
     def test_ivf_assign_broadcast_no_shuffle_on_vectors(self, spark):
         import contextlib
         import io
