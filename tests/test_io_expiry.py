@@ -64,6 +64,49 @@ def test_compaction_keeps_lww_winners(spark, make_datapoints):
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_orders_by_batch_seq_past_the_cap(spark):
+    """Streaming-written tables carry batch_seq; compaction must pick the
+    within-second winner by the UNCAPPED epoch even when both writes'
+    ts_us tie at the 999_999 addend cap, and keep the batch_seq column so
+    later reads keep the same ordering information."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from datayours_spark.io import compact_datapoints
+
+    tmp = TMP + "_compact_seq"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = T0 + 5
+    capped = t * 1_000_000 + 999_999
+    rows = [
+        # same second, both beyond the cap: ts_us tie, batch_seq decides
+        ("a.b", t, capped, 1_200_000, 1.0),
+        ("a.b", t, capped, 1_500_000, 2.0),
+        # second series, single write
+        ("a.c", t, capped, 1_200_000, 7.0),
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "path string, ts_sec bigint, ts_us bigint, batch_seq bigint, "
+            "value double",
+        )
+        .withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+        .write.partitionBy("date")
+        .parquet(tmp)
+    )
+    n = compact_datapoints(spark, tmp)
+    assert n == 2
+    got = {
+        (r["path"], r["ts_sec"]): (r["value"], r["batch_seq"])
+        for r in spark.read.parquet(tmp).collect()
+    }
+    assert got[("a.b", t)] == (2.0, 1_500_000)  # later epoch won the tie
+    assert got[("a.c", t)] == (7.0, 1_200_000)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_compaction_swap_leaves_no_debris_and_recovers(spark, make_datapoints):
     """The rename-aside swap: after a successful compaction neither the
     .compacting scratch nor the .old backup remains, and a leftover .old
