@@ -3,6 +3,7 @@
 
 import json
 import shutil
+import time
 import urllib.parse
 import urllib.request
 from pathlib import Path
@@ -144,6 +145,44 @@ class TestStartFromConf:
             stack.syslog.close()
         finally:
             rx.close()
+            shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_udp_wire_into_conf_booted_stack(self, spark):
+        """The reference's full deployment shape: datagrams on the UDP
+        wire → receiver bridge → conf-booted Cache daemon → queryable
+        datapoints.  (S1 transport composed with the launcher.)"""
+        from datayours_spark.streaming.transport import (
+            UdpLineReceiver,
+            open_for_send,
+        )
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = TMP / "conf3"
+        conf.mkdir(parents=True)
+        shutil.copy(REF_CONF / "storage-schemas.conf", conf)
+        work = TMP / "work3"
+        stack = start_from_conf(
+            spark, str(conf), str(work), daemons="Cache", now_override=NOW,
+        )
+        rx = UdpLineReceiver(str(work / "in"))
+        try:
+            tx = open_for_send(f"127.0.0.1:{rx.port}")
+            t = NOW - 300
+            tx.send(f"wire.room:Temperature 19.5 {t}".encode())
+            tx.close()
+            deadline = time.time() + 5
+            while rx.poll() == 0 and time.time() < deadline:
+                time.sleep(0.01)
+            rx.flush()
+            stack.process_available()
+            dp = {
+                (r["path"], r["ts_sec"]): r["value"]
+                for r in stack.datapoints().collect()
+            }
+            assert dp[("wire.room:Temperature", t)] == 19.5
+        finally:
+            rx.close()
+            stack.stop()
             shutil.rmtree(TMP, ignore_errors=True)
 
     def _assert_http(self, stack) -> None:
