@@ -208,6 +208,15 @@ def main() -> None:
         f"saw {n_scans} parquet scans",
     )
 
+    # multi-probe IVF: both the probe ranking (queries x centroids) and
+    # the candidate join (corpus x probed queries) must broadcast the tiny
+    # side — the corpus is never shuffled for candidate generation
+    plan = plan_of(registry["q_ann_ivf_probe2"](spark, SF_DIR))
+    check(
+        "ivf multi-probe broadcasts centroids and probe set",
+        "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan,
+    )
+
     plan = plan_of(registry["q_multireader"](spark, SF_DIR))
     check(
         "multireader merge partial-aggregates map-side",
