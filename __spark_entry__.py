@@ -1458,6 +1458,25 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 300
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (α-temperature sampling): sample toward p_l ∝ c_l^α over
+    language counts — the multilingual-LM scheme up-weighting low-resource
+    languages (α=0.5 here).  One tiny count agg → broadcast per-language
+    integer thresholds → row-local md5-bucket filter; the corpus is scanned
+    once and never shuffled.  The oracle re-derives the identical
+    thresholds (round(r·1e6) swamps cross-engine pow noise)."""
+    from datayours_spark.functions.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "lang", "doc_id", alpha=TEMP_ALPHA, target_rows=TEMP_TARGET
+    ).select("doc_id", "lang", "source", "thr", "bucket")
+
+
 def q_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data mixing (per-stratum quota): top-K docs per (lang, source) by
     n_chars, doc_id tiebreak — bounded selection toward a target corpus mix.
@@ -1797,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_leakage_split": q_leakage_split,
         "q_sample_stratified": q_sample_stratified,
+        "q_sample_temperature": q_sample_temperature,
         "q_sample_uniform_k": q_sample_uniform_k,
         "q_token_budget": q_token_budget,
         "q_quota_topk": q_quota_topk,
@@ -2685,6 +2705,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, bucket
             FROM b
             WHERE bucket < CASE lang {sample_rate_case} ELSE 0 END
+        """,
+        "q_sample_temperature": f"""
+            WITH c AS MATERIALIZED (
+              SELECT lang, count(*)::DOUBLE AS c FROM documents GROUP BY 1),
+            z AS (SELECT sum(pow(c, {TEMP_ALPHA})) AS z FROM c),
+            r AS MATERIALIZED (
+              SELECT lang,
+                     CAST(round(least(
+                       1.0, {TEMP_TARGET} * pow(c.c, {TEMP_ALPHA}) / z.z / c.c
+                     ) * 1000000) AS BIGINT) AS thr
+              FROM c CROSS JOIN z)
+            SELECT d.doc_id, d.lang, d.source, r.thr,
+                   ('0x' || substr(md5('temp' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000000 AS bucket
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5('temp' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000000 < r.thr
         """,
         "q_sample_uniform_k": f"""
             SELECT doc_id, lang, source, rk FROM (

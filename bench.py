@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q_leakage_split",
     # round 3 additions
     "q_ann_ivf_probe2",
+    "q_sample_temperature",
 ]
 
 

@@ -61,6 +61,55 @@ def stratified_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float,
+    target_rows: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """α-scaled ("temperature") corpus mixing: sample toward the
+    distribution ``p_l ∝ c_l^α`` over per-stratum counts — the published
+    multilingual-LM scheme that up-weights low-resource languages (α < 1
+    flattens the corpus distribution; α=1 is proportional, α=0 uniform
+    across strata).
+
+    Per-stratum keep rate ``r_l = min(1, target_rows·p_l / c_l)``; a row
+    survives iff its salted-md5 bucket (mod 1e6) falls under
+    ``round(r_l·1e6)`` — one integer threshold per stratum, so any engine
+    re-derives the identical kept set.  The expected output size is
+    ``target_rows`` (exact only when no stratum saturates at rate 1).
+
+    Scale shape: one tiny map-side-combined count aggregation, its scalar
+    normalizer attached by a 1-row broadcast cross join, the per-stratum
+    thresholds broadcast back onto the corpus, and a row-local hash
+    filter — the 100 TB corpus is scanned once and never shuffled.
+    Output adds (thr, bucket) for auditability.
+    """
+    c = F.col("c").cast("double")
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("c"))
+    z = counts.agg(F.sum(F.pow(c, F.lit(alpha))).alias("z"))
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_rows) * F.pow(c, F.lit(alpha)) / F.col("z") / c,
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    bucket = hash_bucket(F.col(id_col), salt, buckets=1_000_000)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < F.col("thr"))
+    )
+
+
 def uniform_sample_k(
     df: DataFrame,
     group_cols: list[str],

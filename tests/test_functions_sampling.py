@@ -48,6 +48,79 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     assert out.where((F.col("lang") == "de") & (F.col("bucket") >= 50)).count() == 0
 
 
+def _skewed_docs(spark):
+    """900 'en' docs, 90 'de', 10 'xx' — the low-resource shape α-sampling
+    is for."""
+    return spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "en")
+        .when(F.col("id") < 990, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+
+
+def test_temperature_sample_upweights_low_resource(spark):
+    from datayours_spark.functions.sampling import temperature_sample
+
+    docs = _skewed_docs(spark)
+    out = temperature_sample(
+        docs, "lang", "doc_id", alpha=0.5, target_rows=200
+    )
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # keep RATES must be ordered inversely to corpus share (α < 1 flattens)
+    rate = {lang: kept.get(lang, 0) / total[lang] for lang in total}
+    assert rate["xx"] > rate["de"] > rate["en"]
+    # expected sample size ≈ target (hash noise only, no stratum saturated
+    # here except possibly xx — bound generously)
+    assert 140 <= sum(kept.values()) <= 260
+
+
+def test_temperature_sample_alpha1_is_proportional_and_saturates(spark):
+    from datayours_spark.functions.sampling import temperature_sample
+
+    docs = _skewed_docs(spark)
+    # α=1: p_l = c_l / N → r_l = target/N for EVERY stratum (flat rate)
+    out = temperature_sample(
+        docs, "lang", "doc_id", alpha=1.0, target_rows=500
+    )
+    thr = {r["lang"]: r["thr"] for r in out.select("lang", "thr").distinct().collect()}
+    assert len(set(thr.values())) == 1  # one shared keep rate
+    # target beyond the corpus: every rate caps at 1 → everything kept
+    assert (
+        temperature_sample(
+            docs, "lang", "doc_id", alpha=0.5, target_rows=10_000
+        ).count()
+        == 1_000
+    )
+
+
+def test_temperature_sample_partition_invariant(spark):
+    from datayours_spark.functions.sampling import temperature_sample
+
+    docs = _skewed_docs(spark)
+    a = {
+        r["doc_id"]
+        for r in temperature_sample(
+            docs, "lang", "doc_id", alpha=0.5, target_rows=200
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(
+            docs.repartition(7), "lang", "doc_id", alpha=0.5, target_rows=200
+        ).collect()
+    }
+    assert a == b and a
+
+
 def test_hash_bucket_matches_duckdb_md5(spark):
     import duckdb
 
