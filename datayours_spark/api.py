@@ -70,6 +70,36 @@ class RenderCapExceeded(ValueError):
     """A render would materialize more than max_points (leaves × slots)."""
 
 
+def coarsen_step(
+    step: int, frm: int, until: int, n_leaves: int, max_points: int
+) -> int:
+    """The smallest step multiple that brings ``n_leaves × slots`` under
+    ``max_points`` — Graphite's maxDataPoints consolidation as pure
+    arithmetic (property-tested exhaustively; the bound is a guarantee).
+
+    Slot count at a step is the post-quantization
+    ``floor(until/s) - floor(frm/s) + 1``; a one-shot ceil factor can
+    undershoot when quantized edges shift, so the factor re-applies until
+    the bound truly holds.  Raises :class:`RenderCapExceeded` when the
+    leaf count alone exceeds the bound (coarsening bottoms out at one slot
+    per leaf).
+    """
+    import math
+
+    def n_slots(s: int) -> int:
+        return (until - until % s) // s - (frm - frm % s) // s + 1
+
+    if n_leaves > max_points:
+        raise RenderCapExceeded(
+            f"{n_leaves} matched leaves alone exceed "
+            f"max_points={max_points}; narrow the glob"
+        )
+    while n_leaves * n_slots(step) > max_points:
+        factor = math.ceil(n_leaves * n_slots(step) / max_points)
+        step = step * max(2, factor)
+    return step
+
+
 def render_grid(
     spark: SparkSession,
     datapoints: DataFrame,
@@ -97,7 +127,6 @@ def render_grid(
     ``'error'`` raises :class:`RenderCapExceeded` — so an over-wide glob can
     never drown the driver at collect time.
     """
-    import math
     import time as _time
 
     if isinstance(targets, str):
@@ -116,28 +145,14 @@ def render_grid(
 
     if max_points is not None:
         n_leaves = leaves.count()
-
-        def _n_slots(s: int) -> int:
-            return (until - until % s) // s - (frm - frm % s) // s + 1
-
-        if n_leaves * _n_slots(step) > max_points:
+        n_slots = (until - until % step) // step - (frm - frm % step) // step + 1
+        if n_leaves * n_slots > max_points:
             if on_exceed == "error":
                 raise RenderCapExceeded(
-                    f"{n_leaves} leaves x {_n_slots(step)} slots exceeds "
+                    f"{n_leaves} leaves x {n_slots} slots exceeds "
                     f"max_points={max_points}; narrow the glob or range"
                 )
-            if n_leaves > max_points:
-                # Coarsening bottoms out at one slot per leaf; past that the
-                # glob itself is too wide for the bound.
-                raise RenderCapExceeded(
-                    f"{n_leaves} matched leaves alone exceed "
-                    f"max_points={max_points}; narrow the glob"
-                )
-            # ceil(ratio) undershoots when quantized slot edges shift, so
-            # re-check at the post-quantization slot count until it holds.
-            while n_leaves * _n_slots(step) > max_points:
-                factor = math.ceil(n_leaves * _n_slots(step) / max_points)
-                step = step * max(2, factor)
+            step = coarsen_step(step, frm, until, n_leaves, max_points)
 
     lo = frm - frm % step
     hi = until - until % step

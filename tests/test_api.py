@@ -193,6 +193,42 @@ class TestRenderCap:
             )
             assert grid.count() <= 13, f"cap broken at until=+{until_off}"
 
+    def test_coarsen_step_property_exhaustive(self):
+        # The arithmetic is a pure function — property-test the guarantee
+        # without Spark: for every window/leaf/cap shape, the coarsened
+        # step keeps n_leaves * n_slots under the cap, is a multiple of the
+        # requested step, and is untouched when already under.
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            step=st.sampled_from([1, 7, 60, 300, 3_600]),
+            frm=st.integers(0, 10**9),
+            span=st.integers(0, 10**7),
+            n_leaves=st.integers(1, 10_000),
+            max_points=st.integers(1, 100_000),
+        )
+        def check(step, frm, span, n_leaves, max_points):
+            import pytest
+
+            until = frm + span
+            if n_leaves > max_points:
+                with pytest.raises(api.RenderCapExceeded):
+                    api.coarsen_step(step, frm, until, n_leaves, max_points)
+                return
+            s = api.coarsen_step(step, frm, until, n_leaves, max_points)
+            n_slots = (until - until % s) // s - (frm - frm % s) // s + 1
+            assert n_leaves * n_slots <= max_points
+            assert s % step == 0
+            orig_slots = (
+                (until - until % step) // step - (frm - frm % step) // step + 1
+            )
+            if n_leaves * orig_slots <= max_points:
+                assert s == step  # no gratuitous coarsening
+
+        check()
+
 
 class TestRenderMixed:
     def _engine(self):
