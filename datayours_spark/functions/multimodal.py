@@ -102,6 +102,20 @@ def extract_features(
     """
     if real and decoder is None:
         decoder = default_real_decoder()
+        if decoder is not None:
+            # Pillow decodes images ONLY: on a mixed image/audio/video
+            # corpus the opportunistic default would fail mid-job inside
+            # mapInPandas on executors.  Check the kinds up front (a cheap
+            # distinct over the catalog's tiny kind column) and keep the
+            # clear driver-side error for anything Pillow can't handle —
+            # mixed corpora must inject an explicit decoder.
+            kinds = {r[0] for r in assets.select("kind").distinct().collect()}
+            if kinds - {"image"}:
+                raise RealDecoderUnavailable(
+                    "the default Pillow decoder handles images only, but "
+                    f"the corpus contains kinds {sorted(kinds)}; inject a "
+                    "decoder= that handles every kind, or use real=False"
+                )
         if decoder is None:
             raise RealDecoderUnavailable(
                 "media decoders are not installed in this container; "

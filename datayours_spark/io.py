@@ -145,14 +145,25 @@ def compact_datapoints(spark: SparkSession, table_dir: str) -> int:
     in the group key), so at 100 TB it schedules as independent partition
     rewrites.  Returns the number of rows after compaction.
     """
-    df = spark.read.parquet(table_dir)
+    # mergeSchema: a table mixing pre-batch_seq files with streaming-written
+    # ones must surface batch_seq deterministically, not only when Spark
+    # happens to sample a new footer (compaction then homogenizes the files)
+    df = spark.read.option("mergeSchema", "true").parquet(table_dir)
     # streaming ingest writes the uncapped arrival epoch as batch_seq (the
     # ts_us addend is capped below 1e6 so it stays across-seconds-safe);
-    # prefer it for the within-second "last write" decision
-    order = "batch_seq" if "batch_seq" in df.columns else "ts_us"
-    keep = (
-        ["ts_us", "batch_seq"] if "batch_seq" in df.columns else ["ts_us"]
-    )
+    # prefer it for the within-second "last write" decision.  Legacy files
+    # written before batch_seq existed read as NULL in a mixed table —
+    # coalesce to -1 so legacy rows order below any real batch (ts_us
+    # breaks ties among legacy rows) instead of max_by picking a NULL key.
+    if "batch_seq" in df.columns:
+        order = F.struct(
+            F.coalesce(F.col("batch_seq"), F.lit(-1)).alias("b"),
+            F.col("ts_us").alias("u"),
+        )
+        keep = ["ts_us", "batch_seq"]
+    else:
+        order = F.col("ts_us")
+        keep = ["ts_us"]
     winners = (
         df.groupBy("path", "ts_sec", "date")
         .agg(

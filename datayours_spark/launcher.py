@@ -153,11 +153,23 @@ class DataYoursStack:
             n = df.select(F.countDistinct("path")).first()[0]
         now = self.pipeline.now_override or int(time.time())
         line = f"{HEARTBEAT_PATH} {n} {now}\n"
+        # dotfile + rename, same protocol as UdpLineReceiver.flush: the
+        # file-stream source must never list a half-written file, and the
+        # uuid component keeps same-second heartbeats from colliding (the
+        # file source tracks processed files by NAME — an overwritten name
+        # would silently never be re-read).
+        import uuid as _uuid
+
         fname = os.path.join(
-            self.pipeline.input_dir, f"heartbeat-{now}-{n}.txt"
+            self.pipeline.input_dir,
+            f"heartbeat-{now}-{_uuid.uuid4().hex[:8]}.txt",
         )
-        with open(fname, "w") as f:
+        tmp = os.path.join(
+            os.path.dirname(fname), "." + os.path.basename(fname)
+        )
+        with open(tmp, "w") as f:
             f.write(line)
+        os.rename(tmp, fname)
         return n
 
 
@@ -169,6 +181,7 @@ def start_from_conf(
     now_override: int | None = None,
     rollup_steps: tuple[int, ...] = DEFAULT_ROLLUP_STEPS,
     start: bool = True,
+    use_conf_paths: bool = False,
 ) -> DataYoursStack:
     """Boot the daemon set from a Graphite/carbon conf directory.
 
@@ -225,8 +238,16 @@ def start_from_conf(
         os.makedirs(d, exist_ok=True)
         return d
 
+    # work_dir wins, matching the docstring and the reference (`Startup`
+    # overrides the conf with device values, `L_DataYours.lua:204`): since
+    # _conf_file silently falls back to shipped *.example confs, honoring a
+    # conf LOCAL_DATA_DIR by default would let a conf written for another
+    # machine redirect parquet output outside work_dir.  Callers that want
+    # the conf's data dir opt in with use_conf_paths=True.
     cache_conf = carbon.get("cache", {})
-    out_dir = cache_conf.get("LOCAL_DATA_DIR") or _dir("out")
+    out_dir = (
+        cache_conf.get("LOCAL_DATA_DIR") if use_conf_paths else None
+    ) or _dir("out")
     dm_dir = None
     for section in ("mine", "graph", "dash"):
         dm_dir = dm_dir or carbon.get(section, {}).get("DATAMINE_DIR")

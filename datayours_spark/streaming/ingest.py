@@ -183,13 +183,31 @@ class IngestPipeline:
         `dates` restricts the scan to those date partitions (pruned at the
         parquet source) — the incremental-maintenance entry point.
         """
-        df = self.spark.read.parquet(f"{self.output_dir}/datapoints")
+        # mergeSchema: whether batch_seq appears in the inferred schema must
+        # not depend on WHICH footer Spark samples on a table mixing
+        # pre-batch_seq files with streaming-written ones.  Footer merging
+        # is metadata-scale (parallel over file footers, not data); a
+        # compaction pass homogenizes the files, after which it is free.
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            f"{self.output_dir}/datapoints"
+        )
         if dates is not None:
             df = df.where(F.col("date").isin(dates))
         # within one (path, second) the uncapped batch_seq defines "last";
         # the surviving ts_us (capped addend) remains safe to compare
-        # across seconds in downstream slot LWW
-        order = "batch_seq" if "batch_seq" in df.columns else "ts_us"
+        # across seconds in downstream slot LWW.  Legacy files written
+        # before batch_seq existed read as NULL in a mixed table (and
+        # whether the column appears at all depends on which footer Spark
+        # samples) — coalesce to -1 so legacy rows order BELOW any real
+        # batch and max_by never returns a NULL-keyed row; ts_us breaks
+        # ties among legacy rows themselves.
+        if "batch_seq" in df.columns:
+            order = F.struct(
+                F.coalesce(F.col("batch_seq"), F.lit(-1)).alias("b"),
+                F.col("ts_us").alias("u"),
+            )
+        else:
+            order = F.col("ts_us")
         return df.groupBy("path", "ts_sec").agg(
             F.max_by("value", order).alias("value"),
             F.max("ts_us").alias("ts_us"),

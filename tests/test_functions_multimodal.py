@@ -123,3 +123,37 @@ class TestFrameSample:
             (3, 1000),
             (3, 2000),
         ]
+
+
+class TestMixedCorpusDefaultDecoder:
+    def test_real_true_mixed_kinds_fails_upfront(self, assets, monkeypatch):
+        """Round-3 ADVICE: when the opportunistic default decoder (Pillow)
+        would be picked but the corpus mixes kinds, extract_features must
+        raise driver-side BEFORE the job, not mid-mapInPandas on
+        executors.  Simulated decoder: Pillow is absent here."""
+        from datayours_spark.functions import multimodal as mm
+
+        monkeypatch.setattr(
+            mm, "default_real_decoder", lambda: mm.pillow_decoder
+        )
+        with pytest.raises(RealDecoderUnavailable, match="images only"):
+            mm.extract_features(assets, real=True)
+
+    def test_real_true_all_images_uses_default(self, spark, monkeypatch):
+        """All-image corpora may use the opportunistic default; the check
+        must not reject them."""
+        from datayours_spark.functions import multimodal as mm
+
+        calls = []
+
+        def fake_decoder(payload, kind):
+            calls.append(kind)
+            return [float(len(payload))] * mm.FEATURE_DIM
+
+        monkeypatch.setattr(mm, "default_real_decoder", lambda: fake_decoder)
+        imgs = spark.createDataFrame(
+            [(1, "image", bytearray(b"abc"))],
+            "asset_id bigint, kind string, data binary",
+        )
+        out = mm.extract_features(imgs, real=True).collect()
+        assert out[0]["feature"] == [3.0] * mm.FEATURE_DIM

@@ -125,3 +125,48 @@ def test_compaction_swap_leaves_no_debris_and_recovers(spark, make_datapoints):
     assert not os.path.exists(tmp + ".old")
     assert not os.path.exists(tmp + ".compacting")
     assert spark.read.parquet(tmp).count() == 1
+
+
+def test_compaction_mixed_legacy_rows_without_batch_seq(spark):
+    """Upgrade hazard (round-3 ADVICE): files written before batch_seq
+    existed read as NULL in a mixed table.  Compaction must never let a
+    NULL ordering key win (or return NULL for legacy-only groups): legacy
+    rows order below any real batch, and among themselves by ts_us."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from datayours_spark.io import compact_datapoints
+
+    tmp = TMP + "_compact_legacy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    t = T0 + 5
+    # legacy file: no batch_seq column at all
+    legacy = spark.createDataFrame(
+        [
+            ("a.b", t, t * 1_000_000 + 1, 1.0),
+            ("a.b", t, t * 1_000_000 + 2, 2.0),  # later legacy arrival
+            ("old.only", t, t * 1_000_000 + 1, 5.0),
+        ],
+        "path string, ts_sec bigint, ts_us bigint, value double",
+    ).withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+    legacy.write.partitionBy("date").parquet(tmp)
+    # new streaming file: batch_seq present; overwrites a.b
+    new = spark.createDataFrame(
+        [("a.b", t, t * 1_000_000 + 0, 3, 9.0)],
+        "path string, ts_sec bigint, ts_us bigint, batch_seq bigint, "
+        "value double",
+    ).withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+    new.write.mode("append").partitionBy("date").parquet(tmp)
+
+    n = compact_datapoints(spark, tmp)
+    assert n == 2
+    got = {
+        (r["path"], r["ts_sec"]): r["value"]
+        for r in spark.read.parquet(tmp).collect()
+    }
+    # the real batch (batch_seq=3) beats every legacy row even though its
+    # ts_us is OLDER; the legacy-only group resolves by ts_us, not NULL
+    assert got[("a.b", t)] == 9.0
+    assert got[("old.only", t)] == 5.0
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -228,3 +228,48 @@ class TestStartFromConf:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestAdviceRegressions:
+    def test_work_dir_wins_over_conf_local_data_dir(self, spark):
+        """Round-3 ADVICE: a conf LOCAL_DATA_DIR (possibly from a silently
+        used *.example fallback written for another machine) must NOT
+        redirect parquet output outside work_dir unless the caller opts in
+        with use_conf_paths=True."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        (conf / "carbon.conf").write_text(
+            "[cache]\nLOCAL_DATA_DIR = /nonexistent/other-machine/whisper\n"
+        )
+        work = TMP / "work_prec"
+        stack = start_from_conf(
+            spark, str(conf), str(work), daemons="Cache", start=False
+        )
+        assert stack.pipeline.output_dir == str(work / "out")
+        opted = start_from_conf(
+            spark, str(conf), str(work), daemons="Cache", start=False,
+            use_conf_paths=True,
+        )
+        assert opted.pipeline.output_dir == "/nonexistent/other-machine/whisper"
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_heartbeat_writes_atomically_and_never_collides(self, spark):
+        """Round-3 ADVICE: heartbeat must use the dotfile+rename protocol
+        (the file-stream source must never list a half-written file) and a
+        unique filename (the file source tracks processed files by name, so
+        a same-second overwrite would silently never be re-read)."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        work = TMP / "work_hb"
+        stack = start_from_conf(
+            spark, str(conf), str(work), daemons="Cache",
+            now_override=NOW, start=False,
+        )
+        stack.heartbeat()
+        stack.heartbeat()  # same second, same count: must not collide
+        in_dir = Path(stack.pipeline.input_dir)
+        visible = [p.name for p in in_dir.iterdir() if not p.name.startswith(".")]
+        assert len([n for n in visible if n.startswith("heartbeat-")]) == 2
+        # no half-written dotfiles left behind
+        assert not [p for p in in_dir.iterdir() if p.name.startswith(".")]
+        shutil.rmtree(TMP, ignore_errors=True)

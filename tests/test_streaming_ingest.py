@@ -482,3 +482,40 @@ class TestSlidingWindowStream:
         }
         assert got == want
         assert want  # the fixture actually closes windows
+
+
+class TestLegacyMixedTable:
+    def test_datapoints_view_handles_legacy_rows_without_batch_seq(
+        self, pipeline, spark
+    ):
+        """Round-3 ADVICE regression: a table mixing pre-batch_seq files
+        (column reads as NULL) with streaming-written files must resolve
+        LWW without NULL ordering keys — a (path, second) present only in
+        legacy files must still return its ts_us winner, and a real batch
+        must beat legacy rows in the same second."""
+        import pyspark.sql.functions as F
+
+        table = TMP / "out" / "datapoints"
+        t = NOW - 600
+        legacy = spark.createDataFrame(
+            [
+                ("m.legacy", t, t * 1_000_000 + 1, 1.0),
+                ("m.legacy", t, t * 1_000_000 + 2, 2.0),
+                ("m.mixed", t, t * 1_000_000 + 9, 4.0),
+            ],
+            "path string, ts_sec bigint, ts_us bigint, value double",
+        ).withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+        legacy.write.partitionBy("date").parquet(str(table))
+        newer = spark.createDataFrame(
+            [("m.mixed", t, t * 1_000_000 + 0, 2, 8.0)],
+            "path string, ts_sec bigint, ts_us bigint, batch_seq bigint, "
+            "value double",
+        ).withColumn("date", F.to_date(F.timestamp_seconds("ts_sec")))
+        newer.write.mode("append").partitionBy("date").parquet(str(table))
+
+        got = {
+            (r["path"], r["ts_sec"]): r["value"]
+            for r in pipeline.datapoints().collect()
+        }
+        assert got[("m.legacy", t)] == 2.0  # legacy ties break by ts_us
+        assert got[("m.mixed", t)] == 8.0  # any real batch beats legacy
