@@ -710,6 +710,35 @@ def q_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K = 8          # shingle width for span-level dedup (tokens)
+SPAN_MIN_TOKENS = 12  # minimal qualifying repeated-span length (tokens)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup: maximal repeated token spans per doc
+    via shingle posting lists — the Lee-et-al-style exact-substring dedup
+    re-expressed as linear aggregations + one posting-list equi-join
+    (inverted index on shingle hash -> covered offsets -> gaps-and-islands
+    interval merge).  Catches boilerplate headers/footers shared across
+    otherwise-distinct documents, which document-level dedup misses."""
+    from datayours_spark.functions.dedup import repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans(
+        docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2
+    )
+
+
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span mask: covered-token counts and fraction for
+    every document (0 for clean docs) — the filter input for span-removal
+    decisions downstream."""
+    from datayours_spark.functions.dedup import span_mask
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_mask(docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2)
+
+
 NGRAM_JACCARD_MIN = 0.2
 
 
@@ -1788,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_guarded": q_simhash_guarded,
         "q_minhash_guarded": q_minhash_guarded,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_span_dedup": q_span_dedup,
+        "q_span_mask": q_span_mask,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
         "q_metrics_expand": q_metrics_expand,
@@ -2257,6 +2288,23 @@ def oracle_sql() -> dict[str, str]:
         # pair-set-equivalence proof for the hot-bucket guard
         "q_simhash_guarded": _simhash_neardup_oracle_sql(),
         "q_minhash_guarded": _minhash_oracle_sql(),
+        "q_span_dedup": f"""
+            WITH {_span_cte_sql()}
+            SELECT doc_id, start_tok, end_tok, span_tokens FROM spans
+        """,
+        "q_span_mask": f"""
+            WITH {_span_cte_sql()},
+            per_doc AS (SELECT doc_id, count(*) AS n_spans,
+                               sum(span_tokens) AS covered_tokens
+                        FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' ')) AS n_tokens,
+                   coalesce(p.n_spans, 0) AS n_spans,
+                   coalesce(p.covered_tokens, 0) AS covered_tokens,
+                   round(coalesce(p.covered_tokens, 0) * 1.0
+                         / len(string_split(d.text, ' ')), 4) AS covered_frac
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
         "q_ngram_jaccard": f"""
             WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t
                           FROM documents),
@@ -3038,6 +3086,41 @@ def _simhash_neardup_oracle_sql() -> str:
             ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id)
         SELECT id1, id2, bit_count(xor(h1, h2))::BIGINT AS hamming
         FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+def _span_cte_sql() -> str:
+    """Shared spans CTE for the span-dedup oracles: mirror of
+    functions.dedup.repeated_spans (posting list -> cross-doc repeated
+    shingles -> covered offsets -> gaps-and-islands interval merge)."""
+    k = SPAN_K
+    return f"""
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        shl AS (SELECT doc_id,
+                       [array_to_string(t[i:i+{k - 1}], ' ')
+                        FOR i IN generate_series(1, len(t) - {k - 1})] AS shingles
+                FROM toks WHERE len(t) >= {k}),
+        posts AS (SELECT doc_id, generate_subscripts(shingles, 1) - 1 AS off,
+                         ('0x' || substr(md5(unnest(shingles)), 1, 8))::BIGINT AS h
+                  FROM shl),
+        rep AS (SELECT h FROM posts GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (SELECT p.doc_id, p.off FROM posts p JOIN rep USING (h)),
+        flags AS (SELECT doc_id, off,
+                         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id
+                                                        ORDER BY off) > {k}
+                              THEN 1 ELSE 0 END AS brk
+                  FROM cov),
+        isl AS (SELECT doc_id, off,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY off
+                                      ROWS UNBOUNDED PRECEDING) AS span_id
+                FROM flags),
+        allspans AS (SELECT doc_id, min(off) AS start_tok,
+                            max(off) + {k - 1} AS end_tok
+                     FROM isl GROUP BY doc_id, span_id),
+        spans AS (SELECT doc_id, start_tok, end_tok,
+                         end_tok - start_tok + 1 AS span_tokens
+                  FROM allspans
+                  WHERE end_tok - start_tok + 1 >= {SPAN_MIN_TOKENS})
     """
 
 

@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     # round 3 additions
     "q_ann_ivf_probe2",
     "q_sample_temperature",
+    # round 4 additions
+    "q_span_dedup",
 ]
 
 

@@ -593,3 +593,146 @@ def simhash_neardup(
         )
     sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
     return _simhash_banded_pairs(sig, max_hamming, bands, bits)
+
+
+# ---------------------------------------------------------------------------
+# Span-level (substring) dedup: repeated-span detection via shingle
+# posting lists.  Document-level dedup (above) keys whole docs; training
+# pipelines also need repeated-SPAN removal — boilerplate headers/footers
+# shared across otherwise-distinct documents (the exact-substring dedup of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# approximated at shingle granularity so it runs as linear-cost
+# aggregations + equi-joins instead of a distributed suffix array).
+# ---------------------------------------------------------------------------
+
+
+def shingle_postings(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The posting-list building block: one row per (doc, token offset)
+    holding the hash of the k-token shingle starting there.
+
+    `off` is the 0-based token offset — :func:`token_shingles` emits
+    shingles in order, so ``posexplode`` positions ARE offsets.  Unlike
+    :func:`minhash_signatures` there is no ``array_distinct``: offsets are
+    the payload here, every occurrence matters.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(token_shingles(text_col, k)).alias("off", "shingle"),
+    ).select("doc_id", "off", md5_int32(F.col("shingle")).alias("h"))
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated token spans per document.
+
+    Pipeline (every step linear in corpus size, no pair join anywhere):
+
+    1. posting list: (doc, off, shingle-hash) — one explode.
+    2. inverted-index aggregation: shingle hashes occurring in >=
+       ``min_docs`` DISTINCT docs are "repeated" (cross-doc boilerplate;
+       a shingle repeated only within one doc does not qualify).
+    3. coverage: semi-equi-join the postings back on the hash — the
+       covered offsets.  This join is the posting-list join the banded
+       dedup discipline requires to be an equi-join: work scales with the
+       number of covered postings, never with bucket².
+    4. span assembly: a covered offset ``o`` covers tokens
+       ``[o, o+k-1]``; merge overlapping-or-adjacent covered intervals
+       per doc (gaps-and-islands: new span when the offset gap exceeds
+       ``k``) into maximal covered token intervals.
+
+    Returns (doc_id, start_tok, end_tok, span_tokens): inclusive 0-based
+    token bounds of each maximal repeated span with at least ``min_span``
+    tokens.  Spans of one doc never overlap, so masks sum cleanly.
+
+    Scale: steps 1-3 are map-side-combinable aggregations and one
+    equi-join; step 4 is a per-doc window (shuffle by doc_id, doc-sized
+    partitions).  A corpus-wide hot shingle (the boilerplate itself)
+    concentrates only its *posting count* — the aggregation in step 2 is
+    a count, not a pair expansion, so hot shingles cost O(occurrences).
+    """
+    from pyspark.sql.window import Window
+
+    posts = shingle_postings(docs, k, text_col=text_col, id_col=id_col)
+    rep = (
+        posts.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = posts.join(rep, "h").select("doc_id", "off")
+    w = Window.partitionBy("doc_id").orderBy("off")
+    brk = F.when(F.col("off") - F.lag("off").over(w) > k, 1).otherwise(0)
+    run = Window.partitionBy("doc_id").orderBy("off").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = covered.withColumn("brk", brk).withColumn(
+        "span_id", F.sum("brk").over(run)
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(F.min("off").alias("start_tok"), F.max("off").alias("max_off"))
+        .select(
+            "doc_id",
+            "start_tok",
+            (F.col("max_off") + F.lit(k - 1)).alias("end_tok"),
+        )
+        .withColumn(
+            "span_tokens", F.col("end_tok") - F.col("start_tok") + F.lit(1)
+        )
+        .where(F.col("span_tokens") >= min_span)
+    )
+
+
+def span_mask(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc repeated-span mask: how much of each document is covered by
+    qualifying repeated spans.
+
+    Returns one row per INPUT doc: (doc_id, n_tokens, n_spans,
+    covered_tokens, covered_frac) — docs with no qualifying span report 0.
+    The downstream span-removal decision (drop doc / cut spans / keep) is
+    a filter on covered_frac; the spans themselves come from
+    :func:`repeated_spans`.  Non-overlap of spans makes sum(span_tokens)
+    the exact covered-token count.
+    """
+    spans = repeated_spans(
+        docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("covered_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+        .withColumn(
+            "covered_frac",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4),
+        )
+    )

@@ -254,3 +254,111 @@ class TestHotBucketGuard:
             sigs, 5, 4, collapse_identical=True, max_group=None
         )
         assert got.count() > 0
+
+
+class TestRepeatedSpans:
+    """Span-level dedup: shingle posting lists -> repeated-span masks."""
+
+    BOILER = " ".join(f"b{i}" for i in range(20))  # 20-token boilerplate
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_shared_boilerplate_is_found_with_exact_bounds(self, spark):
+        from datayours_spark.functions.dedup import repeated_spans
+
+        u1 = " ".join(f"x{i}" for i in range(30))
+        u2 = " ".join(f"y{i}" for i in range(30))
+        docs = self._docs(
+            spark,
+            [(1, f"{self.BOILER} {u1}"), (2, f"{u2} {self.BOILER}")],
+        )
+        spans = {
+            r["doc_id"]: (r["start_tok"], r["end_tok"], r["span_tokens"])
+            for r in repeated_spans(docs, k=8, min_span=10).collect()
+        }
+        # doc 1: boilerplate is tokens 0..19; doc 2: tokens 30..49
+        assert spans[1] == (0, 19, 20)
+        assert spans[2] == (30, 49, 20)
+
+    def test_within_doc_repetition_does_not_qualify(self, spark):
+        from datayours_spark.functions.dedup import repeated_spans
+
+        # the boilerplate appears twice in ONE doc and nowhere else:
+        # cross-doc min_docs=2 must not fire
+        filler = " ".join(f"f{i}" for i in range(10))
+        docs = self._docs(
+            spark, [(1, f"{self.BOILER} {filler} {self.BOILER}"),
+                    (2, " ".join(f"z{i}" for i in range(40)))],
+        )
+        assert repeated_spans(docs, k=8, min_span=10).count() == 0
+
+    def test_min_span_threshold_gates_short_overlaps(self, spark):
+        from datayours_spark.functions.dedup import repeated_spans
+
+        shared = " ".join(f"s{i}" for i in range(9))  # 9 shared tokens
+        u1 = " ".join(f"x{i}" for i in range(30))
+        u2 = " ".join(f"y{i}" for i in range(30))
+        docs = self._docs(
+            spark, [(1, f"{shared} {u1}"), (2, f"{shared} {u2}")],
+        )
+        # a 9-token shared run yields 2 covered offsets with k=8 → span of
+        # 9 tokens; min_span=10 must reject it, min_span=9 must keep it
+        assert repeated_spans(docs, k=8, min_span=10).count() == 0
+        got = repeated_spans(docs, k=8, min_span=9).collect()
+        assert {(r["doc_id"], r["span_tokens"]) for r in got} == {(1, 9), (2, 9)}
+
+    def test_abutting_blocks_merge_and_unique_gaps_split(self, spark):
+        from datayours_spark.functions.dedup import repeated_spans
+
+        # doc 1 is two shared 12-token blocks CONCATENATED (a then b): the
+        # boundary-straddling shingles are unique to doc 1, so covered
+        # offsets are {0..4} and {12..16} — adjacent covered token
+        # intervals [0,11] + [12,23] merge into ONE maximal span.  In
+        # doc 3 the same blocks sit 20 unique tokens apart → two spans.
+        # A single unrepeated token BETWEEN blocks (doc 4) must split:
+        # that token is genuinely not covered by any repeated shingle.
+        a = " ".join(f"a{i}" for i in range(12))
+        b = " ".join(f"c{i}" for i in range(12))
+        far = " ".join(f"m{i}" for i in range(20))
+        docs = self._docs(
+            spark,
+            [
+                (1, f"{a} {b}"),
+                (2, f"{a} {' '.join(f'p{i}' for i in range(25))}"),
+                (3, f"{b} {far} {a}"),
+                (4, f"{a} gap1tok {b}"),
+            ],
+        )
+        got = repeated_spans(docs, k=8, min_span=10).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["start_tok"], r["end_tok"])
+            )
+        assert by_doc[1] == [(0, 23)]  # merged across the adjacency
+        assert sorted(by_doc[3]) == [(0, 11), (32, 43)]
+        assert sorted(by_doc[4]) == [(0, 11), (13, 24)]  # token 12 unique
+
+    def test_mask_counts_and_fraction(self, spark):
+        from datayours_spark.functions.dedup import span_mask
+
+        u1 = " ".join(f"x{i}" for i in range(20))
+        clean = " ".join(f"q{i}" for i in range(15))
+        docs = self._docs(
+            spark,
+            [(1, f"{self.BOILER} {u1}"), (2, self.BOILER), (3, clean)],
+        )
+        got = {r["doc_id"]: r for r in span_mask(docs, k=8, min_span=10).collect()}
+        assert len(got) == 3  # every input doc reports, clean included
+        assert (got[1]["covered_tokens"], got[1]["n_tokens"]) == (20, 40)
+        assert got[1]["covered_frac"] == 0.5
+        assert got[2]["covered_frac"] == 1.0
+        assert (got[3]["n_spans"], got[3]["covered_frac"]) == (0, 0.0)
+
+    def test_short_docs_below_shingle_width_are_clean(self, spark):
+        from datayours_spark.functions.dedup import span_mask
+
+        docs = self._docs(spark, [(1, "a b c"), (2, "a b c")])
+        got = span_mask(docs, k=8, min_span=10).collect()
+        assert {r["covered_tokens"] for r in got} == {0}

@@ -225,6 +225,20 @@ def main() -> None:
     plan = plan_of(registry["q_tfidf_terms"](spark, SF_DIR))
     check("tf-idf n_sources scalar broadcasts", "BroadcastNestedLoopJoin" in plan)
 
+    # ---- 6d. round-4 operators --------------------------------------------
+    # span-level dedup: the posting-list coverage join (postings x repeated
+    # shingle hashes) must be an equi-join on the hash — a SortMergeJoin or
+    # BroadcastHashJoin, never a nested-loop/cartesian; that is what keeps
+    # the cost linear in covered postings at 100 TB
+    plan = plan_of(registry["q_span_dedup"](spark, SF_DIR))
+    check(
+        "span dedup posting-list join is an equi-join",
+        ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+         or "ShuffledHashJoin" in plan)
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+    )
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
