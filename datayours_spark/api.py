@@ -178,6 +178,7 @@ def render_mixed(
     until_: str | int | None = None,
     now: int | None = None,
     max_leaves: int = 1_000,
+    catalog: "DataFrame | list[str] | None" = None,
 ) -> DataFrame:
     """Mixed-timebase /render (the reference's "mixed timebase support",
     `L_DataGraph.lua:205-254`): same target glob/brace expansion and time
@@ -190,6 +191,13 @@ def render_mixed(
     Output: (path, slot, value, step).  The matched-leaf list is driver-side
     (it parameterizes per-spec routing), so it is capped at `max_leaves` —
     :class:`RenderCapExceeded` past that.
+
+    ``catalog`` injects the series catalog — the ingest-maintained stats
+    table (`IngestPipeline.series_stats()`, a KB-scale relation) or a plain
+    list of paths — so target resolution never scans the datapoints table;
+    the default derives the catalog from `datapoints` by distinct, which is
+    a full-column scan at collect time (fine for ad-hoc use, wrong as the
+    standing configuration at 100 TB).
     """
     import time as _time
 
@@ -202,12 +210,22 @@ def render_mixed(
     frm = default_from if from_ is None else parse_time(from_, now=now_ts)
     until = default_until if until_ is None else parse_time(until_, now=now_ts)
 
-    catalog = series_catalog(datapoints)
-    leaves = None
-    for t in targets:
-        nodes = find_nodes(catalog, t).where(F.col("is_leaf")).select("path")
-        leaves = nodes if leaves is None else leaves.unionByName(nodes)
-    paths = [r["path"] for r in leaves.dropDuplicates(["path"]).collect()]
+    from datayours_spark.operators.catalog import find_leaf_paths
+
+    # resolve targets against the catalog DRIVER-side (find_leaf_paths is
+    # differential-tested against the distributed find_nodes): the matched
+    # leaf list parameterizes per-spec routing, so it ends up on the driver
+    # either way — with an injected stats-table catalog this plans zero
+    # Spark jobs; only the default path pays a distinct scan of datapoints.
+    if catalog is None:
+        catalog_paths = [r["path"] for r in series_catalog(datapoints).collect()]
+    elif isinstance(catalog, DataFrame):
+        catalog_paths = [
+            r["path"] for r in catalog.select("path").distinct().collect()
+        ]
+    else:
+        catalog_paths = list(catalog)
+    paths = sorted({p for t in targets for p in find_leaf_paths(catalog_paths, t)})
     if len(paths) > max_leaves:
         raise RenderCapExceeded(
             f"{len(paths)} matched leaves exceeds max_leaves={max_leaves}"

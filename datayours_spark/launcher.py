@@ -144,9 +144,17 @@ class DataYoursStack:
         SAME ingest path, so the heartbeat series charts like any other.
         Returns the metric count.  Periodic scheduling (the reference's
         5-minute ``call_delay``) belongs to the caller's clock."""
+        # metric count from the ingest-maintained stats table (KB-scale,
+        # the .wsp-filename-walk analogue) — never a datapoints scan; a
+        # legacy table without stats falls back to the scan once.
+        stats_dir = f"{self.pipeline.output_dir}/series_stats"
         table = f"{self.pipeline.output_dir}/datapoints"
         n = 0
-        if os.path.isdir(table):
+        if os.path.isdir(stats_dir):
+            from datayours_spark.stats import metric_count
+
+            n = metric_count(self.spark, stats_dir)
+        elif os.path.isdir(table):
             from pyspark.sql import functions as F
 
             df = self.spark.read.parquet(table)

@@ -30,6 +30,31 @@ def series_catalog(datapoints: DataFrame) -> DataFrame:
     return datapoints.select("path").distinct()
 
 
+def find_leaf_paths(paths, pattern: str) -> list[str]:
+    """Driver-side leaf resolution: the subset of `paths` that are leaves
+    matching `pattern` — byte-identical to
+    ``find_nodes(catalog, pattern).where(is_leaf)`` (differential-tested).
+
+    This is the reference's own find shape (directory listing + per-level
+    pattern match, `L_DataFinders.lua:162-189`) for callers that already
+    hold the catalog driver-side — e.g. target resolution against the
+    ingest-maintained stats table, where spinning up a distributed
+    aggregation to match ~series-count strings would cost more than the
+    match.  `paths` is any iterable of dotted series paths.
+    """
+    import re as _re
+
+    n = len(expand_braces(pattern)[0].split("."))
+    regexes = [_re.compile(r) for r in glob_path_to_regex(pattern)]
+    return sorted(
+        {
+            p
+            for p in paths
+            if len(p.split(".")) == n and any(rx.match(p) for rx in regexes)
+        }
+    )
+
+
 def _match_condition(pattern: str) -> tuple[F.Column, int]:
     """OR of per-expansion regexes over the first-N-level prefix; returns
     (condition on `prefix` column, n_levels)."""

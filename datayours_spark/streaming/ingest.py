@@ -147,14 +147,24 @@ class IngestPipeline:
                 + F.lit(min(batch_id, 999_999)),
             )
         )
-        (
-            deduped.select(
-                "path", "ts_sec", "ts_us", "batch_seq", "value", "date"
+        out = deduped.select(
+            "path", "ts_sec", "ts_us", "batch_seq", "value", "date"
+        ).persist()  # two consumers below; avoid recomputing the dedup agg
+        try:
+            (
+                out.write.mode("append")
+                .partitionBy("date")
+                .parquet(f"{self.output_dir}/datapoints")
             )
-            .write.mode("append")
-            .partitionBy("date")
-            .parquet(f"{self.output_dir}/datapoints")
-        )
+            # maintain per-series stats alongside the data (the
+            # Whisper-header analogue): a KB-scale increment per batch so
+            # "now" anchors, metric counts, and routing arithmetic never
+            # need a full-table aggregation job (round-3 advisory).
+            from datayours_spark.stats import append_series_stats
+
+            append_series_stats(out, f"{self.output_dir}/series_stats")
+        finally:
+            out.unpersist()
 
     def start(self):
         """Start the continuous query (micro-batch trigger — the Spark
@@ -212,6 +222,28 @@ class IngestPipeline:
             F.max_by("value", order).alias("value"),
             F.max("ts_us").alias("ts_us"),
         )
+
+    def series_stats(self) -> DataFrame:
+        """Merged per-series stats (path, min_ts, max_ts, n) maintained by
+        `_write_batch` — the metadata answer to catalog questions."""
+        from datayours_spark.stats import read_series_stats
+
+        return read_series_stats(self.spark, f"{self.output_dir}/series_stats")
+
+    def data_now(self) -> int | None:
+        """The table's "now" anchor: now_override when set, else the max
+        ingested second from the STATS table (KB-scale), never a
+        datapoints scan.  None before the first batch."""
+        if self.now_override is not None:
+            return self.now_override
+        import os
+
+        from datayours_spark.stats import corpus_now
+
+        stats_dir = f"{self.output_dir}/series_stats"
+        if not os.path.isdir(stats_dir):
+            return None
+        return corpus_now(self.spark, stats_dir)
 
     def refresh_rollups(
         self, changed_dates: list[str] | None = None

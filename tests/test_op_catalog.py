@@ -58,3 +58,33 @@ class TestExpandIndex:
     def test_index_sorted_leaves(self, catalog):
         got = [r["path"] for r in index_json(series_catalog(catalog)).collect()]
         assert got == sorted(PATHS)
+
+
+class TestFindLeafPaths:
+    """Driver-side leaf resolution must be byte-identical to the
+    distributed find_nodes(...).where(is_leaf) — it backs target
+    resolution against the ingest-maintained stats catalog."""
+
+    PATTERNS = [
+        "events.*",            # branches only → no leaves
+        "events.click.*",
+        "events.{click,view}.u1",
+        "events.*.u?",
+        "system.*",            # leaf-and-branch node
+        "system.cpu",
+        "*.cpu.load",
+        "nomatch.*",
+        "*",
+    ]
+
+    @pytest.mark.parametrize("pattern", PATTERNS)
+    def test_matches_distributed_find(self, catalog, pattern):
+        from datayours_spark.operators.catalog import find_leaf_paths
+
+        distributed = sorted(
+            r["path"]
+            for r in find_nodes(catalog, pattern)
+            .where("is_leaf")
+            .collect()
+        )
+        assert find_leaf_paths(PATHS, pattern) == distributed

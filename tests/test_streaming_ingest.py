@@ -519,3 +519,62 @@ class TestLegacyMixedTable:
         }
         assert got[("m.legacy", t)] == 2.0  # legacy ties break by ts_us
         assert got[("m.mixed", t)] == 8.0  # any real batch beats legacy
+
+
+class TestSeriesStats:
+    def test_stats_maintained_per_batch_match_recompute(self, pipeline, spark):
+        """_write_batch appends per-series stats increments; the merged
+        view must equal a recompute over the written datapoints after any
+        number of batches, and data_now() must answer without scanning."""
+        from datayours_spark.stats import series_stats
+
+        t = NOW - 600
+        drop_file("b1.txt", [f"m.a {i} {t + i}" for i in range(5)])
+        q = pipeline.start()
+        q.processAllAvailable()
+        drop_file("b2.txt", [f"m.b {i} {t + 120 + i}" for i in range(3)]
+                  + [f"m.a 9 {t + 300}"])
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            r["path"]: (r["min_ts"], r["max_ts"], r["n"])
+            for r in pipeline.series_stats().collect()
+        }
+        dp = spark.read.parquet(f"{pipeline.output_dir}/datapoints")
+        want = {
+            r["path"]: (r["min_ts"], r["max_ts"], r["n"])
+            for r in series_stats(dp).collect()
+        }
+        assert got == want
+        assert got["m.a"] == (t, t + 300, 6)
+        # now_override set in the fixture wins; without it the stats answer
+        pipeline.now_override = None
+        assert pipeline.data_now() == t + 300
+
+    def test_stats_compaction_preserves_merge(self, pipeline, spark):
+        from datayours_spark.stats import (
+            compact_series_stats,
+            corpus_now,
+            metric_count,
+            read_series_stats,
+        )
+
+        t = NOW - 600
+        for b in range(3):
+            drop_file(f"c{b}.txt", [f"m.s{b} 1 {t + b}"])
+        q = pipeline.start()
+        q.processAllAvailable()
+        q.stop()
+        stats_dir = f"{pipeline.output_dir}/series_stats"
+        before = {
+            tuple(r) for r in read_series_stats(spark, stats_dir).collect()
+        }
+        n = compact_series_stats(spark, stats_dir)
+        assert n == 3
+        after = {
+            tuple(r) for r in read_series_stats(spark, stats_dir).collect()
+        }
+        assert before == after
+        assert metric_count(spark, stats_dir) == 3
+        assert corpus_now(spark, stats_dir) == t + 2

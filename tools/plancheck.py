@@ -239,6 +239,29 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in plan,
     )
 
+    # round-4: routed queries must not run a plan-time full-table scan or
+    # aggregation to anchor "now" / resolve targets (the round-3 advisory).
+    # Once the stats anchor is warm, the only jobs a build may launch are
+    # metadata-scale (parquet footer inference: single-task stages) — a
+    # datapoints aggregation would schedule shuffle.partitions-many tasks.
+    st = spark.sparkContext.statusTracker()
+    for qname in ("q_render_mixed", "q_rollup_routed"):
+        registry[qname](spark, SF_DIR)  # warm the per-dataset stats anchor
+        before = set(st.getJobIdsForGroup(None) or [])
+        registry[qname](spark, SF_DIR)  # build only — no action
+        new_jobs = sorted(set(st.getJobIdsForGroup(None) or []) - before)
+        tasks = 0
+        for j in new_jobs:
+            info = st.getJobInfo(j)
+            for sid in (info.stageIds if info else []):
+                stage = st.getStageInfo(sid)
+                tasks += stage.numTasks if stage else 0
+        check(
+            f"{qname} build runs no scan/agg job (metadata-only)",
+            tasks <= 4,
+            f"build-time jobs {new_jobs} ran {tasks} tasks",
+        )
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
