@@ -240,14 +240,20 @@ def kmeans_centroids(
       order differences between engines, making every iteration bit-stable.
     - Empty clusters keep their previous centroid.
 
-    Scale shape: per iteration one broadcast cross-join assignment (k rows
-    broadcast) + one (cluster, dim) mean aggregation; lineage is cut per
-    iteration with localCheckpoint so the plan stays flat.
+    Scale shape — ONE Spark job per iteration: centroids are model state
+    (k×d doubles, KBs), so they live driver-side between iterations and
+    enter the plan as LITERAL arrays.  Assignment is then a pure
+    projection (argmax of k rounded cosines via `greatest` over
+    (csim, -centroid_id) structs — no broadcast join, no window, no
+    shuffle), fused with the per-(cluster, dim) mean aggregation into a
+    single groupBy whose k×d result is collected back into the model
+    state.  The round-3 shape (broadcast join + row_number window + two
+    aggregations + a localCheckpoint per iteration, ~3 jobs each) measured
+    ~2× slower; arithmetic is unchanged (sequential-fold dot, 9-dp cosine,
+    identical tie-breaks) so the oracle replay is bit-identical.
     """
-    from pyspark.sql import Window
-
     # materialize (vec_id, v, nrm) ONCE: every Lloyd iteration re-reads the
-    # vectors for assignment and the per-dim means — without the cut each
+    # vectors for the fused assignment+means pass — without the cut each
     # iteration re-scans the source parquet and recomputes the norms
     vecs = (
         emb.select(
@@ -257,56 +263,72 @@ def kmeans_centroids(
         .localCheckpoint(eager=True)
     )
     hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
-    # the k seed vectors are an explicit driver-side materialization (the
-    # iteration is already eager via localCheckpoint): top-k by hash is a
-    # distributed takeOrdered, and numbering k rows on the driver avoids a
-    # partitionless row_number window (the WindowExec single-partition path)
+    # the k seed vectors are an explicit driver-side materialization: top-k
+    # by hash is a distributed takeOrdered, and the centroid model state is
+    # driver-side from here on
     seed_rows = (
         vecs.withColumn("hk", hk)
         .select("hk", "vec_id", "v")
         .orderBy("hk", "vec_id")
         .take(k)
     )
-    cent = emb.sparkSession.createDataFrame(
-        [(i, list(r["v"])) for i, r in enumerate(seed_rows)],
-        "centroid_id int, cv array<double>",
-    )
-    comps = vecs.select("vec_id", F.posexplode("v").alias("pos", "x"))
-    aw = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "centroid_id")
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)
+    ]
+
+    def _norm(cv: list[float]) -> float:
+        # mirror of dot(cv, cv): sequential left-to-right fold from 0.0 —
+        # identical IEEE operation order, so driver and executors agree
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        import math
+
+        return math.sqrt(acc)
+
+    def _centroid_struct_sql(cid: int, cv: list[float]) -> str:
+        # the SQL text of round(dot(v, cv)/(nrm*|cv|), 9) with cv inlined as
+        # literals, wrapped in (csim, -id) for the greatest() tie-break.
+        # ONE spark.sql expression per iteration instead of k×d F.lit py4j
+        # round-trips — expression CONSTRUCTION was ~0.5 s/iteration, ~half
+        # the warm runtime, before this (measured at sf0.1).
+        arr = ",".join(f"{x!r}D" for x in cv)
+        return (
+            "named_struct('s', round(aggregate(zip_with(v, array("
+            + arr
+            + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * "
+            + f"{_norm(cv)!r}D), 9), 'ni', {-cid})"
+        )
+
     for _ in range(iters):
-        cn = cent.select(
-            "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+        # greatest over (csim, -id) structs: equal csim → larger -id wins =
+        # lowest centroid_id, same tie-break as a row_number formulation
+        parts = [_centroid_struct_sql(cid, cv) for cid, cv in cents]
+        best = F.expr(
+            parts[0] if len(parts) == 1 else "greatest(" + ",".join(parts) + ")"
         )
-        # inline assignment over the checkpointed vecs (same semantics as
-        # ivf_assign: 9-dp-rounded cosine, ties to the lowest centroid)
-        scored = vecs.crossJoin(F.broadcast(cn)).withColumn(
-            "csim",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")), 9
-            ),
-        )
-        assign = (
-            scored.withColumn("rn", F.row_number().over(aw))
-            .where(F.col("rn") == 1)
-            .select("vec_id", F.col("centroid_id").alias("cluster"))
-        )
-        means = (
-            comps.join(assign, "vec_id")
-            .groupBy(F.col("cluster").alias("centroid_id"), "pos")
+        rows = (
+            vecs.withColumn("cluster", (-best["ni"]).cast("int"))
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), round_dp).alias("m"))
+            .collect()
         )
-        newc = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("ncv")
-        )
-        cent = (
-            cent.join(newc, "centroid_id", "left")
-            .select("centroid_id", F.coalesce("ncv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
-        )
-    return cent.select(
-        "centroid_id", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnorm")
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = float(r["m"])
+        cents = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
+                if cid in by_cluster
+                else cv,  # empty cluster keeps its previous centroid
+            )
+            for cid, cv in cents
+        ]
+    return emb.sparkSession.createDataFrame(
+        [(cid, cv, _norm(cv)) for cid, cv in cents],
+        "centroid_id int, cv array<double>, cnorm double",
     )
 
 
