@@ -281,6 +281,19 @@ def start_from_conf(
         if d.strip()
     ]
 
+    def _limit(value) -> int | None:
+        """Conf flow-limit value → enforceable int cap; absent/inf → None
+        (the reference's own 'inf means unlimited', carbon.conf.example:41)."""
+        if value is None:
+            return None
+        try:
+            f = float(value)
+        except (TypeError, ValueError):
+            return None
+        import math
+
+        return None if math.isinf(f) or f <= 0 else int(f)
+
     pipeline = IngestPipeline(
         spark=spark,
         input_dir=_dir("in"),
@@ -292,6 +305,11 @@ def start_from_conf(
         rule_engine=engine,
         now_override=now_override,
         watched=watchlist,
+        # T8 flow limits, straight from the cache section
+        # (`carbon.conf.example:41-57,196-197`)
+        max_updates_per_second=_limit(cache_conf.get("MAX_UPDATES_PER_SECOND")),
+        max_creates_per_minute=_limit(cache_conf.get("MAX_CREATES_PER_MINUTE")),
+        max_queue=_limit(cache_conf.get("MAX_QUEUE_SIZE")),
     )
     stack = DataYoursStack(
         spark=spark,

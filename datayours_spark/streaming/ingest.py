@@ -69,6 +69,28 @@ class IngestPipeline:
     #: plane, §2.11): a WatchList is re-read at every (re)start — the moment
     #: the reference re-registers its variable watches from the conf file
     watched: object | None = None
+    #: T8 flow limits — the carbon.conf knobs as ENFORCEABLE admission
+    #: control (`carbon.conf.example:41-57,196-197`), applied per
+    #: micro-batch (the daemon's 1 Hz poll-loop quantum), each with a tally
+    #: row in `{output_dir}/flow_tally`:
+    #: - max_queue (MAX_QUEUE_SIZE): receive-queue bound — rows past the
+    #:   cap are DROPPED in arrival order (carbon's queue-full drop).
+    #: - max_creates_per_minute (MAX_CREATES_PER_MINUTE): soft cap on NEW
+    #:   series per batch-minute, judged against the ingest-maintained
+    #:   stats catalog; rows of over-cap new series are DROPPED until a
+    #:   later batch has creation headroom (carbon drops points for files
+    #:   it hasn't created yet).
+    #: - max_updates_per_second (MAX_UPDATES_PER_SECOND): disk-write
+    #:   throttle — rows past the cap are DEFERRED, not dropped: re-spilled
+    #:   to the input stream (dotfile+rename) and re-admitted next trigger,
+    #:   the Spark shape of carbon's cache backpressure.  Deferred lines
+    #:   re-run the rewrite/hook cascade, exactly like a carbon point
+    #:   re-entering via relay.
+    max_updates_per_second: int | None = None
+    max_creates_per_minute: int | None = None
+    max_queue: int | None = None
+    #: per-batch persisted admission frames, released at batch end
+    _flow_persisted: list = field(default_factory=list)
 
     def _watched_paths(self) -> list[str] | None:
         if self.watched is None:
@@ -110,7 +132,144 @@ class IngestPipeline:
             "ts", F.timestamp_seconds(F.col("ts_sec"))
         ).withColumn("date", F.to_date("ts"))
 
+    def _known_paths(self) -> set[str]:
+        """Catalog of already-created series, from the stats table (the
+        whisper-directory listing analogue; KB-scale)."""
+        import os
+
+        stats_dir = f"{self.output_dir}/series_stats"
+        if not os.path.isdir(stats_dir):
+            return set()
+        return {
+            r["path"]
+            for r in self.spark.read.parquet(stats_dir)
+            .select("path")
+            .distinct()
+            .collect()
+        }
+
+    def _tally(self, batch_id: int, metric: str, n: int) -> None:
+        """Append one flow-control tally row (like the T3/T6 reject tally)."""
+        self.spark.createDataFrame(
+            [(int(batch_id), metric, int(n))], "batch_id bigint, metric string, n bigint"
+        ).coalesce(1).write.mode("append").parquet(f"{self.output_dir}/flow_tally")
+
+    def flow_tally(self) -> DataFrame:
+        """(batch_id, metric, n) flow-control tallies; empty if no limit
+        ever fired."""
+        import os
+
+        d = f"{self.output_dir}/flow_tally"
+        if not os.path.isdir(d):
+            return self.spark.createDataFrame(
+                [], "batch_id bigint, metric string, n bigint"
+            )
+        return self.spark.read.parquet(d)
+
+    def _respill(self, rows: list, batch_id: int) -> None:
+        """Re-spill deferred rows to the input stream (dotfile+rename, the
+        UdpLineReceiver.flush protocol) so the next trigger re-admits them."""
+        import os
+        import uuid
+
+        lines = "".join(
+            f"{r['path']} {r['value']!r} {int(r['ts_sec'])}\n" for r in rows
+        )
+        fname = os.path.join(
+            self.input_dir, f"deferred-{batch_id}-{uuid.uuid4().hex[:8]}.txt"
+        )
+        tmp = os.path.join(self.input_dir, "." + os.path.basename(fname))
+        with open(tmp, "w") as f:
+            f.write(lines)
+        os.rename(tmp, fname)
+
+    def _admit_flow(self, batch: DataFrame, batch_id: int) -> DataFrame:
+        """Apply the T8 flow limits (queue bound → create cap → update
+        throttle) to one micro-batch; returns the admitted rows.
+
+        Driver-side arithmetic is counts and KB-scale path sets only; row
+        selection is takeOrdered by the in-batch arrival key (`seq` order,
+        same total order the LWW dedup uses), never a single-partition
+        window.
+        """
+        if (
+            self.max_queue is None
+            and self.max_creates_per_minute is None
+            and self.max_updates_per_second is None
+        ):
+            return batch
+        order_cols = [c for c in self._CARRY if c in batch.columns]
+        seq = F.struct(
+            *[F.col(c) for c in order_cols],
+            F.monotonically_increasing_id().alias("mono"),
+        )
+        df = batch.withColumn("fseq", seq).persist()
+        self._flow_persisted.append(df)
+        n_in = df.count()
+
+        def _first_n(frame: DataFrame, cap: int) -> DataFrame:
+            # the cap-th smallest arrival key is the admission threshold —
+            # a distributed takeOrdered, not a global window.  The
+            # threshold re-enters the plan as a typed literal struct
+            # (exact column dtypes, so the struct<=struct compare resolves).
+            cut = frame.select("fseq").orderBy("fseq").limit(cap).collect()[-1][
+                "fseq"
+            ]
+            stype = frame.schema["fseq"].dataType
+            lit_cut = F.struct(
+                *[
+                    F.lit(cut[f.name]).cast(f.dataType).alias(f.name)
+                    for f in stype.fields
+                ]
+            )
+            return frame.where(F.col("fseq") <= lit_cut)
+
+        if self.max_queue is not None and n_in > self.max_queue:
+            # receive-queue overflow: excess arrivals DROP (queue-full)
+            df2 = _first_n(df, self.max_queue).persist()
+            self._flow_persisted.append(df2)
+            self._tally(batch_id, "dropped_queue", n_in - self.max_queue)
+            df, n_in = df2, self.max_queue
+
+        if self.max_creates_per_minute is not None:
+            batch_paths = {
+                r["path"] for r in df.select("path").distinct().collect()
+            }
+            new_paths = sorted(batch_paths - self._known_paths())
+            blocked = new_paths[self.max_creates_per_minute :]
+            if blocked:
+                n_blocked = df.where(F.col("path").isin(blocked)).count()
+                df2 = df.where(~F.col("path").isin(blocked)).persist()
+                self._flow_persisted.append(df2)
+                self._tally(batch_id, "rejected_creates", n_blocked)
+                df, n_in = df2, n_in - n_blocked
+
+        if (
+            self.max_updates_per_second is not None
+            and n_in > self.max_updates_per_second
+        ):
+            # write throttle: excess rows DEFER to the next trigger via the
+            # input stream (carbon cache backpressure); deferred rows are
+            # bounded by batch size, so the driver hop is the batch's own
+            # memory scale
+            admitted = _first_n(df, self.max_updates_per_second).persist()
+            self._flow_persisted.append(admitted)
+            deferred = df.join(
+                admitted.select("fseq"), "fseq", "left_anti"
+            ).select("path", "ts_sec", "value")
+            rows = deferred.collect()
+            self._respill(rows, batch_id)
+            self._tally(batch_id, "deferred_updates", len(rows))
+            df = admitted
+        return df.drop("fseq")
+
+    def _release_flow_cache(self) -> None:
+        for f in self._flow_persisted:
+            f.unpersist()
+        self._flow_persisted.clear()
+
     def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = self._admit_flow(batch, batch_id)
         # per-batch slot LWW dedup (T4): one row per (path, second) survives,
         # the latest-arriving one (the wire protocol carries no sequence;
         # reference semantics are arrival-order overwrite,
@@ -165,6 +324,7 @@ class IngestPipeline:
             append_series_stats(out, f"{self.output_dir}/series_stats")
         finally:
             out.unpersist()
+            self._release_flow_cache()
 
     def start(self):
         """Start the continuous query (micro-batch trigger — the Spark

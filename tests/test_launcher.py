@@ -273,3 +273,58 @@ class TestAdviceRegressions:
         # no half-written dotfiles left behind
         assert not [p for p in in_dir.iterdir() if p.name.startswith(".")]
         shutil.rmtree(TMP, ignore_errors=True)
+
+
+class TestFlowLimitConf:
+    def test_cache_section_flow_limits_reach_the_pipeline(self, spark):
+        """carbon.conf [cache] MAX_UPDATES_PER_SECOND / MAX_CREATES_PER_MINUTE
+        / MAX_QUEUE_SIZE wire through as enforceable ints; 'inf' and absent
+        mean unlimited (None), the reference's own convention."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        (conf / "carbon.conf").write_text(
+            "[cache]\n"
+            "MAX_CACHE_SIZE = inf\n"
+            "MAX_UPDATES_PER_SECOND = 500\n"
+            "MAX_CREATES_PER_MINUTE = 50\n"
+            "MAX_QUEUE_SIZE = inf\n"
+        )
+        stack = start_from_conf(
+            spark, str(conf), str(TMP / "work_fl"), daemons="Cache",
+            start=False,
+        )
+        assert stack.pipeline.max_updates_per_second == 500
+        assert stack.pipeline.max_creates_per_minute == 50
+        assert stack.pipeline.max_queue is None
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_enforced_end_to_end_from_conf(self, spark):
+        """The conf-booted stack actually throttles: a 12-row burst against
+        MAX_UPDATES_PER_SECOND=5 lands completely but across batches, with
+        deferral tallies."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        (conf / "carbon.conf").write_text(
+            "[cache]\nMAX_UPDATES_PER_SECOND = 5\n"
+        )
+        stack = start_from_conf(
+            spark, str(conf), str(TMP / "work_fe"), daemons="Cache",
+            now_override=NOW, start=True,
+        )
+        t = NOW - 600
+        in_dir = Path(stack.pipeline.input_dir)
+        (in_dir / "burst.txt").write_text(
+            "\n".join(f"house.t {i} {t + i}" for i in range(12)) + "\n"
+        )
+        stack.process_available()
+        stack.stop()
+        assert stack.datapoints().count() == 12
+        deferred = [
+            r["n"]
+            for r in stack.pipeline.flow_tally()
+            .where("metric = 'deferred_updates'")
+            .orderBy("batch_id")
+            .collect()
+        ]
+        assert deferred == [7, 2]
+        shutil.rmtree(TMP, ignore_errors=True)

@@ -578,3 +578,97 @@ class TestSeriesStats:
         assert before == after
         assert metric_count(spark, stats_dir) == 3
         assert corpus_now(spark, stats_dir) == t + 2
+
+
+class TestFlowLimits:
+    """T8 flow limits as enforceable admission control
+    (carbon.conf.example:41-57,196-197)."""
+
+    def _pipe(self, spark, **kw):
+        import shutil
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        return IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            output_dir=str(TMP / "out"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            now_override=NOW,
+            rollup_steps=(60,),
+            **kw,
+        )
+
+    def test_update_throttle_defers_but_never_drops(self, spark):
+        """MAX_UPDATES_PER_SECOND: over-cap rows defer to later triggers
+        (carbon cache backpressure) — every row eventually lands, per-batch
+        writes stay under the cap, deferrals are tallied."""
+        p = self._pipe(spark, max_updates_per_second=5)
+        t = NOW - 600
+        drop_file("big.txt", [f"m.a {i} {t + i}" for i in range(12)])
+        q = p.start()
+        q.processAllAvailable()  # drains respilled deferred files too
+        q.stop()
+        dp = {r["ts_sec"]: r["value"] for r in p.datapoints().collect()}
+        assert dp == {t + i: float(i) for i in range(12)}  # nothing lost
+        tally = [
+            (r["metric"], r["n"])
+            for r in p.flow_tally().orderBy("batch_id").collect()
+        ]
+        assert [m for m, _ in tally] == ["deferred_updates", "deferred_updates"]
+        assert [n for _, n in tally] == [7, 2]  # 12→5+7, 7→5+2, 2→done
+        # per-batch written rows never exceeded the cap
+        per_batch = (
+            spark.read.parquet(f"{p.output_dir}/datapoints")
+            .groupBy("batch_seq").count().collect()
+        )
+        assert all(r["count"] <= 5 for r in per_batch)
+
+    def test_create_cap_blocks_new_series_and_tallies(self, spark):
+        """MAX_CREATES_PER_MINUTE: only the first N unseen series per batch
+        get created; rows of blocked series drop with a tally, known series
+        are unaffected, and a later batch has fresh headroom."""
+        p = self._pipe(spark, max_creates_per_minute=2)
+        t = NOW - 600
+        drop_file("one.txt", [
+            f"m.a 1 {t}", f"m.b 2 {t}", f"m.c 3 {t}", f"m.c 4 {t + 1}",
+        ])
+        q = p.start()
+        q.processAllAvailable()
+        # batch 1: m.a, m.b created; m.c (sorted last) blocked → 2 rows drop
+        got = {r["path"] for r in p.datapoints().collect()}
+        assert got == {"m.a", "m.b"}
+        tally = {(r["metric"], r["n"]) for r in p.flow_tally().collect()}
+        assert tally == {("rejected_creates", 2)}
+        # batch 2: m.c is still new, but this batch has headroom → created;
+        # existing m.a ingests freely alongside
+        drop_file("two.txt", [f"m.c 5 {t + 2}", f"m.a 6 {t + 3}"])
+        q.processAllAvailable()
+        q.stop()
+        got = {(r["path"], r["ts_sec"]) for r in p.datapoints().collect()}
+        assert got == {
+            ("m.a", t), ("m.b", t), ("m.c", t + 2), ("m.a", t + 3),
+        }
+
+    def test_queue_bound_drops_overflow(self, spark):
+        """MAX_QUEUE_SIZE: arrivals past the queue bound drop in arrival
+        order with a tally (carbon's queue-full drop)."""
+        p = self._pipe(spark, max_queue=6)
+        t = NOW - 600
+        drop_file("q.txt", [f"m.a {i} {t + i}" for i in range(10)])
+        q = p.start()
+        q.processAllAvailable()
+        q.stop()
+        kept = sorted(r["ts_sec"] - t for r in p.datapoints().collect())
+        assert kept == [0, 1, 2, 3, 4, 5]  # first 6 in arrival order
+        tally = {(r["metric"], r["n"]) for r in p.flow_tally().collect()}
+        assert tally == {("dropped_queue", 4)}
+
+    def test_limits_off_by_default_and_tally_empty(self, pipeline, spark):
+        t = NOW - 600
+        drop_file("free.txt", [f"m.a {i} {t + i}" for i in range(8)])
+        q = pipeline.start()
+        q.processAllAvailable()
+        q.stop()
+        assert pipeline.datapoints().count() == 8
+        assert pipeline.flow_tally().count() == 0
