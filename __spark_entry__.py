@@ -1726,6 +1726,38 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of q_quantile_profile: percentile_approx
+    (t-digest-style sketch, map-side combinable, bounded state) and
+    approx_count_distinct (HLL) in place of the exact sort-based
+    percentile and two-phase distinct.  Same output shape.  No SQL oracle:
+    sketch internals are engine-specific, so the correctness artifact is
+    the bounded-error differential test against the exact path
+    (tests/test_approx_profiles.py) — exactly the guarantee the sketches
+    advertise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.approx_count_distinct("source").alias("n_sources"),
+        F.round(F.percentile_approx("n_chars", 0.5, 10_000), 4).alias("p50_chars"),
+        F.round(F.percentile_approx("n_chars", 0.9, 10_000), 4).alias("p90_chars"),
+    )
+
+
+def q_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of q_daily_active: approx_count_distinct (HLL,
+    fixed 2^p registers per group) keeps the shuffle row-width flat where
+    exact distinct widens partial state with the user-id universe.  Same
+    output shape; correctness artifact = the bounded-error differential
+    test (tests/test_approx_profiles.py), not a SQL oracle."""
+    events = load_table(spark, sf_dir, "events")
+    day = (F.col("ts_sec") - F.col("ts_sec") % 86_400).alias("day_sec")
+    return events.groupBy(day).agg(
+        F.approx_count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 PACK_CAPACITY = 2_048  # tokens per training context window
 PACK_SHARDS = 8  # independent packing streams per language
 NGRAM_TOP_K = 20
@@ -1853,6 +1885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_guarded": q_minhash_guarded,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_span_dedup": q_span_dedup,
+        "q_quantile_profile_approx": q_quantile_profile_approx,
+        "q_daily_active_approx": q_daily_active_approx,
         "q_span_mask": q_span_mask,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
