@@ -1113,6 +1113,40 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_PQ_M = 4      # PQ subspaces (64-dim -> 16-dim sub-vectors)
+ANN_PQ_KS = 16    # codewords per subspace (codes fit 4 bits here; <=256 -> 1 byte)
+ANN_PQ_ITERS = 2  # Lloyd iterations per subspace codebook
+ANN_DIM = 64      # embeddings table vector width
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the learned coarse quantizer routes candidates, and
+    scoring reads each candidate's m-byte PQ code + stored norm instead of
+    its full vector — asymmetric distance (per-query lookup table of
+    query-subvector x codeword inner products, broadcast) approximates
+    cosine.  The memory-side answer for 100 TB embedding stores.  Codebook
+    training, encoding, and ADC all follow the kmeans_centroids
+    determinism contract (md5 init, fixed iterations, 9-dp assignment,
+    6-dp means), so the DuckDB oracle replays every step bit-for-bit."""
+    from datayours_spark.functions.similarity import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(
+        emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS, seed=ANN_IVF_SEED
+    )
+    books = pq_codebooks(
+        emb, m=ANN_PQ_M, ks=ANN_PQ_KS, iters=ANN_PQ_ITERS,
+        seed=ANN_IVF_SEED, dim=ANN_DIM,
+    )
+    return ivfpq_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, cent, books, ANN_DIM
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -1909,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_render_api": q_render_api,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_probe2": q_ann_ivf_probe2,
+        "q_ann_ivfpq": q_ann_ivfpq,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -2733,6 +2768,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ann_ivf": _kmeans_ivf_oracle_sql(),
         "q_ann_ivf_probe2": _kmeans_ivf_oracle_sql(nprobe=ANN_IVF_NPROBE),
+        "q_ann_ivfpq": _ivfpq_oracle_sql(),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -3044,17 +3080,19 @@ def _text_profile_oracle_sql() -> str:
     """
 
 
-def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
-    """DuckDB replay of functions.similarity.kmeans_centroids + ivf_topk:
-    the exact md5-derived init and the exact ANN_IVF_ITERS Lloyd iterations
-    (assignment by 9-dp-rounded cosine, means rounded to 6 dp) unrolled as a
-    CTE chain — bit-stable across engines because every cross-engine float
-    difference is below the rounding.  ``nprobe`` replays the multi-probe
-    search: each query scans its `nprobe` nearest centroids' lists."""
-    dot = (
-        "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
-        " (a, b) -> a + b)"
-    )
+#: DuckDB fold dot product — sequential order, matching similarity.dot
+DUCK_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (a, b) -> a + b)"
+)
+
+
+def _kmeans_coarse_cte_sqls(nprobe: int = 1) -> list:
+    """The shared coarse-quantizer replay: md5 init + ANN_IVF_ITERS Lloyd
+    iterations + final assignment `t(vec_id, v, nrm, cluster)` and probe
+    set `q(query_id, qv, qnorm, qcluster)` — the common prefix of the IVF
+    and IVF-PQ oracles."""
+    dot = DUCK_DOT
     sqls = [
         f"""
         WITH ex AS MATERIALIZED (
@@ -3126,7 +3164,16 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
                            / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
             FROM ex e CROSS JOIN cn c
             WHERE e.vec_id < {N_ANN_QUERIES})
-          WHERE rn <= {nprobe}),
+          WHERE rn <= {nprobe})""")
+    return sqls
+
+
+def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
+    """DuckDB replay of kmeans_centroids + ivf_topk (assignment by
+    9-dp-rounded cosine, means rounded to 6 dp, unrolled CTE chain)."""
+    dot = DUCK_DOT
+    sqls = _kmeans_coarse_cte_sqls(nprobe)
+    sqls.append(f"""
         cand AS (
           SELECT q.query_id, t.vec_id,
                  round({dot.format(a="t.v", b="q.qv")}
@@ -3136,6 +3183,100 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS rank
           FROM cand) WHERE rank <= {ANN_TOP_K}""")
+    return ",".join(sqls)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk on top of
+    the shared coarse-quantizer CTEs: per-subspace md5 init, ANN_PQ_ITERS
+    grouped Lloyd iterations, codeword assignment, and the ADC lookup-table
+    scoring — every rounding point identical to the Spark path."""
+    dot = DUCK_DOT
+    dsub = ANN_DIM // ANN_PQ_M
+    sqls = _kmeans_coarse_cte_sqls(nprobe=1)
+    sqls.append(f"""
+        subsel AS (SELECT unnest(generate_series(0, {ANN_PQ_M - 1})) AS sub),
+        sv AS MATERIALIZED (
+          SELECT vec_id, sub,
+                 v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv
+          FROM ex CROSS JOIN subsel),
+        svn AS MATERIALIZED (
+          SELECT vec_id, sub, sv,
+                 sqrt(list_reduce(list_transform(sv, x -> x * x),
+                                  (a, b) -> a + b)) AS snrm
+          FROM sv),
+        scomp AS MATERIALIZED (
+          SELECT vec_id, sub, generate_subscripts(sv, 1) AS pos,
+                 unnest(sv) AS x
+          FROM sv),
+        pq0 AS MATERIALIZED (
+          SELECT sub,
+                 row_number() OVER (PARTITION BY sub ORDER BY
+                   md5('{ANN_IVF_SEED}_' || CAST(sub AS VARCHAR) || '_'
+                       || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+                 sv AS cw
+          FROM svn
+          QUALIFY row_number() OVER (PARTITION BY sub ORDER BY
+                    md5('{ANN_IVF_SEED}_' || CAST(sub AS VARCHAR) || '_'
+                        || CAST(vec_id AS VARCHAR)), vec_id) <= {ANN_PQ_KS})""")
+    for i in range(1, ANN_PQ_ITERS + 1):
+        p = f"pq{i - 1}"
+        sqls.append(f"""
+        pn{i} AS MATERIALIZED (
+          SELECT sub, code, cw,
+                 sqrt(list_reduce(list_transform(cw, x -> x * x),
+                                  (a, b) -> a + b)) AS cnorm
+          FROM {p}),
+        pa{i} AS MATERIALIZED (
+          SELECT vec_id, sub, code AS cluster FROM (
+            SELECT s.vec_id, s.sub, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                     round({dot.format(a="s.sv", b="c.cw")}
+                           / (s.snrm * c.cnorm), 9) DESC, c.code) AS rn
+            FROM svn s JOIN pn{i} c USING (sub)) WHERE rn = 1),
+        pm{i} AS (
+          SELECT a.sub, a.cluster AS code, sc.pos, round(avg(sc.x), 6) AS mv
+          FROM scomp sc JOIN pa{i} a USING (vec_id, sub) GROUP BY 1, 2, 3),
+        pg{i} AS (SELECT sub, code, list(mv ORDER BY pos) AS ncw
+                  FROM pm{i} GROUP BY 1, 2),
+        pq{i} AS MATERIALIZED (
+          SELECT p.sub, p.code, coalesce(g.ncw, p.cw) AS cw
+          FROM {p} p LEFT JOIN pg{i} g USING (sub, code))""")
+    last = f"pq{ANN_PQ_ITERS}"
+    sqls.append(f"""
+        pnf AS MATERIALIZED (
+          SELECT sub, code, cw,
+                 sqrt(list_reduce(list_transform(cw, x -> x * x),
+                                  (a, b) -> a + b)) AS cnorm
+          FROM {last}),
+        enc AS MATERIALIZED (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+                     round({dot.format(a="s.sv", b="c.cw")}
+                           / (s.snrm * c.cnorm), 9) DESC, c.code) AS rn
+            FROM svn s JOIN pnf c USING (sub)) WHERE rn = 1),
+        tbl AS MATERIALIZED (
+          SELECT s.vec_id AS query_id, s.sub, c.code,
+                 round({dot.format(a="s.sv", b="c.cw")}, 9) AS pdot
+          FROM svn s JOIN pnf c USING (sub)
+          WHERE s.vec_id < {N_ANN_QUERIES}),
+        pairs AS (
+          SELECT q.query_id, t.vec_id, t.nrm, q.qnorm
+          FROM t JOIN q ON t.cluster = q.qcluster
+                       AND t.vec_id != q.query_id),
+        adc AS (
+          SELECT p.query_id, p.vec_id,
+                 round(sum(tb.pdot) / (max(p.nrm) * max(p.qnorm)), 4) AS sim
+          FROM pairs p
+          JOIN enc vc ON vc.vec_id = p.vec_id
+          JOIN tbl tb ON tb.query_id = p.query_id AND tb.sub = vc.sub
+                      AND tb.code = vc.code
+          GROUP BY 1, 2)
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM adc) WHERE rank <= {ANN_TOP_K}""")
     return ",".join(sqls)
 
 

@@ -446,3 +446,280 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     return buckets.groupBy("bucket").agg(
         F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the learned IVF coarse quantizer.
+# The memory-side answer for 100 TB embedding stores: candidate scoring
+# reads m small integer codes per vector (m bytes at ks<=256) plus one
+# stored norm instead of the full d-dim float vector; per-query scoring is
+# a lookup-table sum (asymmetric distance computation over inner products).
+# Same determinism contract as kmeans_centroids — md5 init, fixed Lloyd
+# iterations, 9-dp-rounded cosine assignment, 6-dp-rounded means — so the
+# DuckDB oracle replays codebook training, encoding, and ADC bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _argmax_codeword_sql(
+    cents: list[tuple[int, list[float]]],
+    vec_sql: str,
+    nrm_sql: str,
+) -> str:
+    """SQL text of the codeword argmax: greatest over (csim, -id) structs,
+    csim = round(dot(vec, cw)/(nrm*|cw|), 9) — the kmeans_centroids
+    assignment contract verbatim, over an arbitrary vector expression."""
+    import math
+
+    parts = []
+    for cid, cv in cents:
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        arr = ",".join(f"{x!r}D" for x in cv)
+        parts.append(
+            f"named_struct('s', round(aggregate(zip_with({vec_sql}, array("
+            + arr
+            + f"), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / ({nrm_sql} * "
+            + f"{math.sqrt(acc)!r}D), 9), 'ni', {-cid})"
+        )
+    inner = parts[0] if len(parts) == 1 else "greatest(" + ",".join(parts) + ")"
+    return f"(-(({inner}).ni))"
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks, trained as ONE grouped k-means: every
+    Lloyd iteration runs a single Spark job covering all m subspaces (the
+    subspace id is just another group key), with the codebook state held
+    driver-side (m*ks*(dim/m) doubles = KBs of model state).
+
+    Init per subspace: the ks sub-vectors with the smallest
+    md5('<seed>_<sub>_<vec_id>').  Returns codebooks[sub] =
+    [(code, centroid_subvector)], each list exactly ks long.
+    """
+    if dim is None:
+        dim = embedding_dim(emb, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    from pyspark.sql import Window
+
+    slices = F.array(
+        *[F.slice("v", j * dsub + 1, dsub) for j in range(m)]
+    )
+    subs = (
+        emb.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        )
+        .select("vec_id", F.posexplode(slices).alias("sub", "sv"))
+        .withColumn("snrm", F.sqrt(dot(F.col("sv"), F.col("sv"))))
+        .localCheckpoint(eager=True)
+    )
+    hk = F.md5(
+        F.concat(
+            F.lit(f"{seed}_"),
+            F.col("sub").cast("string"),
+            F.lit("_"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    iw = Window.partitionBy("sub").orderBy(hk, "vec_id")
+    seed_rows = (
+        subs.withColumn("rn", F.row_number().over(iw))
+        .where(F.col("rn") <= ks)
+        .select("sub", "rn", "sv")
+        .collect()
+    )
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in sorted(seed_rows, key=lambda r: (r["sub"], r["rn"])):
+        books[r["sub"]].append(
+            (r["rn"] - 1, [float(x) for x in r["sv"]])
+        )
+
+    for _ in range(iters):
+        branches = " ".join(
+            f"WHEN {j} THEN "
+            + _argmax_codeword_sql(books[j], "sv", "snrm")
+            for j in range(m)
+        )
+        cluster = F.expr(f"CASE sub {branches} END").cast("int")
+        rows = (
+            subs.withColumn("cluster", cluster)
+            .select("sub", "cluster", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.round(F.avg("x"), round_dp).alias("mv"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = float(
+                r["mv"]
+            )
+        books = [
+            [
+                (
+                    cid,
+                    [means[(j, cid)][p] for p in sorted(means[(j, cid)])]
+                    if (j, cid) in means
+                    else cv,
+                )
+                for cid, cv in books[j]
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>, nrm): each vector's m codeword ids (the
+    m-byte compressed representation) plus its exact norm — the only two
+    things ADC scoring ever reads per candidate."""
+    m = len(codebooks)
+    dsub = dim // m
+    exprs = []
+    for j in range(m):
+        vec_sql = f"slice(v, {j * dsub + 1}, {dsub})"
+        nrm_sql = (
+            f"sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x))"
+        )
+        exprs.append(_argmax_codeword_sql(codebooks[j], vec_sql, nrm_sql))
+    codes = F.expr("array(" + ",".join(exprs) + ")")
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .select("vec_id", codes.cast("array<int>").alias("codes"), "nrm")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN: probe the coarse quantizer's inverted lists, score
+    candidates by ASYMMETRIC distance — approx cosine = (sum over
+    subspaces of table[sub][code]) / (|x| * |q|), where the per-query
+    lookup table holds dot(q_sub, codeword) for every (sub, codeword).
+
+    Scale shape: the lookup table is queries x m x ks rows (broadcast);
+    candidates contribute m code rows each (the m-byte payload), never
+    their full vectors — the scan side of the join reads codes + one norm.
+    Output: (query_id, vec_id, sim, rank) with sim the ADC approximation.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = dim // m
+    spark = emb.sparkSession
+
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, dim, id_col, vec_col)
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "csim",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                9,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm").alias("qnorm"),
+            F.col("centroid_id").alias("qcluster"),
+        )
+    )
+
+    # per-query ADC lookup table: dot(q_sub, codeword) for all (sub, code)
+    cb = spark.createDataFrame(
+        [
+            (j, cid, cv)
+            for j, book in enumerate(codebooks)
+            for cid, cv in book
+        ],
+        "sub int, code int, cw array<double>",
+    )
+    qslices = F.array(*[F.slice("v", j * dsub + 1, dsub) for j in range(m)])
+    qsub = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(qslices).alias("sub", "qsv"),
+        )
+    )
+    table = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(dot(F.col("qsv"), F.col("cw")), 9).alias("pdot"),
+    )
+
+    pairs = (
+        codes.join(assign, "vec_id")
+        .join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("qcluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "codes", "nrm", "qnorm")
+    )
+    scored = (
+        pairs.select(
+            "query_id", "vec_id", "nrm", "qnorm",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(table), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id", "nrm", "qnorm")
+        .agg(F.sum("pdot").alias("adot"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.col("adot") / (F.col("nrm") * F.col("qnorm")), round_dp
+            ).alias("sim"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)

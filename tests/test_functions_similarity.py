@@ -185,3 +185,67 @@ class TestLshBuckets:
             for r in lsh_buckets(emb.repartition(5), 8, dim=64).collect()
         }
         assert a == b
+
+
+class TestIvfPq:
+    def _emb(self, spark, n=60, dim=8, seed=7):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_codebook_shape_and_determinism(self, spark):
+        from datayours_spark.functions.similarity import pq_codebooks
+
+        emb = self._emb(spark)
+        b1 = pq_codebooks(emb, m=2, ks=4, iters=2, dim=8)
+        b2 = pq_codebooks(emb, m=2, ks=4, iters=2, dim=8)
+        assert b1 == b2  # bit-identical across runs (the oracle contract)
+        assert len(b1) == 2 and all(len(book) == 4 for book in b1)
+        assert all(len(cv) == 4 for book in b1 for _, cv in book)
+        # code ids are 0..ks-1 per subspace
+        assert [cid for cid, _ in b1[0]] == [0, 1, 2, 3]
+
+    def test_dim_must_divide(self, spark):
+        import pytest as _pytest
+
+        from datayours_spark.functions.similarity import pq_codebooks
+
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_codebooks(self._emb(spark), m=3, ks=4, iters=1, dim=8)
+
+    def test_encode_codes_in_range_one_row_per_vector(self, spark):
+        from datayours_spark.functions.similarity import pq_codebooks, pq_encode
+
+        emb = self._emb(spark)
+        books = pq_codebooks(emb, m=2, ks=4, iters=2, dim=8)
+        rows = pq_encode(emb, books, 8).collect()
+        assert len(rows) == 60
+        for r in rows:
+            assert len(r["codes"]) == 2
+            assert all(0 <= c < 4 for c in r["codes"])
+            assert r["nrm"] > 0
+
+    def test_adc_approximates_exact_cosine_ranking(self, spark):
+        """With ks as large as the corpus is diverse, ADC top-k should
+        substantially overlap the exact cosine top-k — the recall sanity
+        check (exactness is the oracle's job; this guards against a
+        broken lookup/sum wiring that would still be self-consistent)."""
+        from datayours_spark.functions.similarity import (
+            cosine_topk,
+            ivfpq_topk,
+            kmeans_centroids,
+            pq_codebooks,
+        )
+
+        emb = self._emb(spark, n=80)
+        cent = kmeans_centroids(emb, k=1, iters=1)  # one cluster: no IVF loss
+        books = pq_codebooks(emb, m=2, ks=16, iters=2, dim=8)
+        approx = ivfpq_topk(emb, [0, 1], 10, cent, books, 8)
+        exact = cosine_topk(emb, [0, 1], 10)
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        assert len(a & e) >= 10  # >=50% overlap across the 2x10 pairs

@@ -239,6 +239,15 @@ def main() -> None:
         and "BroadcastNestedLoopJoin" not in plan,
     )
 
+    # IVF-PQ: candidate generation and ADC scoring must broadcast every
+    # small side (probes, codebook lookup table) — the code/norm scan side
+    # is never shuffled for scoring, and nothing degenerates to a cartesian
+    plan = plan_of(registry["q_ann_ivfpq"](spark, SF_DIR))
+    check(
+        "ivfpq broadcasts probe set and ADC lookup table",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
+
     # round-4: routed queries must not run a plan-time full-table scan or
     # aggregation to anchor "now" / resolve targets (the round-3 advisory).
     # Once the stats anchor is warm, the only jobs a build may launch are
