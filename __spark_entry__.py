@@ -1760,6 +1760,18 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span REMOVAL: per-doc cleaned text with every qualifying repeated
+    span cut out — the step a training pipeline actually applies after
+    detection (q_span_dedup) and the mask decision (q_span_mask).  One
+    equi-join of the small per-doc span arrays + an indexed filter
+    projection; linear in corpus tokens."""
+    from datayours_spark.functions.dedup import remove_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_spans(docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2)
+
+
 def q_quantile_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB variant of q_quantile_profile: percentile_approx
     (t-digest-style sketch, map-side combinable, bounded state) and
@@ -1922,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
         "q_span_mask": q_span_mask,
+        "q_span_removed": q_span_removed,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
         "q_metrics_expand": q_metrics_expand,
@@ -2395,6 +2408,29 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": f"""
             WITH {_span_cte_sql()}
             SELECT doc_id, start_tok, end_tok, span_tokens FROM spans
+        """,
+        "q_span_removed": f"""
+            WITH {_span_cte_sql()},
+            toks2 AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                             unnest(t) AS tok
+                      FROM toks),
+            kept AS (
+              SELECT tk.doc_id, tk.pos, tk.tok
+              FROM toks2 tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tk.doc_id
+                  AND tk.pos BETWEEN sp.start_tok AND sp.end_tok)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                           count(*) AS kept_tokens
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.kept_tokens, 0) AS kept_tokens,
+                   len(string_split(d.text, ' '))
+                     - coalesce(a.kept_tokens, 0) AS removed_tokens
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "q_span_mask": f"""
             WITH {_span_cte_sql()},

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q_sample_temperature",
     # round 4 additions
     "q_span_dedup",
+    "q_span_removed",
     "q_ann_ivfpq",
 ]
 

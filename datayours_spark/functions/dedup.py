@@ -736,3 +736,53 @@ def span_mask(
             F.round(F.col("covered_tokens") / F.col("n_tokens"), 4),
         )
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every qualifying repeated span out of each document's text —
+    the removal step that :func:`repeated_spans` (detection) and
+    :func:`span_mask` (decision input) feed.
+
+    Returns one row per INPUT doc: (doc_id, clean_text, kept_tokens,
+    removed_tokens).  Documents without qualifying spans pass through
+    verbatim.
+
+    Shape: spans aggregate to ONE small array per affected doc (only
+    boilerplate docs have rows — broadcastable), equi-joined onto the
+    corpus; the cut itself is a pure projection — an indexed `filter`
+    lambda keeps tokens whose position lies in no span.  No explode, no
+    sort, no range join: work is linear in corpus tokens.
+    """
+    spans = repeated_spans(
+        docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
+    )
+    empty = F.array().cast("array<struct<start_tok:int,end_tok:int>>")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+    )
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "toks", F.coalesce("spans", empty).alias("spans")
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).alias("kept_tokens"),
+        (F.size("toks") - F.size(kept)).alias("removed_tokens"),
+    )

@@ -362,3 +362,58 @@ class TestRepeatedSpans:
         docs = self._docs(spark, [(1, "a b c"), (2, "a b c")])
         got = span_mask(docs, k=8, min_span=10).collect()
         assert {r["covered_tokens"] for r in got} == {0}
+
+
+class TestRemoveSpans:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    BOILER = " ".join(f"b{i}" for i in range(20))
+
+    def test_cuts_exactly_the_spans_and_keeps_order(self, spark):
+        from datayours_spark.functions.dedup import remove_spans
+
+        u = " ".join(f"x{i}" for i in range(10))
+        v = " ".join(f"y{i}" for i in range(10))
+        docs = self._docs(
+            spark,
+            [
+                (1, f"{u} {self.BOILER} {v}"),  # span in the MIDDLE
+                (2, f"{self.BOILER} {u.replace('x', 'z')}"),
+                (3, "nothing shared here at all"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in remove_spans(docs, k=8, min_span=10).collect()}
+        assert got[1]["clean_text"] == f"{u} {v}"  # order preserved across the cut
+        assert (got[1]["kept_tokens"], got[1]["removed_tokens"]) == (20, 20)
+        assert got[2]["clean_text"] == u.replace("x", "z")
+        assert got[3]["clean_text"] == "nothing shared here at all"
+        assert got[3]["removed_tokens"] == 0
+
+    def test_fully_covered_doc_empties(self, spark):
+        from datayours_spark.functions.dedup import remove_spans
+
+        docs = self._docs(spark, [(1, self.BOILER), (2, self.BOILER)])
+        got = {r["doc_id"]: r for r in remove_spans(docs, k=8, min_span=10).collect()}
+        for d in (1, 2):
+            assert got[d]["clean_text"] == ""
+            assert got[d]["kept_tokens"] == 0
+            assert got[d]["removed_tokens"] == 20
+
+    def test_mask_and_removal_agree(self, spark):
+        """covered_tokens from span_mask == removed_tokens from
+        remove_spans for every doc — the two consumers of repeated_spans
+        must tell one story."""
+        from datayours_spark.functions.dedup import remove_spans, span_mask
+
+        u1 = " ".join(f"x{i}" for i in range(15))
+        docs = self._docs(
+            spark,
+            [(1, f"{self.BOILER} {u1}"), (2, f"{u1.replace('x','q')} {self.BOILER}"),
+             (3, "all clean")],
+        )
+        mask = {r["doc_id"]: r["covered_tokens"]
+                for r in span_mask(docs, k=8, min_span=10).collect()}
+        rem = {r["doc_id"]: r["removed_tokens"]
+               for r in remove_spans(docs, k=8, min_span=10).collect()}
+        assert mask == rem
