@@ -1147,6 +1147,30 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF-PQ: the nprobe recall dial composed with PQ's
+    memory compression — each query ADC-scores the codes in its 2 nearest
+    inverted lists.  Oracle replays the identical probe ranking."""
+    from datayours_spark.functions.similarity import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(
+        emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS, seed=ANN_IVF_SEED
+    )
+    books = pq_codebooks(
+        emb, m=ANN_PQ_M, ks=ANN_PQ_KS, iters=ANN_PQ_ITERS,
+        seed=ANN_IVF_SEED, dim=ANN_DIM,
+    )
+    return ivfpq_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, cent, books, ANN_DIM,
+        nprobe=ANN_IVF_NPROBE,
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -1957,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_probe2": q_ann_ivf_probe2,
         "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -2805,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf": _kmeans_ivf_oracle_sql(),
         "q_ann_ivf_probe2": _kmeans_ivf_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq": _ivfpq_oracle_sql(),
+        "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -3222,14 +3248,14 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
     return ",".join(sqls)
 
 
-def _ivfpq_oracle_sql() -> str:
+def _ivfpq_oracle_sql(nprobe: int = 1) -> str:
     """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk on top of
     the shared coarse-quantizer CTEs: per-subspace md5 init, ANN_PQ_ITERS
     grouped Lloyd iterations, codeword assignment, and the ADC lookup-table
     scoring — every rounding point identical to the Spark path."""
     dot = DUCK_DOT
     dsub = ANN_DIM // ANN_PQ_M
-    sqls = _kmeans_coarse_cte_sqls(nprobe=1)
+    sqls = _kmeans_coarse_cte_sqls(nprobe=nprobe)
     sqls.append(f"""
         subsel AS (SELECT unnest(generate_series(0, {ANN_PQ_M - 1})) AS sub),
         sv AS MATERIALIZED (
