@@ -237,6 +237,12 @@ def main() -> None:
     dbench("simhash_neardup", simhash_neardup(docs))
     dbench("minhash_lsh_neardup", minhash_dedup(docs))
 
+    # span-level dedup on the ADVERSARIAL corpus below (30% share ONE
+    # boilerplate text): the posting-list pipeline's cost must follow
+    # occurrence counts, not bucket² — the hot shingles each have 0.3·N
+    # postings but only feed a count aggregate and an equi-join
+    from datayours_spark.functions.dedup import remove_spans, repeated_spans
+
     # ---- hot-bucket guard under an adversarial (boilerplate) corpus ----
     # 30% of docs are ONE identical document: unguarded banded self-joins
     # would put 0.3·N docs in one bucket (0.045·N² pairs — hours); the
@@ -271,6 +277,24 @@ def main() -> None:
             "docs_per_sec": int(N_DOCS / dt),
         }
         return dt
+
+    def span_bench(name: str, docs_df) -> None:
+        t = time.perf_counter()
+        repeated_spans(docs_df, k=8, min_span=12).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        remove_spans(docs_df, k=8, min_span=12).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t
+        doc_timings[name] = {
+            "sec": round(dt, 2),
+            "docs": N_DOCS,
+            "docs_per_sec": int(N_DOCS / dt),
+        }
+
+    span_bench("span_dedup_and_removal_uniform", docs)
+    span_bench("span_dedup_and_removal_boilerplate_30pct", adv_docs)
 
     t_uniform = collapsed_bench("collapsed_neardup_uniform", docs)
     t_adv = collapsed_bench("collapsed_neardup_adversarial_30pct", adv_docs)
