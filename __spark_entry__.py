@@ -3373,7 +3373,7 @@ def _span_cte_sql() -> str:
                         FOR i IN generate_series(1, len(t) - {k - 1})] AS shingles
                 FROM toks WHERE len(t) >= {k}),
         posts AS (SELECT doc_id, generate_subscripts(shingles, 1) - 1 AS off,
-                         ('0x' || substr(md5(unnest(shingles)), 1, 8))::BIGINT AS h
+                         ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS h
                   FROM shl),
         rep AS (SELECT h FROM posts GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         cov AS (SELECT p.doc_id, p.off FROM posts p JOIN rep USING (h)),

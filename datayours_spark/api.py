@@ -212,20 +212,35 @@ def render_mixed(
 
     from datayours_spark.operators.catalog import find_leaf_paths
 
-    # resolve targets against the catalog DRIVER-side (find_leaf_paths is
-    # differential-tested against the distributed find_nodes): the matched
-    # leaf list parameterizes per-spec routing, so it ends up on the driver
-    # either way — with an injected stats-table catalog this plans zero
-    # Spark jobs; only the default path pays a distinct scan of datapoints.
+    # target resolution: the matched leaf list parameterizes per-spec
+    # routing, so it ends up on the driver either way.
+    # - catalog injected (stats table or plain path list): resolve
+    #   DRIVER-side via find_leaf_paths (differential-tested against the
+    #   distributed find_nodes) — with a path list this plans zero Spark
+    #   jobs; a stats-table DataFrame costs one KB-scale collect.
+    # - catalog=None: the distributed find — the glob pushes into the
+    #   distinct scan as an rlike filter, so only MATCHED leaves ever
+    #   reach the driver (a selective pattern over a huge catalog must
+    #   not collect the whole path set; review finding, round 4).
     if catalog is None:
-        catalog_paths = [r["path"] for r in series_catalog(datapoints).collect()]
-    elif isinstance(catalog, DataFrame):
-        catalog_paths = [
-            r["path"] for r in catalog.select("path").distinct().collect()
-        ]
+        cat = series_catalog(datapoints)
+        leaves = None
+        for t in targets:
+            nodes = find_nodes(cat, t).where(F.col("is_leaf")).select("path")
+            leaves = nodes if leaves is None else leaves.unionByName(nodes)
+        paths = sorted(
+            {r["path"] for r in leaves.dropDuplicates(["path"]).collect()}
+        )
     else:
-        catalog_paths = list(catalog)
-    paths = sorted({p for t in targets for p in find_leaf_paths(catalog_paths, t)})
+        if isinstance(catalog, DataFrame):
+            catalog_paths = [
+                r["path"] for r in catalog.select("path").distinct().collect()
+            ]
+        else:
+            catalog_paths = list(catalog)
+        paths = sorted(
+            {p for t in targets for p in find_leaf_paths(catalog_paths, t)}
+        )
     if len(paths) > max_leaves:
         raise RenderCapExceeded(
             f"{len(paths)} matched leaves exceeds max_leaves={max_leaves}"

@@ -110,10 +110,11 @@ def extract_features(
             # clear driver-side error for anything Pillow can't handle —
             # mixed corpora must inject an explicit decoder.
             kinds = {r[0] for r in assets.select("kind").distinct().collect()}
-            if kinds - {"image"}:
+            if kinds - {"image"}:  # includes NULL kinds (bad catalog rows)
+                shown = sorted(kinds, key=lambda k: (k is None, k or ""))
                 raise RealDecoderUnavailable(
                     "the default Pillow decoder handles images only, but "
-                    f"the corpus contains kinds {sorted(kinds)}; inject a "
+                    f"the corpus contains kinds {shown}; inject a "
                     "decoder= that handles every kind, or use real=False"
                 )
         if decoder is None:

@@ -286,29 +286,17 @@ def kmeans_centroids(
 
         return math.sqrt(acc)
 
-    def _centroid_struct_sql(cid: int, cv: list[float]) -> str:
-        # the SQL text of round(dot(v, cv)/(nrm*|cv|), 9) with cv inlined as
-        # literals, wrapped in (csim, -id) for the greatest() tie-break.
-        # ONE spark.sql expression per iteration instead of k×d F.lit py4j
-        # round-trips — expression CONSTRUCTION was ~0.5 s/iteration, ~half
-        # the warm runtime, before this (measured at sf0.1).
-        arr = ",".join(f"{x!r}D" for x in cv)
-        return (
-            "named_struct('s', round(aggregate(zip_with(v, array("
-            + arr
-            + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / (nrm * "
-            + f"{_norm(cv)!r}D), 9), 'ni', {-cid})"
-        )
-
     for _ in range(iters):
-        # greatest over (csim, -id) structs: equal csim → larger -id wins =
-        # lowest centroid_id, same tie-break as a row_number formulation
-        parts = [_centroid_struct_sql(cid, cv) for cid, cv in cents]
-        best = F.expr(
-            parts[0] if len(parts) == 1 else "greatest(" + ",".join(parts) + ")"
-        )
+        # the assignment argmax renders as ONE SQL expression
+        # (_argmax_codeword_sql — shared with the PQ path so there is a
+        # single implementation of the determinism-critical contract)
+        # instead of k×d F.lit py4j round-trips: expression CONSTRUCTION
+        # was ~0.5 s/iteration, ~half the warm runtime (measured at sf0.1)
         rows = (
-            vecs.withColumn("cluster", (-best["ni"]).cast("int"))
+            vecs.withColumn(
+                "cluster",
+                F.expr(_argmax_codeword_sql(cents, "v", "nrm")).cast("int"),
+            )
             .select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.round(F.avg("x"), round_dp).alias("m"))
@@ -532,9 +520,20 @@ def pq_codebooks(
             F.col("vec_id").cast("string"),
         )
     )
-    iw = Window.partitionBy("sub").orderBy(hk, "vec_id")
+    # two-phase top-ks per subspace: a window partitioned by bare `sub`
+    # would sort the whole exploded corpus in m partitions (the WindowExec
+    # hot-partition shape).  Salting by a vec_id hash keeps partitions
+    # narrow; each (sub, salt) cell's local top-ks is a superset of its
+    # contribution to the global top-ks, so the tiny second pass over
+    # m × 64 × ks survivors is exact.
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(64))
+    w1 = Window.partitionBy("sub", salt).orderBy("hk", "vec_id")
+    w2 = Window.partitionBy("sub").orderBy("hk", "vec_id")
     seed_rows = (
-        subs.withColumn("rn", F.row_number().over(iw))
+        subs.withColumn("hk", hk)
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= ks)
+        .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= ks)
         .select("sub", "rn", "sv")
         .collect()

@@ -161,23 +161,19 @@ class DataYoursStack:
             n = df.select(F.countDistinct("path")).first()[0]
         now = self.pipeline.now_override or int(time.time())
         line = f"{HEARTBEAT_PATH} {n} {now}\n"
-        # dotfile + rename, same protocol as UdpLineReceiver.flush: the
-        # file-stream source must never list a half-written file, and the
-        # uuid component keeps same-second heartbeats from colliding (the
-        # file source tracks processed files by NAME — an overwritten name
-        # would silently never be re-read).
+        # atomic_drop is the shared producer protocol (see
+        # streaming.transport.atomic_drop); the uuid component keeps
+        # same-second heartbeats from colliding on a name the file source
+        # already processed.
         import uuid as _uuid
 
-        fname = os.path.join(
+        from datayours_spark.streaming.transport import atomic_drop
+
+        atomic_drop(
             self.pipeline.input_dir,
             f"heartbeat-{now}-{_uuid.uuid4().hex[:8]}.txt",
+            line,
         )
-        tmp = os.path.join(
-            os.path.dirname(fname), "." + os.path.basename(fname)
-        )
-        with open(tmp, "w") as f:
-            f.write(line)
-        os.rename(tmp, fname)
         return n
 
 

@@ -57,7 +57,13 @@ def read_series_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
 
 def compact_series_stats(spark: SparkSession, stats_dir: str) -> int:
     """Fold the appended increments into one file (maintenance; optional —
-    reads are correct without it).  Returns the merged row count."""
+    reads are correct without it).  Returns the merged row count.
+
+    Concurrency contract: the swap is directory-level, so run this either
+    from INSIDE the ingest batch callback (IngestPipeline does this every
+    64 batches — foreachBatch serializes it with the only appender) or
+    with the stream stopped.  An append racing the swap from another
+    thread could land in the retired directory and be lost."""
     merged = read_series_stats(spark, stats_dir).collect()
     if not merged:
         return 0

@@ -91,6 +91,11 @@ class IngestPipeline:
     max_queue: int | None = None
     #: per-batch persisted admission frames, released at batch end
     _flow_persisted: list = field(default_factory=list)
+    #: driver-cached known-series set for the creates gate: read from the
+    #: stats table ONCE, then maintained in memory per batch — without
+    #: this every batch re-reads every stats increment (O(batches) per
+    #: batch over the stream's life; review finding, round 4)
+    _known_cache: "set | None" = None
 
     def _watched_paths(self) -> list[str] | None:
         if self.watched is None:
@@ -133,20 +138,24 @@ class IngestPipeline:
         ).withColumn("date", F.to_date("ts"))
 
     def _known_paths(self) -> set[str]:
-        """Catalog of already-created series, from the stats table (the
-        whisper-directory listing analogue; KB-scale)."""
-        import os
+        """Catalog of already-created series: the stats table read once
+        (the whisper-directory listing analogue; KB-scale), then a
+        driver-side set maintained per batch."""
+        if self._known_cache is None:
+            import os
 
-        stats_dir = f"{self.output_dir}/series_stats"
-        if not os.path.isdir(stats_dir):
-            return set()
-        return {
-            r["path"]
-            for r in self.spark.read.parquet(stats_dir)
-            .select("path")
-            .distinct()
-            .collect()
-        }
+            stats_dir = f"{self.output_dir}/series_stats"
+            if not os.path.isdir(stats_dir):
+                self._known_cache = set()
+            else:
+                self._known_cache = {
+                    r["path"]
+                    for r in self.spark.read.parquet(stats_dir)
+                    .select("path")
+                    .distinct()
+                    .collect()
+                }
+        return self._known_cache
 
     def _tally(self, batch_id: int, metric: str, n: int) -> None:
         """Append one flow-control tally row (like the T3/T6 reject tally)."""
@@ -321,7 +330,24 @@ class IngestPipeline:
             # need a full-table aggregation job (round-3 advisory).
             from datayours_spark.stats import append_series_stats
 
-            append_series_stats(out, f"{self.output_dir}/series_stats")
+            stats_dir = f"{self.output_dir}/series_stats"
+            append_series_stats(out, stats_dir)
+            if self._known_cache is not None:
+                # keep the creates-gate catalog current (out is persisted,
+                # so this distinct is batch-scale)
+                self._known_cache.update(
+                    r["path"] for r in out.select("path").distinct().collect()
+                )
+            if batch_id % 64 == 63:
+                # fold the one-file-per-batch stats increments periodically.
+                # SAFE against the live stream precisely because it runs
+                # INSIDE the batch callback: foreachBatch serializes with
+                # the only appender (this method), so no increment can land
+                # mid-swap — which is also why ad-hoc compact_series_stats
+                # calls require a quiescent stream.
+                from datayours_spark.stats import compact_series_stats
+
+                compact_series_stats(self.spark, stats_dir)
         finally:
             out.unpersist()
             self._release_flow_cache()

@@ -54,6 +54,22 @@ def open_for_send(ip_and_port: str) -> socket.socket:
     return sock
 
 
+def atomic_drop(input_dir: str, name: str, text: str) -> str:
+    """Drop `text` into a stream input directory ATOMICALLY: write to a
+    dot-prefixed temp name and rename.  This is THE protocol every
+    producer feeding the file-stream source must use — the source must
+    never list a half-written file, and it tracks processed files BY NAME
+    (an overwritten name is silently never re-read), so names must be
+    unique.  Shared by the UDP receiver, the launcher heartbeat, and any
+    test/producer dropping records.  Returns the final path."""
+    tmp = os.path.join(input_dir, "." + name)
+    dst = os.path.join(input_dir, name)
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.rename(tmp, dst)
+    return dst
+
+
 class UdpLineReceiver:
     """S1: non-blocking UDP listener bridging datagrams into the file-drop
     ingest directory.
@@ -112,11 +128,7 @@ class UdpLineReceiver:
             return None
         self._n_files += 1
         name = f"udp-{self._uid}-{self._n_files:06d}.txt"
-        tmp = os.path.join(self.input_dir, "." + name)
-        dst = os.path.join(self.input_dir, name)
-        with open(tmp, "w") as f:
-            f.write("\n".join(self._buf) + "\n")
-        os.rename(tmp, dst)
+        dst = atomic_drop(self.input_dir, name, "\n".join(self._buf) + "\n")
         self._buf = []
         return dst
 
