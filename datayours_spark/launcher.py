@@ -277,9 +277,16 @@ def start_from_conf(
         if d.strip()
     ]
 
-    def _limit(value) -> int | None:
+    def _limit(name: str, zero_ok: bool = False) -> int | None:
         """Conf flow-limit value → enforceable int cap; absent/inf → None
-        (the reference's own 'inf means unlimited', carbon.conf.example:41)."""
+        (the reference's own 'inf means unlimited', carbon.conf.example:41).
+
+        0 is NOT unlimited: carbon's writer treats MAX_CREATES_PER_MINUTE=0
+        as "create nothing" (zero_ok knobs enforce it); for throughput
+        knobs a literal 0 can never make progress, so it is rejected
+        loudly instead of silently inverted to unlimited (review finding,
+        round 4)."""
+        value = cache_conf.get(name)
         if value is None:
             return None
         try:
@@ -288,7 +295,14 @@ def start_from_conf(
             return None
         import math
 
-        return None if math.isinf(f) or f <= 0 else int(f)
+        if math.isinf(f) or f < 0:
+            return None
+        if f == 0 and not zero_ok:
+            raise ValueError(
+                f"{name} = 0 would block the pipeline permanently; "
+                "use 'inf' for unlimited or a positive cap"
+            )
+        return int(f)
 
     pipeline = IngestPipeline(
         spark=spark,
@@ -302,10 +316,11 @@ def start_from_conf(
         now_override=now_override,
         watched=watchlist,
         # T8 flow limits, straight from the cache section
-        # (`carbon.conf.example:41-57,196-197`)
-        max_updates_per_second=_limit(cache_conf.get("MAX_UPDATES_PER_SECOND")),
-        max_creates_per_minute=_limit(cache_conf.get("MAX_CREATES_PER_MINUTE")),
-        max_queue=_limit(cache_conf.get("MAX_QUEUE_SIZE")),
+        # (`carbon.conf.example:38-57,196-197`)
+        max_updates_per_second=_limit("MAX_UPDATES_PER_SECOND"),
+        max_creates_per_minute=_limit("MAX_CREATES_PER_MINUTE", zero_ok=True),
+        max_queue=_limit("MAX_QUEUE_SIZE"),
+        max_cache=_limit("MAX_CACHE_SIZE"),
     )
     stack = DataYoursStack(
         spark=spark,

@@ -70,25 +70,39 @@ class IngestPipeline:
     #: the reference re-registers its variable watches from the conf file
     watched: object | None = None
     #: T8 flow limits — the carbon.conf knobs as ENFORCEABLE admission
-    #: control (`carbon.conf.example:41-57,196-197`), applied per
-    #: micro-batch (the daemon's 1 Hz poll-loop quantum), each with a tally
-    #: row in `{output_dir}/flow_tally`:
-    #: - max_queue (MAX_QUEUE_SIZE): receive-queue bound — rows past the
-    #:   cap are DROPPED in arrival order (carbon's queue-full drop).
-    #: - max_creates_per_minute (MAX_CREATES_PER_MINUTE): soft cap on NEW
-    #:   series per batch-minute, judged against the ingest-maintained
-    #:   stats catalog; rows of over-cap new series are DROPPED until a
-    #:   later batch has creation headroom (carbon drops points for files
-    #:   it hasn't created yet).
+    #: control (`carbon.conf.example:38-57,196-197`) with WALL-CLOCK
+    #: budgets (``clock``, injectable for deterministic tests), each with
+    #: a tally row in `{output_dir}/flow_tally`:
+    #: - max_queue (MAX_QUEUE_SIZE): receive-queue bound per trigger —
+    #:   new arrivals past the cap are DROPPED in arrival order (carbon's
+    #:   queue-full drop).
+    #: - max_creates_per_minute (MAX_CREATES_PER_MINUTE): new-series
+    #:   budget over a sliding 60-second ledger, judged against the
+    #:   ingest-maintained stats catalog; rows of over-budget new series
+    #:   DEFER to the pending table until the ledger frees (carbon caches
+    #:   points for files its create queue hasn't reached).  0 means
+    #:   "create nothing" — carbon's own semantics, NOT unlimited.
     #: - max_updates_per_second (MAX_UPDATES_PER_SECOND): disk-write
-    #:   throttle — rows past the cap are DEFERRED, not dropped: re-spilled
-    #:   to the input stream (dotfile+rename) and re-admitted next trigger,
-    #:   the Spark shape of carbon's cache backpressure.  Deferred lines
-    #:   re-run the rewrite/hook cascade, exactly like a carbon point
-    #:   re-entering via relay.
+    #:   throttle as a token bucket (capacity = one second's worth):
+    #:   rows past the accrued budget DEFER, never drop.
+    #: - max_cache (MAX_CACHE_SIZE, in rows): bound on the pending table —
+    #:   the cache the deferrals fill; overflow DROPS newest-first with a
+    #:   tally, carbon's cache-full behavior.
+    #: Deferred rows live in `{output_dir}/flow_pending` as ALREADY
+    #: TRANSFORMED (path, ts_sec, value, date, pseq) rows and re-enter
+    #: admission ahead of new arrivals on the next trigger — they do NOT
+    #: re-run the rewrite/hook cascade (re-application is not idempotent:
+    #: a prefix rewrite would compound; review finding, round 4).
     max_updates_per_second: int | None = None
     max_creates_per_minute: int | None = None
     max_queue: int | None = None
+    max_cache: int | None = None
+    #: wall-clock source for the budgets; called once per batch
+    clock: object = None
+    #: token-bucket / create-ledger state (driver-side, per pipeline)
+    _tokens: float | None = None
+    _last_refill: float = 0.0
+    _create_times: list = field(default_factory=list)
     #: per-batch persisted admission frames, released at batch end
     _flow_persisted: list = field(default_factory=list)
     #: driver-cached known-series set for the creates gate: read from the
@@ -175,128 +189,318 @@ class IngestPipeline:
             )
         return self.spark.read.parquet(d)
 
-    def _respill(self, rows: list, batch_id: int) -> None:
-        """Re-spill deferred rows to the input stream (dotfile+rename, the
-        UdpLineReceiver.flush protocol) so the next trigger re-admits them."""
+    _PENDING_SCHEMA = (
+        "path string, ts_sec bigint, value double, date date, pseq bigint"
+    )
+
+    def _pending_dir(self) -> str:
+        return f"{self.output_dir}/flow_pending"
+
+    def _read_pending(self) -> DataFrame:
         import os
-        import uuid
 
-        lines = "".join(
-            f"{r['path']} {r['value']!r} {int(r['ts_sec'])}\n" for r in rows
-        )
-        fname = os.path.join(
-            self.input_dir, f"deferred-{batch_id}-{uuid.uuid4().hex[:8]}.txt"
-        )
-        tmp = os.path.join(self.input_dir, "." + os.path.basename(fname))
-        with open(tmp, "w") as f:
-            f.write(lines)
-        os.rename(tmp, fname)
+        d = self._pending_dir()
+        if not os.path.isdir(d):
+            return self.spark.createDataFrame([], self._PENDING_SCHEMA)
+        return self.spark.read.schema(self._PENDING_SCHEMA).parquet(d)
 
-    def _admit_flow(self, batch: DataFrame, batch_id: int) -> DataFrame:
-        """Apply the T8 flow limits (queue bound → create cap → update
-        throttle) to one micro-batch; returns the admitted rows.
+    def _now(self) -> float:
+        import time
 
-        Driver-side arithmetic is counts and KB-scale path sets only; row
-        selection is takeOrdered by the in-batch arrival key (`seq` order,
-        same total order the LWW dedup uses), never a single-partition
-        window.
-        """
-        if (
-            self.max_queue is None
-            and self.max_creates_per_minute is None
-            and self.max_updates_per_second is None
-        ):
-            return batch
-        order_cols = [c for c in self._CARRY if c in batch.columns]
-        seq = F.struct(
-            *[F.col(c) for c in order_cols],
-            F.monotonically_increasing_id().alias("mono"),
-        )
-        df = batch.withColumn("fseq", seq).persist()
-        self._flow_persisted.append(df)
-        n_in = df.count()
+        return (self.clock or time.monotonic)()
 
-        def _first_n(frame: DataFrame, cap: int) -> DataFrame:
-            # the cap-th smallest arrival key is the admission threshold —
-            # a distributed takeOrdered, not a global window.  The
-            # threshold re-enters the plan as a typed literal struct
-            # (exact column dtypes, so the struct<=struct compare resolves).
-            cut = frame.select("fseq").orderBy("fseq").limit(cap).collect()[-1][
-                "fseq"
-            ]
-            stype = frame.schema["fseq"].dataType
-            lit_cut = F.struct(
-                *[
-                    F.lit(cut[f.name]).cast(f.dataType).alias(f.name)
-                    for f in stype.fields
-                ]
+    def _update_budget(self, now: float) -> int | None:
+        """Token bucket for MAX_UPDATES_PER_SECOND: accrue rate x elapsed,
+        capped at one second's burst.  None = unlimited."""
+        cap = self.max_updates_per_second
+        if cap is None:
+            return None
+        if self._tokens is None:
+            self._tokens = float(cap)
+        else:
+            self._tokens = min(
+                float(cap), self._tokens + cap * (now - self._last_refill)
             )
-            return frame.where(F.col("fseq") <= lit_cut)
+        self._last_refill = now
+        return int(self._tokens)
 
-        if self.max_queue is not None and n_in > self.max_queue:
-            # receive-queue overflow: excess arrivals DROP (queue-full)
-            df2 = _first_n(df, self.max_queue).persist()
-            self._flow_persisted.append(df2)
-            self._tally(batch_id, "dropped_queue", n_in - self.max_queue)
-            df, n_in = df2, self.max_queue
+    def _create_budget(self, now: float) -> int | None:
+        """Sliding 60-second create ledger for MAX_CREATES_PER_MINUTE."""
+        cap = self.max_creates_per_minute
+        if cap is None:
+            return None
+        self._create_times = [
+            t for t in self._create_times if now - t < 60.0
+        ]
+        return max(0, cap - len(self._create_times))
 
-        if self.max_creates_per_minute is not None:
-            batch_paths = {
-                r["path"] for r in df.select("path").distinct().collect()
+    @staticmethod
+    def _first_n_struct(frame: DataFrame, cap: int) -> DataFrame:
+        """First `cap` rows by the `fseq` arrival struct: the cap-th
+        smallest key is the admission threshold — a distributed
+        takeOrdered, not a global window.  The threshold re-enters the
+        plan as a typed literal struct."""
+        if cap <= 0:
+            return frame.where(F.lit(False))
+        rows = frame.select("fseq").orderBy("fseq").limit(cap).collect()
+        if not rows:
+            return frame
+        cut = rows[-1]["fseq"]
+        stype = frame.schema["fseq"].dataType
+        lit_cut = F.struct(
+            *[
+                F.lit(cut[f.name]).cast(f.dataType).alias(f.name)
+                for f in stype.fields
+            ]
+        )
+        return frame.where(F.col("fseq") <= lit_cut)
+
+    @staticmethod
+    def _first_n_pseq(frame: DataFrame, cap: int) -> DataFrame:
+        if cap <= 0:
+            return frame.where(F.lit(False))
+        rows = frame.select("pseq").orderBy("pseq").limit(cap).collect()
+        if not rows:
+            return frame
+        return frame.where(F.col("pseq") <= rows[-1]["pseq"])
+
+    def _persist(self, frame: DataFrame) -> DataFrame:
+        frame = frame.persist()
+        self._flow_persisted.append(frame)
+        return frame
+
+    def _flow_admit(self, batch: DataFrame, batch_id: int):
+        """T8 admission for one micro-batch: returns (admitted_pending,
+        admitted_new) after applying queue bound -> create gate -> update
+        throttle and rewriting the pending table with the deferrals.
+
+        Ordering: pending rows (older arrivals, totally ordered by pseq)
+        are always admitted ahead of this trigger's rows (ordered by the
+        fseq arrival struct).  Driver-side work is counts, KB-scale path
+        sets, and budget arithmetic; every row selection is a distributed
+        takeOrdered threshold.  The only windows are over DEFERRED rows
+        of one batch (bounded by the batch itself).
+        """
+        now = self._now()
+        pending = self._persist(self._read_pending())
+        n_pending = pending.count()
+        newb = self._persist(
+            batch.withColumn(
+                "fseq",
+                F.struct(
+                    *[
+                        F.col(c)
+                        for c in self._CARRY
+                        if c in batch.columns
+                    ],
+                    F.monotonically_increasing_id().alias("mono"),
+                ),
+            )
+        )
+        n_new = newb.count()
+        defer_pend: list[DataFrame] = []  # deferred, keep pseq
+        defer_new: list[DataFrame] = []  # deferred, keep fseq
+
+        # 1. receive-queue bound: applies to THIS trigger's arrivals
+        if self.max_queue is not None and n_new > self.max_queue:
+            newb = self._persist(self._first_n_struct(newb, self.max_queue))
+            self._tally(batch_id, "dropped_queue", n_new - self.max_queue)
+            n_new = self.max_queue
+
+        # 2. create gate: new series (vs the stats catalog) beyond the
+        # 60-second ledger budget defer — their rows wait in pending
+        create_budget = self._create_budget(now)
+        if create_budget is not None:
+            known = self._known_paths()
+            paths = {
+                r["path"]
+                for frame in (pending, newb)
+                for r in frame.select("path").distinct().collect()
             }
-            new_paths = sorted(batch_paths - self._known_paths())
-            blocked = new_paths[self.max_creates_per_minute :]
+            new_series = sorted(paths - known)
+            allowed = new_series[:create_budget]
+            blocked = new_series[create_budget:]
             if blocked:
-                n_blocked = df.where(F.col("path").isin(blocked)).count()
-                df2 = df.where(~F.col("path").isin(blocked)).persist()
-                self._flow_persisted.append(df2)
-                self._tally(batch_id, "rejected_creates", n_blocked)
-                df, n_in = df2, n_in - n_blocked
+                n_blocked = sum(
+                    frame.where(F.col("path").isin(blocked)).count()
+                    for frame in (pending, newb)
+                )
+                defer_pend.append(pending.where(F.col("path").isin(blocked)))
+                defer_new.append(newb.where(F.col("path").isin(blocked)))
+                pending = self._persist(
+                    pending.where(~F.col("path").isin(blocked))
+                )
+                newb = self._persist(newb.where(~F.col("path").isin(blocked)))
+                n_pending = pending.count()
+                n_new = newb.count()
+                self._tally(batch_id, "deferred_creates", n_blocked)
+            self._create_times.extend([now] * len(allowed))
 
-        if (
-            self.max_updates_per_second is not None
-            and n_in > self.max_updates_per_second
-        ):
-            # write throttle: excess rows DEFER to the next trigger via the
-            # input stream (carbon cache backpressure); deferred rows are
-            # bounded by batch size, so the driver hop is the batch's own
-            # memory scale
-            admitted = _first_n(df, self.max_updates_per_second).persist()
-            self._flow_persisted.append(admitted)
-            deferred = df.join(
-                admitted.select("fseq"), "fseq", "left_anti"
-            ).select("path", "ts_sec", "value")
-            rows = deferred.collect()
-            self._respill(rows, batch_id)
-            self._tally(batch_id, "deferred_updates", len(rows))
-            df = admitted
-        return df.drop("fseq")
+        # 3. update throttle: token budget spent pending-first
+        budget = self._update_budget(now)
+        if budget is not None and budget < n_pending + n_new:
+            take_p = min(budget, n_pending)
+            take_n = budget - take_p
+            adm_p = self._persist(self._first_n_pseq(pending, take_p))
+            adm_n = self._persist(self._first_n_struct(newb, take_n))
+            if take_p < n_pending:
+                defer_pend.append(
+                    pending.join(adm_p.select("pseq"), "pseq", "left_anti")
+                )
+            if take_n < n_new:
+                defer_new.append(
+                    newb.join(adm_n.select("fseq"), "fseq", "left_anti")
+                )
+            self._tally(
+                batch_id, "deferred_updates", n_pending + n_new - budget
+            )
+            n_admitted = budget
+            if self._tokens is not None:
+                self._tokens -= budget
+        else:
+            adm_p, adm_n = pending, newb
+            n_admitted = n_pending + n_new
+            if self._tokens is not None:
+                self._tokens -= n_pending + n_new
+        self._last_admitted = n_admitted
+
+        # NOTE: the pending-table rewrite happens in _write_batch AFTER
+        # the datapoints write — adm_p/defer lineages read the CURRENT
+        # pending dir, and persist() is lazy, so swapping the dir before
+        # the write action runs would make the admitted frame read the
+        # post-swap table.
+        return adm_p, adm_n, defer_pend, defer_new
+
+    def _rewrite_pending(
+        self,
+        defer_pend: list[DataFrame],
+        defer_new: list[DataFrame],
+        batch_id: int,
+    ) -> None:
+        """Persist this batch's deferrals as the next trigger's pending
+        table: prior pending rows keep their pseq (arrival order), this
+        batch's rows append after them (ranked by fseq — a window over
+        the deferred subset only), and MAX_CACHE_SIZE drops the newest
+        overflow with a tally."""
+        import shutil
+
+        from pyspark.sql import Window
+
+        cols = ["path", "ts_sec", "value", "date", "pseq"]
+        parts = [f.select(*cols) for f in defer_pend]
+        new_frames = [f for f in defer_new]
+        if new_frames:
+            nf = new_frames[0]
+            for extra in new_frames[1:]:
+                nf = nf.unionByName(extra)
+            base = 0
+            if parts:
+                mx = parts[0]
+                for extra in parts[1:]:
+                    mx = mx.unionByName(extra)
+                row = mx.agg(F.max("pseq").alias("m")).first()
+                base = (row["m"] or 0) + 1
+            w = Window.orderBy("fseq")  # deferred subset of ONE batch
+            parts.append(
+                nf.withColumn(
+                    "pseq", F.row_number().over(w) + F.lit(base - 1)
+                ).select(*cols)
+            )
+        d = self._pending_dir()
+        if not parts:
+            shutil.rmtree(d, ignore_errors=True)
+            return
+        pend = parts[0]
+        for extra in parts[1:]:
+            pend = pend.unionByName(extra)
+        if self.max_cache is not None:
+            n_total = pend.count()
+            if n_total > self.max_cache:
+                pend = self._first_n_pseq(pend, self.max_cache)
+                self._tally(
+                    batch_id, "dropped_cache", n_total - self.max_cache
+                )
+        # write the next pending table BESIDE the current one, then swap:
+        # the plan reads the live dir, so an in-place overwrite would race
+        # its own input; the swap also keeps a complete table at every
+        # failure point (same discipline as compact_datapoints)
+        tmp = d + ".next"
+        shutil.rmtree(tmp, ignore_errors=True)
+        pend.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = d + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        import os
+
+        if os.path.isdir(d):
+            os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
 
     def _release_flow_cache(self) -> None:
         for f in self._flow_persisted:
             f.unpersist()
         self._flow_persisted.clear()
 
-    def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = self._admit_flow(batch, batch_id)
-        # per-batch slot LWW dedup (T4): one row per (path, second) survives,
-        # the latest-arriving one (the wire protocol carries no sequence;
-        # reference semantics are arrival-order overwrite,
-        # L_DataWhisper.lua:346-354).  In-batch arrival key: source-file
-        # modification time, then file name, then within-file line order
-        # (monotonically_increasing_id — assigned here because it is not
-        # allowed on streaming frames; split/partition order for a file
-        # source follows file offset, so the struct is a deterministic total
-        # order for a given input set, not a partition-layout accident).
+    def _flow_active(self) -> bool:
+        import os
+
+        return (
+            self.max_queue is not None
+            or self.max_creates_per_minute is not None
+            or self.max_updates_per_second is not None
+            or self.max_cache is not None
+            or os.path.isdir(self._pending_dir())  # drain leftovers even
+            # after limits are turned off
+        )
+
+    def _dedup_new(self, batch: DataFrame) -> DataFrame:
+        """Per-batch slot LWW dedup (T4) over this trigger's rows: one row
+        per (path, second) survives, the latest-arriving one (the wire
+        protocol carries no sequence; reference semantics are
+        arrival-order overwrite, L_DataWhisper.lua:346-354).  In-batch
+        arrival key: source-file modification time, then file name, then
+        within-file line order (monotonically_increasing_id — assigned
+        here because it is not allowed on streaming frames; split order
+        for a file source follows file offset, so the struct is a
+        deterministic total order for a given input set)."""
         order_cols = [c for c in self._CARRY if c in batch.columns]
         seq = F.struct(
             *[F.col(c) for c in order_cols],
             F.monotonically_increasing_id().alias("mono"),
         )
-        deduped = (
+        return (
             batch.withColumn("seq", seq)
             .groupBy("path", "ts_sec", "date")
             .agg(F.max_by("value", "seq").alias("value"))
+        )
+
+    #: rows admitted by the last _flow_admit (lets the writer skip
+    #: entirely-empty writes — a footerless parquet dir breaks inference)
+    _last_admitted: int = 0
+
+    def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        defer_pend = defer_new = None
+        if not self._flow_active():
+            deduped = self._dedup_new(batch)
+        else:
+            # flow-limited path: admit pending (older) + this trigger's
+            # rows under the budgets, then LWW-merge with new-beats-pending
+            # precedence per (path, second)
+            adm_p, adm_n, defer_pend, defer_new = self._flow_admit(
+                batch, batch_id
+            )
+            dp = adm_p.groupBy("path", "ts_sec", "date").agg(
+                F.max_by("value", "pseq").alias("value")
+            )
+            dn = self._dedup_new(adm_n)
+            deduped = (
+                dp.withColumn("arr", F.lit(0))
+                .unionByName(dn.withColumn("arr", F.lit(1)))
+                .groupBy("path", "ts_sec", "date")
+                .agg(F.max_by("value", "arr").alias("value"))
+            )
+        deduped = (
+            deduped
             # cross-batch arrival order lives in its OWN column: batch_id is
             # the checkpoint's monotone epoch, unwrapped — read-side LWW
             # within a (path, second) orders by it directly, so it never
@@ -318,26 +522,30 @@ class IngestPipeline:
         out = deduped.select(
             "path", "ts_sec", "ts_us", "batch_seq", "value", "date"
         ).persist()  # two consumers below; avoid recomputing the dedup agg
+        skip_write = defer_pend is not None and self._last_admitted == 0
         try:
-            (
-                out.write.mode("append")
-                .partitionBy("date")
-                .parquet(f"{self.output_dir}/datapoints")
-            )
-            # maintain per-series stats alongside the data (the
-            # Whisper-header analogue): a KB-scale increment per batch so
-            # "now" anchors, metric counts, and routing arithmetic never
-            # need a full-table aggregation job (round-3 advisory).
-            from datayours_spark.stats import append_series_stats
-
-            stats_dir = f"{self.output_dir}/series_stats"
-            append_series_stats(out, stats_dir)
-            if self._known_cache is not None:
-                # keep the creates-gate catalog current (out is persisted,
-                # so this distinct is batch-scale)
-                self._known_cache.update(
-                    r["path"] for r in out.select("path").distinct().collect()
+            if not skip_write:
+                (
+                    out.write.mode("append")
+                    .partitionBy("date")
+                    .parquet(f"{self.output_dir}/datapoints")
                 )
+            if not skip_write:
+                # maintain per-series stats alongside the data (the
+                # Whisper-header analogue): a KB-scale increment per batch
+                # so "now" anchors, metric counts, and routing arithmetic
+                # never need a full-table aggregation job (r3 advisory).
+                from datayours_spark.stats import append_series_stats
+
+                stats_dir = f"{self.output_dir}/series_stats"
+                append_series_stats(out, stats_dir)
+                if self._known_cache is not None:
+                    # keep the creates-gate catalog current (out is
+                    # persisted, so this distinct is batch-scale)
+                    self._known_cache.update(
+                        r["path"]
+                        for r in out.select("path").distinct().collect()
+                    )
             if batch_id % 64 == 63:
                 # fold the one-file-per-batch stats increments periodically.
                 # SAFE against the live stream precisely because it runs
@@ -345,9 +553,18 @@ class IngestPipeline:
                 # the only appender (this method), so no increment can land
                 # mid-swap — which is also why ad-hoc compact_series_stats
                 # calls require a quiescent stream.
+                import os
+
                 from datayours_spark.stats import compact_series_stats
 
-                compact_series_stats(self.spark, stats_dir)
+                sd = f"{self.output_dir}/series_stats"
+                if os.path.isdir(sd):
+                    compact_series_stats(self.spark, sd)
+            if defer_pend is not None:
+                # rewrite the pending table only after the admitted rows
+                # are safely written (their lineage read the OLD pending
+                # dir; the datapoints write materialized them)
+                self._rewrite_pending(defer_pend, defer_new, batch_id)
         finally:
             out.unpersist()
             self._release_flow_cache()
@@ -384,9 +601,20 @@ class IngestPipeline:
         # pre-batch_seq files with streaming-written ones.  Footer merging
         # is metadata-scale (parallel over file footers, not data); a
         # compaction pass homogenizes the files, after which it is free.
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            f"{self.output_dir}/datapoints"
-        )
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                f"{self.output_dir}/datapoints"
+            )
+        except AnalysisException:
+            # no batch has written rows yet (missing dir, or only empty
+            # commit markers): the canonical-empty view
+            df = self.spark.createDataFrame(
+                [],
+                "path string, ts_sec bigint, ts_us bigint, "
+                "batch_seq bigint, value double, date date",
+            )
         if dates is not None:
             df = df.where(F.col("date").isin(dates))
         # within one (path, second) the uncapped batch_seq defines "last";

@@ -277,9 +277,9 @@ class TestAdviceRegressions:
 
 class TestFlowLimitConf:
     def test_cache_section_flow_limits_reach_the_pipeline(self, spark):
-        """carbon.conf [cache] MAX_UPDATES_PER_SECOND / MAX_CREATES_PER_MINUTE
-        / MAX_QUEUE_SIZE wire through as enforceable ints; 'inf' and absent
-        mean unlimited (None), the reference's own convention."""
+        """carbon.conf [cache] flow knobs wire through as enforceable ints;
+        'inf' and absent mean unlimited (None), the reference's own
+        convention."""
         shutil.rmtree(TMP, ignore_errors=True)
         conf = _setup_confs()
         (conf / "carbon.conf").write_text(
@@ -296,12 +296,42 @@ class TestFlowLimitConf:
         assert stack.pipeline.max_updates_per_second == 500
         assert stack.pipeline.max_creates_per_minute == 50
         assert stack.pipeline.max_queue is None
+        assert stack.pipeline.max_cache is None
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_zero_semantics(self, spark):
+        """MAX_CREATES_PER_MINUTE=0 means 'create nothing' (carbon's own
+        semantics); a throughput knob at 0 can never make progress and is
+        rejected loudly instead of silently inverted to unlimited."""
+        import pytest
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        conf = _setup_confs()
+        (conf / "carbon.conf").write_text(
+            "[cache]\nMAX_CREATES_PER_MINUTE = 0\n"
+        )
+        stack = start_from_conf(
+            spark, str(conf), str(TMP / "work_z"), daemons="Cache",
+            start=False,
+        )
+        assert stack.pipeline.max_creates_per_minute == 0
+
+        (conf / "carbon.conf").write_text(
+            "[cache]\nMAX_UPDATES_PER_SECOND = 0\n"
+        )
+        with pytest.raises(ValueError, match="MAX_UPDATES_PER_SECOND"):
+            start_from_conf(
+                spark, str(conf), str(TMP / "work_z2"), daemons="Cache",
+                start=False,
+            )
         shutil.rmtree(TMP, ignore_errors=True)
 
     def test_enforced_end_to_end_from_conf(self, spark):
-        """The conf-booted stack actually throttles: a 12-row burst against
-        MAX_UPDATES_PER_SECOND=5 lands completely but across batches, with
-        deferral tallies."""
+        """The conf-booted stack actually throttles on the wall clock: a
+        12-row burst against MAX_UPDATES_PER_SECOND=5 lands completely
+        but only as budget accrues, with deferral tallies."""
+        from tests.test_streaming_ingest import FakeClock
+
         shutil.rmtree(TMP, ignore_errors=True)
         conf = _setup_confs()
         (conf / "carbon.conf").write_text(
@@ -309,14 +339,21 @@ class TestFlowLimitConf:
         )
         stack = start_from_conf(
             spark, str(conf), str(TMP / "work_fe"), daemons="Cache",
-            now_override=NOW, start=True,
+            now_override=NOW, start=False,
         )
+        clock = FakeClock()
+        stack.pipeline.clock = clock
+        stack.start()
         t = NOW - 600
         in_dir = Path(stack.pipeline.input_dir)
         (in_dir / "burst.txt").write_text(
             "\n".join(f"house.t {i} {t + i}" for i in range(12)) + "\n"
         )
         stack.process_available()
+        for i in range(2):  # two wall-clock seconds drain the rest
+            clock.advance(1.0)
+            (in_dir / f"tick{i}.txt").write_text("")
+            stack.process_available()
         stack.stop()
         assert stack.datapoints().count() == 12
         deferred = [

@@ -580,9 +580,25 @@ class TestSeriesStats:
         assert corpus_now(spark, stats_dir) == t + 2
 
 
+class FakeClock:
+    """Deterministic wall clock for the flow budgets (called once per
+    flow-limited batch)."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self) -> float:
+        return self.t
+
+    def advance(self, dt: float) -> None:
+        self.t += dt
+
+
 class TestFlowLimits:
-    """T8 flow limits as enforceable admission control
-    (carbon.conf.example:41-57,196-197)."""
+    """T8 flow limits as enforceable WALL-CLOCK admission control
+    (carbon.conf.example:38-57,196-197): token-bucket update throttle,
+    sliding-60s create ledger, per-trigger queue bound, pending-table
+    cache with MAX_CACHE_SIZE."""
 
     def _pipe(self, spark, **kw):
         import shutil
@@ -596,38 +612,71 @@ class TestFlowLimits:
             checkpoint_dir=str(TMP / "ckpt"),
             now_override=NOW,
             rollup_steps=(60,),
+            clock=FakeClock(),
             **kw,
         )
 
+    @staticmethod
+    def _tick(q, clock, dt=1.0, name=None):
+        """Advance the budget clock and fire an (empty) trigger so the
+        pending table drains — the carbon writer-thread tick."""
+        import uuid
+
+        clock.advance(dt)
+        drop_file(name or f"tick-{uuid.uuid4().hex[:6]}.txt", [])
+        q.processAllAvailable()
+
     def test_update_throttle_defers_but_never_drops(self, spark):
-        """MAX_UPDATES_PER_SECOND: over-cap rows defer to later triggers
-        (carbon cache backpressure) — every row eventually lands, per-batch
-        writes stay under the cap, deferrals are tallied."""
+        """MAX_UPDATES_PER_SECOND: a 12-row burst against a 5/s token
+        bucket lands completely across wall-clock seconds; per-batch
+        writes never exceed the accrued budget and deferrals are
+        tallied."""
         p = self._pipe(spark, max_updates_per_second=5)
         t = NOW - 600
         drop_file("big.txt", [f"m.a {i} {t + i}" for i in range(12)])
         q = p.start()
-        q.processAllAvailable()  # drains respilled deferred files too
+        q.processAllAvailable()  # t=0: full bucket admits 5, defers 7
+        assert p.datapoints().count() == 5
+        self._tick(q, p.clock)  # +1s → 5 tokens → admit 5, defer 2
+        assert p.datapoints().count() == 10
+        self._tick(q, p.clock)  # +1s → admit the last 2
         q.stop()
         dp = {r["ts_sec"]: r["value"] for r in p.datapoints().collect()}
         assert dp == {t + i: float(i) for i in range(12)}  # nothing lost
         tally = [
-            (r["metric"], r["n"])
-            for r in p.flow_tally().orderBy("batch_id").collect()
+            r["n"]
+            for r in p.flow_tally()
+            .where("metric = 'deferred_updates'")
+            .orderBy("batch_id")
+            .collect()
         ]
-        assert [m for m, _ in tally] == ["deferred_updates", "deferred_updates"]
-        assert [n for _, n in tally] == [7, 2]  # 12→5+7, 7→5+2, 2→done
-        # per-batch written rows never exceeded the cap
+        assert tally == [7, 2]
         per_batch = (
             spark.read.parquet(f"{p.output_dir}/datapoints")
             .groupBy("batch_seq").count().collect()
         )
         assert all(r["count"] <= 5 for r in per_batch)
 
-    def test_create_cap_blocks_new_series_and_tallies(self, spark):
-        """MAX_CREATES_PER_MINUTE: only the first N unseen series per batch
-        get created; rows of blocked series drop with a tally, known series
-        are unaffected, and a later batch has fresh headroom."""
+    def test_no_budget_accrual_without_elapsed_time(self, spark):
+        """Back-to-back triggers at the SAME wall-clock instant share one
+        second's budget — the conf knob's unit is real time, not batch
+        count (the round-4 review's core finding)."""
+        p = self._pipe(spark, max_updates_per_second=5)
+        t = NOW - 600
+        drop_file("b1.txt", [f"m.a {i} {t + i}" for i in range(4)])
+        q = p.start()
+        q.processAllAvailable()  # admits 4, bucket down to 1
+        drop_file("b2.txt", [f"m.b {i} {t + i}" for i in range(4)])
+        q.processAllAvailable()  # SAME instant: only 1 token left
+        assert p.datapoints().count() == 5  # 4 + 1, not 4 + 4
+        self._tick(q, p.clock)  # a real second passes → the rest lands
+        q.stop()
+        assert p.datapoints().count() == 8
+
+    def test_create_ledger_holds_for_sixty_seconds(self, spark):
+        """MAX_CREATES_PER_MINUTE: over-budget NEW series DEFER (carbon
+        caches points for uncreated files — never drops them); the ledger
+        frees after 60 wall-clock seconds."""
         p = self._pipe(spark, max_creates_per_minute=2)
         t = NOW - 600
         drop_file("one.txt", [
@@ -635,24 +684,36 @@ class TestFlowLimits:
         ])
         q = p.start()
         q.processAllAvailable()
-        # batch 1: m.a, m.b created; m.c (sorted last) blocked → 2 rows drop
-        got = {r["path"] for r in p.datapoints().collect()}
-        assert got == {"m.a", "m.b"}
-        tally = {(r["metric"], r["n"]) for r in p.flow_tally().collect()}
-        assert tally == {("rejected_creates", 2)}
-        # batch 2: m.c is still new, but this batch has headroom → created;
-        # existing m.a ingests freely alongside
-        drop_file("two.txt", [f"m.c 5 {t + 2}", f"m.a 6 {t + 3}"])
-        q.processAllAvailable()
+        # t=0: m.a, m.b created; m.c (sorted last) deferred to pending
+        assert {r["path"] for r in p.datapoints().collect()} == {"m.a", "m.b"}
+        assert {(r["metric"], r["n"]) for r in p.flow_tally().collect()} == {
+            ("deferred_creates", 2)
+        }
+        self._tick(q, p.clock, dt=1.0)
+        # one second later the minute ledger is still full → still pending
+        assert {r["path"] for r in p.datapoints().collect()} == {"m.a", "m.b"}
+        self._tick(q, p.clock, dt=61.0)
+        # past the sliding minute: budget frees, m.c lands with BOTH rows
         q.stop()
         got = {(r["path"], r["ts_sec"]) for r in p.datapoints().collect()}
-        assert got == {
-            ("m.a", t), ("m.b", t), ("m.c", t + 2), ("m.a", t + 3),
-        }
+        assert got == {("m.a", t), ("m.b", t), ("m.c", t), ("m.c", t + 1)}
+
+    def test_create_cap_zero_blocks_all_creates(self, spark):
+        """MAX_CREATES_PER_MINUTE=0 is carbon's 'create nothing', not
+        unlimited (the inversion the round-4 review flagged)."""
+        p = self._pipe(spark, max_creates_per_minute=0)
+        t = NOW - 600
+        drop_file("z.txt", [f"m.a 1 {t}"])
+        q = p.start()
+        q.processAllAvailable()
+        self._tick(q, p.clock, dt=120.0)
+        q.stop()
+        assert p.datapoints().count() == 0  # frozen series set
+        assert p.flow_tally().where("metric = 'deferred_creates'").count() >= 1
 
     def test_queue_bound_drops_overflow(self, spark):
-        """MAX_QUEUE_SIZE: arrivals past the queue bound drop in arrival
-        order with a tally (carbon's queue-full drop)."""
+        """MAX_QUEUE_SIZE: this trigger's arrivals past the queue bound
+        drop in arrival order with a tally (carbon's queue-full drop)."""
         p = self._pipe(spark, max_queue=6)
         t = NOW - 600
         drop_file("q.txt", [f"m.a {i} {t + i}" for i in range(10)])
@@ -660,9 +721,44 @@ class TestFlowLimits:
         q.processAllAvailable()
         q.stop()
         kept = sorted(r["ts_sec"] - t for r in p.datapoints().collect())
-        assert kept == [0, 1, 2, 3, 4, 5]  # first 6 in arrival order
+        assert kept == [0, 1, 2, 3, 4, 5]
         tally = {(r["metric"], r["n"]) for r in p.flow_tally().collect()}
         assert tally == {("dropped_queue", 4)}
+
+    def test_cache_bound_caps_the_pending_table(self, spark):
+        """MAX_CACHE_SIZE: the pending table (the cache deferrals fill)
+        drops newest-first past the bound."""
+        p = self._pipe(spark, max_updates_per_second=2, max_cache=3)
+        t = NOW - 600
+        drop_file("c.txt", [f"m.a {i} {t + i}" for i in range(8)])
+        q = p.start()
+        q.processAllAvailable()  # admit 2, defer 6 → cache keeps 3, drops 3
+        self._tick(q, p.clock)
+        self._tick(q, p.clock)
+        q.stop()
+        kept = sorted(r["ts_sec"] - t for r in p.datapoints().collect())
+        assert kept == [0, 1, 2, 3, 4]  # first 5 in arrival order survive
+        tally = {(r["metric"], r["n"]) for r in p.flow_tally().collect()}
+        assert ("dropped_cache", 3) in tally
+
+    def test_deferred_rows_do_not_rerun_rewrites(self, spark):
+        """Deferral must not re-enter the transform cascade: a rewrite
+        whose output still matches its own pattern would compound on
+        every deferral round (the round-4 review's relay-loop finding)."""
+        p = self._pipe(
+            spark,
+            max_updates_per_second=2,
+            rewrites=[RewriteRule("^dup", "dupdup")],
+        )
+        t = NOW - 600
+        drop_file("d.txt", [f"dup.a {i} {t + i}" for i in range(4)])
+        q = p.start()
+        q.processAllAvailable()  # admit 2 as dupdup.a, defer 2
+        self._tick(q, p.clock)
+        q.stop()
+        paths = {r["path"] for r in p.datapoints().collect()}
+        assert paths == {"dupdup.a"}  # never dupdupdup.a
+        assert p.datapoints().count() == 4
 
     def test_limits_off_by_default_and_tally_empty(self, pipeline, spark):
         t = NOW - 600
