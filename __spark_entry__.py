@@ -1171,6 +1171,28 @@ def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (the FAISS-style composition): codebooks quantize
+    the coarse residual v - c(v) — residuals pool near the origin, so the
+    same code budget fits them tighter — and scoring reconstructs
+    dot(q, x) as dot(q, c) + the ADC table sum.  Queries stay
+    un-residualized (asymmetric).  Full replay oracle."""
+    from datayours_spark.functions.similarity import (
+        ivfpq_residual_topk,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(
+        emb, k=ANN_IVF_K, iters=ANN_IVF_ITERS, seed=ANN_IVF_SEED
+    )
+    return ivfpq_residual_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, cent,
+        m=ANN_PQ_M, ks=ANN_PQ_KS, iters=ANN_PQ_ITERS,
+        seed=ANN_IVF_SEED, dim=ANN_DIM,
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -1982,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_probe2": q_ann_ivf_probe2,
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
+        "q_ann_ivfpq_res": q_ann_ivfpq_res,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -2831,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivf_probe2": _kmeans_ivf_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq": _ivfpq_oracle_sql(),
         "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
+        "q_ann_ivfpq_res": _ivfpq_oracle_sql(residual=True),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -3248,20 +3272,33 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
     return ",".join(sqls)
 
 
-def _ivfpq_oracle_sql(nprobe: int = 1) -> str:
-    """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk on top of
-    the shared coarse-quantizer CTEs: per-subspace md5 init, ANN_PQ_ITERS
-    grouped Lloyd iterations, codeword assignment, and the ADC lookup-table
-    scoring — every rounding point identical to the Spark path."""
+def _ivfpq_oracle_sql(nprobe: int = 1, residual: bool = False) -> str:
+    """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk /
+    ivfpq_residual_topk on top of the shared coarse-quantizer CTEs:
+    per-subspace md5 init, ANN_PQ_ITERS grouped Lloyd iterations, codeword
+    assignment, and ADC lookup-table scoring — every rounding point
+    identical to the Spark path.  ``residual=True`` trains/encodes on the
+    coarse residual v - c(v) and adds the per-probe dot(q, c) coarse term
+    to the reconstruction (queries stay UN-residualized: asymmetric)."""
     dot = DUCK_DOT
     dsub = ANN_DIM // ANN_PQ_M
     sqls = _kmeans_coarse_cte_sqls(nprobe=nprobe)
-    sqls.append(f"""
+    base = (
+        """
+        base AS MATERIALIZED (
+          SELECT t.vec_id,
+                 list_transform(list_zip(t.v, c.cv), p -> p[1] - p[2]) AS v
+          FROM t JOIN cn c ON t.cluster = c.centroid_id)"""
+        if residual
+        else """
+        base AS MATERIALIZED (SELECT vec_id, v FROM ex)"""
+    )
+    sqls.append(f"""{base},
         subsel AS (SELECT unnest(generate_series(0, {ANN_PQ_M - 1})) AS sub),
         sv AS MATERIALIZED (
           SELECT vec_id, sub,
                  v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS sv
-          FROM ex CROSS JOIN subsel),
+          FROM base CROSS JOIN subsel),
         svn AS MATERIALIZED (
           SELECT vec_id, sub, sv,
                  sqrt(list_reduce(list_transform(sv, x -> x * x),
@@ -3271,6 +3308,11 @@ def _ivfpq_oracle_sql(nprobe: int = 1) -> str:
           SELECT vec_id, sub, generate_subscripts(sv, 1) AS pos,
                  unnest(sv) AS x
           FROM sv),
+        qsv AS MATERIALIZED (
+          SELECT vec_id AS query_id, sub,
+                 v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS qsv
+          FROM ex CROSS JOIN subsel
+          WHERE vec_id < {N_ANN_QUERIES}),
         pq0 AS MATERIALIZED (
           SELECT sub,
                  row_number() OVER (PARTITION BY sub ORDER BY
@@ -3305,6 +3347,18 @@ def _ivfpq_oracle_sql(nprobe: int = 1) -> str:
           SELECT p.sub, p.code, coalesce(g.ncw, p.cw) AS cw
           FROM {p} p LEFT JOIN pg{i} g USING (sub, code))""")
     last = f"pq{ANN_PQ_ITERS}"
+    coarse_term = "p.qc_dot + " if residual else ""
+    qp = (
+        f"""
+        qp AS MATERIALIZED (
+          SELECT q.query_id, q.qnorm, q.qcluster,
+                 round({dot.format(a="q.qv", b="c.cv")}, 9) AS qc_dot
+          FROM q JOIN cn c ON q.qcluster = c.centroid_id),"""
+        if residual
+        else """
+        qp AS MATERIALIZED (
+          SELECT query_id, qnorm, qcluster, 0.0 AS qc_dot FROM q),"""
+    )
     sqls.append(f"""
         pnf AS MATERIALIZED (
           SELECT sub, code, cw,
@@ -3319,22 +3373,22 @@ def _ivfpq_oracle_sql(nprobe: int = 1) -> str:
                            / (s.snrm * c.cnorm), 9) DESC, c.code) AS rn
             FROM svn s JOIN pnf c USING (sub)) WHERE rn = 1),
         tbl AS MATERIALIZED (
-          SELECT s.vec_id AS query_id, s.sub, c.code,
-                 round({dot.format(a="s.sv", b="c.cw")}, 9) AS pdot
-          FROM svn s JOIN pnf c USING (sub)
-          WHERE s.vec_id < {N_ANN_QUERIES}),
+          SELECT s.query_id, s.sub, c.code,
+                 round({dot.format(a="s.qsv", b="c.cw")}, 9) AS pdot
+          FROM qsv s JOIN pnf c USING (sub)),{qp}
         pairs AS (
-          SELECT q.query_id, t.vec_id, t.nrm, q.qnorm
-          FROM t JOIN q ON t.cluster = q.qcluster
-                       AND t.vec_id != q.query_id),
+          SELECT qp.query_id, t.vec_id, t.nrm, qp.qnorm, qp.qc_dot
+          FROM t JOIN qp ON t.cluster = qp.qcluster
+                        AND t.vec_id != qp.query_id),
         adc AS (
           SELECT p.query_id, p.vec_id,
-                 round(sum(tb.pdot) / (max(p.nrm) * max(p.qnorm)), 4) AS sim
+                 round(({coarse_term}sum(tb.pdot))
+                       / (max(p.nrm) * max(p.qnorm)), 4) AS sim
           FROM pairs p
           JOIN enc vc ON vc.vec_id = p.vec_id
           JOIN tbl tb ON tb.query_id = p.query_id AND tb.sub = vc.sub
                       AND tb.code = vc.code
-          GROUP BY 1, 2)
+          GROUP BY 1, 2{", p.qc_dot" if residual else ""})
         SELECT query_id, vec_id, sim, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS rank

@@ -722,3 +722,157 @@ def ivfpq_topk(
         ),
     )
     return ranked.where(F.col("rank") <= k)
+
+
+def residual_vectors(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding) where embedding = v - coarse_centroid(v): the
+    residuals that FAISS-style IVF-PQ quantizes.  Residuals concentrate
+    near the origin regardless of which cluster a vector sits in, so one
+    pooled codebook set fits them far better than the raw vectors —
+    recall per code byte improves.  Subtraction is exact IEEE arithmetic,
+    so the determinism contract is untouched."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    return (
+        vecs.join(assign, "vec_id")
+        .join(
+            F.broadcast(centroids.select("centroid_id", "cv")),
+            F.col("cluster") == F.col("centroid_id"),
+        )
+        .select(
+            "vec_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    centroids: DataFrame,
+    m: int,
+    ks: int,
+    iters: int,
+    seed: int,
+    dim: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Residual IVF-PQ ANN: codebooks are trained on (and codes encode)
+    the COARSE RESIDUAL v - c(v); scoring reconstructs
+    dot(q, x) ≈ dot(q, c) + Σ_j table[sub][code_j], where dot(q, c) is a
+    per-probe scalar on the broadcast centroid table and the Σ term is
+    the same broadcast ADC lookup as :func:`ivfpq_topk`.  Candidates
+    still contribute only their m-byte code plus one stored (exact,
+    full-vector) norm.  Output: (query_id, vec_id, sim, rank)."""
+    from pyspark.sql import Window
+
+    dsub = dim // m
+    spark = emb.sparkSession
+
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    res = residual_vectors(emb, centroids, id_col, vec_col)
+    books = pq_codebooks(
+        res, m=m, ks=ks, iters=iters, seed=seed, dim=dim,
+        id_col="vec_id", vec_col="embedding",
+    )
+    # codes encode the residual; the stored norm is the ORIGINAL vector's
+    codes = pq_encode(res, books, dim, id_col="vec_id", vec_col="embedding")
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    codes = codes.select("vec_id", "codes").join(
+        vecs.select("vec_id", "nrm"), "vec_id"
+    )
+
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "csim",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                9,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nrm").alias("qnorm"),
+            F.col("centroid_id").alias("qcluster"),
+            # the coarse term of the reconstruction, rounded like every
+            # other cross-engine dot in the contract
+            F.round(dot(F.col("v"), F.col("cv")), 9).alias("qc_dot"),
+        )
+    )
+
+    cb = spark.createDataFrame(
+        [
+            (j, cid, cv)
+            for j, book in enumerate(books)
+            for cid, cv in book
+        ],
+        "sub int, code int, cw array<double>",
+    )
+    qslices = F.array(*[F.slice("v", j * dsub + 1, dsub) for j in range(m)])
+    qsub = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(qslices).alias("sub", "qsv"),
+    )
+    table = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(dot(F.col("qsv"), F.col("cw")), 9).alias("pdot"),
+    )
+
+    pairs = (
+        codes.join(assign, "vec_id")
+        .join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("qcluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "codes", "nrm", "qnorm", "qc_dot")
+    )
+    scored = (
+        pairs.select(
+            "query_id", "vec_id", "nrm", "qnorm", "qc_dot",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(table), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id", "nrm", "qnorm", "qc_dot")
+        .agg(F.sum("pdot").alias("rdot"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                (F.col("qc_dot") + F.col("rdot"))
+                / (F.col("nrm") * F.col("qnorm")),
+                round_dp,
+            ).alias("sim"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)

@@ -249,3 +249,56 @@ class TestIvfPq:
         a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
         e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
         assert len(a & e) >= 10  # >=50% overlap across the 2x10 pairs
+
+
+class TestResidualIvfPq:
+    def _emb(self, spark, n=80, dim=8, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_residuals_subtract_assigned_centroid(self, spark):
+        from datayours_spark.functions.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+            residual_vectors,
+        )
+
+        emb = self._emb(spark)
+        cent = kmeans_centroids(emb, k=4, iters=2)
+        cents = {r["centroid_id"]: r["cv"] for r in cent.collect()}
+        assign = {r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cent).collect()}
+        orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        res = {
+            r["vec_id"]: r["embedding"]
+            for r in residual_vectors(emb, cent).collect()
+        }
+        assert set(res) == set(orig)
+        for vid, rv in res.items():
+            cv = cents[assign[vid]]
+            for a, b, c in zip(rv, orig[vid], cv):
+                assert a == b - c  # exact IEEE subtraction, no rounding
+
+    def test_residual_adc_ranks_against_exact(self, spark):
+        """With one coarse cluster and a rich codebook, residual ADC top-k
+        must substantially overlap exact cosine top-k (wiring sanity; the
+        oracle owns exactness)."""
+        from datayours_spark.functions.similarity import (
+            cosine_topk,
+            ivfpq_residual_topk,
+            kmeans_centroids,
+        )
+
+        emb = self._emb(spark)
+        cent = kmeans_centroids(emb, k=1, iters=1)
+        approx = ivfpq_residual_topk(
+            emb, [0, 1], 10, cent, m=2, ks=16, iters=2, seed=42, dim=8
+        )
+        exact = cosine_topk(emb, [0, 1], 10)
+        a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+        e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+        assert len(a & e) >= 10
