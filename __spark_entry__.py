@@ -1806,6 +1806,16 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean log10 p(token) per doc under the
+    corpus's own unigram distribution — the cheapest perplexity proxy for
+    pretraining-data quality filters."""
+    from datayours_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
 def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL: per-doc cleaned text with every qualifying repeated
     span cut out — the step a training pipeline actually applies after
@@ -1981,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_active_approx": q_daily_active_approx,
         "q_span_mask": q_span_mask,
         "q_span_removed": q_span_removed,
+        "q_unigram_logprob": q_unigram_logprob,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
         "q_metrics_expand": q_metrics_expand,
@@ -2456,6 +2467,19 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": f"""
             WITH {_span_cte_sql()}
             SELECT doc_id, start_tok, end_tok, span_tokens FROM spans
+        """,
+        "q_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            total AS (SELECT count(*) AS n FROM toks),
+            lp AS (
+              SELECT tok, log10(count(*) * 1.0 / (SELECT n FROM total)) AS logp
+              FROM toks GROUP BY tok)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   round(avg(lp.logp), 6) AS avg_logprob
+            FROM toks t JOIN lp USING (tok)
+            GROUP BY t.doc_id
         """,
         "q_span_removed": f"""
             WITH {_span_cte_sql()},

@@ -213,3 +213,46 @@ def text_profile(
     if fingerprint:
         out_cols.append(F.col("fingerprint"))
     return agg.select(*out_cols)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score per document:
+    mean log10 p(token) under the corpus's OWN unigram distribution —
+    the cheapest LM-perplexity proxy used for pretraining-data quality
+    filtering (docs of rare-token gibberish score far more negative than
+    docs of common words; no external model needed).
+
+    Returns (doc_id, n_tokens, avg_logprob).  No smoothing: the scoring
+    corpus IS the model corpus, so every token has count >= 1.
+
+    Scale shape: token counts are one map-side-combinable aggregation;
+    scoring joins each (doc, token) occurrence to its corpus logprob by
+    an equi-join on the token (shuffle keyed by token — at 100 TB bucket
+    the vocab table) and averages per doc.  Rounding at ``round_dp``
+    absorbs cross-engine float summation-order differences, the same
+    contract as the k-means means.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # the corpus total enters as a broadcast 1-row scalar — no plan-build
+    # count job, no second pass over the tokens
+    total = vocab.agg(F.sum("c").alias("n"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log10(F.col("c") / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), round_dp).alias("avg_logprob"),
+        )
+    )

@@ -417,3 +417,32 @@ class TestRemoveSpans:
         rem = {r["doc_id"]: r["removed_tokens"]
                for r in remove_spans(docs, k=8, min_span=10).collect()}
         assert mask == rem
+
+
+class TestUnigramLogprob:
+    def test_scores_match_hand_computation(self, spark):
+        import math
+
+        from datayours_spark.functions.text import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")],
+            "doc_id bigint, text string",
+        )
+        # corpus: a=3, b=1, c=1, total=5
+        got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        la, lb, lc = (math.log10(3 / 5), math.log10(1 / 5), math.log10(1 / 5))
+        assert got[1]["n_tokens"] == 3
+        assert got[1]["avg_logprob"] == round((la + la + lb) / 3, 6)
+        assert got[2]["avg_logprob"] == round((la + lc) / 2, 6)
+
+    def test_rare_token_docs_score_lower(self, spark):
+        from datayours_spark.functions.text import unigram_logprob
+
+        common = " ".join(["the"] * 20)
+        docs = spark.createDataFrame(
+            [(1, common), (2, "zq xv qq kj wz yy ux vv mz pq")],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+        assert got[2] < got[1]  # gibberish scores more negative
