@@ -1806,6 +1806,26 @@ def q_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span maintenance: docs with doc_id % 10 == 0 arrive as
+    a new batch against the standing posting index of the rest; emits the
+    spans of every affected doc (batch docs + old docs sharing a
+    now-repeated shingle) — batch-proportional, equal to the full
+    recompute restricted to the affected set (the oracle)."""
+    from datayours_spark.functions.dedup import (
+        repeated_spans_incremental,
+        shingle_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    return repeated_spans_incremental(
+        new, shingle_postings(old, SPAN_K),
+        k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean log10 p(token) per doc under the
     corpus's own unigram distribution — the cheapest perplexity proxy for
@@ -1992,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_mask": q_span_mask,
         "q_span_removed": q_span_removed,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_span_incremental": q_span_incremental,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
         "q_metrics_expand": q_metrics_expand,
@@ -2467,6 +2488,18 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": f"""
             WITH {_span_cte_sql()}
             SELECT doc_id, start_tok, end_tok, span_tokens FROM spans
+        """,
+        "q_span_incremental": f"""
+            WITH {_span_cte_sql()},
+            batch_h AS (SELECT DISTINCT h FROM posts
+                        WHERE doc_id % {INCR_BATCH_MOD} = 0),
+            aff AS (
+              SELECT DISTINCT p.doc_id
+              FROM posts p
+              WHERE p.h IN (SELECT h FROM batch_h)
+                AND p.h IN (SELECT h FROM rep))
+            SELECT s.doc_id, s.start_tok, s.end_tok, s.span_tokens
+            FROM spans s JOIN aff USING (doc_id)
         """,
         "q_unigram_logprob": """
             WITH toks AS (

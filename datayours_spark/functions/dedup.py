@@ -673,8 +673,6 @@ def repeated_spans(
     concentrates only its *posting count* — the aggregation in step 2 is
     a count, not a pair expansion, so hot shingles cost O(occurrences).
     """
-    from pyspark.sql.window import Window
-
     posts = shingle_postings(docs, k, text_col=text_col, id_col=id_col)
     rep = (
         posts.groupBy("h")
@@ -683,6 +681,15 @@ def repeated_spans(
         .select("h")
     )
     covered = posts.join(rep, "h").select("doc_id", "off")
+    return _coverage_to_spans(covered, k, min_span)
+
+
+def _coverage_to_spans(covered: DataFrame, k: int, min_span: int) -> DataFrame:
+    """Step 4 of :func:`repeated_spans`, shared with the incremental
+    variant: merge covered offsets into maximal token intervals
+    (gaps-and-islands per doc) and apply the length threshold."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("off")
     brk = F.when(F.col("off") - F.lag("off").over(w) > k, 1).otherwise(0)
     run = Window.partitionBy("doc_id").orderBy("off").rowsBetween(
@@ -704,6 +711,60 @@ def repeated_spans(
         )
         .where(F.col("span_tokens") >= min_span)
     )
+
+
+def repeated_spans_incremental(
+    new_docs: DataFrame,
+    old_posts: DataFrame,
+    k: int = 8,
+    min_span: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental span maintenance: a NEW batch of docs arrives against
+    the standing posting-list index (`old_posts` — the persisted
+    :func:`shingle_postings` of the corpus so far; at scale a table
+    bucketed by ``h``).
+
+    Emits the repeated spans of every AFFECTED doc — the batch's own docs
+    plus any existing doc sharing a now-repeated shingle with the batch —
+    exactly as a full recompute would produce them (differential-tested).
+    The corpus is append-only, so repeated-status and coverage only grow:
+    a doc not sharing a batch shingle cannot change, which is what makes
+    the affected set (and the whole job) batch-proportional:
+
+    1. batch postings (one explode over the batch);
+    2. repeated-status for BATCH shingle hashes: an inverted-index probe —
+       all postings of those hs via equi-join, then the count aggregate;
+    3. affected docs = docs holding a posting of a now-repeated batch h;
+    4. re-derive those docs' full coverage (their postings × the repeated
+       status of THEIR hs, again h-equi-joined probes) and reassemble
+       spans.  Appending the batch postings to the index keeps it current
+       (`old_posts ∪ new postings`), like minhash_index maintenance.
+    """
+    new_posts = shingle_postings(new_docs, k, text_col=text_col, id_col=id_col)
+    posts = old_posts.select("doc_id", "off", "h").unionByName(new_posts)
+    batch_hs = new_posts.select("h").distinct()
+    rep_batch = (
+        posts.join(batch_hs, "h")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    affected = posts.join(rep_batch, "h").select("doc_id").distinct()
+    aposts = posts.join(affected, "doc_id")
+    cand_hs = aposts.select("h").distinct()
+    rep_all = (
+        posts.join(cand_hs, "h")
+        .groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = aposts.join(rep_all, "h").select("doc_id", "off")
+    return _coverage_to_spans(covered, k, min_span)
 
 
 def span_mask(

@@ -135,3 +135,86 @@ class TestFindLeafPathsProperty:
         got = find_leaf_paths(paths, pattern)
         want = sorted({p for p in paths if brute_glob_match(p, pattern)})
         assert got == want
+
+
+class TestSpanIncremental:
+    def test_batch_creates_repetition_in_old_doc(self, spark):
+        from datayours_spark.functions.dedup import (
+            repeated_spans_incremental,
+            shingle_postings,
+        )
+
+        B = " ".join(f"b{i}" for i in range(15))
+        old = spark.createDataFrame(
+            [(1, f"{B} " + " ".join(f"x{i}" for i in range(10))),
+             (2, " ".join(f"y{i}" for i in range(20)))],
+            "doc_id bigint, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, f"{B} fresh tail tokens")], "doc_id bigint, text string"
+        )
+        out = repeated_spans_incremental(
+            new, shingle_postings(old, 8), k=8, min_span=10
+        ).collect()
+        by_doc = {r["doc_id"]: (r["start_tok"], r["end_tok"]) for r in out}
+        # the batch doc AND the previously-clean old doc 1 both report the
+        # boilerplate span; untouched doc 2 is absent
+        assert by_doc[1] == (0, 14)
+        assert by_doc[10] == (0, 14)
+        assert 2 not in by_doc
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_incremental_equals_full_on_affected_docs(self, spark, seed):
+        """Differential: incremental output == the full recompute
+        restricted to the affected-doc set, on random small-vocab corpora
+        (heavy shingle collisions)."""
+        from datayours_spark.functions.dedup import (
+            repeated_spans,
+            repeated_spans_incremental,
+            shingle_postings,
+        )
+
+        rng = random.Random(1000 + seed)
+        vocab = [f"w{i}" for i in range(rng.randint(4, 7))]
+        docs = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+            for d in range(rng.randint(4, 14))
+        }
+        k = rng.randint(2, 4)
+        min_span = rng.randint(k, 2 * k + 1)
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id bigint, text string",
+        )
+        new = df.where("doc_id % 3 = 0")
+        old = df.where("doc_id % 3 != 0")
+        got = {
+            tuple(r)
+            for r in repeated_spans_incremental(
+                new, shingle_postings(old, k), k=k, min_span=min_span
+            ).collect()
+        }
+        # expected: full spans over the whole corpus, restricted to docs
+        # sharing a now-repeated shingle with the batch
+        full = repeated_spans(df, k=k, min_span=min_span)
+        sh = {}
+        for d, toks in docs.items():
+            sh[d] = {
+                " ".join(toks[o : o + k]) for o in range(len(toks) - k + 1)
+            }
+        counts = {}
+        for d, ss in sh.items():
+            for x in ss:
+                counts[x] = counts.get(x, 0) + 1
+        batch_sh = set().union(*(sh[d] for d in docs if d % 3 == 0)) if any(
+            d % 3 == 0 for d in docs
+        ) else set()
+        affected = {
+            d
+            for d, ss in sh.items()
+            if any(x in batch_sh and counts[x] >= 2 for x in ss)
+        }
+        want = {
+            tuple(r) for r in full.collect() if r["doc_id"] in affected
+        }
+        assert got == want, f"seed={seed} k={k} min_span={min_span}"

@@ -768,3 +768,48 @@ class TestFlowLimits:
         q.stop()
         assert pipeline.datapoints().count() == 8
         assert pipeline.flow_tally().count() == 0
+
+
+class TestFlowLimitRestart:
+    def test_pending_survives_restart(self, spark):
+        """The pending table is durable state: rows deferred before a
+        shutdown drain after a restart (fresh pipeline object, fresh
+        bucket/ledger) without loss or double-application."""
+        import shutil
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+
+        def mk():
+            return IngestPipeline(
+                spark=spark,
+                input_dir=str(TMP / "in"),
+                output_dir=str(TMP / "out"),
+                checkpoint_dir=str(TMP / "ckpt"),
+                now_override=NOW,
+                rollup_steps=(60,),
+                max_updates_per_second=4,
+                clock=FakeClock(),
+                rewrites=[RewriteRule("^dup", "dupdup")],
+            )
+
+        t = NOW - 600
+        p1 = mk()
+        drop_file("burst.txt", [f"dup.a {i} {t + i}" for i in range(10)])
+        q = p1.start()
+        q.processAllAvailable()  # admit 4, defer 6 to pending
+        q.stop()
+        assert p1.datapoints().count() == 4
+
+        p2 = mk()  # fresh object: token bucket and caches reset
+        q = p2.start()
+        p2.clock.advance(1.0)
+        drop_file("tick-a.txt", [])
+        q.processAllAvailable()  # +4
+        p2.clock.advance(1.0)
+        drop_file("tick-b.txt", [])
+        q.processAllAvailable()  # +2
+        q.stop()
+        dp = {r["ts_sec"]: (r["path"], r["value"]) for r in p2.datapoints().collect()}
+        assert dp == {t + i: ("dupdup.a", float(i)) for i in range(10)}
+        shutil.rmtree(TMP, ignore_errors=True)
