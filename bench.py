@@ -80,7 +80,10 @@ BENCH_QUERIES = [
     # round 4 additions
     "q_span_dedup",
     "q_span_removed",
+    "q_span_incremental",
     "q_ann_ivfpq",
+    "q_ann_ivfpq_res",
+    "q_unigram_logprob",
 ]
 
 
