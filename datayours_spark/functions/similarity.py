@@ -619,6 +619,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    codes: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN: probe the coarse quantizer's inverted lists, score
     candidates by ASYMMETRIC distance — approx cosine = (sum over
@@ -636,8 +638,17 @@ def ivfpq_topk(
     dsub = dim // m
     spark = emb.sparkSession
 
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
-    codes = pq_encode(emb, codebooks, dim, id_col, vec_col)
+    # codes/assignments are INDEX STATE: in production both are computed
+    # once at ingest and stored (codes are the m-byte payload; cluster is
+    # the partition key).  Passing them skips the per-search re-encode —
+    # the scalesmoke measures the two phases separately.
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
+    )
+    if codes is None:
+        codes = pq_encode(emb, codebooks, dim, id_col, vec_col)
 
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
