@@ -295,7 +295,9 @@ def kmeans_centroids(
         rows = (
             vecs.withColumn(
                 "cluster",
-                F.expr(_argmax_codeword_sql(cents, "v", "nrm")).cast("int"),
+                F.expr(
+                    _argmax_codeword_sql(cents, "v", "nrm", vec_is_exact=True)
+                ).cast("int"),
             )
             .select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -448,14 +450,67 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _lit_dot_sql(
+    base_sql: str,
+    offset: int,
+    weights: list[float],
+    expand: bool,
+    vec_is_exact: bool = False,
+) -> str:
+    """SQL text of dot(vector-slice, literal weights).
+
+    Two bit-identical renderings — a left-to-right ``+`` chain performs
+    exactly the IEEE additions of the fold (the fold's leading ``0.0 + x``
+    is exact), so either form replays against the same oracle:
+
+    - ``expand=False`` (default): ``aggregate(zip_with(slice(...), ...))``
+      — a compact expression that Janino compiles; higher-order functions
+      interpret a lambda per element, which is fine at gate-fixture sizes.
+    - ``expand=True``: ``v[o]*w0 + v[o+1]*w1 + ...`` scalar arithmetic.
+      The k×d-term expressions overflow Janino's 64 KB method limit, so
+      codegen fails (logged) and execution falls back to INTERPRETED-
+      expanded.  Same-session A/B at 200k×64-dim vectors: ENCODE 7.1 s
+      fold → 1.8-2.9 s expanded (2.5-4×: one flat projection, and the
+      interpreted Add-chain beats per-element lambdas), but TRAINING
+      12 s fold → 14 s expanded (the grouped CASE multiplies the
+      failed-compile cost across stages) — so the encode scan opts in at
+      scale and everything else keeps the fold.
+    """
+    if expand:
+        return " + ".join(
+            f"{base_sql}[{offset + i}]*{w!r}D" for i, w in enumerate(weights)
+        )
+    arr = ",".join(f"{w!r}D" for w in weights)
+    # vec_is_exact: the caller guarantees the column is exactly
+    # len(weights) wide at offset 0, so zip_with takes it directly —
+    # a slice() would copy the array once PER CODEWORD per row (zip_with
+    # pads the shorter side with nulls, so slicing is mandatory whenever
+    # the column may be wider)
+    vec = (
+        base_sql
+        if vec_is_exact and offset == 0
+        else f"slice({base_sql}, {offset + 1}, {len(weights)})"
+    )
+    return (
+        f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _argmax_codeword_sql(
     cents: list[tuple[int, list[float]]],
     vec_sql: str,
     nrm_sql: str,
+    offset: int = 0,
+    expand: bool = False,
+    vec_is_exact: bool = False,
 ) -> str:
     """SQL text of the codeword argmax: greatest over (csim, -id) structs,
     csim = round(dot(vec, cw)/(nrm*|cw|), 9) — the kmeans_centroids
-    assignment contract verbatim, over an arbitrary vector expression."""
+    assignment contract verbatim.  ``vec_sql`` names the ARRAY COLUMN the
+    codewords score against and ``offset`` the 0-based element offset of
+    the subspace window; see :func:`_lit_dot_sql` for the two renderings.
+    """
     import math
 
     parts = []
@@ -463,11 +518,9 @@ def _argmax_codeword_sql(
         acc = 0.0
         for x in cv:
             acc = acc + x * x
-        arr = ",".join(f"{x!r}D" for x in cv)
+        dot_sql = _lit_dot_sql(vec_sql, offset, cv, expand, vec_is_exact)
         parts.append(
-            f"named_struct('s', round(aggregate(zip_with({vec_sql}, array("
-            + arr
-            + f"), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / ({nrm_sql} * "
+            f"named_struct('s', round(({dot_sql}) / ({nrm_sql} * "
             + f"{math.sqrt(acc)!r}D), 9), 'ni', {-cid})"
         )
     inner = parts[0] if len(parts) == 1 else "greatest(" + ",".join(parts) + ")"
@@ -484,6 +537,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    expand_dots: bool = False,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace PQ codebooks, trained as ONE grouped k-means: every
     Lloyd iteration runs a single Spark job covering all m subspaces (the
@@ -547,7 +601,9 @@ def pq_codebooks(
     for _ in range(iters):
         branches = " ".join(
             f"WHEN {j} THEN "
-            + _argmax_codeword_sql(books[j], "sv", "snrm")
+            + _argmax_codeword_sql(
+                books[j], "sv", "snrm", expand=expand_dots, vec_is_exact=True
+            )
             for j in range(m)
         )
         cluster = F.expr(f"CASE sub {branches} END").cast("int")
@@ -584,6 +640,7 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expand_dots: bool = False,
 ) -> DataFrame:
     """(vec_id, codes array<int>, nrm): each vector's m codeword ids (the
     m-byte compressed representation) plus its exact norm — the only two
@@ -592,12 +649,23 @@ def pq_encode(
     dsub = dim // m
     exprs = []
     for j in range(m):
-        vec_sql = f"slice(v, {j * dsub + 1}, {dsub})"
-        nrm_sql = (
-            f"sqrt(aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y),"
-            " 0.0D, (acc, x) -> acc + x))"
+        off = j * dsub
+        if expand_dots:
+            # same sequential order as the fold → bit-identical
+            nrm_sql = "sqrt(" + " + ".join(
+                f"v[{off + i}]*v[{off + i}]" for i in range(dsub)
+            ) + ")"
+        else:
+            sl = f"slice(v, {off + 1}, {dsub})"
+            nrm_sql = (
+                f"sqrt(aggregate(zip_with({sl}, {sl}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x))"
+            )
+        exprs.append(
+            _argmax_codeword_sql(
+                codebooks[j], "v", nrm_sql, offset=off, expand=expand_dots
+            )
         )
-        exprs.append(_argmax_codeword_sql(codebooks[j], vec_sql, nrm_sql))
     codes = F.expr("array(" + ",".join(exprs) + ")")
     return (
         emb.select(

@@ -355,7 +355,13 @@ def main() -> None:
     t = time.perf_counter()
     codes_dir = emb_dir + "_codes"
     assign_dir = emb_dir + "_assign"
-    pq_encode(emb_big, books, dim).write.mode("overwrite").parquet(codes_dir)
+    # expand_dots on the encode scan: literal dots render as scalar
+    # arithmetic — measured 2.5-4x faster than the fold at this scale
+    # (A/B in similarity._lit_dot_sql); training keeps the fold, which
+    # A/B'd faster there
+    pq_encode(emb_big, books, dim, expand_dots=True).write.mode(
+        "overwrite"
+    ).parquet(codes_dir)
     ivf_assign(emb_big, cent).write.mode("overwrite").parquet(assign_dir)
     ann_timings["pq_index_build_encode_assign"] = {
         "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
