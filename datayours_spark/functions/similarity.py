@@ -360,6 +360,7 @@ def ivf_topk(
     round_dp: int = 4,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: probe the query's `nprobe` nearest centroids' clusters.
 
@@ -383,7 +384,13 @@ def ivf_topk(
         if centroids is not None
         else ivf_centroids(emb, cluster_col, id_col, vec_col)
     )
-    assign = ivf_assign(emb, cent, id_col, vec_col)
+    # assignments are index state (see ivfpq_topk): inject the stored
+    # inverted-list membership to skip the per-search re-assignment
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, cent, id_col, vec_col)
+    )
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -846,6 +853,9 @@ def ivfpq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    books: list[list[tuple[int, list[float]]]] | None = None,
+    codes: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ ANN: codebooks are trained on (and codes encode)
     the COARSE RESIDUAL v - c(v); scoring reconstructs
@@ -853,26 +863,44 @@ def ivfpq_residual_topk(
     per-probe scalar on the broadcast centroid table and the Σ term is
     the same broadcast ADC lookup as :func:`ivfpq_topk`.  Candidates
     still contribute only their m-byte code plus one stored (exact,
-    full-vector) norm.  Output: (query_id, vec_id, sim, rank)."""
+    full-vector) norm.  Output: (query_id, vec_id, sim, rank).
+
+    ``books``/``codes``/``assignments`` are INDEX STATE (same contract as
+    :func:`ivfpq_topk`): in production they are built once at ingest and
+    stored; passing them skips the per-search retrain/re-encode.  An
+    injected ``codes`` must carry (vec_id, codes, nrm) with nrm the
+    ORIGINAL full-vector norm."""
     from pyspark.sql import Window
 
     dsub = dim // m
     spark = emb.sparkSession
 
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
-    res = residual_vectors(emb, centroids, id_col, vec_col)
-    books = pq_codebooks(
-        res, m=m, ks=ks, iters=iters, seed=seed, dim=dim,
-        id_col="vec_id", vec_col="embedding",
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
     )
-    # codes encode the residual; the stored norm is the ORIGINAL vector's
-    codes = pq_encode(res, books, dim, id_col="vec_id", vec_col="embedding")
+    if codes is None:
+        res = residual_vectors(emb, centroids, id_col, vec_col)
+        if books is None:
+            books = pq_codebooks(
+                res, m=m, ks=ks, iters=iters, seed=seed, dim=dim,
+                id_col="vec_id", vec_col="embedding",
+            )
+        # codes encode the residual; the stored norm is the ORIGINAL
+        # vector's
+        codes = pq_encode(res, books, dim, id_col="vec_id", vec_col="embedding")
+        vecs0 = emb.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        codes = codes.select("vec_id", "codes").join(
+            vecs0.select("vec_id", "nrm"), "vec_id"
+        )
+    elif books is None:
+        raise ValueError("injected codes require the codebooks they encode")
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    codes = codes.select("vec_id", "codes").join(
-        vecs.select("vec_id", "nrm"), "vec_id"
-    )
 
     pw = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id")
