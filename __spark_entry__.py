@@ -1376,6 +1376,24 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.3
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: the learned k-means quantizer blocks the
+    corpus; within-cluster 9-dp cosine >= tau against a lower-id member
+    marks a vector as a semantic duplicate.  Reuses the session's coarse
+    index; the DuckDB oracle replays clustering + the within-cluster pair
+    scan bit-for-bit."""
+    from datayours_spark.functions.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(
+        emb, _ann_centroids(spark, sf_dir), tau=SEMDEDUP_TAU,
+        assignments=_ann_assignments(spark, sf_dir),
+    )
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -2224,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq": q_ann_ivfpq,
         "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
         "q_ann_ivfpq_res": q_ann_ivfpq_res,
+        "q_semdedup": q_semdedup,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -3099,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivfpq": _ivfpq_oracle_sql(),
         "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq_res": _ivfpq_oracle_sql(residual=True),
+        "q_semdedup": _semdedup_oracle_sql(),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -3496,6 +3516,25 @@ def _kmeans_coarse_cte_sqls(nprobe: int = 1) -> list:
             WHERE e.vec_id < {N_ANN_QUERIES})
           WHERE rn <= {nprobe})""")
     return sqls
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB replay of kmeans_centroids + semdedup: clustering replays
+    the shared coarse CTEs; a vector is a semantic duplicate iff some
+    lower-id member of its cluster has 9-dp-rounded cosine >=
+    SEMDEDUP_TAU."""
+    dot = DUCK_DOT
+    sqls = _kmeans_coarse_cte_sqls()
+    sqls.append(f"""
+        dups AS (
+          SELECT DISTINCT r.vec_id
+          FROM t l JOIN t r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+          WHERE round({dot.format(a="l.v", b="r.v")}
+                      / (l.nrm * r.nrm), 9) >= {SEMDEDUP_TAU})
+        SELECT t.vec_id, t.cluster, (d.vec_id IS NOT NULL) AS is_dup
+        FROM t LEFT JOIN dups d ON t.vec_id = d.vec_id""")
+    return ",".join(sqls)
 
 
 def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:

@@ -810,6 +810,86 @@ def ivfpq_topk(
     return ranked.where(F.col("rank") <= k)
 
 
+class SemdedupClusterTooLarge(ValueError):
+    """A k-means cluster exceeds ``max_cluster``: the within-cluster
+    pairwise comparison would be quadratic in that cluster's size.  Raise
+    k (more, smaller clusters — SemDeDup scales k with sqrt(N)) or raise
+    ``max_cluster`` knowingly."""
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clustering BLOCKS the corpus, then cosine
+    comparisons run only WITHIN clusters — never across the full corpus.
+
+    A vector is a semantic duplicate iff some lower-id member of its own
+    cluster has 9-dp-rounded cosine >= ``tau`` (deterministic keep-lowest
+    representative rule; the rounding is the kmeans_centroids cross-engine
+    contract).  Returns one row per input vector:
+    (vec_id, cluster, is_dup).
+
+    Scale shape: assignment is a broadcast-centroid projection; the pair
+    generation is an EQUI-join on the cluster id, so work is
+    sum-over-clusters of c_l² instead of N² — with k ~ sqrt(N) clusters
+    (the paper's regime) that is ~N^1.5 spread across the shuffle.
+    ``max_cluster`` fails fast (one tiny aggregation) before any
+    quadratic work if a cluster exceeds the bound.
+    """
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
+    )
+    if max_cluster is not None:
+        top = (
+            assign.groupBy("cluster").count()
+            .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+        )
+        if top is not None and top > max_cluster:
+            raise SemdedupClusterTooLarge(
+                f"largest cluster has {top} members > max_cluster="
+                f"{max_cluster}"
+            )
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    t = vecs.join(assign, "vec_id")
+    left = t.select(
+        F.col("cluster"), F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"), F.col("nrm").alias("n1"),
+    )
+    right = t.select(
+        F.col("cluster"), F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    csim = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+    )
+    dup_ids = (
+        left.join(right, ["cluster"])
+        .where(F.col("id1") < F.col("id2"))
+        .where(csim >= tau)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        t.select("vec_id", "cluster")
+        .join(dup_ids.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def residual_vectors(
     emb: DataFrame,
     centroids: DataFrame,

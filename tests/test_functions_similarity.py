@@ -302,3 +302,58 @@ class TestResidualIvfPq:
         a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
         e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
         assert len(a & e) >= 10
+
+
+class TestSemdedup:
+    def _docs(self, spark):
+        # cluster A around e1: three near-copies + one distinct; cluster B
+        # around e2: two orthogonal-ish members (no dups)
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-copy of 0
+            (2, [0.998, -0.02, 0.0, 0.0]),  # near-copy of 0/1
+            (3, [0.6, 0.6, 0.0, 0.0]),      # same cluster, not a dup at 0.99
+            (4, [0.0, 0.0, 1.0, 0.0]),
+            (5, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_keep_lowest_marks_later_copies(self, spark):
+        from datayours_spark.functions.similarity import kmeans_centroids, semdedup
+
+        emb = self._docs(spark)
+        cent = kmeans_centroids(emb, k=2, iters=2)
+        out = {r["vec_id"]: r["is_dup"] for r in semdedup(emb, cent, tau=0.99).collect()}
+        assert len(out) == 6                       # one row per input vector
+        assert out[0] is False                     # lowest id of the dup group survives
+        assert out[1] is True and out[2] is True   # later near-copies flagged
+        assert out[3] is False                     # same cluster but below tau
+
+    def test_max_cluster_guard(self, spark):
+        import pytest
+
+        from datayours_spark.functions.similarity import (
+            SemdedupClusterTooLarge,
+            kmeans_centroids,
+            semdedup,
+        )
+
+        emb = self._docs(spark)
+        cent = kmeans_centroids(emb, k=1, iters=1)  # everything in one cluster
+        with pytest.raises(SemdedupClusterTooLarge):
+            semdedup(emb, cent, tau=0.99, max_cluster=3).collect()
+
+    def test_assignment_injection_matches(self, spark):
+        from datayours_spark.functions.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+            semdedup,
+        )
+
+        emb = self._docs(spark)
+        cent = kmeans_centroids(emb, k=2, iters=2)
+        a = semdedup(emb, cent, tau=0.99).collect()
+        b = semdedup(
+            emb, cent, tau=0.99, assignments=ivf_assign(emb, cent)
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
