@@ -715,6 +715,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_EVAL_MOD = 5  # docs with doc_id % 5 == 0 stand in for the eval set
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: MinHash-LSH near-dup join of the training
+    corpus against the (broadcast) eval set — catches paraphrased eval
+    leakage that q_contamination's exact shingle containment misses.
+    Both sides' signatures derive from the session's stored signature
+    table by doc_id filters."""
+    from datayours_spark.functions.dedup import minhash_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(spark, sf_dir)
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    return minhash_decontaminate(
+        docs.where(~is_eval), docs.where(is_eval),
+        bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD,
+        train_signatures=sigs.where(~is_eval),
+        eval_signatures=sigs.where(is_eval),
+    )
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -2262,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_profile": q_quantile_profile,
         "q_daily_active": q_daily_active,
         "q_contamination": q_contamination,
+        "q_fuzzy_contamination": q_fuzzy_contamination,
     }
 
 
@@ -3339,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
             GROUP BY 1
         """,
+        "q_fuzzy_contamination": _fuzzy_contam_oracle_sql(),
         "q_contamination": f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             ev AS (
@@ -3775,4 +3799,30 @@ def _minhash_oracle_sql() -> str:
                        / len(list_distinct(s1.s || s2.s)), 4) AS jaccard
           FROM cand JOIN sets s1 ON id1 = s1.doc_id JOIN sets s2 ON id2 = s2.doc_id)
         SELECT id1, id2, jaccard FROM j WHERE jaccard >= {MINHASH_THRESHOLD}
+    """
+
+
+def _fuzzy_contam_oracle_sql() -> str:
+    """DuckDB mirror of functions.dedup.minhash_decontaminate over the
+    mod-{FUZZY_EVAL_MOD} eval split: shared signature/band CTEs (same
+    constants as _minhash_oracle_sql), candidate join restricted to
+    train x eval."""
+    base = _minhash_oracle_sql()
+    head, _ = base.split("cand AS (", 1)
+    return head + f"""cand AS (
+          SELECT DISTINCT l.doc_id AS train_id, r.doc_id AS eval_id
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bh = r.bh
+          WHERE l.doc_id % {FUZZY_EVAL_MOD} != 0
+            AND r.doc_id % {FUZZY_EVAL_MOD} == 0),
+        sets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+                 FROM documents),
+        j AS (
+          SELECT train_id, eval_id,
+                 round(len(list_intersect(s1.s, s2.s)) * 1.0
+                       / len(list_distinct(s1.s || s2.s)), 4) AS jaccard
+          FROM cand JOIN sets s1 ON train_id = s1.doc_id
+                    JOIN sets s2 ON eval_id = s2.doc_id)
+        SELECT train_id, eval_id, jaccard FROM j
+        WHERE jaccard >= {MINHASH_THRESHOLD}
     """

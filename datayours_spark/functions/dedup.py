@@ -362,6 +362,65 @@ def minhash_incremental(
     return jaccard_pairs(cand, corpus_docs).where(F.col("jaccard") >= threshold)
 
 
+def minhash_decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    bands: int = 5,
+    rows: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    seed: int = 42,
+    train_signatures: DataFrame | None = None,
+    eval_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: MinHash-LSH near-dup join between
+    a training corpus and an eval set — catches paraphrased/partially
+    edited eval leakage that exact n-gram containment misses (the exact
+    path is `q_contamination`'s broadcast shingle join).
+
+    Scale shape: the eval side is small by construction (thousands of
+    docs), so its banded LSH rows AND its token sets broadcast; the train
+    corpus streams through one signature aggregation and a broadcast
+    equi-join on (band, bucket-hash) — no corpus self-join anywhere, cost
+    linear in the training corpus.  Doc-id spaces must be disjoint.
+    Returns (train_id, eval_id, jaccard) with exact token-set
+    jaccard >= ``threshold``.
+    """
+    k = bands * rows
+    tsigs = (
+        train_signatures
+        if train_signatures is not None
+        else minhash_signatures(train_docs, k=k, shingle_n=shingle_n, seed=seed)
+    )
+    esigs = (
+        eval_signatures
+        if eval_signatures is not None
+        else minhash_signatures(eval_docs, k=k, shingle_n=shingle_n, seed=seed)
+    )
+    tb = _banded_rows(tsigs, bands, rows).withColumnRenamed("doc_id", "train_id")
+    eb = _banded_rows(esigs, bands, rows).withColumnRenamed("doc_id", "eval_id")
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "bh"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+
+    def _sets(docs: DataFrame, out_id: str) -> DataFrame:
+        return docs.select(
+            F.col("doc_id").alias(out_id),
+            F.array_distinct(F.split("text", " ")).alias(f"s_{out_id}"),
+        )
+
+    j = cand.join(_sets(train_docs, "train_id"), "train_id").join(
+        F.broadcast(_sets(eval_docs, "eval_id")), "eval_id"
+    )
+    inter = F.size(F.array_intersect("s_train_id", "s_eval_id"))
+    union = F.size(F.array_union("s_train_id", "s_eval_id"))
+    return j.select(
+        "train_id", "eval_id", F.round(inter / union, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
 def minhash_dedup(
     docs: DataFrame,
     bands: int = 5,

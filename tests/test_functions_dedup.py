@@ -446,3 +446,49 @@ class TestUnigramLogprob:
         )
         got = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
         assert got[2] < got[1]  # gibberish scores more negative
+
+
+class TestMinhashDecontaminate:
+    def test_cross_corpus_only_and_direction(self, spark):
+        """Near-identical train/eval docs pair up train->eval; train-train
+        near-dups never appear (the join is cross-corpus only)."""
+        from datayours_spark.functions.dedup import minhash_decontaminate
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        train = spark.createDataFrame(
+            [
+                (1, base + " extra"),
+                (2, base + " more"),          # near-dup of 1 (train-train: excluded)
+                (3, "completely different text about spark shuffles and joins here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, base + " indeed")], "doc_id bigint, text string"
+        )
+        out = minhash_decontaminate(train, ev, threshold=0.5).collect()
+        got = {(r["train_id"], r["eval_id"]) for r in out}
+        assert got == {(1, 100), (2, 100)}
+        assert all(r["jaccard"] >= 0.5 for r in out)
+
+    def test_signature_injection_matches(self, spark):
+        from datayours_spark.functions.dedup import (
+            minhash_decontaminate,
+            minhash_signatures,
+        )
+        from datayours_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        from pyspark.sql import functions as F
+
+        is_eval = F.col("doc_id") % 5 == 0
+        sigs = minhash_signatures(docs, k=20)
+        a = minhash_decontaminate(
+            docs.where(~is_eval), docs.where(is_eval)
+        ).collect()
+        b = minhash_decontaminate(
+            docs.where(~is_eval), docs.where(is_eval),
+            train_signatures=sigs.where(~is_eval),
+            eval_signatures=sigs.where(is_eval),
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
