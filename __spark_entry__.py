@@ -1398,6 +1398,26 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_RERANK_SHORTLIST = 15
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlist (15 candidates/query
+    from the compressed codes) → exact cosine re-rank of only those
+    candidates' full vectors — the standard production ANN composition.
+    Full replay oracle (shortlist + re-rank both replayed)."""
+    from datayours_spark.functions.similarity import ivfpq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
+        _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
+        ANN_DIM, shortlist=ANN_RERANK_SHORTLIST,
+        codes=_ann_codes(spark, sf_dir, False),
+        assignments=_ann_assignments(spark, sf_dir),
+    )
+
+
 SEMDEDUP_TAU = 0.3
 
 
@@ -2265,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
         "q_ann_ivfpq_res": q_ann_ivfpq_res,
         "q_semdedup": q_semdedup,
+        "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -3142,6 +3163,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq_res": _ivfpq_oracle_sql(residual=True),
         "q_semdedup": _semdedup_oracle_sql(),
+        "q_ann_ivfpq_rerank": _ivfpq_oracle_sql(rerank_shortlist=ANN_RERANK_SHORTLIST),
         "q_resize_plan": f"""
             WITH a AS (
               SELECT doc_id AS asset_id,
@@ -3579,7 +3601,11 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
     return ",".join(sqls)
 
 
-def _ivfpq_oracle_sql(nprobe: int = 1, residual: bool = False) -> str:
+def _ivfpq_oracle_sql(
+    nprobe: int = 1,
+    residual: bool = False,
+    rerank_shortlist: int | None = None,
+) -> str:
     """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk /
     ivfpq_residual_topk on top of the shared coarse-quantizer CTEs:
     per-subspace md5 init, ANN_PQ_ITERS grouped Lloyd iterations, codeword
@@ -3700,6 +3726,31 @@ def _ivfpq_oracle_sql(nprobe: int = 1, residual: bool = False) -> str:
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS rank
           FROM adc) WHERE rank <= {ANN_TOP_K}""")
+    if rerank_shortlist is not None:
+        # stage 2: exact cosine over the ADC shortlist's full vectors
+        final = sqls.pop()
+        sqls.append(
+            final.replace(
+                "SELECT query_id, vec_id, sim, rank FROM (",
+                f""",
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, vec_id) AS rank
+            FROM adc) WHERE rank <= {rerank_shortlist}),
+        qq AS (SELECT DISTINCT query_id, qv, qnorm FROM q),
+        rr AS (
+          SELECT s.query_id, s.vec_id,
+                 round({dot.format(a="t.v", b="qq.qv")}
+                       / (t.nrm * qq.qnorm), 4) AS sim
+          FROM short s JOIN t ON s.vec_id = t.vec_id
+                       JOIN qq ON s.query_id = qq.query_id)
+        SELECT query_id, vec_id, sim, rank FROM (""",
+            ).replace(
+                "FROM adc) WHERE rank <= {0}".format(ANN_TOP_K),
+                f"FROM rr) WHERE rank <= {ANN_TOP_K}",
+            )
+        )
     return ",".join(sqls)
 
 

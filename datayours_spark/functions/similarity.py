@@ -810,6 +810,70 @@ def ivfpq_topk(
     return ranked.where(F.col("rank") <= k)
 
 
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    shortlist: int = 15,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    codes: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlists ``shortlist``
+    candidates per query from the compressed codes, then ONLY those
+    candidates' full vectors are read for an exact cosine re-rank to
+    top-``k`` — the standard production composition (compressed index
+    narrows, exact math decides).
+
+    Scale shape: stage 1 is :func:`ivfpq_topk` (codes + one norm per
+    candidate); stage 2 touches ``len(query_ids) × shortlist`` full
+    vectors via an equi-join on vec_id with the (tiny) query side
+    broadcast — full-vector IO is proportional to the shortlist, never
+    the corpus.  Output: (query_id, vec_id, sim, rank) with exact
+    ``round_dp``-rounded cosine."""
+    from pyspark.sql import Window
+
+    short = ivfpq_topk(
+        emb, query_ids, shortlist, centroids, codebooks, dim, nprobe,
+        id_col, vec_col, round_dp, codes=codes, assignments=assignments,
+    ).select("query_id", "vec_id")
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    qv = vecs.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnorm"),
+    )
+    exact = (
+        short.join(vecs, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnorm")),
+                round_dp,
+            ).alias("sim"),
+        )
+    )
+    ranked = exact.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k)
+
+
 class SemdedupClusterTooLarge(ValueError):
     """A k-means cluster exceeds ``max_cluster``: the within-cluster
     pairwise comparison would be quadratic in that cluster's size.  Raise

@@ -357,3 +357,30 @@ class TestSemdedup:
             emb, cent, tau=0.99, assignments=ivf_assign(emb, cent)
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestIvfpqRerank:
+    def test_rerank_sims_are_exact_cosine(self, spark):
+        """Stage-2 sims must equal brute-force cosine for the same pairs
+        (re-rank reads full vectors, not codes) and with one coarse
+        cluster + a generous shortlist the top-k matches exact search."""
+        from datayours_spark.functions.similarity import (
+            cosine_topk,
+            ivfpq_rerank_topk,
+            kmeans_centroids,
+            pq_codebooks,
+        )
+        from datayours_spark.io import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        cent = kmeans_centroids(emb, k=1, iters=1)
+        books = pq_codebooks(emb, m=2, ks=16, iters=2, seed=42, dim=dim)
+        rer = ivfpq_rerank_topk(
+            emb, [0, 1], 5, cent, books, dim,
+            shortlist=emb.count(),  # full shortlist -> must equal exact
+        )
+        exact = cosine_topk(emb, [0, 1], 5)
+        assert sorted(map(tuple, rer.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
