@@ -2131,6 +2131,23 @@ PACK_CAPACITY = 2_048  # tokens per training context window
 PACK_SHARDS = 8  # independent packing streams per language
 NGRAM_TOP_K = 20
 
+SHARD_N = 8
+SHARD_STRATUM_WIDTH = 16
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (stratified snake): integer token
+    strata, per-stratum round-robin in (n_tokens DESC, doc_id) order,
+    each stratum's round-robin continuing where the larger stratum
+    stopped — balanced output shards with NO global ordering (the one
+    corpus-wide window partitions by stratum)."""
+    from datayours_spark.functions.sampling import shard_balance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_balance(
+        docs, n_shards=SHARD_N, stratum_width=SHARD_STRATUM_WIDTH
+    )
+
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing manifest: concat-and-chunk docs into fixed
@@ -2301,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_histogram": q_token_histogram,
         "q_sliding_rate": q_sliding_rate,
         "q_pack_sequences": q_pack_sequences,
+        "q_shard_balance": q_shard_balance,
         "q_top_ngrams": q_top_ngrams,
         "q_quantile_profile": q_quantile_profile,
         "q_daily_active": q_daily_active,
@@ -3337,6 +3355,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_start, event_type, count(*) AS n,
                    round(avg(value), 4) AS avg_value
             FROM w GROUP BY 1, 2
+        """,
+        "q_shard_balance": f"""
+            WITH d AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                     len(string_split(text, ' ')) // {SHARD_STRATUM_WIDTH}
+                       AS stratum
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, n_tokens, stratum,
+                     row_number() OVER (PARTITION BY stratum
+                                        ORDER BY n_tokens DESC, doc_id) - 1
+                       AS rn
+              FROM d),
+            offs AS (
+              SELECT stratum,
+                     coalesce(sum(cnt) OVER (ORDER BY stratum DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS off
+              FROM (SELECT stratum, count(*) AS cnt FROM d GROUP BY stratum))
+            SELECT r.doc_id, r.n_tokens, r.stratum,
+                   ((o.off + r.rn) % {SHARD_N})::INT AS shard
+            FROM ranked r JOIN offs o USING (stratum)
         """,
         "q_pack_sequences": f"""
             WITH staged AS (

@@ -217,3 +217,67 @@ def leakage_free_split(
         hash_bucket(F.col("cluster_id"), salt) < train_pct, F.lit("train")
     ).otherwise(F.lit("val"))
     return labeled.withColumn("split", side)
+
+
+def shard_balance(
+    docs: DataFrame,
+    n_shards: int = 8,
+    stratum_width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced shard assignment for training-data writers:
+    (doc_id, n_tokens, stratum, shard).
+
+    Design — STRATIFIED SNAKE, chosen for the distributed plan, not just
+    the math: docs bucket into integer token-count strata
+    (``n_tokens div stratum_width`` — exact integer arithmetic, so every
+    engine agrees), each stratum round-robins over the shards in
+    (n_tokens DESC, doc_id) order, and each stratum's round-robin STARTS
+    where the previous (larger-token) stratum stopped — without the
+    offset chain every stratum would dump its largest docs on shard 0.
+    Within a stratum sizes differ by < stratum_width tokens, so
+    round-robin spreads at most (#strata x stratum_width) imbalance
+    across shards.
+
+    Scale shape: the only corpus-wide operations are one projection and
+    ONE window partitioned by stratum (parallel across strata; a hot
+    stratum is one sorted partition of doc-id-sized rows, never the
+    corpus).  The offset chain is a window over per-stratum counts —
+    #strata rows, driver-scale.  No global ordering anywhere: the naive
+    "rank all docs by size" formulation needs a single-partition window,
+    which is exactly what this avoids.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("n_tokens")
+    ).withColumn(
+        # integer div: exact in every engine (no float rounding at
+        # stratum boundaries)
+        "stratum", F.expr(f"n_tokens div {int(stratum_width)}")
+    )
+    wr = Window.partitionBy("stratum").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(wr) - 1)
+    # per-stratum start offsets: cumulative counts of the LARGER-token
+    # strata.  #strata rows = model state (like centroid tables):
+    # computed driver-side, folded into the plan as a literal CASE — no
+    # single-partition window, nothing to broadcast.
+    counts = sorted(
+        ((r["stratum"], r["count"]) for r in d.groupBy("stratum").count().collect()),
+        key=lambda sc: -sc[0],
+    )
+    offset_expr: Column = F.lit(0)
+    acc = 0
+    for stratum, cnt in counts:
+        offset_expr = (
+            F.when(F.col("stratum") == stratum, F.lit(acc)).otherwise(offset_expr)
+        )
+        acc += cnt
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "stratum",
+        ((offset_expr + F.col("rn")) % n_shards).cast("int").alias("shard"),
+    )

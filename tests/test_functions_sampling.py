@@ -244,3 +244,32 @@ class TestLeakageFreeSplit:
         b = {r["doc_id"]: r["split"]
              for r in leakage_free_split(docs.repartition(7), empty).collect()}
         assert a == b  # md5 decision: partition-layout invariant
+
+
+class TestShardBalance:
+    def test_every_doc_assigned_once_and_balance(self, spark):
+        from datayours_spark.functions.sampling import shard_balance
+        from datayours_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        n = docs.count()
+        out = shard_balance(docs, n_shards=4, stratum_width=16)
+        rows = out.collect()
+        assert len(rows) == n                       # one row per doc
+        assert {r["shard"] for r in rows} <= set(range(4))
+        # token balance: max shard within 25% of min (stratified snake
+        # bounds imbalance by #strata x stratum_width tokens)
+        totals = {}
+        for r in rows:
+            totals[r["shard"]] = totals.get(r["shard"], 0) + r["n_tokens"]
+        assert len(totals) == 4
+        assert max(totals.values()) <= 1.25 * min(totals.values())
+
+    def test_deterministic_under_repartition(self, spark):
+        from datayours_spark.functions.sampling import shard_balance
+        from datayours_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        a = sorted(map(tuple, shard_balance(docs, 4).collect()))
+        b = sorted(map(tuple, shard_balance(docs.repartition(7), 4).collect()))
+        assert a == b
