@@ -2080,6 +2080,16 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM quality score: mean log10 p(w2|w1) per doc under
+    the corpus's own bigram counts — catches shuffled-word salad that the
+    unigram proxy (q_unigram_logprob) cannot."""
+    from datayours_spark.functions.text import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span REMOVAL: per-doc cleaned text with every qualifying repeated
     span cut out — the step a training pipeline actually applies after
@@ -2276,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_mask": q_span_mask,
         "q_span_removed": q_span_removed,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_bigram_logprob": q_bigram_logprob,
         "q_span_incremental": q_span_incremental,
         "q_ann_lsh": q_ann_lsh,
         "q_text_profile": q_text_profile,
@@ -2768,6 +2779,24 @@ def oracle_sql() -> dict[str, str]:
                 AND p.h IN (SELECT h FROM rep))
             SELECT s.doc_id, s.start_tok, s.end_tok, s.span_tokens
             FROM spans s JOIN aff USING (doc_id)
+        """,
+        "q_bigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pairs AS (
+              SELECT doc_id,
+                     unnest([{'w1': t[i], 'w2': t[i + 1]}
+                             FOR i IN generate_series(1, len(t) - 1)]) AS bg
+              FROM toks WHERE len(t) >= 2),
+            p2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+            bi AS (SELECT w1, w2, count(*) AS c2 FROM p2 GROUP BY 1, 2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM p2 GROUP BY 1),
+            lp AS (SELECT w1, w2, log10(c2 * 1.0 / c1) AS logp
+                   FROM bi JOIN ctx USING (w1))
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(logp), 6) AS avg_logprob
+            FROM p2 JOIN lp USING (w1, w2)
+            GROUP BY doc_id
         """,
         "q_unigram_logprob": """
             WITH toks AS (

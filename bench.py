@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "q_ann_ivfpq",
     "q_ann_ivfpq_res",
     "q_unigram_logprob",
+    "q_ann_ivfpq_rerank",
+    "q_semdedup",
+    "q_fuzzy_contamination",
+    "q_shard_balance",
+    "q_bigram_logprob",
 ]
 
 

@@ -256,3 +256,51 @@ def unigram_logprob(
             F.round(F.avg("logp"), round_dp).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Corpus-bigram language-model quality score per document: mean
+    log10 p(w2 | w1) = c(w1 w2) / c(w1 ·) under the corpus's own bigram
+    counts — one rung up the perplexity-proxy ladder from
+    :func:`unigram_logprob` (catches shuffled-word salad that unigram
+    frequency cannot: every token common, every transition rare).
+
+    Returns (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens are
+    absent (they have no bigram to score).  No smoothing: the scoring
+    corpus is the model corpus, so every scored bigram has count >= 1.
+    c(w1 ·) counts bigram STARTS (last tokens of docs start nothing), so
+    the conditional sums to exactly 1 per context.
+
+    Scale shape: identical to the unigram path with the join key widened
+    to the bigram — counts are map-side-combinable aggregations; scoring
+    is an equi-join on (w1, w2) then a per-doc average.  At 100 TB the
+    bigram table is the big side: bucket it by hash(w1, w2) and the
+    score join co-locates.
+    """
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("t"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w as w1, t[i + 1] as w2))")
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = bi.join(ctx, "w1").select(
+        "w1", "w2", F.log10(F.col("c2") / F.col("c1")).alias("logp")
+    )
+    return (
+        pairs.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("logp"), round_dp).alias("avg_logprob"),
+        )
+    )
