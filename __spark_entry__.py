@@ -715,6 +715,45 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup dashboard: how much of each source exact- and
+    near-dedup would remove under the keep-lowest-id policy — the report
+    a corpus owner reads before committing a dedup run.  Composes the
+    exact hash groups with the MinHash cluster closure (cached signature
+    table); one broadcast join of the tiny per-doc flag sets."""
+    from datayours_spark.functions.dedup import dup_clusters, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = docs.select(
+        "doc_id", "source", (F.row_number().over(w) > 1).alias("exact_removed")
+    )
+    clusters = dup_clusters(
+        minhash_dedup(
+            docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+            threshold=MINHASH_THRESHOLD,
+            signatures=_minhash_sigs(spark, sf_dir),
+        )
+    )
+    near = clusters.where(F.col("cluster_id") != F.col("doc_id")).select(
+        "doc_id", F.lit(True).alias("near_removed")
+    )
+    return (
+        flags.join(F.broadcast(near), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("exact_removed").cast("int")).alias("exact_removed"),
+            F.sum(F.coalesce(F.col("near_removed"), F.lit(False)).cast("int")).alias(
+                "near_removed"
+            ),
+        )
+        .withColumn(
+            "neardup_rate", F.round(F.col("near_removed") / F.col("n_docs"), 4)
+        )
+    )
+
+
 FUZZY_EVAL_MOD = 5  # docs with doc_id % 5 == 0 stand in for the eval set
 
 
@@ -2335,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_daily_active": q_daily_active,
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
+        "q_dedup_report": q_dedup_report,
     }
 
 
@@ -3452,6 +3492,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
             GROUP BY 1
+        """,
+        "q_dedup_report": f"""
+            WITH RECURSIVE
+            dups AS ({_minhash_oracle_sql()}),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM dups
+                      UNION SELECT id2, id1 FROM dups),
+            reach(node, r) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+            comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+                     FROM reach GROUP BY node),
+            flags AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) > 1 AS exact_removed
+              FROM documents)
+            SELECT f.source, count(*) AS n_docs,
+                   sum(f.exact_removed::INT) AS exact_removed,
+                   sum(CASE WHEN c.cluster_id IS NOT NULL
+                             AND c.cluster_id != f.doc_id
+                            THEN 1 ELSE 0 END) AS near_removed,
+                   round(sum(CASE WHEN c.cluster_id IS NOT NULL
+                                   AND c.cluster_id != f.doc_id
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                     AS neardup_rate
+            FROM flags f LEFT JOIN comp c USING (doc_id)
+            GROUP BY f.source
         """,
         "q_fuzzy_contamination": _fuzzy_contam_oracle_sql(),
         "q_contamination": f"""

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_fuzzy_contamination",
     "q_shard_balance",
     "q_bigram_logprob",
+    "q_dedup_report",
 ]
 
 
