@@ -632,9 +632,10 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SIG_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = minhash_signatures(
-            docs, k=MINHASH_BANDS * MINHASH_ROWS
-        ).localCheckpoint(eager=True)
+        df = minhash_signatures(docs, k=MINHASH_BANDS * MINHASH_ROWS)
+        if not _df_cache_enabled():
+            return df
+        df = df.localCheckpoint(eager=True)
         _SIG_CACHE[key] = df
     return df
 
@@ -646,7 +647,10 @@ def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SIG_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
-        df = simhash_fingerprint(docs, 60).localCheckpoint(eager=True)
+        df = simhash_fingerprint(docs, 60)
+        if not _df_cache_enabled():
+            return df
+        df = df.localCheckpoint(eager=True)
         _SIG_CACHE[key] = df
     return df
 
@@ -838,6 +842,11 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _SPAN_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
+        if not _df_cache_enabled():
+            return repeated_spans(
+                docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
+                materialize_posts=False,
+            )
         df = repeated_spans(
             docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2
         ).localCheckpoint(eager=True)
@@ -1221,6 +1230,15 @@ ANN_IVF_SEED = 42
 _ANN_INDEX_CACHE: dict[tuple, object] = {}
 
 
+def _df_cache_enabled() -> bool:
+    """DATAYOURS_NO_INDEX_CACHE=1 bypasses the localCheckpoint-ed
+    DataFrame caches (index/codes/signature/span tables) so plan
+    inspection (tools/plancheck.py) sees the FULL lineage instead of a
+    checkpoint scan.  Driver-side model state (centroid/codebook lists)
+    stays cached either way — it enters plans as literals regardless."""
+    return os.environ.get("DATAYOURS_NO_INDEX_CACHE", "") != "1"
+
+
 def _ann_key(spark: SparkSession, sf_dir: str, part: str) -> tuple:
     return (spark.sparkContext.applicationId, sf_dir, part)
 
@@ -1264,9 +1282,10 @@ def _ann_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _ANN_INDEX_CACHE.get(key)
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        df = ivf_assign(emb, _ann_centroids(spark, sf_dir)).localCheckpoint(
-            eager=True
-        )
+        df = ivf_assign(emb, _ann_centroids(spark, sf_dir))
+        if not _df_cache_enabled():
+            return df
+        df = df.localCheckpoint(eager=True)
         _ANN_INDEX_CACHE[key] = df
     return df
 
@@ -1375,6 +1394,8 @@ def _ann_codes(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
                 )
             )
             codes = codes.select("vec_id", "codes").join(nrms, "vec_id")
+        if not _df_cache_enabled():
+            return codes
         df = codes.localCheckpoint(eager=True)
         _ANN_INDEX_CACHE[key] = df
     return df

@@ -63,6 +63,9 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
+    # bypass the session index caches: plan assertions (and the cartesian
+    # sweep) must see the FULL lineage, not a localCheckpoint scan
+    os.environ["DATAYOURS_NO_INDEX_CACHE"] = "1"
     spark = get_spark("datayours-plancheck")
 
     # ---- 1. canonical layout: partition pruning + pushdown --------------
@@ -246,6 +249,41 @@ def main() -> None:
     check(
         "ivfpq broadcasts probe set and ADC lookup table",
         "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
+
+    # round-4 session additions ------------------------------------------
+    # SemDeDup: the within-cluster pair generation must be an EQUI-join on
+    # the cluster id (sum-of-cluster-squares cost), never a nested loop
+    plan = plan_of(registry["q_semdedup"](spark, SF_DIR))
+    check(
+        "semdedup pair generation is an equi-join on cluster",
+        ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+         or "BroadcastHashJoin" in plan)
+        and "CartesianProduct" not in plan,
+    )
+    # fuzzy decontamination: the eval side (bands + token sets) broadcasts;
+    # the train corpus is never self-joined
+    plan = plan_of(registry["q_fuzzy_contamination"](spark, SF_DIR))
+    check(
+        "fuzzy decontamination broadcasts the eval side",
+        plan.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in plan,
+    )
+    # two-stage ANN re-rank: stage 2 joins the shortlist to full vectors by
+    # vec_id with the query side broadcast — full-vector IO stays
+    # shortlist-sized
+    plan = plan_of(registry["q_ann_ivfpq_rerank"](spark, SF_DIR))
+    check(
+        "ivfpq re-rank stage is equi-join + broadcast query side",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
+    # balanced sharding: the corpus-wide window partitions by stratum (a
+    # global-ordering window would single-partition the corpus)
+    plan = plan_of(registry["q_shard_balance"](spark, SF_DIR))
+    check(
+        "shard balance window partitions by stratum",
+        bool(re.search(r"windowspecdefinition\(stratum", plan))
+        and bool(re.search(r"hashpartitioning\(stratum", plan))
+        and "SinglePartition" not in plan,
     )
 
     # round-4: routed queries must not run a plan-time full-table scan or
