@@ -385,6 +385,31 @@ def main() -> None:
     ann_timings["brute_cosine_5q"] = {
         "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
     }
+
+    # SemDeDup cost shape at scale: within-cluster pairwise only — cost is
+    # sum of cluster-size squares, so what matters is the CLUSTER SIZE
+    # DISTRIBUTION, not which quantizer produced it.  The paper's regime is
+    # k ~ sqrt(N) clusters; a hash stand-in assignment reproduces exactly
+    # those sizes (uniform N/k) without training a 1024-centroid literal
+    # argmax, so the measured join/dot cost is the deployment's.
+    from datayours_spark.functions.similarity import semdedup
+
+    sem_k = int(os.environ.get("SCALE_SEMDEDUP_CLUSTERS", 1024))
+    sem_assign = spark.read.parquet(emb_dir).select(
+        "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(sem_k)).cast("int").alias("cluster")
+    )
+    dummy_cent = spark.createDataFrame(
+        [(0, [0.0] * dim, 1.0)], "centroid_id int, cv array<double>, cnorm double"
+    )
+    t = time.perf_counter()
+    semdedup(
+        emb_big, dummy_cent, tau=0.9, assignments=sem_assign,
+        max_cluster=10 * (n_vecs // sem_k),
+    ).write.format("noop").mode("overwrite").save()
+    ann_timings[f"semdedup_{sem_k}clusters"] = {
+        "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
+        "pairs_order": int(sem_k * (n_vecs / sem_k) ** 2 / 2),
+    }
     shutil.rmtree(emb_dir, ignore_errors=True)
     doc_timings["ann"] = ann_timings
 
