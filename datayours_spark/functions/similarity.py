@@ -216,6 +216,41 @@ def ivf_centroids(
     )
 
 
+import contextlib
+
+
+#: below this many training rows per iteration, Janino compilation of the
+#: one-shot k×d-literal assignment expression costs more than interpreted
+#: execution saves.  Same-session A/B of the 2-iter coarse trainer:
+#: 2k vectors — 7.5 s codegen vs 4.8 s interpreted; 200k vectors — 10.5 s
+#: codegen vs 17.1 s interpreted.  Crossover sits around ~50k rows.
+TRAINING_CODEGEN_MIN_ROWS = 50_000
+
+
+@contextlib.contextmanager
+def _training_exec_conf(spark, n_rows: int):
+    """Disable whole-stage codegen for a MODEL-TRAINING scope when the
+    per-iteration input is small (see TRAINING_CODEGEN_MIN_ROWS).
+
+    Training iterations evaluate a fresh k×d-literal expression exactly
+    once — compilation of a 12 KB expression that runs over KB-scale data
+    is pure overhead, but over 100k+ rows the compiled form wins.
+    Scoring and encode paths always keep codegen — they run per-row over
+    the corpus."""
+    if n_rows >= TRAINING_CODEGEN_MIN_ROWS:
+        yield
+        return
+    ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", fm)
+
+
 def kmeans_centroids(
     emb: DataFrame,
     k: int = 8,
@@ -262,6 +297,7 @@ def kmeans_centroids(
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .localCheckpoint(eager=True)
     )
+    n_vecs = vecs.count()  # checkpointed blocks — a metadata-cheap job
     hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
     # the k seed vectors are an explicit driver-side materialization: top-k
     # by hash is a distributed takeOrdered, and the centroid model state is
@@ -292,18 +328,19 @@ def kmeans_centroids(
         # single implementation of the determinism-critical contract)
         # instead of k×d F.lit py4j round-trips: expression CONSTRUCTION
         # was ~0.5 s/iteration, ~half the warm runtime (measured at sf0.1)
-        rows = (
-            vecs.withColumn(
-                "cluster",
-                F.expr(
-                    _argmax_codeword_sql(cents, "v", "nrm", vec_is_exact=True)
-                ).cast("int"),
+        with _training_exec_conf(emb.sparkSession, n_vecs):
+            rows = (
+                vecs.withColumn(
+                    "cluster",
+                    F.expr(
+                        _argmax_codeword_sql(cents, "v", "nrm", vec_is_exact=True)
+                    ).cast("int"),
+                )
+                .select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.round(F.avg("x"), round_dp).alias("m"))
+                .collect()
             )
-            .select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), round_dp).alias("m"))
-            .collect()
-        )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = float(r["m"])
@@ -573,6 +610,7 @@ def pq_codebooks(
         .withColumn("snrm", F.sqrt(dot(F.col("sv"), F.col("sv"))))
         .localCheckpoint(eager=True)
     )
+    n_subs = subs.count()  # checkpointed blocks — a metadata-cheap job
     hk = F.md5(
         F.concat(
             F.lit(f"{seed}_"),
@@ -614,13 +652,14 @@ def pq_codebooks(
             for j in range(m)
         )
         cluster = F.expr(f"CASE sub {branches} END").cast("int")
-        rows = (
-            subs.withColumn("cluster", cluster)
-            .select("sub", "cluster", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cluster", "pos")
-            .agg(F.round(F.avg("x"), round_dp).alias("mv"))
-            .collect()
-        )
+        with _training_exec_conf(emb.sparkSession, n_subs):
+            rows = (
+                subs.withColumn("cluster", cluster)
+                .select("sub", "cluster", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("sub", "cluster", "pos")
+                .agg(F.round(F.avg("x"), round_dp).alias("mv"))
+                .collect()
+            )
         means: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
             means.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = float(
