@@ -2077,6 +2077,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADAPTIVE_QUALITY_PCT = 0.10
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: drop each language's worst decile by
+    corpus-unigram LM score — thresholds ADAPT to the corpus instead of
+    hardcoding a score cutoff (a fixed threshold tuned on English
+    silently guts low-resource languages whose score distribution sits
+    elsewhere).  Per-language p10 thresholds are a languages-sized
+    aggregate, broadcast back onto the scored corpus."""
+    from datayours_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(
+            F.percentile("avg_logprob", ADAPTIVE_QUALITY_PCT), 6
+        ).alias("lang_p10")
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        "lang_p10",
+        (F.col("avg_logprob") >= F.col("lang_p10")).alias("keep"),
+    )
+
+
 def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution per language: exact median/p90 of n_chars
     plus doc and distinct-source counts.
@@ -2392,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_balance": q_shard_balance,
         "q_top_ngrams": q_top_ngrams,
         "q_quantile_profile": q_quantile_profile,
+        "q_adaptive_quality": q_adaptive_quality,
         "q_daily_active": q_daily_active,
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
@@ -3499,6 +3530,32 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY n DESC, ngram) AS rk
                   FROM cnt)
             SELECT lang, ngram, n, rk FROM r WHERE rk <= {NGRAM_TOP_K}
+        """,
+        "q_adaptive_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            total AS (SELECT count(*) AS n FROM toks),
+            lp AS (
+              SELECT tok, log10(count(*) * 1.0 / (SELECT n FROM total)) AS logp
+              FROM toks GROUP BY tok),
+            scored AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     round(avg(lp.logp), 6) AS avg_logprob
+              FROM toks t JOIN lp USING (tok)
+              GROUP BY t.doc_id),
+            sl AS (
+              SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob
+              FROM scored s JOIN documents d USING (doc_id)),
+            thr AS (
+              SELECT lang,
+                     round(quantile_cont(avg_logprob,
+                                         {ADAPTIVE_QUALITY_PCT}), 6)
+                       AS lang_p10
+              FROM sl GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.avg_logprob, thr.lang_p10,
+                   sl.avg_logprob >= thr.lang_p10 AS keep
+            FROM sl JOIN thr USING (lang)
         """,
         "q_quantile_profile": """
             SELECT lang, count(*) AS n_docs,

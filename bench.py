@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_shard_balance",
     "q_bigram_logprob",
     "q_dedup_report",
+    "q_adaptive_quality",
 ]
 
 
