@@ -1,0 +1,97 @@
+"""ANN index persistence: the production lifecycle of the IVF / IVF-PQ
+index state (coarse centroids, PQ codebooks, encoded codes, inverted-list
+assignments).
+
+Reference scope note: the reference engine has no vector surface — this
+module belongs to the training-data extensions (README "Training-data
+extensions"), applying the reference's own persist-the-derived-state
+discipline (S12 header cache, `L_DataWhisper.lua:624-641`) to the ANN
+index.
+
+Layout of an index directory:
+
+- ``centroids/``   parquet (centroid_id, cv, cnorm) — KBs of model state
+- ``codebooks/``   parquet (sub, code, cw) — KBs of model state
+- ``codes/``       parquet (vec_id, codes, nrm), PARTITIONED BY cluster —
+  the m-byte payload per vector, laid out as the inverted lists
+  themselves: a search that probes ``nprobe`` clusters reads exactly
+  those partitions (partition pruning does the inverted-list seek), so
+  search IO is ``nprobe/k`` of the index regardless of corpus size.
+- ``meta.json``    dim / m / ks / k / seed / residual — the training
+  constants a searcher must share with the builder.
+
+Everything is plain parquet + one JSON file: any engine (or the DuckDB
+oracle) can read the same index back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_ann_index(
+    out_dir: str,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    codes: DataFrame,
+    assignments: DataFrame,
+    meta: dict,
+) -> None:
+    """Persist the full IVF-PQ index bundle.  ``codes`` must carry
+    (vec_id, codes, nrm); the cluster column is joined in from
+    ``assignments`` and becomes the partition key (the inverted-list
+    layout)."""
+    spark = centroids.sparkSession
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    cb = spark.createDataFrame(
+        [
+            (sub, code, cw)
+            for sub, book in enumerate(codebooks)
+            for code, cw in book
+        ],
+        "sub int, code int, cw array<double>",
+    )
+    cb.write.mode("overwrite").parquet(f"{out_dir}/codebooks")
+    (
+        codes.join(assignments, "vec_id")
+        .select("cluster", "vec_id", "codes", "nrm")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{out_dir}/codes")
+    )
+    with open(f"{out_dir}/meta.json", "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+
+
+def load_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Load an index bundle saved by :func:`save_ann_index`.
+
+    Returns ``{"centroids": DF, "codebooks": list, "codes": DF,
+    "assignments": DF, "meta": dict}`` in exactly the shapes
+    ``ivfpq_topk``/``ivfpq_residual_topk`` inject: searching a loaded
+    index never re-trains or re-encodes anything, and candidate reads
+    prune to the probed cluster partitions."""
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = spark.read.parquet(f"{out_dir}/centroids")
+    cb_rows = spark.read.parquet(f"{out_dir}/codebooks").collect()
+    m = 1 + max(r["sub"] for r in cb_rows)
+    codebooks: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in sorted(cb_rows, key=lambda r: (r["sub"], r["code"])):
+        codebooks[r["sub"]].append(
+            (int(r["code"]), [float(x) for x in r["cw"]])
+        )
+    stored = spark.read.parquet(f"{out_dir}/codes")
+    return {
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "codes": stored.select("vec_id", "codes", "nrm"),
+        "assignments": stored.select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster")
+        ),
+        "meta": meta,
+    }

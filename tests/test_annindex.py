@@ -1,0 +1,65 @@
+"""ANN index persistence: save/load round-trip and inverted-list layout."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.annindex import load_ann_index, save_ann_index
+from datayours_spark.functions.similarity import (
+    ivf_assign,
+    ivfpq_topk,
+    kmeans_centroids,
+    pq_codebooks,
+    pq_encode,
+)
+from datayours_spark.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestAnnIndexPersistence:
+    def _build(self, spark):
+        emb = load_table(spark, SF_DIR, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        cent = kmeans_centroids(emb, k=4, iters=2)
+        books = pq_codebooks(emb, m=2, ks=8, iters=1, dim=dim)
+        codes = pq_encode(emb, books, dim)
+        assign = ivf_assign(emb, cent)
+        return emb, dim, cent, books, codes, assign
+
+    def test_roundtrip_search_identical(self, spark, tmp_path):
+        emb, dim, cent, books, codes, assign = self._build(spark)
+        out = str(tmp_path / "index")
+        save_ann_index(out, cent, books, codes, assign,
+                       {"dim": dim, "m": 2, "ks": 8, "k": 4, "seed": 42})
+        idx = load_ann_index(spark, out)
+        assert idx["meta"]["dim"] == dim
+        assert idx["codebooks"] == books
+        live = ivfpq_topk(emb, [0, 1], 5, cent, books, dim,
+                          codes=codes, assignments=assign)
+        loaded = ivfpq_topk(emb, [0, 1], 5, idx["centroids"],
+                            idx["codebooks"], idx["meta"]["dim"],
+                            codes=idx["codes"],
+                            assignments=idx["assignments"])
+        assert sorted(map(tuple, live.collect())) == sorted(
+            map(tuple, loaded.collect())
+        )
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_codes_partitioned_by_cluster(self, spark, tmp_path):
+        """The stored codes ARE the inverted lists: filtering one cluster
+        must prune to that partition (PartitionFilters on cluster)."""
+        import contextlib
+        import io
+
+        emb, dim, cent, books, codes, assign = self._build(spark)
+        out = str(tmp_path / "index")
+        save_ann_index(out, cent, books, codes, assign,
+                       {"dim": dim, "m": 2, "ks": 8, "k": 4, "seed": 42})
+        stored = spark.read.parquet(f"{out}/codes").where(F.col("cluster") == 1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            stored.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and "cluster" in plan
+        shutil.rmtree(out, ignore_errors=True)
