@@ -95,3 +95,32 @@ def load_ann_index(spark: SparkSession, out_dir: str) -> dict:
         ),
         "meta": meta,
     }
+
+
+def append_to_ann_index(out_dir: str, new_vectors: DataFrame) -> None:
+    """Incrementally index a batch of new vectors against a SAVED index:
+    encode with the stored codebooks, assign with the stored centroids,
+    and append into the cluster-partitioned codes table.
+
+    This is the streaming-ingest path of the index lifecycle: per-batch
+    cost is one encode projection + one broadcast-centroid assignment
+    over the BATCH (the standing index is never rewritten — dynamic
+    partition append only touches the clusters the batch lands in).
+    Model state (centroids/codebooks) is immutable here, as in any IVF
+    deployment — retraining is a rebuild, not an append.  The caller owns
+    dedup of vec_ids across batches.
+    """
+    from datayours_spark.functions.similarity import ivf_assign, pq_encode
+
+    spark = new_vectors.sparkSession
+    idx = load_ann_index(spark, out_dir)
+    dim = idx["meta"]["dim"]
+    codes = pq_encode(new_vectors, idx["codebooks"], dim)
+    assign = ivf_assign(new_vectors, idx["centroids"])
+    (
+        codes.join(assign, "vec_id")
+        .select("cluster", "vec_id", "codes", "nrm")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{out_dir}/codes")
+    )

@@ -63,3 +63,32 @@ class TestAnnIndexPersistence:
         plan = buf.getvalue()
         assert "PartitionFilters" in plan and "cluster" in plan
         shutil.rmtree(out, ignore_errors=True)
+
+    def test_incremental_append_equals_full_build(self, spark, tmp_path):
+        """Index 80% of the corpus, append the remaining 20% as a batch:
+        searches over the appended index must equal the full build (model
+        state is shared, so codes/assignments are identical)."""
+        from datayours_spark.functions.annindex import append_to_ann_index
+
+        emb, dim, cent, books, codes, assign = self._build(spark)
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+        from datayours_spark.functions.similarity import ivf_assign, pq_encode
+
+        out = str(tmp_path / "index")
+        save_ann_index(
+            out, cent, books,
+            pq_encode(base, books, dim), ivf_assign(base, cent),
+            {"dim": dim, "m": 2, "ks": 8, "k": 4, "seed": 42},
+        )
+        append_to_ann_index(out, batch)
+        idx = load_ann_index(spark, out)
+        full = ivfpq_topk(emb, [0, 1], 5, cent, books, dim,
+                          codes=codes, assignments=assign)
+        incr = ivfpq_topk(emb, [0, 1], 5, idx["centroids"],
+                          idx["codebooks"], dim,
+                          codes=idx["codes"], assignments=idx["assignments"])
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, incr.collect())
+        )
+        shutil.rmtree(out, ignore_errors=True)
