@@ -724,7 +724,8 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dedup would remove under the keep-lowest-id policy — the report
     a corpus owner reads before committing a dedup run.  Composes the
     exact hash groups with the MinHash cluster closure (cached signature
-    table); one broadcast join of the tiny per-doc flag sets."""
+    table); the removed-set join is a plain equi-join (its size scales
+    with the corpus's dup mass — AQE broadcasts it only when small)."""
     from datayours_spark.functions.dedup import dup_clusters, minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
@@ -742,8 +743,11 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = clusters.where(F.col("cluster_id") != F.col("doc_id")).select(
         "doc_id", F.lit(True).alias("near_removed")
     )
+    # no broadcast hint: the removed set scales with the corpus's dup
+    # mass, so the equi-join must be free to shuffle (AQE still
+    # broadcasts when the side turns out small)
     return (
-        flags.join(F.broadcast(near), "doc_id", "left")
+        flags.join(near, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
