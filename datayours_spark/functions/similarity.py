@@ -890,8 +890,10 @@ def ivfpq_rerank_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qnorm"),
     )
+    # the shortlist is len(query_ids) x shortlist rows — broadcast it so
+    # the corpus-sized vector table is probed in place, never shuffled
     exact = (
-        short.join(vecs, "vec_id")
+        vecs.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
