@@ -1482,6 +1482,34 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of IVF-PQ against exact cosine,
+    per query — the metric an ANN deployment actually tracks when tuning
+    nprobe/m/ks.  Both sides reuse the session index; the tiny top-k sets
+    join on (query_id, vec_id).  Output: (query_id, recall)."""
+    from datayours_spark.functions.similarity import cosine_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ivfpq_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
+        _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
+        ANN_DIM,
+        codes=_ann_codes(spark, sf_dir, False),
+        assignments=_ann_assignments(spark, sf_dir),
+    ).select("query_id", "vec_id")
+    exact = cosine_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K).select(
+        "query_id", "vec_id"
+    )
+    hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").count()
+    base = exact.groupBy("query_id").count().withColumnRenamed("count", "k")
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("count"), F.lit(0)) / F.col("k"), 4).alias(
+            "recall"
+        ),
+    )
+
+
 SEMDEDUP_TAU = 0.3
 
 
@@ -2408,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivfpq_res": q_ann_ivfpq_res,
         "q_semdedup": q_semdedup,
         "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+        "q_ann_recall": q_ann_recall,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -3305,6 +3334,37 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_ivfpq": _ivfpq_oracle_sql(),
         "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq_res": _ivfpq_oracle_sql(residual=True),
+        "q_ann_recall": f"""
+            WITH approx AS ({_ivfpq_oracle_sql()}),
+            exact AS (
+              WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+              n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+                    FROM e),
+              qq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm FROM n
+                     WHERE vec_id < {N_ANN_QUERIES}),
+              pairs AS (
+                SELECT qq.query_id, n.vec_id,
+                       round(list_dot_product(n.v, qq.qv)
+                             / (n.norm * qq.qnorm), 4) AS sim
+                FROM n CROSS JOIN qq WHERE n.vec_id <> qq.query_id)
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rank
+                FROM pairs) WHERE rank <= {ANN_TOP_K}),
+            hits AS (
+              SELECT e.query_id, count(*) AS n_hits
+              FROM exact e JOIN approx a
+                ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+              GROUP BY e.query_id),
+            base AS (SELECT query_id, count(*) AS k FROM exact GROUP BY query_id)
+            SELECT b.query_id,
+                   round(coalesce(h.n_hits, 0) * 1.0 / b.k, 4) AS recall
+            FROM base b LEFT JOIN hits h USING (query_id)
+        """,
         "q_semdedup": _semdedup_oracle_sql(),
         "q_ann_ivfpq_rerank": _ivfpq_oracle_sql(rerank_shortlist=ANN_RERANK_SHORTLIST),
         "q_resize_plan": f"""

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_dedup_report",
     "q_adaptive_quality",
+    "q_ann_recall",
 ]
 
 
