@@ -1486,7 +1486,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation: recall@k of IVF-PQ against exact cosine,
     per query — the metric an ANN deployment actually tracks when tuning
     nprobe/m/ks.  Both sides reuse the session index; the tiny top-k sets
-    join on (query_id, vec_id).  Output: (query_id, recall)."""
+    join on (query_id, vec_id).  Output: (query_id, recall).
+
+    Expectation note: the gate fixture's embeddings are uniform random,
+    so the corpus has NO cluster structure — single-probe candidate
+    generation sees ~1/k_clusters of the corpus and recall is
+    correspondingly low (~0-0.2 at sf0.01).  That is the measurement
+    working, not failing: on real embeddings neighbors concentrate in the
+    probed cluster, and this query is how you verify that before trusting
+    an nprobe setting (raising nprobe toward k_clusters drives recall to
+    1 by construction — q_ann_ivf_probe2 is the first step of that
+    dial)."""
     from datayours_spark.functions.similarity import cosine_topk, ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
