@@ -1520,6 +1520,46 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_TOPIC_K = 3
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exploration over the learned clustering: per k-means
+    cluster, the doc count and the top-3 tokens by frequency (ties by
+    token) — the 'what is in this cluster' readout that turns an opaque
+    embedding clustering into something a corpus owner can inspect.
+    Joins documents to the session's cached cluster assignments
+    (doc_id == vec_id in the gate fixtures); top terms come from one
+    token aggregation + a per-cluster bounded window."""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = _ann_assignments(spark, sf_dir)
+    toks = docs.join(
+        assign, docs["doc_id"] == assign["vec_id"]
+    ).select("cluster", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("cluster", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("tok"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= CLUSTER_TOPIC_K)
+        .groupBy("cluster")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rank", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("top_terms")
+        )
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count("*").alias("n_docs")
+    )
+    return sizes.join(top, "cluster", "left").select(
+        "cluster", "n_docs", F.coalesce("top_terms", F.lit("")).alias("top_terms")
+    )
+
+
 SEMDEDUP_TAU = 0.3
 
 
@@ -2447,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
         "q_ann_recall": q_ann_recall,
+        "q_cluster_topics": q_cluster_topics,
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
@@ -3374,6 +3415,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.query_id,
                    round(coalesce(h.n_hits, 0) * 1.0 / b.k, 4) AS recall
             FROM base b LEFT JOIN hits h USING (query_id)
+        """,
+        "q_cluster_topics": f"""
+            {",".join(_kmeans_coarse_cte_sqls())},
+            toks AS (
+              SELECT t.cluster, d.doc_id,
+                     unnest(string_split(d.text, ' ')) AS tok
+              FROM documents d JOIN t ON d.doc_id = t.vec_id),
+            counts AS (
+              SELECT cluster, tok, count(*) AS c
+              FROM toks GROUP BY cluster, tok),
+            top AS (
+              SELECT cluster, string_agg(tok, ',' ORDER BY rank) AS top_terms
+              FROM (
+                SELECT cluster, tok,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY c DESC, tok) AS rank
+                FROM counts) WHERE rank <= {CLUSTER_TOPIC_K}
+              GROUP BY cluster),
+            sizes AS (SELECT cluster, count(*) AS n_docs FROM t GROUP BY cluster)
+            SELECT s.cluster, s.n_docs, coalesce(tp.top_terms, '') AS top_terms
+            FROM sizes s LEFT JOIN top tp USING (cluster)
         """,
         "q_semdedup": _semdedup_oracle_sql(),
         "q_ann_ivfpq_rerank": _ivfpq_oracle_sql(rerank_shortlist=ANN_RERANK_SHORTLIST),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q_dedup_report",
     "q_adaptive_quality",
     "q_ann_recall",
+    "q_cluster_topics",
 ]
 
 
