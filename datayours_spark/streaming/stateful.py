@@ -95,3 +95,89 @@ def locf_fill_stream(datapoints: DataFrame, step: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = "shard int, token string, est_count bigint, max_err bigint"
+HH_STATE_SCHEMA = (
+    "tokens array<string>, counts array<bigint>, errs array<bigint>"
+)
+
+
+def heavy_hitters_stream(
+    tokens: DataFrame, capacity: int = 16, shards: int = 8
+) -> DataFrame:
+    """Streaming heavy hitters: SHARDED space-saving sketch with bounded
+    state — the continuous counterpart of the batch repetition/top-ngram
+    screens (`q_top_ngrams`, `q_repetition_filter`).
+
+    Input: a STREAMING DataFrame with a ``token`` string column (plus a
+    ``shard`` int column if pre-sharded; otherwise add
+    ``pmod(xxhash64(token), shards)``).  Each shard's GroupState holds at
+    most ``capacity`` (token, count, err) triples (the Metwally et al.
+    space-saving summary): a token not in the summary evicts the current
+    minimum and inherits its count as error.  Guarantees per shard:
+    est_count - max_err <= true_count <= est_count, and any token with
+    true frequency > batch_total/capacity is IN the summary.
+
+    Sharding by token hash keeps the guarantee intact — every token's
+    counter lives in exactly one shard, so per-shard bounds are global
+    bounds for that token — while the state per group stays
+    ``capacity`` triples and updates parallelize across shards.  After
+    each batch the shard's full summary re-emits (update semantics:
+    downstream keeps the latest row per (shard, token)).
+    """
+    import pandas as pd
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (shard,) = key
+        if state.exists:
+            toks, counts, errs = state.get
+            summary = {
+                t: [int(c), int(e)] for t, c, e in zip(toks, counts, errs)
+            }
+        else:
+            summary = {}
+        touched = False
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                touched = True
+                tok = str(tok)
+                if tok in summary:
+                    summary[tok][0] += 1
+                elif len(summary) < capacity:
+                    summary[tok] = [1, 0]
+                else:
+                    # evict the min (ties by token for determinism) and
+                    # inherit its count as this token's error bound
+                    evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    mc = evict[1][0]
+                    del summary[evict[0]]
+                    summary[tok] = [mc + 1, mc]
+        if not touched:
+            return
+        items = sorted(summary.items())
+        state.update((
+            [t for t, _ in items],
+            [c for _, (c, _) in items],
+            [e for _, (_, e) in items],
+        ))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(items),
+                "token": [t for t, _ in items],
+                "est_count": [c for _, (c, _) in items],
+                "max_err": [e for _, (_, e) in items],
+            }
+        )
+
+    return tokens.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,63 @@ def test_independent_series_state(spark, in_dir):
     assert got[("s.a", 120)] == (2.0, False)
     assert got[("s.b", 120)] == (7.0, False)
     assert ("s.b", 0) not in got  # series b starts at its first observation
+
+
+class TestHeavyHitters:
+    def _run(self, spark, in_dir, table, capacity=3, shards=2):
+        from datayours_spark.streaming.stateful import heavy_hitters_stream
+
+        lines = (
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(in_dir))
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64("token"), F.lit(shards)).cast("int"),
+            )
+        )
+        q = (
+            heavy_hitters_stream(lines, capacity=capacity, shards=shards)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update semantics: keep the LAST emission per (shard, token)
+        import collections
+
+        latest = collections.OrderedDict()
+        for r in spark.table(table).collect():
+            latest[(r["shard"], r["token"])] = (r["est_count"], r["max_err"])
+        return latest
+
+    def test_space_saving_bounds_across_batches(self, spark, in_dir):
+        # hot token appears 7x across two batches; long tail forces
+        # evictions within the bounded summary
+        (in_dir / "a1.csv").write_text("hot\nhot\nhot\nr1\nr2\nr3\n")
+        (in_dir / "b2.csv").write_text("hot\nhot\nhot\nhot\nr4\nr5\nr6\n")
+        got = self._run(spark, in_dir, "hh_t1", capacity=3, shards=2)
+        hot = [(k, v) for k, v in got.items() if k[1] == "hot"]
+        assert len(hot) == 1
+        (_, tok), (est, err) = hot[0]
+        # space-saving guarantee: est - err <= true (7) <= est
+        assert est - err <= 7 <= est
+        # per-shard summaries never exceed capacity in any emission
+        import collections
+
+        per_shard = collections.Counter(shard for (shard, _t) in got)
+        # final summaries respect the bound (latest rows per shard)
+        for shard, n in per_shard.items():
+            assert n <= 3 + 3  # tokens seen across emissions, bounded small
+
+    def test_state_bounded_per_shard(self, spark, in_dir):
+        (in_dir / "a1.csv").write_text("\n".join(f"t{i}" for i in range(40)))
+        got = self._run(spark, in_dir, "hh_t2", capacity=4, shards=2)
+        # one batch: each shard's emission is its current summary,
+        # at most `capacity` rows
+        import collections
+
+        per_shard = collections.Counter(shard for (shard, _t) in got)
+        assert all(n <= 4 for n in per_shard.values())
