@@ -627,8 +627,9 @@ _SIG_CACHE: dict[tuple, DataFrame] = {}
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import minhash_signatures
 
-    key = (spark.sparkContext.applicationId, sf_dir, "minhash",
-           MINHASH_BANDS * MINHASH_ROWS)
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_SIG_CACHE, app_id)
+    key = (app_id, sf_dir, "minhash", MINHASH_BANDS * MINHASH_ROWS)
     df = _SIG_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -643,7 +644,9 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import simhash_fingerprint
 
-    key = (spark.sparkContext.applicationId, sf_dir, "simhash", 60)
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_SIG_CACHE, app_id)
+    key = (app_id, sf_dir, "simhash", 60)
     df = _SIG_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -842,7 +845,9 @@ _SPAN_CACHE: dict[tuple, DataFrame] = {}
 def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import repeated_spans
 
-    key = (spark.sparkContext.applicationId, sf_dir, SPAN_K, SPAN_MIN_TOKENS)
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_SPAN_CACHE, app_id)
+    key = (app_id, sf_dir, SPAN_K, SPAN_MIN_TOKENS)
     df = _SPAN_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents")
@@ -1243,8 +1248,19 @@ def _df_cache_enabled() -> bool:
     return os.environ.get("DATAYOURS_NO_INDEX_CACHE", "") != "1"
 
 
+def _purge_stale(cache: dict, app_id: str) -> None:
+    """Drop cache entries from other (dead) sessions: their checkpointed
+    DataFrames are unusable once the owning SparkContext stops, and
+    holding them would leak across session restarts in a long-lived
+    process."""
+    for key in [k for k in cache if k[0] != app_id]:
+        del cache[key]
+
+
 def _ann_key(spark: SparkSession, sf_dir: str, part: str) -> tuple:
-    return (spark.sparkContext.applicationId, sf_dir, part)
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_ANN_INDEX_CACHE, app_id)
+    return (app_id, sf_dir, part)
 
 
 def _ann_centroid_rows(
