@@ -237,6 +237,21 @@ def main() -> None:
     dbench("simhash_neardup", simhash_neardup(docs))
     dbench("minhash_lsh_neardup", minhash_dedup(docs))
 
+    # round-4 session ops over the same 200k docs
+    from datayours_spark.functions.dedup import minhash_decontaminate
+    from datayours_spark.functions.sampling import shard_balance
+    from datayours_spark.functions.text import bigram_logprob
+
+    dbench("shard_balance_64shards", shard_balance(docs, n_shards=64))
+    dbench("bigram_logprob", bigram_logprob(docs))
+    # eval side = 1% of the corpus (eval benchmarks are small by
+    # construction); the train side streams once, the eval side broadcasts
+    is_eval = F.pmod(F.xxhash64("doc_id"), F.lit(100)) == 0
+    dbench(
+        "fuzzy_decontaminate_1pct_eval",
+        minhash_decontaminate(docs.where(~is_eval), docs.where(is_eval)),
+    )
+
     # span-level dedup on the ADVERSARIAL corpus below (30% share ONE
     # boilerplate text): the posting-list pipeline's cost must follow
     # occurrence counts, not bucket² — the hot shingles each have 0.3·N
