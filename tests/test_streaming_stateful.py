@@ -126,3 +126,49 @@ class TestHeavyHitters:
 
         per_shard = collections.Counter(shard for (shard, _t) in got)
         assert all(n <= 4 for n in per_shard.values())
+
+    def test_state_survives_query_restart(self, spark, in_dir):
+        """GroupState must recover from the checkpoint: a second query
+        started on the same checkpoint continues the counts, it does not
+        restart them."""
+        from datayours_spark.streaming.stateful import heavy_hitters_stream
+
+        ckpt = str(TMP / "ckpt")
+
+        def run_once(table):
+            # memory sink cannot recover a checkpoint and file sinks
+            # cannot take update mode — foreachBatch is the
+            # restart-capable sink for stateful update queries
+            rows: list = []
+
+            def sink(batch_df, _epoch):
+                rows.extend(batch_df.collect())
+
+            lines = (
+                spark.readStream.schema("token string")
+                .option("maxFilesPerTrigger", 1)
+                .csv(str(in_dir))
+                .withColumn(
+                    "shard", F.pmod(F.xxhash64("token"), F.lit(2)).cast("int")
+                )
+            )
+            q = (
+                heavy_hitters_stream(lines, capacity=4, shards=2)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                (r["shard"], r["token"]): r["est_count"] for r in rows
+            }
+
+        (in_dir / "a1.csv").write_text("hot\nhot\nhot\n")
+        first = run_once("hh_restart_1")
+        assert [v for (s, t), v in first.items() if t == "hot"] == [3]
+        # restart on the same checkpoint with MORE data: counts continue
+        (in_dir / "b2.csv").write_text("hot\nhot\n")
+        second = run_once("hh_restart_2")
+        assert [v for (s, t), v in second.items() if t == "hot"] == [5]
