@@ -292,7 +292,10 @@ def bigram_logprob(
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    ctx = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    # context totals roll up from the bigram counts (c1 = Σ_w2 c2): the
+    # second aggregation runs over the vocab-sized bi table, not a second
+    # corpus-wide pass over the exploded pairs
+    ctx = bi.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lp = bi.join(ctx, "w1").select(
         "w1", "w2", F.log10(F.col("c2") / F.col("c1")).alias("logp")
     )
