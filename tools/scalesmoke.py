@@ -391,6 +391,18 @@ def main() -> None:
     ann_timings["ivfpq_search_5q_prebuilt_index"] = {
         "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
     }
+    # two-stage: ADC shortlist of 100 -> exact re-rank reads 5x100 full
+    # vectors (broadcast shortlist), the production retrieval shape
+    from datayours_spark.functions.similarity import ivfpq_rerank_topk
+
+    t = time.perf_counter()
+    ivfpq_rerank_topk(
+        emb_big, [0, 1, 2, 3, 4], 10, cent, books, dim, shortlist=100,
+        codes=codes_df, assignments=assign_df,
+    ).write.format("noop").mode("overwrite").save()
+    ann_timings["ivfpq_rerank_5q_shortlist100"] = {
+        "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
+    }
     shutil.rmtree(codes_dir, ignore_errors=True)
     shutil.rmtree(assign_dir, ignore_errors=True)
     t = time.perf_counter()
