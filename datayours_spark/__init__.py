@@ -8,8 +8,10 @@ Layout:
     sources/    ingest parsing (Carbon plaintext), events adapter, dataMine
     operators/  fetch (dense grid), rollup (+xFF), alignment (pivot/as-of/
                 LOCF/staircase), catalog (find/expand/index)
-    functions/  text analysis, dedup (exact/minhash/simhash), similarity
-                search, multimodal column plumbing
+    functions/  text analysis, dedup (exact/minhash/simhash/span/semantic),
+                similarity search (brute/LSH/IVF/IVF-PQ + index
+                persistence), sampling/mixing/sharding, multimodal column
+                plumbing
     plans/      resolution router (archive selection on read)
     streaming/  Structured Streaming ingest with slot last-write-wins
     render/     Graphite-compatible JSON/CSV output formats
