@@ -3632,8 +3632,8 @@ def oracle_sql() -> dict[str, str]:
         "q_shard_balance": f"""
             WITH d AS (
               SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-                     len(string_split(text, ' ')) // {SHARD_STRATUM_WIDTH}
-                       AS stratum
+                     least(len(string_split(text, ' '))
+                             // {SHARD_STRATUM_WIDTH}, 4096) AS stratum
               FROM documents),
             ranked AS (
               SELECT doc_id, n_tokens, stratum,

@@ -225,6 +225,7 @@ def shard_balance(
     stratum_width: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_stratum: int = 4096,
 ) -> DataFrame:
     """Token-balanced shard assignment for training-data writers:
     (doc_id, n_tokens, stratum, shard).
@@ -253,8 +254,16 @@ def shard_balance(
         F.col(id_col).alias("doc_id"), toks.alias("n_tokens")
     ).withColumn(
         # integer div: exact in every engine (no float rounding at
-        # stratum boundaries)
-        "stratum", F.expr(f"n_tokens div {int(stratum_width)}")
+        # stratum boundaries).  The clamp bounds the stratum COUNT — the
+        # offset chain is a literal CASE over #strata branches, and an
+        # outlier doc (1M tokens) must not mint 60k strata; everything
+        # past the cap shares the top stratum (the giant tail, still
+        # round-robined in size order within it).
+        "stratum",
+        F.least(
+            F.expr(f"n_tokens div {int(stratum_width)}"),
+            F.lit(int(max_stratum)),
+        ),
     )
     wr = Window.partitionBy("stratum").orderBy(
         F.col("n_tokens").desc(), F.col("doc_id")
