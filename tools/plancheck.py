@@ -285,6 +285,13 @@ def main() -> None:
         and bool(re.search(r"hashpartitioning\(stratum", plan))
         and "SinglePartition" not in plan,
     )
+    # adaptive quality gate: the per-language threshold table broadcasts
+    # onto the scored corpus (languages-sized side, never shuffled)
+    plan = plan_of(registry["q_adaptive_quality"](spark, SF_DIR))
+    check(
+        "adaptive quality thresholds broadcast",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
 
     # round-4: routed queries must not run a plan-time full-table scan or
     # aggregation to anchor "now" / resolve targets (the round-3 advisory).
