@@ -2347,6 +2347,26 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest: per-shard doc count, token total and size bounds —
+    the balance report a training-data writer consults before committing
+    an output layout (and the direct evidence that the stratified snake
+    balances: totals land within one stratum-width x #strata of each
+    other)."""
+    from datayours_spark.functions.sampling import shard_balance
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = shard_balance(
+        docs, n_shards=SHARD_N, stratum_width=SHARD_STRATUM_WIDTH
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing manifest: concat-and-chunk docs into fixed
     PACK_CAPACITY-token context windows, the standard LLM pretraining
@@ -2520,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sliding_rate": q_sliding_rate,
         "q_pack_sequences": q_pack_sequences,
         "q_shard_balance": q_shard_balance,
+        "q_shard_manifest": q_shard_manifest,
         "q_top_ngrams": q_top_ngrams,
         "q_quantile_profile": q_quantile_profile,
         "q_adaptive_quality": q_adaptive_quality,
@@ -3628,6 +3649,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT win_start, event_type, count(*) AS n,
                    round(avg(value), 4) AS avg_value
             FROM w GROUP BY 1, 2
+        """,
+        "q_shard_manifest": f"""
+            WITH d AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                     least(len(string_split(text, ' '))
+                             // {SHARD_STRATUM_WIDTH}, 4096) AS stratum
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, n_tokens, stratum,
+                     row_number() OVER (PARTITION BY stratum
+                                        ORDER BY n_tokens DESC, doc_id) - 1
+                       AS rn
+              FROM d),
+            offs AS (
+              SELECT stratum,
+                     coalesce(sum(cnt) OVER (ORDER BY stratum DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS off
+              FROM (SELECT stratum, count(*) AS cnt FROM d GROUP BY stratum)),
+            assigned AS (
+              SELECT r.doc_id, r.n_tokens,
+                     ((o.off + r.rn) % {SHARD_N})::INT AS shard
+              FROM ranked r JOIN offs o USING (stratum))
+            SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+                   min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+            FROM assigned GROUP BY shard
         """,
         "q_shard_balance": f"""
             WITH d AS (

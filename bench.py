@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "q_adaptive_quality",
     "q_ann_recall",
     "q_cluster_topics",
+    "q_shard_manifest",
 ]
 
 
