@@ -109,13 +109,36 @@ def append_to_ann_index(out_dir: str, new_vectors: DataFrame) -> None:
     Model state (centroids/codebooks) is immutable here, as in any IVF
     deployment — retraining is a rebuild, not an append.  The caller owns
     dedup of vec_ids across batches.
+
+    A residual index (``meta['residual']``) encodes ``v - centroid(v)``
+    against residual-trained codebooks, while ``nrm`` must stay the FULL
+    vector's norm (the ADC scoring contract) — encoding raw vectors there
+    would silently corrupt every appended vector's scores.
     """
-    from datayours_spark.functions.similarity import ivf_assign, pq_encode
+    from datayours_spark.functions.similarity import (
+        as_double_array,
+        dot,
+        ivf_assign,
+        pq_encode,
+        residual_vectors,
+    )
 
     spark = new_vectors.sparkSession
     idx = load_ann_index(spark, out_dir)
     dim = idx["meta"]["dim"]
-    codes = pq_encode(new_vectors, idx["codebooks"], dim)
+    base = (
+        residual_vectors(new_vectors, idx["centroids"])
+        if idx["meta"].get("residual")
+        else new_vectors
+    )
+    codes = pq_encode(base, idx["codebooks"], dim)
+    if idx["meta"].get("residual"):
+        # residual codes carry the residual's norm; swap in the original
+        # vector's (mirrors the build path's scoring contract)
+        nrms = new_vectors.select(
+            F.col("vec_id"), as_double_array("embedding").alias("v")
+        ).select("vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+        codes = codes.select("vec_id", "codes").join(nrms, "vec_id")
     assign = ivf_assign(new_vectors, idx["centroids"])
     (
         codes.join(assign, "vec_id")

@@ -795,8 +795,8 @@ def _coverage_to_spans(covered: DataFrame, k: int, min_span: int) -> DataFrame:
         .agg(F.min("off").alias("start_tok"), F.max("off").alias("max_off"))
         .select(
             "doc_id",
-            "start_tok",
-            (F.col("max_off") + F.lit(k - 1)).alias("end_tok"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            (F.col("max_off") + F.lit(k - 1)).cast("long").alias("end_tok"),
         )
         .withColumn(
             "span_tokens", F.col("end_tok") - F.col("start_tok") + F.lit(1)
@@ -889,15 +889,16 @@ def span_mask(
     )
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
     return (
         base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
         )
         .withColumn(
             "covered_frac",
@@ -937,7 +938,7 @@ def remove_spans(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("spans")
     )
-    empty = F.array().cast("array<struct<start_tok:int,end_tok:int>>")
+    empty = F.array().cast("array<struct<start_tok:bigint,end_tok:bigint>>")
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
     )
@@ -954,6 +955,179 @@ def remove_spans(
     return joined.select(
         "doc_id",
         F.array_join(kept, " ").alias("clean_text"),
-        F.size(kept).alias("kept_tokens"),
-        (F.size("toks") - F.size(kept)).alias("removed_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("removed_tokens"),
     )
+
+
+# ---------------------------------------------------------------- n-gram
+# jaccard with a document-frequency guard against corpus-hot shingles
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    bucket_cols: tuple[str, ...] = ("lang", "source"),
+    df_cap: int | None = None,
+    max_hot_shingles: int = 10_000,
+    max_hot_heavy_pairs: int = 2_000_000,
+    round_dp: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-n-gram Jaccard pairs within (bucket_cols) buckets.
+
+    Output: (id1, id2, jaccard) for every same-bucket pair with rounded
+    jaccard >= ``threshold`` — identical for the guarded and unguarded
+    paths.
+
+    **Why the guard exists.** The inverted-index join's cost is
+    Σ per-shingle df² — one corpus-hot shingle (boilerplate header, stop
+    phrase) makes the candidate join quadratic in corpus size.  With
+    ``df_cap`` set, shingles whose per-bucket document frequency exceeds
+    the cap are pulled OUT of the join index, bounding every posting list
+    at ``df_cap`` (join cost <= df_cap x total postings, linear in the
+    corpus for fixed cap).
+
+    **Why the guarded path is still exact.** Partition each bucket's
+    shingles into COLD (df <= cap) and HOT (df > cap); for a pair (A, B)
+    with rounded jaccard >= t:
+
+    - if A and B share >= 1 cold shingle, the cold join finds them, and
+      the exact intersection is inter_cold (from the join) + inter_hot
+      (from the two docs' hot-shingle arrays — A∩B∩HOT ⊆ A_hot);
+    - else A∩B ⊆ HOT, so |A∩B| <= |A_hot| while jaccard >= t' (t minus
+      the rounding margin) forces |A∩B| >= t'·|A∪B| >= t'·|A| — hence
+      |A_hot| >= t'·|A| and symmetrically for B: BOTH docs are
+      "hot-heavy" (hot fraction >= t').  All same-bucket hot-heavy pairs
+      are enumerated directly, so no qualifying pair is lost.
+
+    Guards fail fast BEFORE any quadratic work: more than
+    ``max_hot_shingles`` distinct hot shingles, or a hot-heavy pair
+    volume above ``max_hot_heavy_pairs`` (Σ per-bucket c·(c-1)/2), raises
+    :class:`ExpandedPairsTooLarge` — each check is one tiny aggregation.
+    A corpus trippping the pair guard is boilerplate-dominated and needs
+    span-level dedup (:func:`repeated_spans`) first, not a bigger join.
+    """
+    b = list(bucket_cols)
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in b],
+        F.array_distinct(token_shingles(text_col, n)).alias("sh"),
+    ).select("doc_id", *b, "sh", F.size("sh").alias("n_sh"))
+    ex = sets.select("doc_id", *b, "n_sh", F.explode("sh").alias("s"))
+
+    def _finish(cand: DataFrame) -> DataFrame:
+        jac = F.round(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+            round_dp,
+        )
+        return (
+            cand.select("id1", "id2", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+
+    if df_cap is None:
+        a, bb = ex.alias("a"), ex.alias("b")
+        cond = (F.col("a.s") == F.col("b.s")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        for c in b:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        inter = (
+            a.join(bb, cond)
+            .groupBy(
+                F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2"),
+                F.col("a.n_sh").alias("n1"),
+                F.col("b.n_sh").alias("n2"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        return _finish(inter)
+
+    # ---- guarded path -------------------------------------------------
+    dfreq = ex.groupBy(*b, "s").agg(F.count("*").alias("df"))
+    hot = dfreq.where(F.col("df") > df_cap).select(*b, "s")
+    n_hot = hot.count()
+    if n_hot > max_hot_shingles:
+        raise ExpandedPairsTooLarge(
+            f"{n_hot} shingles exceed df_cap={df_cap} > "
+            f"max_hot_shingles={max_hot_shingles}; the hot set must stay "
+            "broadcastable — raise df_cap or pre-clean boilerplate"
+        )
+    flagged = ex.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), [*b, "s"], "left"
+    )
+    cold = flagged.where(F.col("_hot").isNull())
+
+    # per-doc hot-shingle arrays: <= n_hot entries per doc, join-safe
+    doc_hot = (
+        flagged.where(F.col("_hot"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("hs"))
+    )
+    margin = 10.0 ** (-round_dp)  # round(j, dp) >= t admits j >= t - margin
+    t_eff = threshold - margin
+    meta = sets.join(doc_hot, "doc_id", "left").select(
+        "doc_id", *b, "n_sh",
+        F.coalesce("hs", F.array().cast("array<string>")).alias("hs"),
+    )
+    hot_heavy = meta.where(
+        (F.size("hs") > 0) & (F.size("hs") >= F.col("n_sh") * t_eff)
+    )
+    pair_volume = (
+        hot_heavy.groupBy(*b).agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
+        .collect()[0]["p"]
+    )
+    if pair_volume and pair_volume > max_hot_heavy_pairs:
+        raise ExpandedPairsTooLarge(
+            f"hot-heavy all-pairs volume {int(pair_volume)} > "
+            f"max_hot_heavy_pairs={max_hot_heavy_pairs}; run span-level "
+            "dedup first or raise df_cap"
+        )
+
+    ca, cb = cold.alias("a"), cold.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    for c in b:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cold_pairs = (
+        ca.join(cb, cond)
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").alias("inter_cold"))
+    )
+    hha, hhb = hot_heavy.alias("a"), hot_heavy.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in b:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    hh_pairs = hha.join(hhb, cond).select(
+        F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+    )
+    cand_ids = cold_pairs.select("id1", "id2").union(hh_pairs).distinct()
+    m1 = meta.select(
+        F.col("doc_id").alias("id1"), F.col("n_sh").alias("n1"),
+        F.col("hs").alias("h1"),
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("id2"), F.col("n_sh").alias("n2"),
+        F.col("hs").alias("h2"),
+    )
+    cand = (
+        cand_ids.join(cold_pairs, ["id1", "id2"], "left")
+        .join(m1, "id1")
+        .join(m2, "id2")
+        .select(
+            "id1", "id2", "n1", "n2",
+            (
+                F.coalesce("inter_cold", F.lit(0))
+                + F.size(F.array_intersect("h1", "h2"))
+            ).alias("inter"),
+        )
+    )
+    return _finish(cand)

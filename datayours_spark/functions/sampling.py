@@ -129,7 +129,9 @@ def uniform_sample_k(
         md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
         F.col(id_col).asc(),
     )
-    return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    return df.withColumn("rk", F.row_number().over(w).cast("long")).where(
+        F.col("rk") <= k
+    )
 
 
 def token_budget_sample(
@@ -181,7 +183,7 @@ def quota_topk(
         F.col(order_col).desc(), F.col(tiebreak_col).asc()
     )
     return (
-        df.withColumn("rk", F.row_number().over(w))
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
 
@@ -249,7 +251,7 @@ def shard_balance(
     "rank all docs by size" formulation needs a single-partition window,
     which is exactly what this avoids.
     """
-    toks = F.size(F.split(F.col(text_col), " "))
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
     d = docs.select(
         F.col(id_col).alias("doc_id"), toks.alias("n_tokens")
     ).withColumn(

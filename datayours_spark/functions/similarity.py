@@ -65,7 +65,9 @@ def cosine_topk(
             Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
         ),
     )
-    return ranked.where(F.col("rank") <= k)
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def hyperplane_weight_py(plane: int, dim: int) -> float:
@@ -236,7 +238,15 @@ def _training_exec_conf(spark, n_rows: int):
     once — compilation of a 12 KB expression that runs over KB-scale data
     is pure overhead, but over 100k+ rows the compiled form wins.
     Scoring and encode paths always keep codegen — they run per-row over
-    the corpus."""
+    the corpus.
+
+    Known limitation (documented, not fixed — ADVICE r4): the conf flips
+    are SESSION-GLOBAL for the duration of the training collect, so a
+    concurrent job sharing the SparkSession would run codegen-disabled,
+    and nested/interleaved training scopes could restore stale values.
+    Training here is strictly sequential (gate/bench harness, one model
+    at a time); if concurrent training is ever needed, scope these via a
+    cloned session (``spark.newSession()``) instead."""
     if n_rows >= TRAINING_CODEGEN_MIN_ROWS:
         yield
         return
@@ -383,7 +393,7 @@ def ivf_assign(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").alias("cluster"))
+        .select("vec_id", F.col("centroid_id").cast("long").alias("cluster"))
     )
 
 
@@ -472,7 +482,9 @@ def ivf_topk(
             )
         ),
     )
-    return ranked.where(F.col("rank") <= k)
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def bucket_stats(buckets: DataFrame) -> DataFrame:
@@ -846,7 +858,9 @@ def ivfpq_topk(
             )
         ),
     )
-    return ranked.where(F.col("rank") <= k)
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def ivfpq_rerank_topk(
@@ -912,7 +926,9 @@ def ivfpq_rerank_topk(
             )
         ),
     )
-    return ranked.where(F.col("rank") <= k)
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 class SemdedupClusterTooLarge(ValueError):
@@ -1167,4 +1183,6 @@ def ivfpq_residual_topk(
             )
         ),
     )
-    return ranked.where(F.col("rank") <= k)
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

@@ -203,8 +203,8 @@ def text_profile(
     ]
     out_cols = [
         F.col("doc_id"),
-        n.cast("int").alias("n_tokens"),
-        F.col("n_bpe_tokens"),
+        n.cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.round(F.greatest(F.least(raw_quality, F.lit(1.0)), F.lit(0.0)), 4).alias(
             "quality"
         ),

@@ -193,6 +193,24 @@ def read_daemon_conf(text: str) -> tuple[list[dict], dict[str, dict]]:
     return items, index
 
 
+def parse_translation_conf(text: str) -> dict[str, dict[str, str]]:
+    """DataTranslation.conf → {wildtag: {symbol: value-string}}.
+
+    One section per ``device.serviceId.variable`` lookup tag (device
+    specific or ``'*'``), each mapping symbolic capture values to numeric
+    strings (reference `DataTranslation.conf:16-19`).  The capture path is
+    matched against the section name with its leading device number
+    wildcarded — ``tag:gsub("^%d+", "*")``, `L_DataWatcher.lua:152-155` —
+    and an in-section miss translates to the literal ``'unknown'``, which
+    the numeric-coercion filter then drops (`L_DataCache.lua:178-180`).
+    Values stay raw strings; the plaintext parser coerces them exactly
+    like wire values.
+    """
+    return {
+        name: dict(kv) for name, kv in load_conf_sections(text).items() if kv
+    }
+
+
 def rule_engine_from_confs(
     schemas_conf: str = "", aggregation_conf: str = "", rewrite_conf: str = ""
 ) -> RuleEngine:

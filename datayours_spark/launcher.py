@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from datayours_spark.kernel.archives import max_retention, parse_retention_str
 from datayours_spark.kernel.rules import (
     RuleEngine,
+    parse_translation_conf,
     read_daemon_conf,
     rule_engine_from_confs,
 )
@@ -219,6 +220,11 @@ def start_from_conf(
         ),
         rewrite_conf=_read_text(_conf_file(conf_dir, "rewrite-rules.conf")),
     )
+    # P2 symbolic translation: DataTranslation.conf, applied at the
+    # capture point inside the ingest parse (`L_DataWatcher.lua:152-155`)
+    translations = parse_translation_conf(
+        _read_text(_conf_file(conf_dir, "DataTranslation.conf"))
+    )
 
     retentions = [
         max_retention(parse_retention_str(r.retentions))
@@ -315,6 +321,7 @@ def start_from_conf(
         rule_engine=engine,
         now_override=now_override,
         watched=watchlist,
+        translations=translations or None,
         # T8 flow limits, straight from the cache section
         # (`carbon.conf.example:38-57,196-197`)
         max_updates_per_second=_limit("MAX_UPDATES_PER_SECOND"),

@@ -88,7 +88,10 @@ def asof_resample(
     )
     return (
         merged.where((F.col("is_grid") == 1) & (F.col("ts_sec") >= from_time - from_time % step))
-        .select("path", F.col("ts_sec").alias("slot"), F.col("locf").alias("value"))
+        .select(
+            "path", F.col("ts_sec").cast("long").alias("slot"),
+            F.col("locf").alias("value"),
+        )
     )
 
 

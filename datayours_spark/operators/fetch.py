@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 def quantize(col: Column | str, step: int) -> Column:
     """``t - (t % step)`` (`L_DataWhisper.lua:331`)."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
     return (c - (c % F.lit(step))).alias("slot")
 
 
@@ -56,7 +56,12 @@ def time_grid(
     lo = from_time - from_time % step
     hi = until_time - until_time % step
     return spark.range(1).select(
-        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias("slot")
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("long"), F.lit(hi).cast("long"),
+                F.lit(step).cast("long"),
+            )
+        ).alias("slot")
     )
 
 

@@ -72,7 +72,9 @@ def rollup(
         .agg(_method_agg(method).alias("value"), F.count("value").alias("known"))
         .where(F.col("known") / F.lit(slots_per_window) >= F.lit(xff))
     )
-    return out.select(F.col("path"), F.col("lslot").alias("slot"), "value", "known")
+    return out.select(
+        F.col("path"), F.col("lslot").cast("long").alias("slot"), "value", "known"
+    )
 
 
 def rollup_all_methods(
@@ -116,7 +118,7 @@ def rollup_all_methods(
         joined.where(F.col("known") / F.lit(slots_per_window) >= F.col("xff"))
         .select(
             "path",
-            F.col("lslot").alias("slot"),
+            F.col("lslot").cast("long").alias("slot"),
             value.alias("value"),
             "known",
             "method",
@@ -145,7 +147,8 @@ def carbon_aggregate(datapoints: DataFrame, rules) -> DataFrame:
             datapoints.where(F.col("path").rlike(regex))
             .groupBy(
                 F.regexp_replace("path", regex, replacement).alias("path"),
-                (F.col("ts_sec") - F.col("ts_sec") % rule.frequency).alias("slot"),
+                (F.col("ts_sec").cast("long")
+                 - F.col("ts_sec").cast("long") % rule.frequency).alias("slot"),
             )
             .agg(agg.alias("value"), F.count("*").alias("n"))
         )

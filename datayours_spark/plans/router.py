@@ -249,7 +249,8 @@ def mixed_fetch(
     )
     cur = tagged.groupBy(
         "path", "spec_id", "method", "xff",
-        (F.col("ts_sec") - F.col("ts_sec") % F.col("f0")).alias("slot"),
+        (F.col("ts_sec").cast("long")
+         - F.col("ts_sec").cast("long") % F.col("f0")).alias("slot"),
     ).agg(F.max_by("value", order_col).alias("value"))
 
     # -- cascade hops with per-row steps; finished specs are identity --

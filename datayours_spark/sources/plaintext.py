@@ -21,6 +21,7 @@ def parse_plaintext_lines(
     line_col: str = "line",
     now: int | Column | None = None,
     carry: list[str] | None = None,
+    translations: dict[str, dict[str, str]] | None = None,
 ) -> DataFrame:
     """Parse plaintext lines to (path, ts_sec, value); malformed rows dropped.
 
@@ -28,6 +29,15 @@ def parse_plaintext_lines(
     reference uses arrival time, `L_DataCache.lua:166`); defaults to the
     current epoch second at execution.  `carry` names extra input columns to
     pass through unchanged (e.g. source-file provenance for arrival ordering).
+
+    `translations` is the DataTranslation.conf lookup — {wildtag: {symbol:
+    value-string}} from `kernel.rules.parse_translation_conf`.  The path
+    with its leading device number wildcarded (`tag:gsub("^%d+", "*")`,
+    `L_DataWatcher.lua:152-155`) selects a section; a hit maps the RAW
+    value token before numeric coercion, an in-section miss becomes
+    ``'unknown'`` and is dropped by the coercion filter — exactly the
+    reference's capture-time behavior.  The conf is KBs, so the lookup
+    embeds as a literal map (broadcast in the plan, JVM-side, codegen).
     """
     if now is None:
         now_col = F.unix_timestamp(F.current_timestamp())
@@ -41,6 +51,23 @@ def parse_plaintext_lines(
     parts = F.filter(F.split(F.col(line_col), r"\s+"), lambda x: x != "")
     extra = list(carry or [])
     parsed = lines.select(parts.alias("p"), *extra).where(F.size("p").isin(2, 3))
+    raw_value = F.element_at("p", 2)
+    if translations:
+        entries = []
+        for tag, mapping in sorted(translations.items()):
+            inner = F.create_map(
+                *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+            )
+            entries += [F.lit(tag), inner]
+        tmap = F.create_map(*entries)
+        # try_element_at: ANSI mode (Spark 4 default) makes plain
+        # element_at THROW on a missing map key; misses must be null
+        wildtag = F.regexp_replace(F.element_at("p", 1), r"^[0-9]+", "*")
+        section = F.try_element_at(tmap, wildtag)
+        raw_value = F.when(
+            section.isNotNull(),
+            F.coalesce(F.try_element_at(section, raw_value), F.lit("unknown")),
+        ).otherwise(raw_value)
     return (
         parsed.select(
             F.element_at("p", 1).alias("path"),
@@ -49,7 +76,7 @@ def parse_plaintext_lines(
             F.when(F.size("p") == 2, now_col)
             .otherwise(F.expr("try_cast(try_cast(element_at(p, 3) as double) as bigint)"))
             .alias("ts_sec"),
-            F.expr("try_cast(element_at(p, 2) as double)").alias("value"),
+            raw_value.try_cast("double").alias("value"),
             *extra,
         )
         # numeric-coercion filter (P5): drop non-numeric value/ts

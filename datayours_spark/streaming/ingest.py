@@ -69,6 +69,13 @@ class IngestPipeline:
     #: plane, §2.11): a WatchList is re-read at every (re)start — the moment
     #: the reference re-registers its variable watches from the conf file
     watched: object | None = None
+    #: P2 symbolic translation (`L_DataWatcher.lua:152-155`): the
+    #: DataTranslation.conf lookup ({wildtag: {symbol: value}}, from
+    #: `kernel.rules.parse_translation_conf`) applied to raw value tokens
+    #: at parse time — BEFORE numeric coercion, user hook and rewrites,
+    #: matching the reference's capture-point application; in-section
+    #: misses become 'unknown' and are dropped by the coercion filter
+    translations: dict | None = None
     #: T8 flow limits — the carbon.conf knobs as ENFORCEABLE admission
     #: control (`carbon.conf.example:38-57,196-197`) with WALL-CLOCK
     #: budgets (``clock``, injectable for deterministic tests), each with
@@ -124,7 +131,10 @@ class IngestPipeline:
     def transform(self, lines: DataFrame) -> DataFrame:
         """The record pipeline, shared by batch backfill and the stream."""
         carry = [c for c in self._CARRY if c in lines.columns]
-        parsed = parse_plaintext_lines(lines, now=self.now_override, carry=carry)
+        parsed = parse_plaintext_lines(
+            lines, now=self.now_override, carry=carry,
+            translations=self.translations,
+        )
         watched_paths = self._watched_paths()
         if watched_paths is not None:
             parsed = parsed.where(F.col("path").isin(watched_paths))

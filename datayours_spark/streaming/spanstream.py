@@ -39,7 +39,7 @@ from datayours_spark.functions.dedup import (
 DOC_SCHEMA = "doc_id bigint, text string"
 POSTINGS_SCHEMA = "doc_id bigint, off int, h bigint"
 SPANS_SCHEMA = (
-    "doc_id bigint, start_tok int, end_tok int, span_tokens int,"
+    "doc_id bigint, start_tok bigint, end_tok bigint, span_tokens bigint,"
     " batch_id bigint"
 )
 

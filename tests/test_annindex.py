@@ -92,3 +92,56 @@ class TestAnnIndexPersistence:
             map(tuple, incr.collect())
         )
         shutil.rmtree(out, ignore_errors=True)
+
+    def test_residual_append_encodes_residuals(self, spark, tmp_path):
+        """ADVICE r4: appending to a residual index must encode
+        v - centroid(v) against the residual-trained codebooks and keep
+        the FULL vector's norm — raw-vector encoding silently corrupts
+        ADC scores.  Equivalence check on the stored payload itself:
+        base+append == full rebuild, row for row."""
+        from datayours_spark.functions.annindex import append_to_ann_index
+        from datayours_spark.functions.similarity import (
+            as_double_array,
+            dot,
+            pq_codebooks,
+            residual_vectors,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        cent = kmeans_centroids(emb, k=4, iters=2)
+        res = residual_vectors(emb, cent)
+        books = pq_codebooks(res, m=2, ks=8, iters=1, dim=dim)
+
+        def res_codes(vectors):
+            c = pq_encode(residual_vectors(vectors, cent), books, dim)
+            nrms = vectors.select(
+                F.col("vec_id"), as_double_array("embedding").alias("v")
+            ).select(
+                "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+            )
+            return c.select("vec_id", "codes").join(nrms, "vec_id")
+
+        base = emb.where(F.col("vec_id") % 5 != 0)
+        batch = emb.where(F.col("vec_id") % 5 == 0)
+        out = str(tmp_path / "index")
+        save_ann_index(
+            out, cent, books, res_codes(base), ivf_assign(base, cent),
+            {"dim": dim, "m": 2, "ks": 8, "k": 4, "seed": 42,
+             "residual": True},
+        )
+        append_to_ann_index(out, batch)
+
+        def rows(codes_df, assign_df):
+            return sorted(
+                (r["cluster"], r["vec_id"], tuple(r["codes"]),
+                 round(r["nrm"], 9))
+                for r in codes_df.join(assign_df, "vec_id")
+                .select("cluster", "vec_id", "codes", "nrm").collect()
+            )
+
+        idx = load_ann_index(spark, out)
+        got = rows(idx["codes"], idx["assignments"])
+        want = rows(res_codes(emb), ivf_assign(emb, cent))
+        assert got == want
+        shutil.rmtree(out, ignore_errors=True)

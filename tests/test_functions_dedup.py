@@ -492,3 +492,99 @@ class TestMinhashDecontaminate:
             eval_signatures=sigs.where(is_eval),
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestNgramJaccardGuard:
+    """The df-capped inverted-index join must reproduce the unguarded
+    pair set EXACTLY — including pairs whose only shared shingles are
+    corpus-hot (the case the cold join alone would lose)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, source string, text string"
+        )
+
+    def _pairs(self, df):
+        return {
+            (r["id1"], r["id2"], r["jaccard"]) for r in df.collect()
+        }
+
+    def test_guarded_equals_unguarded_with_planted_hot_shingle(self, spark):
+        from datayours_spark.functions.dedup import ngram_jaccard_pairs
+
+        boiler = "all rights reserved by the site"  # hot across most docs
+        rows = [
+            (i, "en", "web", f"{boiler} unique tail {i} words here {i * 7}")
+            for i in range(12)
+        ]
+        # one true near-dup pair sharing cold shingles too
+        rows += [
+            (100, "en", "web", f"{boiler} same body of shared text one"),
+            (101, "en", "web", f"{boiler} same body of shared text two"),
+        ]
+        docs = self._docs(spark, rows)
+        plain = ngram_jaccard_pairs(docs, threshold=0.2, df_cap=None)
+        guarded = ngram_jaccard_pairs(docs, threshold=0.2, df_cap=3)
+        assert self._pairs(guarded) == self._pairs(plain)
+        assert len(self._pairs(plain)) > 0
+
+    def test_hot_only_pair_is_found(self, spark):
+        from datayours_spark.functions.dedup import ngram_jaccard_pairs
+
+        # docs 1/2 consist ENTIRELY of the hot boilerplate: every shared
+        # shingle is hot, so the cold join alone would miss the pair —
+        # only the hot-heavy side channel can emit it
+        boiler = "standard footer text appears in every document"
+        rows = [(i, "en", "web", f"{boiler} filler {i} x{i} y{i}") for i in range(10)]
+        rows += [(100, "en", "web", boiler), (101, "en", "web", boiler)]
+        docs = self._docs(spark, rows)
+        plain = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=None)
+        guarded = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=3)
+        assert (100, 101, 1.0) in self._pairs(guarded)
+        assert self._pairs(guarded) == self._pairs(plain)
+
+    def test_bucket_isolation_respected(self, spark):
+        from datayours_spark.functions.dedup import ngram_jaccard_pairs
+
+        # identical text in different buckets must NOT pair
+        rows = [
+            (1, "en", "web", "identical text body shared across"),
+            (2, "de", "web", "identical text body shared across"),
+            (3, "en", "web", "identical text body shared across"),
+        ]
+        docs = self._docs(spark, rows)
+        got = self._pairs(ngram_jaccard_pairs(docs, threshold=0.2, df_cap=2))
+        assert got == {(1, 3, 1.0)}
+
+    def test_hot_set_guard_fails_fast(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import (
+            ExpandedPairsTooLarge, ngram_jaccard_pairs,
+        )
+
+        rows = [
+            (i, "en", "web", f"common shared prefix words {i}") for i in range(8)
+        ]
+        docs = self._docs(spark, rows)
+        with pytest.raises(ExpandedPairsTooLarge):
+            # df_cap=1 makes every shared shingle hot; cap the hot set at 1
+            ngram_jaccard_pairs(
+                docs, threshold=0.2, df_cap=1, max_hot_shingles=1
+            )
+
+    def test_pair_volume_guard_fails_fast(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import (
+            ExpandedPairsTooLarge, ngram_jaccard_pairs,
+        )
+
+        boiler = "the exact same boilerplate body everywhere"
+        rows = [(i, "en", "web", boiler) for i in range(30)]
+        docs = self._docs(spark, rows)
+        with pytest.raises(ExpandedPairsTooLarge):
+            # 30 hot-heavy docs → 435 candidate pairs > 100
+            ngram_jaccard_pairs(
+                docs, threshold=0.2, df_cap=3, max_hot_heavy_pairs=100
+            )

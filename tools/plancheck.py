@@ -293,6 +293,18 @@ def main() -> None:
         "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
     )
 
+    # round-5: guarded n-gram jaccard — the hot-shingle set joins as a
+    # BROADCAST side (never shuffled onto the posting stream), candidate
+    # generation stays equi-join (SortMerge/Hash, no cartesian), and the
+    # per-shingle join keys include the bucket columns
+    plan = plan_of(registry["q_ngram_jaccard"](spark, SF_DIR))
+    check(
+        "ngram jaccard hot set broadcasts; candidates equi-join",
+        "BroadcastHashJoin" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+    )
+
     # round-4: routed queries must not run a plan-time full-table scan or
     # aggregation to anchor "now" / resolve targets (the round-3 advisory).
     # Once the stats anchor is warm, the only jobs a build may launch are
