@@ -1786,11 +1786,12 @@ def q_rollup_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.operators.rollup import rollup_all_methods
 
     dp = datapoints_from_events(spark, sf_dir)
-    meta = assign_series_meta(series_catalog(dp), _meta_engine()).select(
+    eng = _meta_engine()
+    meta = assign_series_meta(series_catalog(dp), eng).select(
         "path", "xff", "method"
     )
     fine = lww_slots(dp, 60)
-    out = rollup_all_methods(fine, 60, 3_600, meta)
+    out = rollup_all_methods(fine, 60, 3_600, meta, methods=eng.methods_used())
     return out.select(
         "path", "slot", F.round("value", 4).alias("value"), "known", "method"
     )
@@ -1881,11 +1882,13 @@ def q_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.plans.router import RollupSet
 
     dp = datapoints_from_events(spark, sf_dir)
+    eng = _meta_engine()
     meta = assign_series_meta(
-        _corpus_catalog(spark, sf_dir), _meta_engine()
+        _corpus_catalog(spark, sf_dir), eng
     ).select("path", "method", "xff")
     rs = RollupSet.build(
-        dp, parse_retention_str(ROUTED_RETENTIONS), series_meta=meta
+        dp, parse_retention_str(ROUTED_RETENTIONS), series_meta=meta,
+        methods=eng.methods_used(),
     )
     now = _corpus_now(spark, sf_dir)
     from_t = now - ROUTED_FROM_AGE

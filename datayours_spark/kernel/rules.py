@@ -81,6 +81,14 @@ class RuleEngine:
                 return new
         return path
 
+    def methods_used(self) -> tuple[str, ...]:
+        """Distinct aggregation methods this conf can assign (rules plus
+        the default) — driver-side knowledge that lets the rollup cascade
+        prune unused aggregate buffers without running any pre-job."""
+        seen = {r.aggregation_method for r in self.aggregations}
+        seen.add(DEFAULT_AGGREGATION.aggregation_method)
+        return tuple(sorted(seen))
+
     def rewrite_pre(self, path: str) -> str:
         return self.apply_rewrites(path, self.pre_rewrites)
 

@@ -84,36 +84,61 @@ def rollup_all_methods(
     series_meta: DataFrame,
     default_method: str = "average",
     default_xff: float = 0.5,
+    methods: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Per-series aggregation-method dispatch in a single aggregation pass.
 
     `series_meta` is a small (path, method, xff) table — broadcast-joined.
-    All five aggregates are computed once; a CASE expression picks the
+    The needed aggregates are computed once; a CASE expression picks the
     series' configured method, and the xFF gate uses the series' xff
     (`L_DataCache.lua:146-160` rule assignment → `L_DataWhisper.lua:481-488`).
+
+    `methods` is the caller's DRIVER-SIDE guarantee of which methods the
+    meta table can assign (`RuleEngine.methods_used()` — conf knowledge,
+    no pre-job): only those aggregate buffers are built.  A typical conf
+    uses 2–3 of the 5 methods, and pruning drops the expensive `max_by`
+    struct buffer whenever 'last' is unused (the r4→r5 q_rollup_routed
+    bench recovery).  None keeps all five (correct for arbitrary meta).
     """
+    wanted = set(AGG_METHODS if methods is None else methods)
+    wanted.add(default_method)
+    wanted.add("average")  # the CASE fallback arm always needs v_average
+    unknown = wanted - set(AGG_METHODS)
+    if unknown:
+        raise ValueError(f"Unrecognized aggregation methods {sorted(unknown)}")
     slots_per_window = lower_step // higher_step
+    per_method = {
+        "average": F.avg("value"),
+        "sum": F.sum("value"),
+        "last": F.max_by("value", "slot"),
+        "max": F.max("value"),
+        "min": F.min("value"),
+    }
     aggregated = higher_slots.groupBy(
         "path",
         (F.col("slot") - (F.col("slot") % F.lit(lower_step))).alias("lslot"),
     ).agg(
-        F.avg("value").alias("v_average"),
-        F.sum("value").alias("v_sum"),
-        F.max_by("value", "slot").alias("v_last"),
-        F.max("value").alias("v_max"),
-        F.min("value").alias("v_min"),
+        *[per_method[m].alias(f"v_{m}") for m in AGG_METHODS if m in wanted],
         F.count("value").alias("known"),
     )
     joined = aggregated.join(F.broadcast(series_meta), "path", "left").fillna(
         {"method": default_method, "xff": default_xff}
     )
-    value = (
-        F.when(F.col("method") == "sum", F.col("v_sum"))
-        .when(F.col("method") == "last", F.col("v_last"))
-        .when(F.col("method") == "max", F.col("v_max"))
-        .when(F.col("method") == "min", F.col("v_min"))
-        .otherwise(F.col("v_average"))
-    )
+    value = F.col("v_average")
+    for m in sorted(wanted - {"average"}):
+        value = F.when(F.col("method") == m, F.col(f"v_{m}")).otherwise(value)
+    if methods is not None:
+        # the pruning contract is a caller guarantee — a meta row naming a
+        # method outside it must fail loudly, not fall back to average
+        value = F.when(
+            ~F.col("method").isin(*sorted(wanted)),
+            F.raise_error(
+                F.concat(
+                    F.lit("series_meta method outside the declared set: "),
+                    F.col("method"),
+                )
+            ).cast("double"),
+        ).otherwise(value)
     return (
         joined.where(F.col("known") / F.lit(slots_per_window) >= F.col("xff"))
         .select(

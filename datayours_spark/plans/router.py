@@ -40,6 +40,7 @@ class RollupSet:
         xff: float = 0.5,
         order_col: str = "ts_us",
         series_meta: DataFrame | None = None,
+        methods: "tuple[str, ...] | None" = None,
     ) -> "RollupSet":
         """Derive every level by cascading from the finest (A2 propagation).
 
@@ -61,7 +62,7 @@ class RollupSet:
             if series_meta is not None:
                 level = rollup_all_methods(
                     levels[prev_step], prev_step, step, series_meta,
-                    default_method=method, default_xff=xff,
+                    default_method=method, default_xff=xff, methods=methods,
                 )
             else:
                 level = rollup(

@@ -717,11 +717,13 @@ class IngestPipeline:
             elif meta is not None:
                 # whisper propagation with PER-SERIES method/xff dispatch
                 # (`L_DataWhisper.lua:493-523`): one aggregation pass computes
-                # all five methods, the broadcast meta picks per path
+                # the conf's methods (pruned via the engine's driver-side
+                # knowledge), the broadcast meta picks per path
                 level = rollup_all_methods(
                     prev_level, prev_step, step, meta,
                     default_method=self.rollup_method,
                     default_xff=self.rollup_xff,
+                    methods=self.rule_engine.methods_used(),
                 ).select("path", "slot", "value")
             else:
                 # whisper propagation: aggregate the PREVIOUS level with the

@@ -69,3 +69,38 @@ class TestPerSeriesDispatch:
         out = rollup_all_methods(fine_slots(spark), 60, 300, meta, default_xff=0.5)
         got = {r["path"]: r["value"] for r in out.collect()}
         assert got == {"a": 2.0}  # average; b gated out by xff 0.5
+
+    def test_pruned_methods_match_full(self, spark, fine_slots):
+        meta = spark.createDataFrame(
+            [("a", "sum", 0.0), ("b", "last", 0.0)],
+            "path string, method string, xff double",
+        )
+        full = rollup_all_methods(fine_slots(spark), 60, 300, meta)
+        pruned = rollup_all_methods(
+            fine_slots(spark), 60, 300, meta, methods=("sum", "last")
+        )
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+        # pruning drops the unneeded buffers from the aggregate
+        plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+        assert "v_min" not in plan and "v_max" not in plan
+
+    def test_method_outside_declared_set_fails_loudly(self, spark, fine_slots):
+        meta = spark.createDataFrame(
+            [("a", "min", 0.0)], "path string, method string, xff double"
+        )
+        out = rollup_all_methods(
+            fine_slots(spark), 60, 300, meta, methods=("sum",)
+        )
+        with pytest.raises(Exception, match="outside the declared set"):
+            out.collect()
+
+    def test_unknown_method_rejected_at_build(self, spark, fine_slots):
+        meta = spark.createDataFrame(
+            [("a", "sum", 0.0)], "path string, method string, xff double"
+        )
+        with pytest.raises(ValueError, match="Unrecognized aggregation"):
+            rollup_all_methods(
+                fine_slots(spark), 60, 300, meta, methods=("median",)
+            )

@@ -293,16 +293,17 @@ def main() -> None:
         "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
     )
 
-    # round-5: guarded n-gram jaccard — the hot-shingle set joins as a
-    # BROADCAST side (never shuffled onto the posting stream), candidate
-    # generation stays equi-join (SortMerge/Hash, no cartesian), and the
-    # per-shingle join keys include the bucket columns
+    # round-5: guarded n-gram jaccard — the guard-bounded hot set enters
+    # the plan as a LITERAL in-list predicate (no join, no broadcast
+    # exchange), candidate generation stays equi-join (no cartesian), and
+    # the per-doc shingle sets are materialized once (checkpoint scan)
+    # instead of recomputing token_shingles per consumer
     plan = plan_of(registry["q_ngram_jaccard"](spark, SF_DIR))
     check(
-        "ngram jaccard hot set broadcasts; candidates equi-join",
-        "BroadcastHashJoin" in plan
-        and "CartesianProduct" not in plan
-        and "BroadcastNestedLoopJoin" not in plan,
+        "ngram jaccard literal hot predicate; equi-joins; one shingle pass",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "ExistingRDD" in plan,
     )
 
     # round-4: routed queries must not run a plan-time full-table scan or
