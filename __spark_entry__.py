@@ -1057,6 +1057,33 @@ def q_datamine_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("path", "slot", F.round("value", 4).alias("value"))
 
 
+def q_dm_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataMine timeline report's DATA side
+    (`L_DataMineServer.lua:258-282`): per-channel display name plus first/
+    last sample timestamps (one aggregation over the weekly-CSV store),
+    with the reference's `last <= first → first + 1` bar nudge.  The HTML
+    assembly around it is `render.dmreports.report_timeline` (golden
+    tests); this query oracle-checks the numbers inside the bars."""
+    from datayours_spark.sources.datamine import read_channels, read_config
+
+    db_dir = _materialize_datamine(spark, sf_dir)
+    stats = read_channels(spark, db_dir).groupBy("channel_id").agg(
+        F.min("ts_sec").alias("first_ts"), F.max("ts_sec").alias("max_ts")
+    )
+    return (
+        read_config(spark, db_dir)
+        .join(stats, "channel_id")
+        .select(
+            "channel_id",
+            "name",
+            "first_ts",
+            F.when(
+                F.col("max_ts") <= F.col("first_ts"), F.col("first_ts") + 1
+            ).otherwise(F.col("max_ts")).alias("last_ts"),
+        )
+    )
+
+
 NEARDUP_PLANES = 6
 NEARDUP_THRESHOLD = 0.25
 
@@ -2496,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_dedup_report": q_dedup_report,
+        # --- new in r5 (selfcheck-verified; rotate in-window next round)
+        "q_dm_timeline": q_dm_timeline,
         # --- past the window: green driver row in r1–r4 --------------
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
@@ -3410,6 +3439,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT pg.path, pg.slot, round(s.value, 4) AS value
             FROM pg ASOF LEFT JOIN s
               ON pg.path = s.path AND s.ts_sec <= pg.slot
+        """,
+        "q_dm_timeline": f"""
+            WITH dedup AS (
+              SELECT event_type, epoch_us(ts) // 1000000 AS t
+              FROM events GROUP BY 1, 2),
+            stats AS (
+              SELECT CASE event_type {dm_channel_case} END AS channel_id,
+                     event_type AS name,
+                     min(t) AS first_ts, max(t) AS max_ts
+              FROM dedup GROUP BY 1, 2)
+            SELECT channel_id, name, first_ts,
+                   CASE WHEN max_ts <= first_ts THEN first_ts + 1
+                        ELSE max_ts END AS last_ts
+            FROM stats
         """,
         "q_render_api": f"""
             WITH cat AS (SELECT DISTINCT path FROM ({DP_USER}) dp),

@@ -67,15 +67,34 @@ def asof_resample(
     sort per path partition, linear state, no quadratic blow-up on dense
     sample runs.
     """
-    grid = time_grid(spark, from_time, until_time, step)
+    grid = time_grid(spark, from_time, until_time, step).where(
+        F.col("slot") >= from_time - from_time % step
+    )
+    return asof_on_grid(samples, grid, hi=until_time)
+
+
+def asof_on_grid(
+    samples: DataFrame, grid: DataFrame, hi: int
+) -> DataFrame:
+    """Backward as-of of an ARBITRARY instant grid against irregular
+    samples — the shared kernel of :func:`asof_resample` (uniform grid)
+    and the dataMine graph plot's rounded 721-point range
+    (`L_DataMineServer.lua:138-164`).
+
+    ``grid`` is a one-column (slot) table of ascending instants, ``hi``
+    its driver-known upper bound (callers construct the grid, so no
+    bound-discovery job runs).  One union-merge LOCF pass covers every
+    path × instant; samples at a grid instant win over the carried value.
+    """
     paths = samples.select("path").distinct()
-    grid_rows = paths.crossJoin(grid).select(
-        "path", F.col("slot").alias("ts_sec"), F.lit(None).cast("double").alias("value"),
+    grid_rows = paths.crossJoin(grid.select("slot")).select(
+        "path", F.col("slot").cast("long").alias("ts_sec"),
+        F.lit(None).cast("double").alias("value"),
         F.lit(1).alias("is_grid"),
     )
     sample_rows = samples.select(
         "path", "ts_sec", "value", F.lit(0).alias("is_grid")
-    ).where(F.col("ts_sec") <= until_time)
+    ).where(F.col("ts_sec") <= hi)
     # samples sort BEFORE the grid row at the same ts_sec (is_grid ascending
     # puts the sample first so an exact-time sample is visible to the grid row)
     w = (
@@ -87,7 +106,7 @@ def asof_resample(
         "locf", F.last("value", ignorenulls=True).over(w)
     )
     return (
-        merged.where((F.col("is_grid") == 1) & (F.col("ts_sec") >= from_time - from_time % step))
+        merged.where(F.col("is_grid") == 1)
         .select(
             "path", F.col("ts_sec").cast("long").alias("slot"),
             F.col("locf").alias("value"),

@@ -141,10 +141,12 @@ def chart_html(
     chart_type: str,
     options: dict | None = None,
     container_id: str = "gVizDiv",
+    extra_js: str = "",
 ) -> str:
     """The ChartWrapper page around a DataTable literal
     (`L_DataLibrary.lua:273-310`): loader script, ChartWrapper opts,
-    setDataTable, draw."""
+    setDataTable, draw.  ``extra_js`` is the draw()'s ``extras`` slot —
+    page-embedded helper functions (e.g. the treemap tooltip)."""
     opts = {"options": options or {}, "chartType": chart_type, "containerId": container_id}
     return "\n".join(
         [
@@ -166,6 +168,9 @@ def chart_html(
             ");",
             "          w.setDataTable(data);",
             "          w.draw();",
+            # the draw()'s `extras` slot; omitted entirely when empty so
+            # pre-existing chart bytes stay golden-stable
+            *([extra_js] if extra_js else []),
             "        }",
             "    </script>",
             "  </head>",

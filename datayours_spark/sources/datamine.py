@@ -188,6 +188,7 @@ def dmdb_query(
     params: dict,
     now: int | None = None,
     maxpoints: int = 10_080,
+    graphs: DataFrame | None = None,
 ) -> str:
     """One dmDB CLI query → formatted report string
     (`L_DataMineServer.lua:502-567`).
@@ -208,6 +209,7 @@ def dmdb_query(
     times = {}
     keys = {}
     options = {}
+    actions = {}
     for name, value in params.items():
         name = name.lower()
         if name in _TIME_ALIASES:
@@ -216,8 +218,39 @@ def dmdb_query(
             keys[_KEY_ALIASES[name]] = value
         elif name in ("format", "width", "height"):
             options[name] = value
+        elif name in ("report", "plot", "graph"):
+            actions[name] = value
 
     t1, t2 = resolve_times(times.get("t1"), times.get("t2"), times.get("dt"), now)
+
+    # report/plot/graph actions dispatch BEFORE cursor search
+    # (`L_DataMineServer.lua:528-537`)
+    if actions:
+        from datayours_spark.render import dmreports
+
+        spark = samples.sparkSession
+        if graphs is None:
+            graphs = dmreports.empty_graphs(spark)
+        report = actions.get("report")
+        if report == "channels":
+            return dmreports.report_channels(config, options)
+        if report == "timeline":
+            return dmreports.report_timeline(samples, config, options)
+        if report == "graphs":
+            return dmreports.report_graphs(graphs, config, options)
+        if report == "graphmap":
+            return dmreports.report_graphmap(graphs, config, options)
+        if report == "dataMine":
+            return dmreports.report_datamine_map(config, options)
+        if "graph" in actions:
+            return dmreports.graph_plot(
+                spark, samples, config, graphs, int(actions["graph"]),
+                t1=t1, now=now, options=options,
+            )
+        if "plot" in actions:
+            # plot=<channel Id> → LineChart through the normal cursor path
+            keys = {"channel_id": int(actions["plot"])}
+            options["format"] = "LineChart"
 
     # openCursor: direct Id, else first search match in index order
     if "channel_id" in keys:

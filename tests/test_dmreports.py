@@ -1,0 +1,223 @@
+"""dataMine report/plot actions (`L_DataMineServer.lua:258-493,528-537`):
+Graphs config subset, gviz report tables, treemaps, multi-channel plot."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from datayours_spark.render.dmreports import (
+    GRAPH_ICONS,
+    channel_name,
+    graph_plot,
+    plot_range,
+    read_graphs,
+    report_channels,
+    report_datamine_map,
+    report_graphmap,
+    report_graphs,
+    report_timeline,
+    show_tooltip,
+    tree_table,
+)
+from datayours_spark.sources.datamine import (
+    dmdb_query,
+    read_channels,
+    read_config,
+)
+
+TMP = Path(__file__).resolve().parent / "_tmp" / "dmreports"
+
+WEEK = 7 * 86_400
+T0 = 2821 * WEEK
+
+SRV_T = "urn:upnp-org:serviceId:TemperatureSensor1"
+SRV_E = "urn:micasaverde-com:serviceId:EnergyMetering1"
+
+
+@pytest.fixture(scope="module")
+def db_dir(request):
+    shutil.rmtree(TMP, ignore_errors=True)
+    data = {
+        1: [(T0 + 10, 1.0), (T0 + 5_000, 2.0)],
+        2: [(T0 + 100, 50.0), (T0 + 200, 500.0)],
+    }
+    for channel, rows in data.items():
+        f = TMP / "database" / str(channel) / "raw" / f"{2821}.txt"
+        f.parent.mkdir(parents=True, exist_ok=True)
+        f.write_text("\n".join(f"{t},{v}" for t, v in rows) + "\n")
+    config = {
+        "Variables": [
+            {"Id": 1, "Name": "temp", "Device": 12, "Service": SRV_T,
+             "Variable": "CurrentTemperature"},
+            {"Id": 2, "Name": "watts", "Device": 7, "Service": SRV_E,
+             "Variable": "Watts", "DataOffset": 10.0, "FilterEnable": 1,
+             "Filterminimum": 0.0, "FilterMaximum": 400.0},
+        ],
+        "Graphs": [
+            {"Name": "Climate", "Icon": 1, "Period": 7 * 86_400,
+             "Channels": [
+                 {"Device": 12, "Service": SRV_T,
+                  "Variable": "CurrentTemperature"},
+                 {"Device": 7, "Service": SRV_E, "Variable": "Watts"},
+             ]},
+        ],
+    }
+    (TMP / "dataMineConfig.json").write_text(json.dumps(config))
+    request.addfinalizer(lambda: shutil.rmtree(TMP, ignore_errors=True))
+    return str(TMP)
+
+
+class TestGraphsConfig:
+    def test_read_graphs_subset(self, spark, db_dir):
+        g = read_graphs(spark, db_dir).collect()
+        assert len(g) == 1
+        row = g[0]
+        assert (row["graph_id"], row["name"], row["icon"], row["period"]) == (
+            1, "Climate", 1, 7 * 86_400
+        )
+        assert [c["variable"] for c in row["channels"]] == [
+            "CurrentTemperature", "Watts"
+        ]
+
+    def test_missing_graphs_section_is_empty(self, spark, tmp_path):
+        (tmp_path / "dataMineConfig.json").write_text(
+            json.dumps({"Variables": [{"Id": 1, "Name": "x"}]})
+        )
+        assert read_graphs(spark, str(tmp_path)).count() == 0
+
+
+class TestHelpers:
+    def test_channel_name_unique_match(self):
+        rows = [{"channel_id": 1, "name": "temp", "device": 12,
+                 "service": SRV_T, "variable": "CurrentTemperature"}]
+        assert channel_name(rows, 12, SRV_T, "CurrentTemperature") == "temp"
+
+    def test_channel_name_fallback_format(self):
+        # no match → "dev = %03d, srv = %s, var = %s" with the service's
+        # trailing word (`L_DataMineServer.lua:190`)
+        assert channel_name([], 7, SRV_E, "Watts") == (
+            "dev = 007, srv = EnergyMetering1, var = Watts"
+        )
+
+    def test_plot_range_is_rounded_inclusive(self):
+        rng = plot_range(0, 10, 5)
+        assert rng == [0, 3, 5, 8, 10]  # floor(t+0.5) at dt=2.5
+
+    def test_tree_table_structure(self):
+        data = [
+            {"_label": "a", "type": "T", "id": 1},
+            {"_label": "b", "type": "T", "id": 2},
+            {"_label": "c", "type": "U", "id": 3},
+        ]
+        js = tree_table(data, root="R", branches=["type"], leaves=["id"])
+        # root + 2 branch nodes + 3 leaves = 6 rows; id column is numeric
+        assert js.count("{c:[") == 6
+        assert "{type:'number',label:'id'}" in js
+        # branch node T is the parent of two leaves
+        assert "{v: 'T'}" not in js  # branch label goes through (v, f) form
+
+    def test_show_tooltip_name_vs_definition(self):
+        assert show_tooltip() == "showTooltip"
+        assert show_tooltip("var toolTip = 'x';").startswith(
+            "function showTooltip"
+        )
+
+
+class TestReports:
+    def test_channels_directory(self, spark, db_dir):
+        html = report_channels(read_config(spark, db_dir))
+        assert "label:'Channel Name'" in html and "chartType:'Table'" in html
+        # service column is the part after the last colon
+        assert "{v: 'TemperatureSensor1'}" in html
+        assert "{v: 'watts'}" in html and "{v: 7}" in html
+
+    def test_timeline(self, spark, db_dir):
+        html = report_timeline(
+            read_channels(spark, db_dir), read_config(spark, db_dir)
+        )
+        assert "chartType:'Timeline'" in html
+        assert f"'temp : 12.{SRV_T}.CurrentTemperature'" in html
+        # epoch seconds render as JS Date in ms
+        assert f"new Date ({(T0 + 10) * 1000})" in html
+
+    def test_graphs_listing(self, spark, db_dir):
+        html = report_graphs(
+            read_graphs(spark, db_dir), read_config(spark, db_dir)
+        )
+        assert "graph=1" in html and "Climate" in html
+        assert "{v: 'Temperature'}" in html  # icon 1 → name
+        assert "{v: '7'}" in html  # Period / 86400 days, string column
+        assert "temp<br>watts" in html
+
+    def test_graphmap_treemap(self, spark, db_dir):
+        html = report_graphmap(
+            read_graphs(spark, db_dir), read_config(spark, db_dir)
+        )
+        assert "chartType:'TreeMap'" in html
+        assert "function showTooltip" in html
+        assert "generateTooltip:'showTooltip'" in html
+        assert f"maxColorValue:{len(GRAPH_ICONS)}" in html
+
+    def test_datamine_map_treemap(self, spark, db_dir):
+        html = report_datamine_map(read_config(spark, db_dir))
+        assert "chartType:'TreeMap'" in html
+        # service type strips the trailing digits and 'Sensor'
+        assert "{v: 'Temperature - CurrentTemperature'}" in html
+        assert "{v: 'dataMine #2'}" in html
+
+
+class TestGraphPlot:
+    def test_multi_channel_asof_with_filters(self, spark, db_dir):
+        html = graph_plot(
+            spark,
+            read_channels(spark, db_dir),
+            read_config(spark, db_dir),
+            read_graphs(spark, db_dir),
+            graph_id=1,
+            t1=T0,
+            now=T0 + 400,
+            options={},
+            points=5,
+        )
+        assert "title:'Climate'" in html and "legend:'bottom'" in html
+        assert "{type:'number',label:'temp'}" in html
+        assert "{type:'number',label:'watts'}" in html
+        # grid [T0, +100, +200, +300, +400]: temp holds 1.0 from T0+10 on;
+        # watts 50+10=60 at +100, 500+10 clamped to 400 from +200 on
+        assert "{v: 60}" in html and "{v: 400}" in html
+
+    def test_unknown_graph(self, spark, db_dir):
+        out = graph_plot(
+            spark, read_channels(spark, db_dir),
+            read_config(spark, db_dir), read_graphs(spark, db_dir),
+            graph_id=9,
+        )
+        assert out == "no such graph"
+
+
+class TestCliDispatch:
+    def test_report_action_from_params(self, spark, db_dir):
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"report": "channels"},
+        )
+        assert "chartType:'Table'" in out
+
+    def test_graph_action_from_params(self, spark, db_dir):
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"graph": "1", "t1": str(T0)}, now=T0 + 400,
+            graphs=read_graphs(spark, db_dir),
+        )
+        assert "title:'Climate'" in out
+
+    def test_plot_action_is_linechart_cursor_path(self, spark, db_dir):
+        out = dmdb_query(
+            read_channels(spark, db_dir), read_config(spark, db_dir),
+            {"plot": "1", "t1": str(T0 - 100), "t2": str(T0 + 6_000)},
+            now=T0 + 6_000,
+        )
+        assert "chartType:'LineChart'" in out
+        assert "Id=1" in out and "Name=temp" in out
