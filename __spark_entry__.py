@@ -1084,6 +1084,43 @@ def q_dm_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_injected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table with deterministic synthetic PII appended (the
+    fixture corpus has none): emails on doc_id%7, phones on %11, IPs on
+    %13 — the oracle injects the identical text, so the scrub is tested
+    against real matches, not vacuous zero counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" mail me at user"), did, F.lit("@example.com ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309 now")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 up"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", injected.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural PII detect + redact (C4/Dolma-style pre-training scrub):
+    per-kind match counts and the redacted text, all JVM-side regex
+    projections — runs at scan speed at 100 TB."""
+    from datayours_spark.functions.text import pii_scrub
+
+    return pii_scrub(_pii_injected_docs(spark, sf_dir))
+
+
 NEARDUP_PLANES = 6
 NEARDUP_THRESHOLD = 0.25
 
@@ -2525,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_report": q_dedup_report,
         # --- new in r5 (selfcheck-verified; rotate in-window next round)
         "q_dm_timeline": q_dm_timeline,
+        "q_pii_scrub": q_pii_scrub,
         # --- past the window: green driver row in r1–r4 --------------
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
@@ -2688,7 +2726,35 @@ def oracle_sql() -> dict[str, str]:
     )
     n_slides = SLIDE_WINDOW // SLIDE_STEP - 1
 
+    # q_pii_scrub: assembled with %-formatting (the regex literals contain
+    # braces, which f-strings would mangle); patterns are RE2-compatible so
+    # Spark's Java engine and DuckDB agree
+    from datayours_spark.functions.text import PII_PATTERNS as _pii
+
+    pii_inject = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id %% 7 = 0 THEN ' mail me at user'"
+        " || doc_id::VARCHAR || '@example.com ok' ELSE '' END"
+        " || CASE WHEN doc_id %% 11 = 0 THEN ' call 555-867-5309 now'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id %% 13 = 0 THEN ' host 10.0.'"
+        " || (doc_id %% 256)::VARCHAR || '.7 up' ELSE '' END"
+        " AS text FROM documents"
+    ) % ()
+    pii_counts = ", ".join(
+        "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_%s"
+        % (p, k)
+        for k, p in _pii.items()
+    )
+    pii_clean = "text"
+    for _p in _pii.values():
+        pii_clean = "regexp_replace(%s, '%s', '<PII>', 'g')" % (pii_clean, _p)
+    pii_sql = "WITH inj AS (%s)\nSELECT doc_id, %s, %s AS clean_text FROM inj" % (
+        pii_inject, pii_counts, pii_clean,
+    )
+
     return {
+        "q_pii_scrub": pii_sql,
         "q_ingest_parse": f"""
             WITH dp AS ({DP_USER}),
             lines AS (

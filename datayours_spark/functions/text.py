@@ -307,3 +307,48 @@ def bigram_logprob(
             F.round(F.avg("logp"), round_dp).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+#: the patterns are RE2-compatible (no backrefs/lookaround) so Spark's
+#: Java regex engine and the DuckDB oracle's RE2 agree character for
+#: character.  Deliberately conservative (C4/Dolma-style structural PII):
+#: emails, dashed US-style phone numbers, dotted-quad IPs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "<PII>",
+) -> DataFrame:
+    """Structural PII detection + redaction per document.
+
+    Output: (doc_id, n_email, n_phone, n_ip, clean_text) — per-kind match
+    counts and the text with every match replaced by ``replacement``.
+    The standard pre-training scrub pass (C4/Dolma run exactly this shape
+    before tokenization).
+
+    Scale shape: pure projection — regexp_count/regexp_replace are
+    JVM-side whole-stage-codegen expressions, no shuffle, no Python; at
+    100 TB this runs at scan speed and column-prunes to (id, text).
+    Order matters: counts are taken per ORIGINAL text, then kinds redact
+    in a fixed sequence (email first, so user@1.2.3.4 counts as an email
+    and an ip, and the email redaction wins the overlap).
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    clean = F.col(text_col)
+    for pattern in PII_PATTERNS.values():
+        clean = F.regexp_replace(clean, pattern, replacement)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
+    )

@@ -19,3 +19,45 @@ class TestBigramLogprob:
         assert 3 not in out                       # nothing to score
         assert out[1]["n_bigrams"] == 11
         assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+
+class TestPiiScrub:
+    def _scrub(self, spark, texts):
+        from datayours_spark.functions.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+        )
+        return {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    def test_counts_and_redaction(self, spark):
+        got = self._scrub(spark, [
+            "mail a@b.com or c.d-e@f.org now",
+            "call 555-123-4567",
+            "host 10.0.0.1 and 192.168.1.255",
+            "clean document with no pii at all",
+        ])
+        assert (got[0]["n_email"], got[0]["clean_text"]) == (
+            2, "mail <PII> or <PII> now"
+        )
+        assert (got[1]["n_phone"], got[1]["clean_text"]) == (1, "call <PII>")
+        assert got[2]["n_ip"] == 2
+        assert got[3]["clean_text"] == "clean document with no pii at all"
+        assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ip"]) == (0, 0, 0)
+
+    def test_overlap_counts_original_text(self, spark):
+        # an address at a numeric host is NOT an email (the pattern wants
+        # an alphabetic TLD) — the IP inside is still found and redacted;
+        # with a real TLD the email wins the whole token
+        got = self._scrub(spark, [
+            "ping user@10.0.0.1 twice",
+            "ping user@10.0.0.1.example.com twice",
+        ])
+        assert (got[0]["n_email"], got[0]["n_ip"]) == (0, 1)
+        assert got[0]["clean_text"] == "ping user@<PII> twice"
+        assert (got[1]["n_email"], got[1]["n_ip"]) == (1, 1)
+        assert got[1]["clean_text"] == "ping <PII> twice"
+
+    def test_phone_needs_word_boundary(self, spark):
+        got = self._scrub(spark, ["id 9555-123-45678 is not a phone"])
+        assert got[0]["n_phone"] == 0
