@@ -242,15 +242,16 @@ def dmdb_query(
             return dmreports.report_graphmap(graphs, config, options)
         if report == "dataMine":
             return dmreports.report_datamine_map(config, options)
-        if "graph" in actions:
-            return dmreports.graph_plot(
-                spark, samples, config, graphs, int(actions["graph"]),
-                t1=t1, now=now, options=options,
-            )
+        # plot before graph, the reference's order (`:542-543`)
         if "plot" in actions:
             # plot=<channel Id> → LineChart through the normal cursor path
             keys = {"channel_id": int(actions["plot"])}
             options["format"] = "LineChart"
+        elif "graph" in actions:
+            return dmreports.graph_plot(
+                spark, samples, config, graphs, int(actions["graph"]),
+                t1=t1, now=now, options=options,
+            )
 
     # openCursor: direct Id, else first search match in index order
     if "channel_id" in keys:
