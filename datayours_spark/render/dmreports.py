@@ -470,14 +470,15 @@ def graph_plot(
         ))
     wanted = [cid for cid, _, _ in chans if cid is not None]
 
-    grid = spark.createDataFrame([(t,) for t in rng], "slot bigint")
-    series = samples.where(F.col("channel_id").isin(wanted)).select(
-        F.col("channel_id").cast("string").alias("path"), "ts_sec", "value"
-    )
-    resampled = asof_on_grid(series, grid, hi=rng[-1])
     cells: dict[tuple[int, int], float] = {}
-    for r in resampled.collect():
-        cells[(int(r["path"]), r["slot"])] = r["value"]
+    if wanted:
+        grid = spark.createDataFrame([(t,) for t in rng], "slot bigint")
+        series = samples.where(F.col("channel_id").isin(wanted)).select(
+            F.col("channel_id").cast("string").alias("path"), "ts_sec", "value"
+        )
+        resampled = asof_on_grid(series, grid, hi=rng[-1])
+        for r in resampled.collect():
+            cells[(int(r["path"]), r["slot"])] = r["value"]
 
     def _filtered(cfg, v):
         # `filter` (`L_DataMineServer.lua:166-183`): offset then clamp

@@ -221,3 +221,20 @@ class TestCliDispatch:
         )
         assert "chartType:'LineChart'" in out
         assert "Id=1" in out and "Name=temp" in out
+
+    def test_graph_with_unresolvable_channels(self, spark, db_dir):
+        # a graph whose channels match no config entry renders an
+        # all-null chart (fallback names), not an error
+        from datayours_spark.render.dmreports import empty_graphs
+
+        g = spark.createDataFrame(
+            [(0, 1, "Ghost", 1, 86_400,
+              [(99, "urn:x:serviceId:Nope1", "Missing")])],
+            empty_graphs(spark).schema,
+        )
+        html = graph_plot(
+            spark, read_channels(spark, db_dir), read_config(spark, db_dir),
+            g, graph_id=1, t1=T0, now=T0 + 400, points=3,
+        )
+        assert "title:'Ghost'" in html
+        assert "label:'dev = 099, srv = Nope1, var = Missing'" in html
