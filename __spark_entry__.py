@@ -1121,6 +1121,36 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_pii_injected_docs(spark, sf_dir))
 
 
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL frequency over the corpus — the domain-blocklist /
+    overrepresentation screen of a pre-training pipeline.  URLs are
+    injected deterministically (the fixture corpus has none) identically
+    on both sides; extraction is a generator projection, the per-domain
+    rollup map-side combines."""
+    from datayours_spark.functions.text import url_domains
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" see https://example.com/page"), did, F.lit(" ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 15 == 0, F.lit(" and http://blocked.bad/x")
+        ).otherwise(F.lit("")),
+    )
+    return (
+        url_domains(docs.select("doc_id", injected.alias("text")))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 NEARDUP_PLANES = 6
 NEARDUP_THRESHOLD = 0.25
 
@@ -2563,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (selfcheck-verified; rotate in-window next round)
         "q_dm_timeline": q_dm_timeline,
         "q_pii_scrub": q_pii_scrub,
+        "q_url_stats": q_url_stats,
         # --- past the window: green driver row in r1–r4 --------------
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
@@ -2753,8 +2784,25 @@ def oracle_sql() -> dict[str, str]:
         pii_inject, pii_counts, pii_clean,
     )
 
+    from datayours_spark.functions.text import URL_PATTERN as _url_re
+
+    url_sql = (
+        "WITH inj AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id %% 5 = 0 THEN ' see https://example.com/page'"
+        " || doc_id::VARCHAR || ' ok' ELSE '' END"
+        " || CASE WHEN doc_id %% 15 = 0 THEN ' and http://blocked.bad/x'"
+        " ELSE '' END AS text FROM documents),\n"
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, '%s')) AS url"
+        " FROM inj),\n"
+        "d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1)"
+        " AS domain FROM u)\n"
+        "SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs"
+        " FROM d GROUP BY domain"
+    ) % (_url_re,)
+
     return {
         "q_pii_scrub": pii_sql,
+        "q_url_stats": url_sql,
         "q_ingest_parse": f"""
             WITH dp AS ({DP_USER}),
             lines AS (

@@ -352,3 +352,35 @@ def pii_scrub(
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
     )
+
+
+# ------------------------------------------------------------- URL/domain
+
+#: RE2-compatible (shared verbatim with the DuckDB oracle): scheme,
+#: host, optional path up to whitespace
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+
+
+def url_domains(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url, domain) — one row per URL occurrence.
+
+    The extraction feeding domain-frequency stats and blocklist filters
+    (the standard pre-training corpus hygiene step: count per domain,
+    drop or downweight docs from blocked/overrepresented hosts).
+
+    Scale shape: regexp_extract_all + explode is a generator projection —
+    no shuffle; the downstream per-domain aggregation map-side combines.
+    A blocklist application is a broadcast (or literal) anti-join on
+    domain, never a scan of the list per row.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            # idx=0 (full match): Spark's default group index is 1
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+        ).alias("url"),
+    ).withColumn(
+        "domain", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    )

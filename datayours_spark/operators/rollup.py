@@ -124,21 +124,24 @@ def rollup_all_methods(
     joined = aggregated.join(F.broadcast(series_meta), "path", "left").fillna(
         {"method": default_method, "xff": default_xff}
     )
-    value = F.col("v_average")
-    for m in sorted(wanted - {"average"}):
-        value = F.when(F.col("method") == m, F.col(f"v_{m}")).otherwise(value)
-    if methods is not None:
+    if methods is None:
+        fallthrough = F.col("v_average")
+        arms = sorted(wanted - {"average"})
+    else:
         # the pruning contract is a caller guarantee — a meta row naming a
-        # method outside it must fail loudly, not fall back to average
-        value = F.when(
-            ~F.col("method").isin(*sorted(wanted)),
-            F.raise_error(
-                F.concat(
-                    F.lit("series_meta method outside the declared set: "),
-                    F.col("method"),
-                )
-            ).cast("double"),
-        ).otherwise(value)
+        # method outside it must fail loudly, not fall back to average.
+        # The guard is the CASE's fall-through arm (free on the happy
+        # path), not a separate per-row membership test.
+        fallthrough = F.raise_error(
+            F.concat(
+                F.lit("series_meta method outside the declared set: "),
+                F.col("method"),
+            )
+        ).cast("double")
+        arms = sorted(wanted)
+    value = fallthrough
+    for m in arms:
+        value = F.when(F.col("method") == m, F.col(f"v_{m}")).otherwise(value)
     return (
         joined.where(F.col("known") / F.lit(slots_per_window) >= F.col("xff"))
         .select(

@@ -61,3 +61,27 @@ class TestPiiScrub:
     def test_phone_needs_word_boundary(self, spark):
         got = self._scrub(spark, ["id 9555-123-45678 is not a phone"])
         assert got[0]["n_phone"] == 0
+
+
+class TestUrlDomains:
+    def test_extraction_and_domains(self, spark):
+        from datayours_spark.functions.text import url_domains
+
+        df = spark.createDataFrame(
+            [
+                (1, "go to https://a.example.com/x?q=1 or http://b.org now"),
+                (2, "bare host https://c.net trailing"),
+                (3, "no urls here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {(r["doc_id"], r["domain"]) for r in url_domains(df).collect()}
+        assert got == {(1, "a.example.com"), (1, "b.org"), (2, "c.net")}
+
+    def test_path_stops_at_whitespace(self, spark):
+        from datayours_spark.functions.text import url_domains
+
+        df = spark.createDataFrame(
+            [(1, "x https://h.io/a/b tail")], "doc_id bigint, text string"
+        )
+        assert url_domains(df).collect()[0]["url"] == "https://h.io/a/b"
