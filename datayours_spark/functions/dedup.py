@@ -1141,5 +1141,9 @@ def ngram_jaccard_pairs(
                 + F.size(F.array_intersect("h1", "h2"))
             ).alias("inter"),
         )
+        # parity with the unguarded join, which can only ever emit pairs
+        # sharing >= 1 shingle: at threshold 0 a no-overlap hot-heavy
+        # pair would otherwise pass the jaccard filter (review finding)
+        .where(F.col("inter") > 0)
     )
     return _finish(cand)

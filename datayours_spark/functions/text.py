@@ -339,8 +339,10 @@ def pii_scrub(
     JVM-side whole-stage-codegen expressions, no shuffle, no Python; at
     100 TB this runs at scan speed and column-prunes to (id, text).
     Order matters: counts are taken per ORIGINAL text, then kinds redact
-    in a fixed sequence (email first, so user@1.2.3.4 counts as an email
-    and an ip, and the email redaction wins the overlap).
+    in a fixed sequence (email first — so for user@host.example.com the
+    whole address redacts as one email; an address at a NUMERIC host like
+    user@10.0.0.1 is not an email at all — the pattern requires an
+    alphabetic TLD — and only its embedded IP is counted and redacted).
     """
     counts = [
         F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")

@@ -31,6 +31,11 @@ class SchemaRule:
     retentions: str = "1h:7d"
 
 
+#: whisper's aggregation-method set (`L_DataWhisper.lua:469-491`) — the
+#: canonical list; `operators.rollup.AGG_METHODS` aliases it
+_KNOWN_AGG_METHODS = ("average", "sum", "last", "max", "min")
+
+
 @dataclass
 class AggregationRule:
     name: str
@@ -233,12 +238,23 @@ def rule_engine_from_confs(
             )
         )
     for name, kv in load_conf_sections(aggregation_conf).items():
+        method = kv.get("aggregationMethod", "average")
+        if method not in _KNOWN_AGG_METHODS:
+            # fail at PARSE time with the rule named — whisper's own
+            # create() rejects unknown methods; deferring would instead
+            # crash the first rollup refresh far from the typo (the
+            # methods_used() pruning makes the cascade strict)
+            raise ValueError(
+                f"storage-aggregation rule [{name}]: unrecognized "
+                f"aggregationMethod '{method}' "
+                f"(expected one of {sorted(_KNOWN_AGG_METHODS)})"
+            )
         engine.aggregations.append(
             AggregationRule(
                 name=name,
                 pattern=kv.get("pattern", ""),
                 x_files_factor=float(kv.get("xFilesFactor", 0.5)),
-                aggregation_method=kv.get("aggregationMethod", "average"),
+                aggregation_method=method,
             )
         )
     # rewrite-rules.conf: [pre]/[post] sections of  pattern = replacement

@@ -67,9 +67,8 @@ def asof_resample(
     sort per path partition, linear state, no quadratic blow-up on dense
     sample runs.
     """
-    grid = time_grid(spark, from_time, until_time, step).where(
-        F.col("slot") >= from_time - from_time % step
-    )
+    # time_grid already starts at from_time - from_time % step
+    grid = time_grid(spark, from_time, until_time, step)
     return asof_on_grid(samples, grid, hi=until_time)
 
 

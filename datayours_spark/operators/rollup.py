@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-AGG_METHODS = ("average", "sum", "last", "max", "min")
+from datayours_spark.kernel.rules import _KNOWN_AGG_METHODS as AGG_METHODS
 
 
 def _method_agg(method: str) -> F.Column:
@@ -102,7 +102,12 @@ def rollup_all_methods(
     """
     wanted = set(AGG_METHODS if methods is None else methods)
     wanted.add(default_method)
-    wanted.add("average")  # the CASE fallback arm always needs v_average
+    if methods is None:
+        # only the tolerant (undeclared) path falls through to average;
+        # a declared set keeps its raise_error fall-through, so adding
+        # average here would both rebuild a pruned buffer and silently
+        # exempt 'average' from the fail-loud contract (review finding)
+        wanted.add("average")
     unknown = wanted - set(AGG_METHODS)
     if unknown:
         raise ValueError(f"Unrecognized aggregation methods {sorted(unknown)}")

@@ -307,7 +307,7 @@ def report_graphs(
         )
         rows.append(
             (g["graph_id"], _icon_name(g["icon"]), plot,
-             "%g" % (g["period"] / 86_400), chan)
+             "%g" % ((g["period"] or 0) / 86_400), chan)
         )
     table = gviz_datatable(
         [

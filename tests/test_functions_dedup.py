@@ -588,3 +588,22 @@ class TestNgramJaccardGuard:
             ngram_jaccard_pairs(
                 docs, threshold=0.2, df_cap=3, max_hot_heavy_pairs=100
             )
+
+    def test_threshold_zero_parity(self, spark):
+        # at threshold 0 the guarded path must still emit EXACTLY the
+        # unguarded join's pair set — no spurious zero-jaccard pairs
+        # between hot-heavy docs that share nothing (review finding)
+        from datayours_spark.functions.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (1, "en", "web", "aa bb cc dd ee"),
+            (2, "en", "web", "aa bb cc dd ff"),   # shares with 1
+            (3, "en", "web", "xx yy zz ww vv"),   # shares nothing
+            (4, "en", "web", "xx yy zz ww uu"),   # shares with 3
+        ]
+        docs = self._docs(spark, rows)
+        plain = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=None)
+        guarded = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1)
+        assert self._pairs(guarded) == self._pairs(plain)
+        ids = {(a, b) for a, b, _ in self._pairs(guarded)}
+        assert (1, 3) not in ids and (2, 4) not in ids

@@ -147,3 +147,28 @@ class TestDaemonConf:
     def test_control_chars_stripped(self):
         _, index = read_daemon_conf("[s]\nk = a\x01b\x1fc\n")
         assert index["s"]["k"] == "abc"
+
+
+class TestAggregationMethodValidation:
+    def test_conf_typo_fails_at_parse_with_rule_name(self):
+        import pytest
+
+        from datayours_spark.kernel.rules import rule_engine_from_confs
+
+        with pytest.raises(ValueError, match=r"\[power\].*'avg'"):
+            rule_engine_from_confs(
+                aggregation_conf=(
+                    "[power]\npattern = kwh$\naggregationMethod = avg\n"
+                )
+            )
+
+    def test_valid_methods_accepted(self):
+        from datayours_spark.kernel.rules import rule_engine_from_confs
+
+        eng = rule_engine_from_confs(
+            aggregation_conf=(
+                "[a]\npattern = x\naggregationMethod = last\n"
+                "[b]\npattern = y\naggregationMethod = sum\n"
+            )
+        )
+        assert eng.methods_used() == ("average", "last", "sum")
