@@ -317,6 +317,53 @@ def main() -> None:
         "ratio": round(t_adv / t_uniform, 2)
     }
 
+    # ---- guarded n-gram jaccard: planted corpus-hot shingle ------------
+    # Every doc shares one leading 3-token phrase, so ONE shingle has
+    # df = N_DOCS: the unguarded inverted-index join would generate
+    # N_DOCS² pairs from that single posting list.  With df_cap the hot
+    # shingle leaves the join (cost <= cap x postings) and the hot-heavy
+    # set is EMPTY (1 hot of ~50 shingles per doc << threshold) — runtime
+    # must stay in the same regime as the near-dup passes above.
+    from datayours_spark.functions.dedup import (
+        ExpandedPairsTooLarge,
+        ngram_jaccard_pairs,
+    )
+
+    hot_docs = docs.select(
+        "doc_id",
+        F.concat(F.lit("hdr mid tail "), F.col("text")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("web").alias("source"),
+    )
+    t = time.perf_counter()
+    ngram_jaccard_pairs(
+        hot_docs, threshold=0.5, df_cap=1_000
+    ).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t
+    doc_timings["ngram_jaccard_guarded_planted_hot_shingle"] = {
+        "sec": round(dt, 2), "docs": N_DOCS,
+        "docs_per_sec": int(N_DOCS / dt),
+    }
+    # the 30%-boilerplate corpus makes 0.3·N docs hot-heavy (their text IS
+    # hot shingles): the pair-volume guard must FAIL FAST — measured as
+    # time-to-trip, which stays at aggregation cost, never pair cost
+    adv_b = adv_docs.select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+    )
+    t = time.perf_counter()
+    try:
+        ngram_jaccard_pairs(
+            adv_b, threshold=0.5, df_cap=1_000,
+            max_hot_heavy_pairs=10_000_000,
+        ).write.format("noop").mode("overwrite").save()
+        doc_timings["ngram_jaccard_guard_trip_boilerplate_30pct"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": False,
+        }
+    except ExpandedPairsTooLarge:
+        doc_timings["ngram_jaccard_guard_trip_boilerplate_30pct"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": True,
+        }
+
     # ---- ANN at scale: PQ vs brute force over synthetic embeddings ----
     # N_VECS 64-dim vectors (md5-derived, never collected).  The claim to
     # verify: PQ candidate scoring reads m-byte codes + one norm, so its
