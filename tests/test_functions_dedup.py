@@ -1,6 +1,7 @@
 """Dedup operator goldens: duplicate-cluster resolution (connected
 components via hash-min label propagation) over near-dup pair graphs."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import dup_clusters
@@ -607,3 +608,52 @@ class TestNgramJaccardGuard:
         assert self._pairs(guarded) == self._pairs(plain)
         ids = {(a, b) for a, b, _ in self._pairs(guarded)}
         assert (1, 3) not in ids and (2, 4) not in ids
+
+
+class TestNgramJaccardDifferential:
+    """Seeded randomized equivalence: for random corpora (with planted
+    boilerplate, shared phrases and near-dup families) the guarded path
+    must reproduce the unguarded join's pair set exactly at every
+    (df_cap, threshold) tried."""
+
+    CASES = [
+        (7, 2, 0.2), (11, 3, 0.5), (13, 1, 0.3), (17, 4, 0.1), (23, 2, 0.7),
+    ]
+
+    def _corpus(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        phrases = [
+            " ".join(rng.choices(vocab, k=3)) for _ in range(3)
+        ]  # corpus-hot phrases
+        rows = []
+        for i in range(40):
+            toks = rng.choices(vocab, k=rng.randint(3, 12))
+            if i % 3 == 0:
+                toks = phrases[i % len(phrases)].split() + toks
+            if i % 7 == 0:
+                toks = phrases[0].split()  # hot-only docs
+            lang = "en" if i % 4 else "de"
+            rows.append((i, lang, "web", " ".join(toks)))
+        return spark.createDataFrame(
+            rows, "doc_id bigint, lang string, source string, text string"
+        )
+
+    @pytest.mark.parametrize("seed,df_cap,threshold", CASES)
+    def test_equivalence(self, spark, seed, df_cap, threshold):
+        from datayours_spark.functions.dedup import ngram_jaccard_pairs
+
+        docs = self._corpus(spark, seed)
+        plain = {
+            tuple(r) for r in ngram_jaccard_pairs(
+                docs, threshold=threshold, df_cap=None
+            ).collect()
+        }
+        guarded = {
+            tuple(r) for r in ngram_jaccard_pairs(
+                docs, threshold=threshold, df_cap=df_cap,
+            ).collect()
+        }
+        assert guarded == plain
