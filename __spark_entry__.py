@@ -1805,6 +1805,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_NEARDUP_PLANES = 5
+MM_NEARDUP_THRESHOLD = 0.9
+
+
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup composition: binary payloads → decode-stub
+    feature vectors (Arrow mapInPandas) → LSH-blocked cosine near-dup —
+    the image-dedup pipeline with the decoder stubbed (swap the real
+    encoder in via ``extract_features(decoder=...)`` in production; the
+    Spark-side plumbing, bucketing and verify join are the contract)."""
+    from datayours_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+    from datayours_spark.functions.similarity import cosine_neardup
+
+    assets = _documents_as_assets(spark, sf_dir)
+    feats = extract_features(assets).select(
+        F.col("asset_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    return cosine_neardup(
+        feats, n_planes=MM_NEARDUP_PLANES, threshold=MM_NEARDUP_THRESHOLD,
+        dim=FEATURE_DIM,
+    )
+
+
 FRAME_SAMPLE_EVERY_MS = 2_500
 
 
@@ -2594,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dm_timeline": q_dm_timeline,
         "q_pii_scrub": q_pii_scrub,
         "q_url_stats": q_url_stats,
+        "q_multimodal_neardup": q_multimodal_neardup,
         # --- past the window: green driver row in r1–r4 --------------
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
@@ -3316,6 +3344,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(list_reduce(list_transform(f, x -> x * x),
                                           (a, b) -> a + b)), 6) AS norm
             FROM b
+        """,
+        "q_multimodal_neardup": f"""
+            WITH b AS (
+              SELECT doc_id AS vec_id,
+                     [(('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT - 128) / 128.0
+                      FOR i IN generate_series(0, 7)] AS embedding
+              FROM documents),
+            ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM b),
+            pl AS (SELECT unnest(generate_series(0, {MM_NEARDUP_PLANES - 1})) AS plane),
+            w AS (
+              SELECT vec_id, plane, dim, x,
+                     ((('0x' || substr(md5(plane::VARCHAR || '_' || dim::VARCHAR), 1, 8))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS w
+              FROM ex CROSS JOIN pl),
+            d AS (SELECT vec_id, plane, round(sum(x * w), 9) AS d FROM w GROUP BY 1, 2),
+            bk AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+                       AS bucket
+              FROM d GROUP BY vec_id),
+            n AS (
+              SELECT vec_id, embedding AS v,
+                     sqrt(list_reduce(list_transform(embedding, x -> x * x),
+                                      (a, c) -> a + c)) AS nrm
+              FROM b),
+            t AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk USING (vec_id)),
+            pairs AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                                      p -> p[1] * p[2]),
+                                       (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+              FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id1, id2, sim FROM pairs WHERE sim >= {MM_NEARDUP_THRESHOLD}
         """,
         "q_frame_sample": f"""
             SELECT doc_id AS asset_id,
