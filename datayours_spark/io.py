@@ -235,3 +235,42 @@ def expire_retention(table_dir: str, max_retention: int, now: int) -> list[str]:
             shutil.rmtree(os.path.join(table_dir, entry))
             dropped.append(entry)
     return dropped
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    stratum_width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a token-balanced training-data export: documents
+    written as parquet PARTITIONED BY shard (one directory per shard — a
+    data-loader worker reads exactly its partition), shards assigned by
+    `functions.sampling.shard_balance` (stratified snake, no global
+    sort).  Returns the per-shard manifest (shard, n_docs, total_tokens)
+    read back FROM THE WRITTEN FILES — the manifest reports what landed
+    on disk, not what the plan intended.
+
+    Scale shape: assignment is one stratum-partitioned window; the write
+    is one pass with dynamic partitions; the manifest readback aggregates
+    only the written shard column + token counts (column-pruned scan).
+    """
+    from datayours_spark.functions.sampling import shard_balance
+
+    assigned = shard_balance(
+        docs, n_shards=n_shards, stratum_width=stratum_width,
+        text_col=text_col, id_col=id_col,
+    ).select(F.col("doc_id").alias(id_col), "n_tokens", "shard")
+    out = docs.join(assigned, id_col)
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -56,3 +56,33 @@ def test_partitioned_fetch_prunes_and_pushes(spark, make_datapoints):
     assert re.search(r"PartitionFilters: \[[^\]]*date#\d+ <=", plan)
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(path", plan)
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts_sec", plan)
+
+
+class TestTrainingShardExport:
+    def test_written_shards_are_balanced_and_partition_pruned(self, spark, tmp_path):
+        import contextlib
+        import io as _io
+
+        from pyspark.sql import functions as F
+
+        from datayours_spark.io import load_table, write_training_shards
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = str(tmp_path / "shards")
+        manifest = write_training_shards(docs, out, n_shards=8)
+        rows = {r["shard"]: r for r in manifest.collect()}
+        assert set(rows) == set(range(8))
+        # every doc landed exactly once
+        total = spark.read.parquet(out)
+        assert total.count() == docs.count()
+        assert total.select("doc_id").distinct().count() == docs.count()
+        # token balance: within #strata x stratum_width of each other
+        # (shard_balance's documented bound), generous envelope here
+        tok = [r["total_tokens"] for r in rows.values()]
+        assert max(tok) - min(tok) <= max(tok) * 0.5 + 64
+        # the layout IS the loader contract: one shard reads one partition
+        one = spark.read.parquet(out).where(F.col("shard") == 3)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            one.explain("formatted")
+        assert "PartitionFilters" in buf.getvalue()
