@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "q_ann_ivfpq_probe2",
     "q_datamine_asof",
     "q_ngram_jaccard",
+    "q_pii_scrub",
+    "q_url_stats",
+    "q_multimodal_neardup",
+    "q_dm_timeline",
 ]
 
 

@@ -317,6 +317,24 @@ def main() -> None:
         "ratio": round(t_adv / t_uniform, 2)
     }
 
+    # ---- PII scrub + URL extraction: must run at scan speed ------------
+    from datayours_spark.functions.text import pii_scrub, url_domains
+
+    t = time.perf_counter()
+    pii_scrub(docs).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t
+    doc_timings["pii_scrub"] = {
+        "sec": round(dt, 2), "docs": N_DOCS, "docs_per_sec": int(N_DOCS / dt),
+    }
+    t = time.perf_counter()
+    url_domains(docs).groupBy("domain").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t
+    doc_timings["url_domain_stats"] = {
+        "sec": round(dt, 2), "docs": N_DOCS, "docs_per_sec": int(N_DOCS / dt),
+    }
+
     # ---- guarded n-gram jaccard: planted corpus-hot shingle ------------
     # Every doc shares one leading 3-token phrase, so ONE shingle has
     # df = N_DOCS: the unguarded inverted-index join would generate
