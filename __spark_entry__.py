@@ -2559,9 +2559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # each round (dict-order prefix).  Round 5 rotates in the 49 entries
     # that had never earned a driver CORRECTNESS row through round 4,
     # plus q_span_mask (the r4 red row, re-greened via exact oracle
-    # dtypes — see its docstring).  Entries past index 50 all carry a
-    # green driver row from r1–r4; the two `no_oracle` approx queries sit
-    # at the very end so no window slot is structurally un-greenable.
+    # dtypes — see its docstring).  Entries past index 50 carry a green
+    # driver row from r1–r4, EXCEPT the "new in r5" block right after the
+    # window (selfcheck-verified this round; they and the r1/r3-green
+    # entries are the next rotation's window candidates); the two
+    # `no_oracle` approx queries sit at the very end so no window slot is
+    # structurally un-greenable.
     # Every in-window entry has an oracle_sql() — asserted by
     # tests/test_entry_contract.py.
     return {

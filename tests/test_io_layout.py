@@ -85,4 +85,9 @@ class TestTrainingShardExport:
         buf = _io.StringIO()
         with contextlib.redirect_stdout(buf):
             one.explain("formatted")
-        assert "PartitionFilters" in buf.getvalue()
+        import re
+
+        # the shard=3 EQUALITY must prune (not just a null filter)
+        assert re.search(
+            r"PartitionFilters: \[[^\]]*shard#\d+ = 3", buf.getvalue()
+        )

@@ -318,22 +318,30 @@ def main() -> None:
     }
 
     # ---- PII scrub + URL extraction: must run at scan speed ------------
+    # plant matches in ~1/5 of docs (the review-noted honest-throughput
+    # shape): replacement writes and per-URL explode rows do real work
     from datayours_spark.functions.text import pii_scrub, url_domains
 
-    t = time.perf_counter()
-    pii_scrub(docs).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t
-    doc_timings["pii_scrub"] = {
-        "sec": round(dt, 2), "docs": N_DOCS, "docs_per_sec": int(N_DOCS / dt),
-    }
-    t = time.perf_counter()
-    url_domains(docs).groupBy("domain").count().write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.perf_counter() - t
-    doc_timings["url_domain_stats"] = {
-        "sec": round(dt, 2), "docs": N_DOCS, "docs_per_sec": int(N_DOCS / dt),
-    }
+    pii_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" u"), F.col("doc_id").cast("string"),
+                    F.lit("@ex.org 10.1.2.3 https://d"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".example.net/p"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    dbench("pii_scrub_planted_20pct", pii_scrub(pii_docs))
+    dbench(
+        "url_domain_stats_planted_20pct",
+        url_domains(pii_docs).groupBy("domain").count(),
+    )
 
     # ---- guarded n-gram jaccard: planted corpus-hot shingle ------------
     # Every doc shares one leading 3-token phrase, so ONE shingle has
@@ -352,15 +360,10 @@ def main() -> None:
         F.concat(F.lit("hdr mid tail "), F.col("text")).alias("text"),
         F.lit("en").alias("lang"), F.lit("web").alias("source"),
     )
-    t = time.perf_counter()
-    ngram_jaccard_pairs(
-        hot_docs, threshold=0.5, df_cap=1_000
-    ).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t
-    doc_timings["ngram_jaccard_guarded_planted_hot_shingle"] = {
-        "sec": round(dt, 2), "docs": N_DOCS,
-        "docs_per_sec": int(N_DOCS / dt),
-    }
+    dbench(
+        "ngram_jaccard_guarded_planted_hot_shingle",
+        ngram_jaccard_pairs(hot_docs, threshold=0.5, df_cap=1_000),
+    )
     # the 30%-boilerplate corpus makes 0.3·N docs hot-heavy (their text IS
     # hot shingles): the pair-volume guard must FAIL FAST — measured as
     # time-to-trip, which stays at aggregation cost, never pair cost
