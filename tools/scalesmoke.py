@@ -471,8 +471,6 @@ def main() -> None:
     ann_timings["ivfpq_rerank_5q_shortlist100"] = {
         "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
     }
-    shutil.rmtree(codes_dir, ignore_errors=True)
-    shutil.rmtree(assign_dir, ignore_errors=True)
     t = time.perf_counter()
     cosine_topk(emb_big, [0, 1, 2, 3, 4], 10).write.format("noop").mode(
         "overwrite"
@@ -480,6 +478,96 @@ def main() -> None:
     ann_timings["brute_cosine_5q"] = {
         "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
     }
+    # recall@10 at scale: the quality number next to the wall-clock ones
+    # (both result sets are 5x10 rows — driver-size).  The synthetic
+    # corpus is structureless (hash-derived vectors have no cluster
+    # structure), so this is the HARD regime for a 1-probe IVF — real
+    # embedding corpora cluster and recall improves; the re-rank line
+    # shows what the shortlist recovers on the same index.
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb_big, [0, 1, 2, 3, 4], 10).collect()
+    }
+    for label, got_df in (
+        (
+            "ivfpq",
+            ivfpq_topk(
+                emb_big, [0, 1, 2, 3, 4], 10, cent, books, dim,
+                codes=codes_df, assignments=assign_df,
+            ),
+        ),
+        (
+            "ivfpq_rerank100",
+            ivfpq_rerank_topk(
+                emb_big, [0, 1, 2, 3, 4], 10, cent, books, dim,
+                shortlist=100, codes=codes_df, assignments=assign_df,
+            ),
+        ),
+    ):
+        got = {(r["query_id"], r["vec_id"]) for r in got_df.collect()}
+        ann_timings[f"recall_at_10_{label}"] = {
+            "recall": round(len(got & truth) / len(truth), 3), "vecs": n_vecs,
+        }
+    shutil.rmtree(codes_dir, ignore_errors=True)
+    shutil.rmtree(assign_dir, ignore_errors=True)
+
+    # the same pipeline on CLUSTERED vectors — the shape real embedding
+    # corpora have (planted centers + noise).  Exact top-10 inside a
+    # planted cluster is decided by noise far below PQ resolution (every
+    # same-center vector is a near-tie), so the meaningful quality metric
+    # here is CENTER PURITY: does retrieval land in the query's planted
+    # cluster?  That must be ~1.0 — it isolates the low structureless
+    # top-10 number above as a data property, not a pipeline defect.
+    nc_vecs = min(n_vecs, 100_000)
+    center = F.pmod(F.col("id"), F.lit(32))
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(center.cast("string"), F.lit("c"), d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("n"), d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 5000.0,
+    )
+    cl_dir = tempfile.mkdtemp(
+        prefix="scalesmoke_embc_", dir="/root/repo/spark-warehouse"
+    )
+    (
+        spark.range(nc_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(cvec, noise, lambda a, b: a + b).alias("embedding"),
+        )
+        .write.mode("overwrite").parquet(cl_dir)
+    )
+    emb_cl = spark.read.parquet(cl_dir)
+    cent_cl = kmeans_centroids(emb_cl, k=8, iters=2)
+    books_cl = pq_codebooks(emb_cl, m=4, ks=16, iters=2, dim=dim)
+    got_cl = [
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_rerank_topk(
+            emb_cl, [0, 1, 2, 3, 4], 10, cent_cl, books_cl, dim,
+            shortlist=100, nprobe=2,
+        ).collect()
+    ]
+    purity = sum(1 for q, v in got_cl if v % 32 == q % 32) / max(len(got_cl), 1)
+    ann_timings["center_purity_clustered_rerank100_probe2"] = {
+        "purity": round(purity, 3), "vecs": nc_vecs, "retrieved": len(got_cl),
+    }
+    shutil.rmtree(cl_dir, ignore_errors=True)
 
     # SemDeDup cost shape at scale: within-cluster pairwise only — cost is
     # sum of cluster-size squares, so what matters is the CLUSTER SIZE
