@@ -128,3 +128,31 @@ class TestTranslationFromLauncherConf:
         finally:
             stack.stop()
             shutil.rmtree(TMP, ignore_errors=True)
+
+
+class TestTranslationBeforeRewrites:
+    def test_translation_sees_the_capture_path(self, spark):
+        """The watcher translates at CAPTURE (wildcarded capture tag);
+        rewrite rules rename later in the cache hop — so a pre-rewrite
+        that renames the path must not break the translation lookup."""
+        from datayours_spark.kernel.rules import RewriteRule
+        from datayours_spark.streaming.ingest import IngestPipeline
+
+        trans = {f"*.{HVAC}": {"Heating": "1"}}
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            output_dir=str(TMP / "out"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            now_override=NOW,
+            translations=trans,
+            rewrites=[RewriteRule(pattern=r"^12\.", replacement="dev12.")],
+        )
+        lines = spark.createDataFrame(
+            [(f"12.{HVAC} Heating {NOW - 60}",)], "line string"
+        )
+        rows = {
+            (r["path"], r["value"]) for r in pipe.transform(lines).collect()
+        }
+        # translated (capture tag matched) AND rewritten (afterwards)
+        assert rows == {(f"dev12.{HVAC}", 1.0)}
