@@ -156,3 +156,18 @@ class TestTranslationBeforeRewrites:
         }
         # translated (capture tag matched) AND rewritten (afterwards)
         assert rows == {(f"dev12.{HVAC}", 1.0)}
+
+    def test_specific_device_section_is_ignored_like_reference(self, spark):
+        """Reference quirk (`L_DataWatcher.lua:152-155`): the watch
+        callback looks up ONLY the '*'-wildcarded tag — a section written
+        for a specific device number (which DataTranslation.conf's header
+        says is allowed) never matches, so its symbols fall through as
+        untranslated raw tokens."""
+        df = spark.createDataFrame(
+            [(f"12.{HVAC} Heating {NOW - 60}",)], "line string"
+        )
+        rows = parse_plaintext_lines(
+            df, now=NOW,
+            translations={f"12.{HVAC}": {"Heating": "1"}},  # specific: dead
+        ).collect()
+        assert rows == []  # 'Heating' stays symbolic -> coercion drops it
