@@ -103,17 +103,21 @@ class GraphiteApp:
         datapoints: DataFrame,
         step: int = 3_600,
         now: int | None = None,
+        dm_dir: str | None = None,
     ):
         self.spark = spark
         self.datapoints = datapoints
         self.step = step
         self.now = now  # fixed "now" for deterministic tests; None = wall clock
+        self.dm_dir = dm_dir  # dataMine DB for the lr_dmDB data_request
+        self._dm = None  # lazily-read (samples, config, graphs)
         self.dispatch: dict[str, Callable] = {
             "/metrics": self.metrics_find,
             "/metrics/find": self.metrics_find,
             "/metrics/expand": self.metrics_expand,
             "/metrics/index.json": self.metrics_index,
             "/render": self.render,
+            "/data_request": self.data_request,
         }
 
     # -- endpoint handlers: (params) -> (body, status, content_type) --
@@ -169,6 +173,38 @@ class GraphiteApp:
             # text/plain, NOT text/csv — `graphite_cgi.lua:337`
             return text, 200, "text/plain"
         return text, 200, "application/json"
+
+    def data_request(self, p: dict):
+        """The Vera ``data_request`` front door — ``id=lr_dmDB`` routes to
+        the dmDB CLI (`L_DataMineServer.lua:495-567`; the URL shape the
+        reference's own report links emit).  Other handler ids 501."""
+        if p.get("id") != "lr_dmDB":
+            return f"Not Implemented: id={p.get('id')}", 501, "text/plain"
+        if self.dm_dir is None:
+            return "no dataMine database configured", 500, "text/plain"
+        if self._dm is None:
+            from datayours_spark.render.dmreports import read_graphs
+            from datayours_spark.sources.datamine import (
+                read_channels,
+                read_config,
+            )
+
+            self._dm = (
+                read_channels(self.spark, self.dm_dir),
+                read_config(self.spark, self.dm_dir),
+                read_graphs(self.spark, self.dm_dir),
+            )
+        from datayours_spark.sources.datamine import dmdb_query
+
+        samples, config, graphs = self._dm
+        params = {
+            k: v for k, v in p.items() if k not in ("id", "target", "jsonp")
+        }
+        out = dmdb_query(samples, config, params, now=self.now, graphs=graphs)
+        ctype = (
+            "text/html" if out.lstrip().startswith("<!DOCTYPE") else "text/plain"
+        )
+        return out, 200, ctype
 
     # -- WSGI --
 

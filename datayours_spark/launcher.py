@@ -130,6 +130,8 @@ class DataYoursStack:
             self.datapoints(),
             step=step,
             now=now if now is not None else self.pipeline.now_override,
+            # Mine daemon: the lr_dmDB data_request serves this DB
+            dm_dir=self.dm_dir if "Mine" in self.daemons else None,
         )
 
     # -- maintenance --

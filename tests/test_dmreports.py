@@ -238,3 +238,56 @@ class TestCliDispatch:
         )
         assert "title:'Ghost'" in html
         assert "label:'dev = 099, srv = Nope1, var = Missing'" in html
+
+
+class TestDataRequestHttp:
+    """The Vera data_request front door: id=lr_dmDB over WSGI
+    (`L_DataMineServer.lua:495-567`, URL shape from the report links)."""
+
+    def _get(self, app, query):
+        import io as _io
+
+        env = {
+            "REQUEST_METHOD": "GET", "PATH_INFO": "/data_request",
+            "QUERY_STRING": query, "wsgi.input": _io.BytesIO(b""),
+        }
+        captured = {}
+
+        def start_response(status, headers):
+            captured["status"] = status
+            captured["headers"] = dict(headers)
+
+        body = b"".join(app(env, start_response)).decode()
+        return captured["status"], captured["headers"], body
+
+    def test_lr_dmdb_csv_and_report(self, spark, db_dir):
+        from datayours_spark.http import GraphiteApp
+
+        app = GraphiteApp(
+            spark, spark.range(0).selectExpr(
+                "'x' AS path", "id AS ts_sec", "CAST(id AS DOUBLE) AS value"
+            ),
+            now=T0 + 6_000, dm_dir=db_dir,
+        )
+        st, hdr, body = self._get(
+            app, f"id=lr_dmDB&channel=1&t1={T0 - 100}&t2={T0 + 6000}"
+        )
+        assert st.startswith("200")
+        assert hdr["Content-Type"] == "text/plain"
+        assert f"{T0 + 10},1" in body
+        st, hdr, body = self._get(app, "id=lr_dmDB&report=channels")
+        assert st.startswith("200")
+        assert hdr["Content-Type"] == "text/html"
+        assert "chartType:'Table'" in body
+
+    def test_other_handler_ids_501(self, spark, db_dir):
+        from datayours_spark.http import GraphiteApp
+
+        app = GraphiteApp(
+            spark, spark.range(0).selectExpr(
+                "'x' AS path", "id AS ts_sec", "CAST(id AS DOUBLE) AS value"
+            ),
+            dm_dir=db_dir,
+        )
+        st, _, _ = self._get(app, "id=lr_other")
+        assert st.startswith("501")
