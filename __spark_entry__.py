@@ -2556,22 +2556,26 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Window policy: the driver oracle-checks the first 50 dict entries
-    # each round (dict-order prefix).  Round 5 rotates in the 49 entries
-    # that had never earned a driver CORRECTNESS row through round 4,
-    # plus q_span_mask (the r4 red row, re-greened via exact oracle
-    # dtypes — see its docstring).  Entries past index 50 carry a green
-    # driver row from r1–r4, EXCEPT the "new in r5" block right after the
-    # window (selfcheck-verified this round; they and the r1/r3-green
-    # entries are the next rotation's window candidates); the two
-    # `no_oracle` approx queries sit at the very end so no window slot is
-    # structurally un-greenable.
+    # each round (dict-order prefix).  Round 6 rotates in the four
+    # queries added in round 5 (q_dm_timeline / q_pii_scrub / q_url_stats
+    # / q_multimodal_neardup — selfcheck-green, never driver-checked) in
+    # place of four twice-green r5 rows (q_span_removed, q_rollup_meta,
+    # q_sample_uniform_k, q_token_histogram).  With those four green,
+    # every oracle-backed query has earned a driver CORRECTNESS row in
+    # some round (108/108).  The two `no_oracle` approx queries sit at
+    # the very end so no window slot is structurally un-greenable.
     # Every in-window entry has an oracle_sql() — asserted by
-    # tests/test_entry_contract.py.
+    # tests/test_entry_contract.py, which also pins a staleness bound:
+    # no operator family may drift more than 2 rounds without driver
+    # coverage.
     return {
-        # --- r5 window: the r4 red row, re-greened -------------------
+        # --- r6 window: the four round-5 queries, first driver check --
+        "q_dm_timeline": q_dm_timeline,
+        "q_pii_scrub": q_pii_scrub,
+        "q_url_stats": q_url_stats,
+        "q_multimodal_neardup": q_multimodal_neardup,
+        # --- r6 window: r5-green rows kept in-window ------------------
         "q_span_mask": q_span_mask,
-        # --- r5 window: never driver-checked before this round -------
-        "q_span_removed": q_span_removed,
         "q_span_incremental": q_span_incremental,
         "q_unigram_logprob": q_unigram_logprob,
         "q_bigram_logprob": q_bigram_logprob,
@@ -2588,7 +2592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_render_api": q_render_api,
         "q_render_mixed": q_render_mixed,
         "q_rollup_routed": q_rollup_routed,
-        "q_rollup_meta": q_rollup_meta,
         "q_series_meta": q_series_meta,
         "q_streaming_rollup": q_streaming_rollup,
         "q_multireader": q_multireader,
@@ -2604,11 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_split": q_leakage_split,
         "q_sample_stratified": q_sample_stratified,
         "q_sample_temperature": q_sample_temperature,
-        "q_sample_uniform_k": q_sample_uniform_k,
         "q_token_budget": q_token_budget,
         "q_quota_topk": q_quota_topk,
         "q_repetition_filter": q_repetition_filter,
-        "q_token_histogram": q_token_histogram,
         "q_sliding_rate": q_sliding_rate,
         "q_pack_sequences": q_pack_sequences,
         "q_shard_balance": q_shard_balance,
@@ -2620,12 +2621,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_dedup_report": q_dedup_report,
-        # --- new in r5 (selfcheck-verified; rotate in-window next round)
-        "q_dm_timeline": q_dm_timeline,
-        "q_pii_scrub": q_pii_scrub,
-        "q_url_stats": q_url_stats,
-        "q_multimodal_neardup": q_multimodal_neardup,
-        # --- past the window: green driver row in r1–r4 --------------
+        # --- past the window: green driver row in r1–r5 --------------
+        "q_span_removed": q_span_removed,
+        "q_rollup_meta": q_rollup_meta,
+        "q_sample_uniform_k": q_sample_uniform_k,
+        "q_token_histogram": q_token_histogram,
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
         "q_rollup_avg": _q_rollup("average"),
