@@ -2803,14 +2803,17 @@ def oracle_sql() -> dict[str, str]:
         " || (doc_id %% 256)::VARCHAR || '.7 up' ELSE '' END"
         " AS text FROM documents"
     ) % ()
-    pii_counts = ", ".join(
-        "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_%s"
-        % (p, k)
-        for k, p in _pii.items()
-    )
+    # sequential overlap semantics (ADVICE r5): each kind counts on the
+    # text AFTER the prior kinds' redaction — mirrors pii_scrub exactly
+    pii_counts_l = []
     pii_clean = "text"
-    for _p in _pii.values():
-        pii_clean = "regexp_replace(%s, '%s', '<PII>', 'g')" % (pii_clean, _p)
+    for k, p in _pii.items():
+        pii_counts_l.append(
+            "CAST(len(regexp_extract_all(%s, '%s')) AS BIGINT) AS n_%s"
+            % (pii_clean, p, k)
+        )
+        pii_clean = "regexp_replace(%s, '%s', '<PII>', 'g')" % (pii_clean, p)
+    pii_counts = ", ".join(pii_counts_l)
     pii_sql = "WITH inj AS (%s)\nSELECT doc_id, %s, %s AS clean_text FROM inj" % (
         pii_inject, pii_counts, pii_clean,
     )

@@ -150,6 +150,107 @@ def lsh_buckets(
     )
 
 
+class HotBucketPairsTooLarge(ValueError):
+    """The LSH bucket self-join would generate too many candidate pairs.
+
+    Even after identical vectors are collapsed to one representative, a
+    corpus whose DISTINCT vectors concentrate in few buckets (e.g. all
+    near-parallel embeddings) makes the within-bucket self-join quadratic.
+    The guard measures Σ_b width_b·(width_b−1)/2 from one tiny aggregation
+    BEFORE the join; raise ``max_bucket_pairs`` deliberately or increase
+    ``n_planes`` (each extra plane halves the expected bucket width).
+    """
+
+
+def cosine_neardup_collapsed(
+    emb: DataFrame,
+    n_planes: int = 6,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    dim: int | None = None,
+    max_bucket_pairs: int | None = 50_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Vector-collapsed cosine near-dup: (members, rep_pairs).
+
+    members: (vec_id, rep, self_sim) — every vector mapped to the least
+    vec_id with a BIT-IDENTICAL vector; self_sim is the rounded cosine of
+    the group vector with itself (1.0 for any non-zero vector, NaN for the
+    zero vector — the same arithmetic the naive path applies to an
+    identical pair, see the proof in :func:`cosine_neardup`).
+    rep_pairs: (id1, id2, sim) near-dup pairs BETWEEN distinct vectors'
+    representatives, already threshold-filtered.
+
+    This is the scale form: both relations are linear in the corpus (plus
+    the true cross-group near-dup pairs); consume it directly for cluster
+    assignment, or expand via :func:`cosine_neardup` when the explicit
+    pair list is affordable.
+
+    The hot-bucket guard (mirrors ``lsh_collapsed_candidates`` /
+    ``ExpandedPairsTooLarge`` in dedup.py): the within-bucket self-join
+    runs over DISTINCT vectors only, and ``max_bucket_pairs`` fail-fasts
+    on Σ bucket-pairs before any quadratic work.
+    """
+    from pyspark.sql import Window
+
+    dim = _resolve_dim(emb, vec_col, dim)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    # one shuffle on the vector bits tags every row with its group's least
+    # id; checkpoint cuts the upstream (possibly Arrow-UDF) lineage so the
+    # three consumers (members, reps, bucket join) don't recompute it
+    w = Window.partitionBy("v")
+    tagged = vecs.select(
+        "vec_id", "v", F.min("vec_id").over(w).alias("rep")
+    ).localCheckpoint(eager=True)
+    self_sim = F.round(
+        dot(F.col("v"), F.col("v"))
+        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        round_dp,
+    )
+    members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
+    reps = tagged.where(F.col("vec_id") == F.col("rep")).select("vec_id", "v")
+    buckets = lsh_buckets(reps, n_planes, id_col="vec_id", vec_col="v", dim=dim)
+    norms = reps.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    tagged_reps = norms.join(buckets, "vec_id").localCheckpoint(eager=True)
+    if max_bucket_pairs is not None:
+        total = (
+            tagged_reps.groupBy("bucket")
+            .count()
+            .agg(
+                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+            )
+            .first()[0]
+        )
+        if total is not None and total > max_bucket_pairs:
+            raise HotBucketPairsTooLarge(
+                f"bucket self-join over distinct vectors would generate "
+                f"~{int(total):,} candidate pairs (> max_bucket_pairs="
+                f"{max_bucket_pairs:,}); raise n_planes (halves expected "
+                f"bucket width per plane) or max_bucket_pairs deliberately"
+            )
+    a, b = tagged_reps.alias("a"), tagged_reps.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    rep_pairs = (
+        pairs.select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(sim, round_dp).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    return members, rep_pairs
+
+
 def cosine_neardup(
     emb: DataFrame,
     n_planes: int = 6,
@@ -158,6 +259,9 @@ def cosine_neardup(
     vec_col: str = "embedding",
     round_dp: int = 4,
     dim: int | None = None,
+    collapse_identical: bool = True,
+    max_bucket_pairs: int | None = 50_000_000,
+    max_group: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -165,30 +269,111 @@ def cosine_neardup(
     hyperplane signature), self-join WITHIN buckets only, verify candidates
     with the exact cosine, keep pairs ≥ threshold.  Output (id1, id2, sim).
 
+    HOT-BUCKET GUARD (default on): an exact-duplicate-heavy corpus — the
+    common case for image dedup, one logo repeated 100k× — lands identical
+    signatures in ONE bucket and makes the naive self-join quadratic in
+    documents.  With ``collapse_identical`` the join runs over DISTINCT
+    vectors only (see :func:`cosine_neardup_collapsed`), then the pair set
+    is reconstituted as intra-group pairs plus cross-group member products
+    — output-sized work, never a quadratic join.  ``max_group`` bounds the
+    widest identical-vector group the expansion accepts (the explicit pair
+    list is quadratic in group size BY CONSTRUCTION — consume the collapsed
+    form instead); ``max_bucket_pairs`` fail-fasts the candidate join.
+
+    EXACTNESS (why the guarded path returns the identical pair set):
+    1. bucket(x) and cosine(x, y) are deterministic functions of the
+       vector bits; members of a group have bit-identical vectors, so for
+       a ∈ G(r1), b ∈ G(r2): bucket(a)=bucket(r1), sim(a,b)=sim(r1,r2).
+    2. The naive pair set {(a,b): a<b ∧ bucket(a)=bucket(b) ∧ sim≥t}
+       therefore partitions into (i) intra-group pairs — co-bucketed by
+       construction, sim = the group vector's self-cosine (bit-identical
+       arithmetic: dot(v,v)/(√dot(v,v)·√dot(v,v)), NaN for zero vectors,
+       exactly as the naive path computes for an identical pair) — and
+       (ii) cross-group pairs, present iff the representatives are
+       co-bucketed and sim(r1,r2) ≥ t.
+    3. Groups are disjoint and each vector has exactly ONE bucket (single
+       signature, no banding), so neither side emits a duplicate, and
+       least/greatest re-establishes id1 < id2 within cross products. ∎
+    Driver-gate evidence: q_dedup_embed / q_multimodal_neardup pass the
+    SAME DuckDB oracles with the guard on as the naive path did.
+
     Scale notes: the bucket equi-join shuffles on the bucket id — at 100 TB
     tune n_planes so bucket sizes stay join-friendly (each extra plane
     halves the expected bucket), and band like MinHash-LSH (several
     independent signatures OR-ed) if recall matters more than cost.
     """
-    buckets = lsh_buckets(emb, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
-    vecs = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
-    norms = vecs.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    tagged = norms.join(buckets, "vec_id")
-    a, b = tagged.alias("a"), tagged.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    if not collapse_identical:
+        buckets = lsh_buckets(emb, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
+        vecs = emb.select(F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v"))
+        norms = vecs.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+        tagged = norms.join(buckets, "vec_id")
+        a, b = tagged.alias("a"), tagged.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        return (
+            pairs.select(
+                F.col("a.vec_id").alias("id1"),
+                F.col("b.vec_id").alias("id2"),
+                F.round(sim, round_dp).alias("sim"),
+            )
+            .where(F.col("sim") >= threshold)
+        )
+    members, rep_pairs = cosine_neardup_collapsed(
+        emb,
+        n_planes,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
+        dim=dim,
+        max_bucket_pairs=max_bucket_pairs,
     )
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.round(sim, round_dp).alias("sim"),
+    if max_group is not None:
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+
+        widest = members.groupBy("rep").count().agg(F.max("count")).first()[0]
+        if widest is not None and widest > max_group:
+            raise ExpandedPairsTooLarge(
+                f"widest identical-vector group has {widest} members "
+                f"(> max_group={max_group}); expanding would materialize "
+                f"~{widest * (widest - 1) // 2:,} intra-group pairs — "
+                "consume cosine_neardup_collapsed's (members, rep_pairs) "
+                "form, or pass a larger max_group deliberately"
+            )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = (
+        m1.join(
+            m2,
+            (F.col("m1.rep") == F.col("m2.rep"))
+            & (F.col("m1.vec_id") < F.col("m2.vec_id")),
+        )
+        .select(
+            F.col("m1.vec_id").alias("id1"),
+            F.col("m2.vec_id").alias("id2"),
+            F.col("m1.self_sim").alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("id1"), F.col("vec_id").alias("a")),
+            "id1",
+        )
+        .join(
+            members.select(F.col("rep").alias("id2"), F.col("vec_id").alias("b")),
+            "id2",
+        )
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            "sim",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def ivf_centroids(

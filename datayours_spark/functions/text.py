@@ -338,19 +338,21 @@ def pii_scrub(
     Scale shape: pure projection — regexp_count/regexp_replace are
     JVM-side whole-stage-codegen expressions, no shuffle, no Python; at
     100 TB this runs at scan speed and column-prunes to (id, text).
-    Order matters: counts are taken per ORIGINAL text, then kinds redact
-    in a fixed sequence (email first — so for user@host.example.com the
-    whole address redacts as one email; an address at a NUMERIC host like
-    user@10.0.0.1 is not an email at all — the pattern requires an
-    alphabetic TLD — and only its embedded IP is counted and redacted).
+    Overlap semantics (ADVICE r5): kinds count AND redact in a fixed
+    sequence (email, phone, ip) — each kind's count is taken on the text
+    AFTER the prior kinds' redaction, so overlapping regions are
+    attributed to exactly one kind (555-123-4567@example.org counts as
+    one email, zero phones; the IP inside user@10.0.0.1.example.com
+    counts only if the email pattern didn't consume it).  Σ n_kind is
+    therefore the number of distinct redacted regions.
     """
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    ]
+    counts = []
     clean = F.col(text_col)
-    for pattern in PII_PATTERNS.values():
-        clean = F.regexp_replace(clean, pattern, replacement)
+    for k, p in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(clean, F.lit(p)).cast("long").alias(f"n_{k}")
+        )
+        clean = F.regexp_replace(clean, p, replacement)
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
     )
@@ -359,8 +361,12 @@ def pii_scrub(
 # ------------------------------------------------------------- URL/domain
 
 #: RE2-compatible (shared verbatim with the DuckDB oracle): scheme,
-#: host, optional path up to whitespace
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+#: host, optional path up to whitespace.  The whitespace class is spelled
+#: out explicitly: Java's \s includes \x0B (vertical tab) while RE2's
+#: does not, so a bare [^\s] would make the two engines extract different
+#: URLs from text containing \x0B (ADVICE r5) — both engines read this
+#: class identically (it equals Java's \s semantics).
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^ \t\n\r\f\x0b]*)?"
 
 
 def url_domains(

@@ -384,3 +384,118 @@ class TestIvfpqRerank:
         assert sorted(map(tuple, rer.collect())) == sorted(
             map(tuple, exact.collect())
         )
+
+
+class TestCosineNeardupGuard:
+    """Hot-bucket guard for cosine_neardup (round-5 verdict item #2):
+    identical vectors collapse to one representative before the bucket
+    self-join, with fail-fasts mirroring dedup.py's ExpandedPairsTooLarge."""
+
+    def _dup_heavy(self, spark):
+        # 3 identical-vector groups (widths 6/4/2) + singletons, incl. a
+        # near-dup cross-group pair and an orthogonal outlier
+        rows = []
+        for i in range(6):
+            rows.append((i, [1.0, 2.0, 3.0, 4.0]))          # group A
+        for i in range(6, 10):
+            rows.append((i, [1.0, 2.0, 3.0, 4.1]))          # group B (~A)
+        for i in range(10, 12):
+            rows.append((i, [-1.0, -2.0, -3.0, -4.0]))      # group C (anti-A)
+        rows.append((12, [4.0, -3.0, 2.0, -1.0]))           # lone, orthogonal-ish
+        rows.append((13, [0.9, 2.1, 3.0, 4.0]))             # lone near A
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def test_guarded_equals_naive_pair_set(self, spark):
+        """The exactness proof, checked: guarded output == naive output
+        on a duplicate-heavy corpus (same ids, same rounded sims)."""
+        from datayours_spark.functions.similarity import cosine_neardup
+
+        emb = self._dup_heavy(spark)
+        kw = dict(n_planes=4, threshold=0.25, dim=4)
+        naive = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(
+                emb, collapse_identical=False, **kw
+            ).collect()
+        }
+        guarded = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(emb, **kw).collect()
+        }
+        assert guarded == naive
+        # sanity: intra-group pairs actually present (6 choose 2 from A)
+        assert sum(1 for (a, b) in guarded if a < 6 and b < 6) == 15
+
+    def test_guarded_equals_naive_on_real_embeddings(self, spark):
+        """Same differential on the fixture embeddings table (no planted
+        structure — exercises the no-duplicates-at-all path)."""
+        from datayours_spark.functions.similarity import cosine_neardup
+
+        emb = _emb(spark).limit(120)
+        dim = len(emb.select("embedding").first()[0])
+        kw = dict(n_planes=5, threshold=0.3, dim=dim)
+        naive = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(
+                emb, collapse_identical=False, **kw
+            ).collect()
+        }
+        guarded = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(emb, **kw).collect()
+        }
+        assert guarded == naive
+
+    def test_expansion_fail_fast_on_wide_group(self, spark):
+        """A 30%-boilerplate corpus (one wide identical group) must refuse
+        the quadratic expansion BEFORE doing it."""
+        import pytest
+
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+        from datayours_spark.functions.similarity import cosine_neardup
+
+        rows = [(i, [1.0, 0.0, 0.0, 2.0]) for i in range(30)]
+        rows += [(100 + i, [float(i), 1.0, -1.0, 0.5]) for i in range(70)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(ExpandedPairsTooLarge, match="identical-vector"):
+            cosine_neardup(emb, n_planes=4, dim=4, max_group=10).collect()
+
+    def test_hot_bucket_fail_fast(self, spark):
+        import pytest
+
+        from datayours_spark.functions.similarity import (
+            HotBucketPairsTooLarge,
+            cosine_neardup,
+        )
+
+        # 40 DISTINCT near-parallel vectors land in one bucket
+        rows = [(i, [1.0, 1.0, 1.0, 1.0 + i * 1e-4]) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(HotBucketPairsTooLarge, match="candidate pairs"):
+            cosine_neardup(emb, n_planes=4, dim=4, max_bucket_pairs=100).collect()
+
+    def test_collapsed_form_is_linear_plus_pairs(self, spark):
+        """members has one row per vector with rep = least id of its
+        identical-vector group; rep_pairs only relates representatives."""
+        from datayours_spark.functions.similarity import (
+            cosine_neardup_collapsed,
+        )
+
+        emb = self._dup_heavy(spark)
+        members, rep_pairs = cosine_neardup_collapsed(
+            emb, n_planes=4, threshold=0.25, dim=4
+        )
+        m = {r["vec_id"]: r["rep"] for r in members.collect()}
+        assert len(m) == 14
+        assert all(m[i] == 0 for i in range(6))
+        assert all(m[i] == 6 for i in range(6, 10))
+        assert all(m[i] == 10 for i in range(10, 12))
+        reps = set(m.values())
+        for r in rep_pairs.collect():
+            assert r["id1"] in reps and r["id2"] in reps

@@ -45,18 +45,23 @@ class TestPiiScrub:
         assert got[3]["clean_text"] == "clean document with no pii at all"
         assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_ip"]) == (0, 0, 0)
 
-    def test_overlap_counts_original_text(self, spark):
+    def test_overlap_counts_sequentially(self, spark):
         # an address at a numeric host is NOT an email (the pattern wants
         # an alphabetic TLD) — the IP inside is still found and redacted;
-        # with a real TLD the email wins the whole token
+        # with a real TLD the email wins the whole token, and SEQUENTIAL
+        # counting (each kind counts after the prior kinds' redaction)
+        # attributes the region to the email only — no double count
         got = self._scrub(spark, [
             "ping user@10.0.0.1 twice",
             "ping user@10.0.0.1.example.com twice",
+            "reach 555-123-4567@example.org now",
         ])
         assert (got[0]["n_email"], got[0]["n_ip"]) == (0, 1)
         assert got[0]["clean_text"] == "ping user@<PII> twice"
-        assert (got[1]["n_email"], got[1]["n_ip"]) == (1, 1)
+        assert (got[1]["n_email"], got[1]["n_ip"]) == (1, 0)
         assert got[1]["clean_text"] == "ping <PII> twice"
+        assert (got[2]["n_email"], got[2]["n_phone"]) == (1, 0)
+        assert got[2]["clean_text"] == "reach <PII> now"
 
     def test_phone_needs_word_boundary(self, spark):
         got = self._scrub(spark, ["id 9555-123-45678 is not a phone"])

@@ -22,6 +22,14 @@ PIECES = [
     "end@dot.com.", "(paren@wrap.org)", "semi;colon@sep.net",
     "https://trail.com/x,y", "ip:192.168.0.255!", "a@@b.com",
     "@leading.com", "1-800-555-0199", "12.34.56.78.90",
+    # \x0B (vertical tab): Java \s includes it, RE2 \s does not — the
+    # URL path class must terminate identically on it in both engines
+    "https://vtab.example.com/path\x0bafter",
+    "pre\x0bhttps://vt.io/x", "a@b.org\x0bc@d.net",
+    # overlapping kinds: sequential counting must attribute each region
+    # to exactly one kind on both engines
+    "555-123-4567@example.org", "user@10.0.0.1.example.com",
+    "mix 555-123-4567@x.io and 1.2.3.4",
 ]
 
 
@@ -43,13 +51,17 @@ def test_pii_counts_and_redaction_match_duckdb(spark, seed):
         for r in pii_scrub(df).collect()
     }
     con = duckdb.connect()
-    counts = ", ".join(
-        "CAST(len(regexp_extract_all(text, '%s')) AS BIGINT) AS n_%s" % (p, k)
-        for k, p in PII_PATTERNS.items()
-    )
+    # sequential overlap semantics: each kind counts on the text after
+    # the prior kinds' redaction (mirrors pii_scrub and the gate oracle)
+    counts_l = []
     clean = "text"
-    for p in PII_PATTERNS.values():
+    for k, p in PII_PATTERNS.items():
+        counts_l.append(
+            "CAST(len(regexp_extract_all(%s, '%s')) AS BIGINT) AS n_%s"
+            % (clean, p, k)
+        )
         clean = "regexp_replace(%s, '%s', '<PII>', 'g')" % (clean, p)
+    counts = ", ".join(counts_l)
     con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
     con.executemany(
         "INSERT INTO t VALUES (?, ?)", list(enumerate(texts))

@@ -306,6 +306,22 @@ def main() -> None:
         and "ExistingRDD" in plan,
     )
 
+    # round-6: guarded cosine near-dup — identical vectors collapse to one
+    # representative before the bucket self-join (hot-bucket guard): the
+    # final plan consumes only the checkpoint cuts (ExistingRDD), so the
+    # embeddings source is never re-scanned, the self-join stays an
+    # equi-join over DISTINCT vectors, and nothing degenerates to a
+    # cartesian even on an exact-duplicate-heavy corpus
+    plan = plan_of(registry["q_dedup_embed"](spark, SF_DIR))
+    check(
+        "cosine near-dup self-joins collapsed reps from checkpoint cuts",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "ExistingRDD" in plan
+        and "parquet" not in plan,
+        "plan should contain only checkpoint scans",
+    )
+
     # round-4: routed queries must not run a plan-time full-table scan or
     # aggregation to anchor "now" / resolve targets (the round-3 advisory).
     # Once the stats anchor is warm, the only jobs a build may launch are

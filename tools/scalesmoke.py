@@ -508,6 +508,70 @@ def main() -> None:
         ann_timings[f"recall_at_10_{label}"] = {
             "recall": round(len(got & truth) / len(truth), 3), "vecs": n_vecs,
         }
+    # ---- index lifecycle: persist -> load -> append -> search ----------
+    # The production shape (annindex.py): the index is cluster-partitioned
+    # parquet; a probe-limited search must read ONLY the probed clusters'
+    # partitions (partition pruning = the inverted-list seek), and an
+    # append touches only the clusters the batch lands in.  Persist reuses
+    # the codes/assignments already materialized above — encode/assign
+    # cost is the pq_index_build_encode_assign line; this line measures
+    # the join + cluster-partitioned layout write itself.
+    from datayours_spark.functions.annindex import (
+        append_to_ann_index,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    idx_dir = tempfile.mkdtemp(
+        prefix="scalesmoke_idx_", dir="/root/repo/spark-warehouse"
+    )
+    t = time.perf_counter()
+    save_ann_index(
+        idx_dir,
+        cent,
+        books,
+        codes_df,
+        assign_df,
+        {"dim": dim, "m": 4, "ks": 16, "k": 8, "residual": False},
+    )
+    ann_timings["index_persist"] = {
+        "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
+    }
+    batch_n = max(n_vecs // 100, 1)
+    batch = spark.range(n_vecs, n_vecs + batch_n).select(
+        F.col("id").alias("vec_id"), vec_expr.alias("embedding")
+    )
+    t = time.perf_counter()
+    append_to_ann_index(idx_dir, batch)
+    ann_timings["index_append_1pct"] = {
+        "sec": round(time.perf_counter() - t, 2), "batch": batch_n,
+    }
+    t = time.perf_counter()
+    idx = load_ann_index(spark, idx_dir)
+    full = spark.read.parquet(emb_dir).unionByName(batch)
+    searched = ivfpq_topk(
+        full, [0, 1, 2, 3, 4], 10, idx["centroids"], idx["codebooks"], dim,
+        codes=idx["codes"], assignments=idx["assignments"],
+    )
+    got_after = {
+        (r["query_id"], r["vec_id"]) for r in searched.collect()
+    }
+    ann_timings["index_search_after_append"] = {
+        "sec": round(time.perf_counter() - t, 2),
+        "vecs": n_vecs + batch_n,
+        "rows": len(got_after),
+        # appended vectors are visible to the loaded index (vec_ids past
+        # the build range can appear); the persisted index returns the
+        # same top-10 recall as the in-memory one did above
+        "recall_vs_exact": round(len(got_after & truth) / len(truth), 3),
+    }
+    # the candidates-read-codes-only claim, checked from the plan: the
+    # stored codes scan prunes to the probed cluster partitions
+    idx_plan = searched._jdf.queryExecution().executedPlan().toString()
+    ann_timings["index_search_partition_pruned"] = {
+        "pruned": "PartitionFilters" in idx_plan and "cluster" in idx_plan,
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(codes_dir, ignore_errors=True)
     shutil.rmtree(assign_dir, ignore_errors=True)
 
@@ -595,6 +659,112 @@ def main() -> None:
     }
     shutil.rmtree(emb_dir, ignore_errors=True)
     doc_timings["ann"] = ann_timings
+
+    # ---- guarded cosine near-dup: exact-duplicate-heavy corpus ---------
+    # The image-dedup regime: 30% of vectors are BIT-IDENTICAL copies of
+    # 1,000 templates (one logo repeated everywhere).  The unguarded
+    # bucket self-join is quadratic in copies; the collapse guard joins
+    # DISTINCT vectors only, so the dup-heavy corpus must run in the same
+    # regime as an all-distinct one (ratio line).  A single 30%-wide group
+    # must FAIL FAST at the expansion guard (time-to-trip = aggregation
+    # cost), and a pathological bucket concentration at the hot-bucket
+    # guard.
+    from datayours_spark.functions.similarity import (
+        HotBucketPairsTooLarge,
+        cosine_neardup,
+        cosine_neardup_collapsed,
+    )
+
+    def _nd_vec(key_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(key_col.cast("string"), F.lit("nd"), d.cast("string"))
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0,
+        )
+
+    nd_timings: dict[str, dict] = {}
+    nd_secs: dict[str, float] = {}
+    dup_key = F.when(
+        F.pmod(F.col("id"), F.lit(10)) < 3, F.pmod(F.col("id"), F.lit(1000))
+    ).otherwise(F.col("id") + F.lit(1_000_000_000))
+    for label, key in (
+        ("uniform", F.col("id")),
+        ("dupheavy_30pct_1000groups", dup_key),
+    ):
+        nd_dir = tempfile.mkdtemp(
+            prefix="scalesmoke_nd_", dir="/root/repo/spark-warehouse"
+        )
+        (
+            spark.range(n_vecs)
+            .select(F.col("id").alias("vec_id"), _nd_vec(key).alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(nd_dir)
+        )
+        nd = spark.read.parquet(nd_dir)
+        t = time.perf_counter()
+        members, rep_pairs = cosine_neardup_collapsed(
+            nd, n_planes=20, threshold=0.9, dim=dim
+        )
+        members.write.format("noop").mode("overwrite").save()
+        rep_pairs.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t
+        nd_secs[label] = dt
+        nd_timings[f"collapsed_neardup_{label}"] = {
+            "sec": round(dt, 2), "vecs": n_vecs,
+            "vecs_per_sec": int(n_vecs / dt),
+        }
+        shutil.rmtree(nd_dir, ignore_errors=True)
+    nd_timings["dupheavy_over_uniform_ratio"] = {
+        "ratio": round(
+            nd_secs["dupheavy_30pct_1000groups"] / nd_secs["uniform"], 2
+        )
+    }
+    # one 30%-wide identical group: the explicit-pair expansion must trip
+    # ExpandedPairsTooLarge from the linear members aggregation, never
+    # starting the quadratic expansion
+    wide_key = F.when(
+        F.pmod(F.col("id"), F.lit(10)) < 3, F.lit(0)
+    ).otherwise(F.col("id") + F.lit(1_000_000_000))
+    wide = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), _nd_vec(wide_key).alias("embedding")
+    )
+    t = time.perf_counter()
+    try:
+        cosine_neardup(
+            wide, n_planes=20, threshold=0.9, dim=dim
+        ).write.format("noop").mode("overwrite").save()
+        nd_timings["expand_guard_trip_30pct_one_group"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": False,
+        }
+    except ExpandedPairsTooLarge:
+        nd_timings["expand_guard_trip_30pct_one_group"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": True,
+        }
+    # hot-bucket fail-fast: tiny pair budget trips at bucket-count cost
+    t = time.perf_counter()
+    try:
+        cosine_neardup_collapsed(
+            spark.range(n_vecs).select(
+                F.col("id").alias("vec_id"), _nd_vec(F.col("id")).alias("embedding")
+            ),
+            n_planes=4, threshold=0.9, dim=dim, max_bucket_pairs=1_000,
+        )
+        nd_timings["hot_bucket_guard_trip"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": False,
+        }
+    except HotBucketPairsTooLarge:
+        nd_timings["hot_bucket_guard_trip"] = {
+            "sec": round(time.perf_counter() - t, 2), "tripped": True,
+        }
+    doc_timings["cosine_neardup_guard"] = nd_timings
 
     # last: dup_clusters pins localCheckpoint RDD blocks in executor memory
     # for the rest of the session, which skews any timing run after it
