@@ -104,13 +104,23 @@ class GraphiteApp:
         step: int = 3_600,
         now: int | None = None,
         dm_dir: str | None = None,
+        dm_cache_ttl: float = 0.0,
     ):
         self.spark = spark
         self.datapoints = datapoints
         self.step = step
         self.now = now  # fixed "now" for deterministic tests; None = wall clock
         self.dm_dir = dm_dir  # dataMine DB for the lr_dmDB data_request
-        self._dm = None  # lazily-read (samples, config, graphs)
+        # the reference opens cursors against the LIVE dataMine DB per
+        # request (`L_DataMineServer.lua:495-567`), so weekly CSVs or
+        # channels added while the server runs must be visible: the
+        # (samples, config, graphs) DataFrames are re-created per request
+        # by default (plan construction re-lists the files; no job runs
+        # until the query executes).  dm_cache_ttl > 0 opts into reusing
+        # them for that many seconds (ADVICE r5).
+        self.dm_cache_ttl = dm_cache_ttl
+        self._dm = None  # cached (samples, config, graphs) when TTL > 0
+        self._dm_read_at = 0.0
         self.dispatch: dict[str, Callable] = {
             "/metrics": self.metrics_find,
             "/metrics/find": self.metrics_find,
@@ -182,7 +192,14 @@ class GraphiteApp:
             return f"Not Implemented: id={p.get('id')}", 501, "text/plain"
         if self.dm_dir is None:
             return "no dataMine database configured", 500, "text/plain"
-        if self._dm is None:
+        import time as _time
+
+        stale = (
+            self._dm is None
+            or self.dm_cache_ttl <= 0
+            or _time.monotonic() - self._dm_read_at > self.dm_cache_ttl
+        )
+        if stale:
             from datayours_spark.render.dmreports import read_graphs
             from datayours_spark.sources.datamine import (
                 read_channels,
@@ -194,6 +211,7 @@ class GraphiteApp:
                 read_config(self.spark, self.dm_dir),
                 read_graphs(self.spark, self.dm_dir),
             )
+            self._dm_read_at = _time.monotonic()
         from datayours_spark.sources.datamine import dmdb_query
 
         samples, config, graphs = self._dm

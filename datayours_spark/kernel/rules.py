@@ -218,10 +218,14 @@ def parse_translation_conf(text: str) -> dict[str, dict[str, str]]:
     the numeric-coercion filter then drops (`L_DataCache.lua:178-180`).
     Values stay raw strings; the plaintext parser coerces them exactly
     like wire values.
+
+    A present-but-EMPTY section is kept as an empty dict (ADVICE r5): the
+    reference's watch callback tests section existence (``if
+    translate[wildtag]``), so an empty ``[*.tag]`` section maps EVERY
+    value to 'unknown' and drops it — dropping the section here would
+    instead pass values through untranslated.
     """
-    return {
-        name: dict(kv) for name, kv in load_conf_sections(text).items() if kv
-    }
+    return {name: dict(kv) for name, kv in load_conf_sections(text).items()}
 
 
 def rule_engine_from_confs(

@@ -55,8 +55,16 @@ def parse_plaintext_lines(
     if translations:
         entries = []
         for tag, mapping in sorted(translations.items()):
-            inner = F.create_map(
-                *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+            # an EMPTY section is represented as a NULL inner map: section
+            # EXISTENCE (map_contains_key) decides whether translation
+            # applies — the reference tests `if translate[wildtag]`, so a
+            # present-but-empty section maps every value to 'unknown'
+            inner = (
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+                )
+                if mapping
+                else F.lit(None).cast("map<string,string>")
             )
             entries += [F.lit(tag), inner]
         tmap = F.create_map(*entries)
@@ -65,7 +73,7 @@ def parse_plaintext_lines(
         wildtag = F.regexp_replace(F.element_at("p", 1), r"^[0-9]+", "*")
         section = F.try_element_at(tmap, wildtag)
         raw_value = F.when(
-            section.isNotNull(),
+            F.map_contains_key(tmap, wildtag),
             F.coalesce(F.try_element_at(section, raw_value), F.lit("unknown")),
         ).otherwise(raw_value)
     return (

@@ -291,3 +291,71 @@ class TestDataRequestHttp:
         )
         st, _, _ = self._get(app, "id=lr_other")
         assert st.startswith("501")
+
+    def test_live_db_updates_visible_per_request(self, spark, tmp_path):
+        """ADVICE r5: the reference opens cursors against the LIVE DB per
+        request — a weekly CSV written while the server runs must show up
+        on the next request (no stale first-request snapshot)."""
+        import json as _json
+
+        from datayours_spark.http import GraphiteApp
+
+        db = tmp_path / "dm"
+        f1 = db / "database" / "1" / "raw" / "2821.txt"
+        f1.parent.mkdir(parents=True)
+        f1.write_text(f"{T0 + 10},1.0\n")
+        (db / "dataMineConfig.json").write_text(_json.dumps({
+            "Variables": [
+                {"Id": 1, "Name": "temp", "Device": 12, "Service": SRV_T,
+                 "Variable": "CurrentTemperature", "DataOffset": 0.0,
+                 "FilterEnable": 0, "Filterminimum": 0.0,
+                 "FilterMaximum": 0.0},
+            ],
+        }))
+        app = GraphiteApp(
+            spark, spark.range(0).selectExpr(
+                "'x' AS path", "id AS ts_sec", "CAST(id AS DOUBLE) AS value"
+            ),
+            now=T0 + 8 * 86_400, dm_dir=str(db),
+        )
+        q = f"id=lr_dmDB&channel=1&t1={T0 - 100}&t2={T0 + 2 * WEEK}"
+        st, _, body = self._get(app, q)
+        assert st.startswith("200") and f"{T0 + 10},1" in body
+        # a new week lands while the server is running
+        f2 = db / "database" / "1" / "raw" / "2822.txt"
+        f2.write_text(f"{T0 + WEEK + 20},2.5\n")
+        st, _, body = self._get(app, q)
+        assert st.startswith("200")
+        assert f"{T0 + WEEK + 20},2.5" in body, "new weekly file not picked up"
+
+    def test_dm_cache_ttl_keeps_snapshot(self, spark, tmp_path):
+        import json as _json
+
+        from datayours_spark.http import GraphiteApp
+
+        db = tmp_path / "dm"
+        f1 = db / "database" / "1" / "raw" / "2821.txt"
+        f1.parent.mkdir(parents=True)
+        f1.write_text(f"{T0 + 10},1.0\n")
+        (db / "dataMineConfig.json").write_text(_json.dumps({
+            "Variables": [
+                {"Id": 1, "Name": "temp", "Device": 12, "Service": SRV_T,
+                 "Variable": "CurrentTemperature", "DataOffset": 0.0,
+                 "FilterEnable": 0, "Filterminimum": 0.0,
+                 "FilterMaximum": 0.0},
+            ],
+        }))
+        app = GraphiteApp(
+            spark, spark.range(0).selectExpr(
+                "'x' AS path", "id AS ts_sec", "CAST(id AS DOUBLE) AS value"
+            ),
+            now=T0 + 8 * 86_400, dm_dir=str(db), dm_cache_ttl=3600.0,
+        )
+        q = f"id=lr_dmDB&channel=1&t1={T0 - 100}&t2={T0 + 2 * WEEK}"
+        self._get(app, q)
+        (db / "database" / "1" / "raw" / "2822.txt").write_text(
+            f"{T0 + WEEK + 20},2.5\n"
+        )
+        st, _, body = self._get(app, q)
+        assert st.startswith("200")
+        assert f"{T0 + WEEK + 20},2.5" not in body  # snapshot held by TTL

@@ -171,3 +171,36 @@ class TestTranslationBeforeRewrites:
             translations={f"12.{HVAC}": {"Heating": "1"}},  # specific: dead
         ).collect()
         assert rows == []  # 'Heating' stays symbolic -> coercion drops it
+
+
+class TestEmptySectionSemantics:
+    """ADVICE r5: the reference tests section EXISTENCE (`if
+    translate[wildtag]`), so a present-but-empty [*.tag] section maps
+    every value to 'unknown' (dropped by coercion) rather than passing
+    values through."""
+
+    def test_parse_keeps_empty_sections(self):
+        trans = parse_translation_conf("[*.urn:svc:Sensor1.Current]\n")
+        assert trans == {"*.urn:svc:Sensor1.Current": {}}
+
+    def test_empty_section_drops_all_values(self, spark):
+        trans = parse_translation_conf(
+            "[*.urn:svc:Sensor1.Current]\n"
+            "[*.urn:svc:Hvac1.ModeStatus]\nIdle = 0\n"
+        )
+        df = spark.createDataFrame(
+            [
+                ("12.urn:svc:Sensor1.Current 3.5 1000",),   # empty section: drop
+                ("12.urn:svc:Hvac1.ModeStatus Idle 1000",), # mapped: keep
+                ("12.urn:svc:Other.Var 7 1000",),           # no section: keep
+            ],
+            "line string",
+        )
+        got = {
+            r["path"]: r["value"]
+            for r in parse_plaintext_lines(df, now=999, translations=trans).collect()
+        }
+        assert got == {
+            "12.urn:svc:Hvac1.ModeStatus": 0.0,
+            "12.urn:svc:Other.Var": 7.0,
+        }

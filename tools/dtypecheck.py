@@ -76,12 +76,22 @@ def main() -> int:
             st, ot = dtype_tag(spdf[col]), dtype_tag(odf[col])
             if st == ot:
                 continue
-            # pandas widens nullable ints to float64 / object — treat an
-            # all-integral float or int-object column as int64-compatible
+            # pandas widens nullable ints to float64 / object.  Softness is
+            # confined to columns where that widening demonstrably happened
+            # (NaNs present) or to int-object columns (HUGEINT → python
+            # ints, value-identical): an all-integral float column WITHOUT
+            # nulls means the engine really emitted a float (e.g. DuckDB
+            # sum() → HUGEINT → float64) — exactly the r4 q_span_mask hash
+            # failure — and must stay a HARD mismatch vs an int column
+            # (ADVICE r5).
             def relaxed(series, tag):
                 if tag.startswith("float"):
                     vals = series.dropna()
-                    if len(vals) and np.all(np.mod(vals, 1) == 0):
+                    if (
+                        series.isna().any()
+                        and len(vals)
+                        and np.all(np.mod(vals, 1) == 0)
+                    ):
                         return "int*"
                 if tag == "object":
                     vals = series.dropna()
