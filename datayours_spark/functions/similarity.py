@@ -404,6 +404,7 @@ def ivf_centroids(
 
 
 import contextlib
+import threading
 
 
 #: below this many training rows per iteration, Janino compilation of the
@@ -412,6 +413,12 @@ import contextlib
 #: 2k vectors — 7.5 s codegen vs 4.8 s interpreted; 200k vectors — 10.5 s
 #: codegen vs 17.1 s interpreted.  Crossover sits around ~50k rows.
 TRAINING_CODEGEN_MIN_ROWS = 50_000
+
+#: interleaved-scope bookkeeping for _training_exec_conf: per-session
+#: [depth, saved_confs], guarded by the lock (held only while flipping
+#: confs, never across a training collect)
+_training_conf_lock = threading.Lock()
+_training_conf_state: dict[int, list] = {}
 
 
 @contextlib.contextmanager
@@ -425,25 +432,41 @@ def _training_exec_conf(spark, n_rows: int):
     Scoring and encode paths always keep codegen — they run per-row over
     the corpus.
 
-    Known limitation (documented, not fixed — ADVICE r4): the conf flips
-    are SESSION-GLOBAL for the duration of the training collect, so a
-    concurrent job sharing the SparkSession would run codegen-disabled,
-    and nested/interleaved training scopes could restore stale values.
-    Training here is strictly sequential (gate/bench harness, one model
-    at a time); if concurrent training is ever needed, scope these via a
-    cloned session (``spark.newSession()``) instead."""
+    The conf flips are SESSION-GLOBAL for the duration of the training
+    collect (a concurrent UNRELATED job sharing the SparkSession would
+    run codegen-disabled — harmless but slower; use a cloned
+    ``spark.newSession()`` to isolate such a job).  Interleaved/nested
+    TRAINING scopes are safe (r5 verdict task #6): a per-session depth
+    counter makes only the OUTERMOST scope save and restore, so exits in
+    any order restore the original pre-training confs, never a stale
+    intermediate."""
     if n_rows >= TRAINING_CODEGEN_MIN_ROWS:
         yield
         return
-    ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    key = id(spark)
+    with _training_conf_lock:
+        state = _training_conf_state.get(key)
+        if state is None:
+            saved = (
+                spark.conf.get("spark.sql.codegen.wholeStage", "true"),
+                spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
+            )
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
+            spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+            _training_conf_state[key] = [1, saved]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", ws)
-        spark.conf.set("spark.sql.codegen.factoryMode", fm)
+        with _training_conf_lock:
+            state = _training_conf_state[key]
+            state[0] -= 1
+            if state[0] == 0:
+                ws, fm = state[1]
+                del _training_conf_state[key]
+                spark.conf.set("spark.sql.codegen.wholeStage", ws)
+                spark.conf.set("spark.sql.codegen.factoryMode", fm)
 
 
 def kmeans_centroids(

@@ -499,3 +499,49 @@ class TestCosineNeardupGuard:
         reps = set(m.values())
         for r in rep_pairs.collect():
             assert r["id1"] in reps and r["id2"] in reps
+
+
+class TestTrainingExecConfScoping:
+    """r5 verdict task #6: interleaved training scopes must restore the
+    original confs no matter the exit order."""
+
+    def test_interleaved_scopes_restore_original(self, spark):
+        from datayours_spark.functions.similarity import _training_exec_conf
+
+        orig_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        a = _training_exec_conf(spark, 10)
+        b = _training_exec_conf(spark, 10)
+        a.__enter__()
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+        b.__enter__()
+        a.__exit__(None, None, None)  # inner-first exit order is NOT required
+        # b is still training: confs must stay disabled, not restored
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+        b.__exit__(None, None, None)
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == orig_ws
+        assert spark.conf.get("spark.sql.codegen.factoryMode") == "FALLBACK"
+
+    def test_concurrent_threads_restore_original(self, spark):
+        import threading as th
+
+        from datayours_spark.functions.similarity import _training_exec_conf
+
+        orig_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        enter_b = th.Event()
+        exit_a = th.Event()
+        done_b = th.Event()
+
+        def worker():
+            with _training_exec_conf(spark, 10):
+                enter_b.set()
+                exit_a.wait(10)
+            done_b.set()
+
+        t = th.Thread(target=worker)
+        with _training_exec_conf(spark, 10):
+            t.start()
+            assert enter_b.wait(10)
+        exit_a.set()  # outer exited first; worker still inside
+        assert done_b.wait(10)
+        t.join(10)
+        assert spark.conf.get("spark.sql.codegen.wholeStage") == orig_ws
