@@ -1167,6 +1167,36 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: incremental embedding near-dup fixture: the "new batch" is every
+#: (vec_id % MOD == 0) corpus vector re-identified past OFFSET — each
+#: batch vector is bit-identical to its source, exercising the
+#: cross-boundary identical-collapse path plus genuine near-dup joins
+NEARDUP_INC_MOD = 17
+NEARDUP_INC_OFFSET = 1_000_000
+
+
+def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs introduced by a new batch against the
+    standing collapsed cosine index — the embedding member of the
+    incremental-maintenance family (MinHash `q_dedup_incremental`, spans
+    `q_span_incremental`).  Per-batch cost scales with the batch and its
+    matched buckets, never the corpus."""
+    from datayours_spark.functions.similarity import (
+        cosine_collapse_index,
+        cosine_neardup_incremental,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(sf_dir)
+    batch = emb.where(F.col("vec_id") % NEARDUP_INC_MOD == 0).select(
+        (F.col("vec_id") + NEARDUP_INC_OFFSET).alias("vec_id"), "embedding"
+    )
+    members, reps = cosine_collapse_index(emb, NEARDUP_PLANES, dim=dim)
+    return cosine_neardup_incremental(
+        batch, members, reps, NEARDUP_PLANES, NEARDUP_THRESHOLD, dim=dim
+    )
+
+
 TFIDF_TOP_K = 5
 
 
@@ -2589,9 +2619,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_cluster_topics": q_cluster_topics,
         "q_dedup_embed": q_dedup_embed,
+        # --- r6 window: new this round, first driver check ------------
+        "q_dedup_embed_incremental": q_dedup_embed_incremental,
+        # --------------------------------------------------------------
         "q_render_api": q_render_api,
         "q_render_mixed": q_render_mixed,
-        "q_rollup_routed": q_rollup_routed,
         "q_series_meta": q_series_meta,
         "q_streaming_rollup": q_streaming_rollup,
         "q_multireader": q_multireader,
@@ -2622,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_dedup_report": q_dedup_report,
         # --- past the window: green driver row in r1–r5 --------------
+        "q_rollup_routed": q_rollup_routed,
         "q_span_removed": q_span_removed,
         "q_rollup_meta": q_rollup_meta,
         "q_sample_uniform_k": q_sample_uniform_k,
@@ -3601,6 +3634,49 @@ def oracle_sql() -> dict[str, str]:
                                        (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
               FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
             SELECT id1, id2, sim FROM pairs WHERE sim >= {NEARDUP_THRESHOLD}
+        """,
+        # incremental == full recompute over (corpus ∪ batch) restricted
+        # to pairs touching the batch — the strongest possible oracle for
+        # an incremental operator (same contract as q_span_incremental)
+        "q_dedup_embed_incremental": f"""
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {NEARDUP_INC_OFFSET} AS vec_id, embedding
+              FROM embeddings WHERE vec_id % {NEARDUP_INC_MOD} = 0),
+            ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM uni),
+            pl AS (SELECT unnest(generate_series(0, {NEARDUP_PLANES - 1})) AS plane),
+            w AS (
+              SELECT vec_id, plane, dim, x,
+                     ((('0x' || substr(md5(plane::VARCHAR || '_' || dim::VARCHAR), 1, 8))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS w
+              FROM ex CROSS JOIN pl),
+            d AS (SELECT vec_id, plane, round(sum(x * w), 9) AS d FROM w GROUP BY 1, 2),
+            bk AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+                       AS bucket
+              FROM d GROUP BY vec_id),
+            n AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_reduce(list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                       (a, c) -> a + c)) AS nrm
+              FROM uni),
+            t AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk USING (vec_id)),
+            pairs AS (
+              SELECT a.vec_id AS id1, b.vec_id AS id2,
+                     round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                                      p -> p[1] * p[2]),
+                                       (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+              FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id1, id2, sim FROM pairs
+            WHERE sim >= {NEARDUP_THRESHOLD}
+              AND (id1 >= {NEARDUP_INC_OFFSET} OR id2 >= {NEARDUP_INC_OFFSET})
         """,
         "q_datamine_asof": f"""
             -- mirror of the weekly-CSV fixture derivation + channel filters

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "q_url_stats",
     "q_multimodal_neardup",
     "q_dm_timeline",
+    # round 6 additions
+    "q_dedup_embed_incremental",
 ]
 
 

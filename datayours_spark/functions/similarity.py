@@ -162,6 +162,51 @@ class HotBucketPairsTooLarge(ValueError):
     """
 
 
+def cosine_collapse_index(
+    emb: DataFrame,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The collapsed cosine index: (members, tagged_reps).
+
+    members: (vec_id, rep, self_sim) — every vector mapped to the least
+    vec_id with a BIT-IDENTICAL vector; self_sim is the rounded cosine of
+    the group vector with itself.  tagged_reps: (vec_id, v, nrm, bucket)
+    — one row per DISTINCT vector, the relation bucket joins run against.
+    This is the standing-index state for incremental maintenance
+    (:func:`cosine_neardup_incremental`), mirroring ``minhash_index``.
+    """
+    from pyspark.sql import Window
+
+    dim = _resolve_dim(emb, vec_col, dim)
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    )
+    # one shuffle on the vector bits tags every row with its group's least
+    # id; checkpoint cuts the upstream (possibly Arrow-UDF) lineage so the
+    # three consumers (members, reps, bucket join) don't recompute it
+    w = Window.partitionBy("v")
+    tagged = vecs.select(
+        "vec_id", "v", F.min("vec_id").over(w).alias("rep")
+    ).localCheckpoint(eager=True)
+    self_sim = F.round(
+        dot(F.col("v"), F.col("v"))
+        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        round_dp,
+    )
+    members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
+    reps = tagged.where(F.col("vec_id") == F.col("rep")).select("vec_id", "v")
+    buckets = lsh_buckets(reps, n_planes, id_col="vec_id", vec_col="v", dim=dim)
+    norms = reps.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    tagged_reps = norms.join(buckets, "vec_id").localCheckpoint(eager=True)
+    return members, tagged_reps
+
+
 def cosine_neardup_collapsed(
     emb: DataFrame,
     n_planes: int = 6,
@@ -192,31 +237,24 @@ def cosine_neardup_collapsed(
     runs over DISTINCT vectors only, and ``max_bucket_pairs`` fail-fasts
     on Σ bucket-pairs before any quadratic work.
     """
-    from pyspark.sql import Window
+    members, tagged_reps = cosine_collapse_index(
+        emb, n_planes, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, dim=dim,
+    )
+    rep_pairs = _rep_self_pairs(
+        tagged_reps, threshold, round_dp, max_bucket_pairs
+    )
+    return members, rep_pairs
 
-    dim = _resolve_dim(emb, vec_col, dim)
-    vecs = emb.select(
-        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
-    )
-    # one shuffle on the vector bits tags every row with its group's least
-    # id; checkpoint cuts the upstream (possibly Arrow-UDF) lineage so the
-    # three consumers (members, reps, bucket join) don't recompute it
-    w = Window.partitionBy("v")
-    tagged = vecs.select(
-        "vec_id", "v", F.min("vec_id").over(w).alias("rep")
-    ).localCheckpoint(eager=True)
-    self_sim = F.round(
-        dot(F.col("v"), F.col("v"))
-        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
-        round_dp,
-    )
-    members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
-    reps = tagged.where(F.col("vec_id") == F.col("rep")).select("vec_id", "v")
-    buckets = lsh_buckets(reps, n_planes, id_col="vec_id", vec_col="v", dim=dim)
-    norms = reps.select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
-    )
-    tagged_reps = norms.join(buckets, "vec_id").localCheckpoint(eager=True)
+
+def _rep_self_pairs(
+    tagged_reps: DataFrame,
+    threshold: float,
+    round_dp: int,
+    max_bucket_pairs: int | None,
+) -> DataFrame:
+    """Within-bucket self-join over distinct vectors' reps, with the
+    Σ bucket-pairs fail-fast ahead of any quadratic work."""
     if max_bucket_pairs is not None:
         total = (
             tagged_reps.groupBy("bucket")
@@ -240,7 +278,7 @@ def cosine_neardup_collapsed(
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-    rep_pairs = (
+    return (
         pairs.select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
@@ -248,7 +286,60 @@ def cosine_neardup_collapsed(
         )
         .where(F.col("sim") >= threshold)
     )
-    return members, rep_pairs
+
+
+def _expand_member_pairs(
+    members: DataFrame,
+    rep_pairs: DataFrame,
+    threshold: float,
+    max_group: int | None,
+) -> DataFrame:
+    """Reconstitute the explicit pair set from the collapsed form: pairs
+    WITHIN each identical-vector group (sim = the group's self-cosine)
+    plus member products ACROSS each rep pair; ``max_group`` fail-fasts
+    the quadratic intra expansion from one linear aggregation."""
+    if max_group is not None:
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+
+        widest = members.groupBy("rep").count().agg(F.max("count")).first()[0]
+        if widest is not None and widest > max_group:
+            raise ExpandedPairsTooLarge(
+                f"widest identical-vector group has {widest} members "
+                f"(> max_group={max_group}); expanding would materialize "
+                f"~{widest * (widest - 1) // 2:,} intra-group pairs — "
+                "consume cosine_neardup_collapsed's (members, rep_pairs) "
+                "form, or pass a larger max_group deliberately"
+            )
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = (
+        m1.join(
+            m2,
+            (F.col("m1.rep") == F.col("m2.rep"))
+            & (F.col("m1.vec_id") < F.col("m2.vec_id")),
+        )
+        .select(
+            F.col("m1.vec_id").alias("id1"),
+            F.col("m2.vec_id").alias("id2"),
+            F.col("m1.self_sim").alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep").alias("id1"), F.col("vec_id").alias("a")),
+            "id1",
+        )
+        .join(
+            members.select(F.col("rep").alias("id2"), F.col("vec_id").alias("b")),
+            "id2",
+        )
+        .select(
+            F.least("a", "b").alias("id1"),
+            F.greatest("a", "b").alias("id2"),
+            "sim",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def cosine_neardup(
@@ -332,48 +423,114 @@ def cosine_neardup(
         dim=dim,
         max_bucket_pairs=max_bucket_pairs,
     )
+    return _expand_member_pairs(members, rep_pairs, threshold, max_group)
+
+
+def cosine_neardup_incremental(
+    new_emb: DataFrame,
+    index_members: DataFrame,
+    index_reps: DataFrame,
+    n_planes: int = 6,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    dim: int | None = None,
+    max_bucket_pairs: int | None = 50_000_000,
+    max_group: int | None = 10_000,
+) -> DataFrame:
+    """Embedding near-dup pairs introduced by a new batch, against a
+    standing collapsed cosine index (the embedding analogue of
+    ``minhash_incremental`` — completes the incremental-maintenance
+    family: MinHash, spans, embeddings).
+
+    ``index_members``/``index_reps`` come from :func:`cosine_collapse_index`
+    over the existing corpus.  Emits exactly the pairs a full
+    :func:`cosine_neardup` over (corpus ∪ batch) would emit that involve
+    at least one new vector: new×old via ONE bucket equi-join of the
+    batch's distinct vectors against the corpus REPS (then member
+    expansion — a batch vector identical to a 100k-wide standing group
+    costs one rep comparison plus output-sized expansion, never 100k
+    comparisons), plus new×new from the guarded pipeline on the batch
+    alone.  vec_ids must be disjoint from the corpus (the caller owns id
+    allocation, as in ``append_to_ann_index``).
+
+    This is the 100 TB operational path: per-batch cost scales with the
+    BATCH and the matched buckets, not the corpus — the full recompute
+    never reruns.  Appending the batch's collapse-index rows afterwards
+    keeps the index current (new groups join as their own reps; a batch
+    vector equal to a standing rep's vector extends that rep's group).
+    """
+    new_members, new_reps = cosine_collapse_index(
+        new_emb, n_planes, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, dim=dim,
+    )
     if max_group is not None:
         from datayours_spark.functions.dedup import ExpandedPairsTooLarge
 
-        widest = members.groupBy("rep").count().agg(F.max("count")).first()[0]
+        widest = (
+            index_members.groupBy("rep").count().agg(F.max("count")).first()[0]
+        )
         if widest is not None and widest > max_group:
             raise ExpandedPairsTooLarge(
-                f"widest identical-vector group has {widest} members "
-                f"(> max_group={max_group}); expanding would materialize "
-                f"~{widest * (widest - 1) // 2:,} intra-group pairs — "
-                "consume cosine_neardup_collapsed's (members, rep_pairs) "
-                "form, or pass a larger max_group deliberately"
+                f"widest standing identical-vector group has {widest} "
+                f"members (> max_group={max_group}); expanding new×old "
+                "pairs would be quadratic — consume rep-level pairs, or "
+                "pass a larger max_group deliberately"
             )
-    m1, m2 = members.alias("m1"), members.alias("m2")
-    intra = (
-        m1.join(
-            m2,
-            (F.col("m1.rep") == F.col("m2.rep"))
-            & (F.col("m1.vec_id") < F.col("m2.vec_id")),
+    if max_bucket_pairs is not None:
+        # cross-join work bound: Σ_b new_width_b × corpus_width_b, from
+        # two tiny per-bucket counts — fail-fast before the join
+        nw = new_reps.groupBy("bucket").count().withColumnRenamed("count", "nc")
+        cw = index_reps.groupBy("bucket").count().withColumnRenamed("count", "cc")
+        total = (
+            nw.join(cw, "bucket")
+            .agg(F.sum(F.col("nc") * F.col("cc")).alias("p"))
+            .first()[0]
         )
+        if total is not None and total > max_bucket_pairs:
+            raise HotBucketPairsTooLarge(
+                f"batch-vs-corpus bucket join would compare ~{int(total):,} "
+                f"rep pairs (> max_bucket_pairs={max_bucket_pairs:,}); "
+                "raise n_planes or max_bucket_pairs deliberately"
+            )
+    b, c = new_reps.alias("b"), index_reps.alias("c")
+    sim = dot(F.col("b.v"), F.col("c.v")) / (F.col("b.nrm") * F.col("c.nrm"))
+    rep_cross = (
+        b.join(c, F.col("b.bucket") == F.col("c.bucket"))
         .select(
-            F.col("m1.vec_id").alias("id1"),
-            F.col("m2.vec_id").alias("id2"),
-            F.col("m1.self_sim").alias("sim"),
+            F.col("b.vec_id").alias("bid"),
+            F.col("c.vec_id").alias("cid"),
+            F.round(sim, round_dp).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
     cross = (
-        rep_pairs.join(
-            members.select(F.col("rep").alias("id1"), F.col("vec_id").alias("a")),
-            "id1",
+        rep_cross.join(
+            new_members.select(F.col("rep").alias("bid"), F.col("vec_id").alias("a")),
+            "bid",
         )
         .join(
-            members.select(F.col("rep").alias("id2"), F.col("vec_id").alias("b")),
-            "id2",
+            index_members.select(
+                F.col("rep").alias("cid"), F.col("vec_id").alias("o")
+            ),
+            "cid",
         )
         .select(
-            F.least("a", "b").alias("id1"),
-            F.greatest("a", "b").alias("id2"),
+            F.least("a", "o").alias("id1"),
+            F.greatest("a", "o").alias("id2"),
             "sim",
         )
     )
-    return intra.unionByName(cross)
+    # new×new over the SAME batch collapse index (no recompute): the
+    # guarded self-join plus expansion, exactly cosine_neardup's path
+    within = _expand_member_pairs(
+        new_members,
+        _rep_self_pairs(new_reps, threshold, round_dp, max_bucket_pairs),
+        threshold,
+        max_group,
+    )
+    return within.unionByName(cross)
 
 
 def ivf_centroids(

@@ -73,9 +73,9 @@ FAMILIES = {
         "q_span_dedup",
     ],
     "embedding_similarity": [
-        "q_dedup_embed", "q_semdedup", "q_cluster_topics",
-        "q_ann_cosine", "q_ann_lsh", "q_embed_centroid",
-        "q_multimodal_neardup",
+        "q_dedup_embed", "q_dedup_embed_incremental", "q_semdedup",
+        "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
+        "q_embed_centroid", "q_multimodal_neardup",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",

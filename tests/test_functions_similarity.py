@@ -545,3 +545,71 @@ class TestTrainingExecConfScoping:
         assert done_b.wait(10)
         t.join(10)
         assert spark.conf.get("spark.sql.codegen.wholeStage") == orig_ws
+
+
+class TestCosineNeardupIncremental:
+    """Incremental == full recompute restricted to pairs touching the
+    batch (the same differential contract minhash_incremental and
+    repeated_spans_incremental carry)."""
+
+    def _corpus(self, spark):
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(4)]          # group
+        rows += [(i, [1.0, 2.0, 3.0, 4.1]) for i in range(4, 6)]      # near
+        rows += [(i, [-4.0, 3.0, -2.0, 1.0]) for i in range(6, 8)]    # far
+        rows.append((8, [0.5, 0.5, 0.5, 0.5]))
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def _batch(self, spark):
+        rows = [
+            (100, [1.0, 2.0, 3.0, 4.0]),   # identical to the standing group
+            (101, [1.0, 2.0, 3.0, 4.0]),   # identical within the batch too
+            (102, [1.0, 2.1, 3.0, 4.0]),   # near the group
+            (103, [9.0, -9.0, 9.0, -9.0]), # unrelated
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_incremental_equals_full_restricted(self, spark):
+        from datayours_spark.functions.similarity import (
+            cosine_collapse_index,
+            cosine_neardup,
+            cosine_neardup_incremental,
+        )
+
+        corpus, batch = self._corpus(spark), self._batch(spark)
+        kw = dict(n_planes=4, threshold=0.25, dim=4)
+        full = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(corpus.unionByName(batch), **kw).collect()
+        }
+        want = {k: v for k, v in full.items() if k[0] >= 100 or k[1] >= 100}
+        members, reps = cosine_collapse_index(corpus, 4, dim=4)
+        got = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup_incremental(
+                batch, members, reps, **kw
+            ).collect()
+        }
+        assert got == want
+        assert want, "fixture must actually produce new-batch pairs"
+        # the identical-to-standing-group path really fired
+        assert (0, 100) in got and got[(0, 100)] == 1.0
+
+    def test_batch_guard_trips_on_wide_standing_group(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+        from datayours_spark.functions.similarity import (
+            cosine_collapse_index,
+            cosine_neardup_incremental,
+        )
+
+        wide = spark.createDataFrame(
+            [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(30)],
+            "vec_id bigint, embedding array<double>",
+        )
+        members, reps = cosine_collapse_index(wide, 4, dim=4)
+        with pytest.raises(ExpandedPairsTooLarge, match="standing"):
+            cosine_neardup_incremental(
+                self._batch(spark), members, reps, n_planes=4, dim=4,
+                max_group=10,
+            ).collect()
