@@ -139,15 +139,24 @@ def lsh_buckets(
     """
     dim = _resolve_dim(emb, vec_col, dim)
     v = as_double_array(vec_col)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        _bucket_expr(v, n_planes, dim).alias("bucket"),
+    )
+
+
+def _bucket_expr(v: Column, n_planes: int, dim: int) -> Column:
+    """The hyperplane-signature bucket as a pure Column over ``v`` — shared
+    by :func:`lsh_buckets` and the collapse index so the bucket can be
+    computed inline in the same projection as other per-vector columns
+    (one scan, whole-stage codegen, no extra join)."""
     bucket = None
     for p in range(n_planes):
         w = F.array(*[F.lit(hyperplane_weight_py(p, d)) for d in range(dim)])
         d_p = F.round(dot(v, w), 9)
         term = F.when(d_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    return emb.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket")
-    )
+    return bucket.cast("bigint")
 
 
 class HotBucketPairsTooLarge(ValueError):
@@ -160,6 +169,62 @@ class HotBucketPairsTooLarge(ValueError):
     BEFORE the join; raise ``max_bucket_pairs`` deliberately or increase
     ``n_planes`` (each extra plane halves the expected bucket width).
     """
+
+
+def _bucket_pairs_check(reps: DataFrame) -> DataFrame:
+    """Single-row (val = Σ_b width_b·(width_b−1)/2) over a bucketed rep
+    relation — the self-join work bound."""
+    return (
+        reps.groupBy("bucket")
+        .count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("val"))
+    )
+
+
+def _max_group_check(members: DataFrame) -> DataFrame:
+    """Single-row (val = widest identical-vector group) over a members
+    relation — the expansion work bound."""
+    return members.groupBy("rep").count().agg(F.max("count").alias("val"))
+
+
+def _guard_totals(checks: list[tuple[str, DataFrame]]) -> dict[str, float | None]:
+    """Evaluate every pending fail-fast aggregation in ONE Spark action.
+
+    Each guard is a tiny single-row aggregate, but a `.first()` apiece
+    pays a whole job's scheduling overhead; unioning the tagged
+    single-row results and collecting once keeps the guard cost at one
+    job no matter how many bounds are active."""
+    u = None
+    for key, df in checks:
+        one = df.select(
+            F.lit(key).alias("k"), F.col("val").cast("double").alias("val")
+        )
+        u = one if u is None else u.unionByName(one)
+    return {r["k"]: r["val"] for r in u.collect()}
+
+
+def _raise_hot_self(total: float | None, max_bucket_pairs: int) -> None:
+    if total is not None and total > max_bucket_pairs:
+        raise HotBucketPairsTooLarge(
+            f"bucket self-join over distinct vectors would generate "
+            f"~{int(total):,} candidate pairs (> max_bucket_pairs="
+            f"{max_bucket_pairs:,}); raise n_planes (halves expected "
+            f"bucket width per plane) or max_bucket_pairs deliberately"
+        )
+
+
+def _raise_wide_group(widest: float | None, max_group: int) -> None:
+    if widest is not None and int(widest) > max_group:
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+
+        w = int(widest)
+        raise ExpandedPairsTooLarge(
+            f"widest identical-vector group has {w} members "
+            f"(> max_group={max_group}); expanding would materialize "
+            f"~{w * (w - 1) // 2:,} intra-group pairs — "
+            "consume cosine_neardup_collapsed's (members, rep_pairs) "
+            "form, or pass a larger max_group deliberately"
+        )
 
 
 def cosine_collapse_index(
@@ -185,12 +250,19 @@ def cosine_collapse_index(
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
-    # one shuffle on the vector bits tags every row with its group's least
-    # id; checkpoint cuts the upstream (possibly Arrow-UDF) lineage so the
-    # three consumers (members, reps, bucket join) don't recompute it
+    # ONE shuffle (window on the vector bits tags every row with its
+    # group's least id) and ONE materialization: nrm and bucket are pure
+    # projections, so they ride the same scan instead of a second
+    # checkpoint + join; the single localCheckpoint cuts the upstream
+    # (possibly Arrow-UDF) lineage so the downstream consumers (members,
+    # reps guard agg, bucket self-join both sides) don't recompute it
     w = Window.partitionBy("v")
     tagged = vecs.select(
-        "vec_id", "v", F.min("vec_id").over(w).alias("rep")
+        "vec_id",
+        "v",
+        F.min("vec_id").over(w).alias("rep"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        _bucket_expr(F.col("v"), n_planes, dim).alias("bucket"),
     ).localCheckpoint(eager=True)
     self_sim = F.round(
         dot(F.col("v"), F.col("v"))
@@ -198,12 +270,9 @@ def cosine_collapse_index(
         round_dp,
     )
     members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
-    reps = tagged.where(F.col("vec_id") == F.col("rep")).select("vec_id", "v")
-    buckets = lsh_buckets(reps, n_planes, id_col="vec_id", vec_col="v", dim=dim)
-    norms = reps.select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    tagged_reps = tagged.where(F.col("vec_id") == F.col("rep")).select(
+        "vec_id", "v", "nrm", "bucket"
     )
-    tagged_reps = norms.join(buckets, "vec_id").localCheckpoint(eager=True)
     return members, tagged_reps
 
 
@@ -256,21 +325,9 @@ def _rep_self_pairs(
     """Within-bucket self-join over distinct vectors' reps, with the
     Σ bucket-pairs fail-fast ahead of any quadratic work."""
     if max_bucket_pairs is not None:
-        total = (
-            tagged_reps.groupBy("bucket")
-            .count()
-            .agg(
-                F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
-            )
-            .first()[0]
+        _raise_hot_self(
+            _bucket_pairs_check(tagged_reps).first()[0], max_bucket_pairs
         )
-        if total is not None and total > max_bucket_pairs:
-            raise HotBucketPairsTooLarge(
-                f"bucket self-join over distinct vectors would generate "
-                f"~{int(total):,} candidate pairs (> max_bucket_pairs="
-                f"{max_bucket_pairs:,}); raise n_planes (halves expected "
-                f"bucket width per plane) or max_bucket_pairs deliberately"
-            )
     a, b = tagged_reps.alias("a"), tagged_reps.alias("b")
     pairs = a.join(
         b,
@@ -299,17 +356,7 @@ def _expand_member_pairs(
     plus member products ACROSS each rep pair; ``max_group`` fail-fasts
     the quadratic intra expansion from one linear aggregation."""
     if max_group is not None:
-        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
-
-        widest = members.groupBy("rep").count().agg(F.max("count")).first()[0]
-        if widest is not None and widest > max_group:
-            raise ExpandedPairsTooLarge(
-                f"widest identical-vector group has {widest} members "
-                f"(> max_group={max_group}); expanding would materialize "
-                f"~{widest * (widest - 1) // 2:,} intra-group pairs — "
-                "consume cosine_neardup_collapsed's (members, rep_pairs) "
-                "form, or pass a larger max_group deliberately"
-            )
+        _raise_wide_group(_max_group_check(members).first()[0], max_group)
     m1, m2 = members.alias("m1"), members.alias("m2")
     intra = (
         m1.join(
@@ -413,17 +460,25 @@ def cosine_neardup(
             )
             .where(F.col("sim") >= threshold)
         )
-    members, rep_pairs = cosine_neardup_collapsed(
-        emb,
-        n_planes,
-        threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        round_dp=round_dp,
-        dim=dim,
-        max_bucket_pairs=max_bucket_pairs,
+    members, tagged_reps = cosine_collapse_index(
+        emb, n_planes, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, dim=dim,
     )
-    return _expand_member_pairs(members, rep_pairs, threshold, max_group)
+    # both fail-fast bounds in ONE action (they are tiny aggregates over
+    # the just-checkpointed index); the sub-calls then skip their own
+    checks: list[tuple[str, DataFrame]] = []
+    if max_bucket_pairs is not None:
+        checks.append(("bucket_pairs", _bucket_pairs_check(tagged_reps)))
+    if max_group is not None:
+        checks.append(("max_group", _max_group_check(members)))
+    if checks:
+        totals = _guard_totals(checks)
+        if max_bucket_pairs is not None:
+            _raise_hot_self(totals.get("bucket_pairs"), max_bucket_pairs)
+        if max_group is not None:
+            _raise_wide_group(totals.get("max_group"), max_group)
+    rep_pairs = _rep_self_pairs(tagged_reps, threshold, round_dp, None)
+    return _expand_member_pairs(members, rep_pairs, threshold, None)
 
 
 def cosine_neardup_incremental(
@@ -465,35 +520,46 @@ def cosine_neardup_incremental(
         new_emb, n_planes, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp, dim=dim,
     )
+    # every fail-fast bound — standing-group width, batch-vs-corpus
+    # bucket products (Σ_b new_width_b × corpus_width_b), and the
+    # within-batch self-join/expansion bounds — in ONE Spark action; the
+    # downstream sub-calls then skip their own guards
+    checks: list[tuple[str, DataFrame]] = []
     if max_group is not None:
-        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
-
-        widest = (
-            index_members.groupBy("rep").count().agg(F.max("count")).first()[0]
-        )
-        if widest is not None and widest > max_group:
-            raise ExpandedPairsTooLarge(
-                f"widest standing identical-vector group has {widest} "
-                f"members (> max_group={max_group}); expanding new×old "
-                "pairs would be quadratic — consume rep-level pairs, or "
-                "pass a larger max_group deliberately"
-            )
+        checks.append(("standing_widest", _max_group_check(index_members)))
+        checks.append(("batch_widest", _max_group_check(new_members)))
     if max_bucket_pairs is not None:
-        # cross-join work bound: Σ_b new_width_b × corpus_width_b, from
-        # two tiny per-bucket counts — fail-fast before the join
         nw = new_reps.groupBy("bucket").count().withColumnRenamed("count", "nc")
         cw = index_reps.groupBy("bucket").count().withColumnRenamed("count", "cc")
-        total = (
-            nw.join(cw, "bucket")
-            .agg(F.sum(F.col("nc") * F.col("cc")).alias("p"))
-            .first()[0]
+        cross_check = nw.join(cw, "bucket").agg(
+            F.sum(F.col("nc") * F.col("cc")).alias("val")
         )
-        if total is not None and total > max_bucket_pairs:
-            raise HotBucketPairsTooLarge(
-                f"batch-vs-corpus bucket join would compare ~{int(total):,} "
-                f"rep pairs (> max_bucket_pairs={max_bucket_pairs:,}); "
-                "raise n_planes or max_bucket_pairs deliberately"
-            )
+        checks.append(("cross_pairs", cross_check))
+        checks.append(("batch_pairs", _bucket_pairs_check(new_reps)))
+    if checks:
+        totals = _guard_totals(checks)
+        if max_group is not None:
+            widest = totals.get("standing_widest")
+            if widest is not None and int(widest) > max_group:
+                from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+
+                raise ExpandedPairsTooLarge(
+                    f"widest standing identical-vector group has "
+                    f"{int(widest)} members (> max_group={max_group}); "
+                    "expanding new×old pairs would be quadratic — consume "
+                    "rep-level pairs, or pass a larger max_group deliberately"
+                )
+            _raise_wide_group(totals.get("batch_widest"), max_group)
+        if max_bucket_pairs is not None:
+            total = totals.get("cross_pairs")
+            if total is not None and total > max_bucket_pairs:
+                raise HotBucketPairsTooLarge(
+                    f"batch-vs-corpus bucket join would compare "
+                    f"~{int(total):,} rep pairs (> max_bucket_pairs="
+                    f"{max_bucket_pairs:,}); raise n_planes or "
+                    "max_bucket_pairs deliberately"
+                )
+            _raise_hot_self(totals.get("batch_pairs"), max_bucket_pairs)
     b, c = new_reps.alias("b"), index_reps.alias("c")
     sim = dot(F.col("b.v"), F.col("c.v")) / (F.col("b.nrm") * F.col("c.nrm"))
     rep_cross = (
@@ -523,12 +589,13 @@ def cosine_neardup_incremental(
         )
     )
     # new×new over the SAME batch collapse index (no recompute): the
-    # guarded self-join plus expansion, exactly cosine_neardup's path
+    # self-join plus expansion, exactly cosine_neardup's path — bounds
+    # already enforced by the combined guard action above
     within = _expand_member_pairs(
         new_members,
-        _rep_self_pairs(new_reps, threshold, round_dp, max_bucket_pairs),
+        _rep_self_pairs(new_reps, threshold, round_dp, None),
         threshold,
-        max_group,
+        None,
     )
     return within.unionByName(cross)
 
