@@ -1167,6 +1167,26 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded (OR-amplified) variant: 3 independent 4-plane signatures —
+#: higher recall than the single 6-plane signature at 3× blocking cost
+NEARDUP_BANDS = 3
+NEARDUP_BAND_PLANES = 4
+
+
+def q_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified banded-LSH cosine near-dup: a pair is a candidate if
+    it collides in ANY of the independent hyperplane signatures, then
+    exact-cosine verified — the recall knob on the q_dedup_embed scale
+    path (MinHash-LSH-style banding for embeddings)."""
+    from datayours_spark.functions.similarity import cosine_neardup_banded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_banded(
+        emb, n_planes=NEARDUP_BAND_PLANES, n_bands=NEARDUP_BANDS,
+        threshold=NEARDUP_THRESHOLD, dim=_emb_dim(sf_dir),
+    )
+
+
 #: incremental embedding near-dup fixture: the "new batch" is every
 #: (vec_id % MOD == 0) corpus vector re-identified past OFFSET — each
 #: batch vector is bit-identical to its source, exercising the
@@ -2713,6 +2733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
+        # --- new in r6, selfcheck-verified; rotate into the window r7 ---
+        "q_dedup_embed_banded": q_dedup_embed_banded,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3633,6 +3655,47 @@ def oracle_sql() -> dict[str, str]:
                                                       p -> p[1] * p[2]),
                                        (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
               FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            SELECT id1, id2, sim FROM pairs WHERE sim >= {NEARDUP_THRESHOLD}
+        """,
+        # banded: band b = planes [b*P, (b+1)*P) of the same md5 family,
+        # bit j of band b's bucket = plane b*P+j; candidate iff co-bucketed
+        # in ANY band, then exact-cosine verified (DISTINCT dedups pairs
+        # caught by several bands — sims are identical, same arithmetic)
+        "q_dedup_embed_banded": f"""
+            WITH ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            pl AS (SELECT unnest(generate_series(
+                     0, {NEARDUP_BANDS * NEARDUP_BAND_PLANES - 1})) AS plane),
+            w AS (
+              SELECT vec_id, plane, dim, x,
+                     ((('0x' || substr(md5(plane::VARCHAR || '_' || dim::VARCHAR), 1, 8))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS w
+              FROM ex CROSS JOIN pl),
+            d AS (SELECT vec_id, plane, round(sum(x * w), 9) AS d FROM w GROUP BY 1, 2),
+            bk AS (
+              SELECT vec_id, plane // {NEARDUP_BAND_PLANES} AS band,
+                     CAST(sum(CASE WHEN d > 0
+                              THEN (1::BIGINT << (plane % {NEARDUP_BAND_PLANES}))
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM d GROUP BY 1, 2),
+            n AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     sqrt(list_reduce(list_transform(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x),
+                       (a, c) -> a + c)) AS nrm
+              FROM embeddings),
+            t AS (SELECT n.vec_id, v, nrm, band, bucket FROM n JOIN bk USING (vec_id)),
+            pairs AS (
+              SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2,
+                     round(list_reduce(list_transform(list_zip(a.v, b.v),
+                                                      p -> p[1] * p[2]),
+                                       (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS sim
+              FROM t a JOIN t b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id)
             SELECT id1, id2, sim FROM pairs WHERE sim >= {NEARDUP_THRESHOLD}
         """,
         # incremental == full recompute over (corpus ∪ batch) restricted

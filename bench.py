@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_dm_timeline",
     # round 6 additions
     "q_dedup_embed_incremental",
+    "q_dedup_embed_banded",
 ]
 
 

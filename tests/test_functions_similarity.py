@@ -613,3 +613,149 @@ class TestCosineNeardupIncremental:
                 self._batch(spark), members, reps, n_planes=4, dim=4,
                 max_group=10,
             ).collect()
+
+
+class TestCosineNeardupBanded:
+    """OR-amplified banded LSH: any-band candidacy, exact-cosine verify,
+    identical-vector collapse, recall >= the single-signature path."""
+
+    def _naive_banded(self, spark, emb, n_planes, n_bands, threshold, dim):
+        """Reference computation: per-band buckets via lsh-bucket math on
+        the offset plane slices, any-band candidate union, exact cosine."""
+        from datayours_spark.functions.similarity import (
+            hyperplane_weight_py,
+        )
+
+        rows = emb.collect()
+        import math
+
+        def bucket(v, band):
+            b = 0
+            for j in range(n_planes):
+                p = band * n_planes + j
+                d = round(
+                    sum(x * hyperplane_weight_py(p, k) for k, x in enumerate(v)),
+                    9,
+                )
+                if d > 0:
+                    b |= 1 << j
+            return b
+
+        out = {}
+        for i, ri in enumerate(rows):
+            for rj in rows[i + 1:]:
+                a, b = (ri, rj) if ri["vec_id"] < rj["vec_id"] else (rj, ri)
+                va, vb = a["embedding"], b["embedding"]
+                if not any(
+                    bucket(va, band) == bucket(vb, band)
+                    for band in range(n_bands)
+                ):
+                    continue
+                dp = sum(x * y for x, y in zip(va, vb))
+                na = math.sqrt(sum(x * x for x in va))
+                nb = math.sqrt(sum(x * x for x in vb))
+                sim = round(dp / (na * nb), 4)
+                if sim >= threshold:
+                    out[(a["vec_id"], b["vec_id"])] = sim
+        return out
+
+    def test_banded_equals_naive_banded(self, spark):
+        from datayours_spark.functions.similarity import cosine_neardup_banded
+
+        emb = TestCosineNeardupGuard()._dup_heavy(spark)
+        got = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup_banded(
+                emb, n_planes=3, n_bands=3, threshold=0.25, dim=4
+            ).collect()
+        }
+        want = self._naive_banded(spark, emb, 3, 3, 0.25, 4)
+        assert got == want
+        assert want, "fixture must produce banded pairs"
+
+    def test_banded_recall_beats_single_signature(self, spark):
+        """On the fixture embeddings, banding must recover at least as
+        many true near-dup pairs (vs the brute-force ground truth) as
+        ONE signature with the same total plane budget."""
+        from datayours_spark.functions.similarity import (
+            cosine_neardup,
+            cosine_neardup_banded,
+        )
+
+        emb = _emb(spark).limit(150)
+        dim = len(emb.select("embedding").first()[0])
+        thr = 0.3
+        # ground truth: all pairs >= thr (no blocking)
+        import math
+
+        rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+        truth = set()
+        for i, (ia, va) in enumerate(rows):
+            for ib, vb in rows[i + 1:]:
+                dp = sum(x * y for x, y in zip(va, vb))
+                s = dp / (
+                    math.sqrt(sum(x * x for x in va))
+                    * math.sqrt(sum(x * x for x in vb))
+                )
+                if round(s, 4) >= thr:
+                    truth.add((min(ia, ib), max(ia, ib)))
+        single = {
+            (r["id1"], r["id2"])
+            for r in cosine_neardup(
+                emb, n_planes=12, threshold=thr, dim=dim
+            ).collect()
+        }
+        banded = {
+            (r["id1"], r["id2"])
+            for r in cosine_neardup_banded(
+                emb, n_planes=4, n_bands=3, threshold=thr, dim=dim
+            ).collect()
+        }
+        assert truth, "fixture must have true near-dup pairs"
+        assert banded <= truth and single <= truth  # no false positives
+        assert len(banded & truth) >= len(single & truth)
+        # with a 12-plane single signature recall should strictly improve
+        assert len(banded & truth) > len(single & truth)
+
+    def test_banded_guard_trips(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import ExpandedPairsTooLarge
+        from datayours_spark.functions.similarity import (
+            HotBucketPairsTooLarge,
+            cosine_neardup_banded,
+        )
+
+        # 40 DISTINCT near-parallel vectors: one hot bucket PER BAND
+        rows = [(i, [1.0, 1.0, 1.0, 1.0 + i * 1e-4]) for i in range(40)]
+        emb = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(HotBucketPairsTooLarge, match="candidate pairs"):
+            cosine_neardup_banded(
+                emb, n_planes=3, n_bands=3, dim=4, max_bucket_pairs=100
+            ).collect()
+        wide = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]
+            + [(100, [9.0, -9.0, 9.0, -9.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        with pytest.raises(ExpandedPairsTooLarge, match="identical-vector"):
+            cosine_neardup_banded(
+                wide, n_planes=3, n_bands=3, dim=4, max_group=10
+            ).collect()
+
+    def test_banded_collapse_is_exact(self, spark):
+        """Dup-heavy corpus: the collapsed banded path must equal the
+        naive banded computation (collapse exactness under banding)."""
+        from datayours_spark.functions.similarity import cosine_neardup_banded
+
+        emb = TestCosineNeardupGuard()._dup_heavy(spark)
+        got = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup_banded(
+                emb, n_planes=2, n_bands=4, threshold=0.25, dim=4
+            ).collect()
+        }
+        want = self._naive_banded(spark, emb, 2, 4, 0.25, 4)
+        assert got == want
