@@ -1728,6 +1728,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup flags for a new batch against the standing corpus under a
+    FROZEN corpus-trained quantizer — keep-lowest-id makes standing flags
+    immutable, so the batch is assigned by the broadcast centroids and
+    compared only within its touched clusters (cost ∝ batch, never
+    corpus).  Same bit-identical-batch fixture as
+    q_dedup_embed_incremental; the oracle is the full recompute over
+    (corpus ∪ batch) restricted to batch rows."""
+    from datayours_spark.functions.similarity import (
+        semdedup_incremental,
+        semdedup_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ann_centroids(spark, sf_dir)
+    idx = semdedup_index(
+        emb, cent, assignments=_ann_assignments(spark, sf_dir)
+    )
+    batch = emb.where(F.col("vec_id") % NEARDUP_INC_MOD == 0).select(
+        (F.col("vec_id") + NEARDUP_INC_OFFSET).alias("vec_id"), "embedding"
+    )
+    return semdedup_incremental(batch, cent, idx, tau=SEMDEDUP_TAU)
+
+
 def q_metrics_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/expand: flat path list, branches get a trailing dot
     (`graphite_cgi.lua:265-283`)."""
@@ -2735,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_render_json": q_render_json,
         # --- new in r6, selfcheck-verified; rotate into the window r7 ---
         "q_dedup_embed_banded": q_dedup_embed_banded,
+        "q_semdedup_incremental": q_semdedup_incremental,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3848,6 +3873,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s LEFT JOIN top tp USING (cluster)
         """,
         "q_semdedup": _semdedup_oracle_sql(),
+        "q_semdedup_incremental": _semdedup_incremental_oracle_sql(),
         "q_ann_ivfpq_rerank": _ivfpq_oracle_sql(rerank_shortlist=ANN_RERANK_SHORTLIST),
         "q_resize_plan": f"""
             WITH a AS (
@@ -4368,6 +4394,33 @@ def _semdedup_oracle_sql() -> str:
                       / (l.nrm * r.nrm), 9) >= {SEMDEDUP_TAU})
         SELECT t.vec_id, t.cluster, (d.vec_id IS NOT NULL) AS is_dup
         FROM t LEFT JOIN dups d ON t.vec_id = d.vec_id""")
+    return ",".join(sqls)
+
+
+def _semdedup_incremental_oracle_sql() -> str:
+    """Full semdedup over (corpus ∪ batch) restricted to batch rows —
+    the strongest oracle for the incremental operator.  The batch is the
+    bit-identical re-identified fixture, so its assignment under the
+    frozen corpus-trained quantizer equals its source vector's (identical
+    vector → identical 9-dp argmax): bt derives straight from t."""
+    dot = DUCK_DOT
+    sqls = _kmeans_coarse_cte_sqls()
+    sqls.append(f"""
+        bt AS (
+          SELECT vec_id + {NEARDUP_INC_OFFSET} AS vec_id, v, nrm, cluster
+          FROM t WHERE vec_id % {NEARDUP_INC_MOD} = 0),
+        uni AS (
+          SELECT vec_id, v, nrm, cluster FROM t
+          UNION ALL
+          SELECT vec_id, v, nrm, cluster FROM bt),
+        dups AS (
+          SELECT DISTINCT r.vec_id
+          FROM uni l JOIN bt r
+            ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+          WHERE round({dot.format(a="l.v", b="r.v")}
+                      / (l.nrm * r.nrm), 9) >= {SEMDEDUP_TAU})
+        SELECT bt.vec_id, bt.cluster, (d.vec_id IS NOT NULL) AS is_dup
+        FROM bt LEFT JOIN dups d ON bt.vec_id = d.vec_id""")
     return ",".join(sqls)
 
 

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # round 6 additions
     "q_dedup_embed_incremental",
     "q_dedup_embed_banded",
+    "q_semdedup_incremental",
 ]
 
 

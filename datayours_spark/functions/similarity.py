@@ -1557,6 +1557,139 @@ def semdedup(
     )
 
 
+def semdedup_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """The standing SemDeDup state: (vec_id, v, nrm, cluster) — the
+    corpus with its coarse assignment, the relation
+    :func:`semdedup_incremental` probes per batch (the SemDeDup member of
+    the standing-index family: ``minhash_index``, ``cosine_collapse_index``)."""
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    return vecs.join(assign, "vec_id")
+
+
+def semdedup_incremental(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup flags for a new batch against a standing corpus, without
+    recomputing the corpus (the SemDeDup member of the incremental
+    family: MinHash, spans, embeddings).
+
+    WHY the standing flags never change (the exactness argument): the
+    keep-lowest-id rule marks x a duplicate iff some LOWER-id same-cluster
+    member has cosine >= tau.  Batch ids are all greater than standing ids
+    (the caller owns id allocation, as everywhere in the family), and the
+    quantizer is FROZEN (centroids trained on the standing corpus — the
+    production shape: retraining would reshuffle every standing
+    assignment), so a new batch changes no standing vector's lower-id
+    neighbor set.  A batch vector b is a duplicate iff some same-cluster
+    member of (corpus ∪ batch) with id < b has 9-dp cosine >= tau —
+    whether that neighbor is itself a duplicate is irrelevant, exactly as
+    in the full recompute.  Hence incremental == full semdedup over
+    (corpus ∪ batch) restricted to batch rows. ∎
+
+    Output: (vec_id, cluster, is_dup) for BATCH vectors only.
+
+    Scale shape: the batch is assigned by the broadcast-centroid
+    projection; the standing side is SEMI-JOINED down to the batch's
+    clusters before the pair join, so per-batch cost is
+    Σ_{touched clusters} batch_width·(standing_width + batch_width) —
+    proportional to the batch and its touched clusters, never the corpus.
+    ``max_cluster`` bounds the widest TOUCHED standing cluster and the
+    widest batch cluster from one combined guard action.
+    """
+    bassign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(new_emb, centroids, id_col, vec_col)
+    )
+    bvecs = (
+        new_emb.select(
+            F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .join(bassign, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    bclusters = bvecs.select("cluster").distinct()
+    touched = index.join(F.broadcast(bclusters), "cluster")
+    if max_cluster is not None:
+        checks = [
+            (
+                "touched_widest",
+                touched.groupBy("cluster").count().agg(
+                    F.max("count").alias("val")
+                ),
+            ),
+            (
+                "batch_widest",
+                bvecs.groupBy("cluster").count().agg(
+                    F.max("count").alias("val")
+                ),
+            ),
+        ]
+        totals = _guard_totals(checks)
+        for key, label in (
+            ("touched_widest", "touched standing"),
+            ("batch_widest", "batch"),
+        ):
+            top = totals.get(key)
+            if top is not None and int(top) > max_cluster:
+                raise SemdedupClusterTooLarge(
+                    f"largest {label} cluster has {int(top)} members "
+                    f"> max_cluster={max_cluster}"
+                )
+    left = touched.select(
+        "cluster", F.col("vec_id").alias("id1"),
+        F.col("v").alias("v1"), F.col("nrm").alias("n1"),
+    ).unionByName(
+        bvecs.select(
+            "cluster", F.col("vec_id").alias("id1"),
+            F.col("v").alias("v1"), F.col("nrm").alias("n1"),
+        )
+    )
+    right = bvecs.select(
+        "cluster", F.col("vec_id").alias("id2"),
+        F.col("v").alias("v2"), F.col("nrm").alias("n2"),
+    )
+    csim = F.round(
+        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+    )
+    dup_ids = (
+        left.join(right, ["cluster"])
+        .where(F.col("id1") < F.col("id2"))
+        .where(csim >= tau)
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        bvecs.select("vec_id", "cluster")
+        .join(dup_ids.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def residual_vectors(
     emb: DataFrame,
     centroids: DataFrame,

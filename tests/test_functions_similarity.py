@@ -759,3 +759,90 @@ class TestCosineNeardupBanded:
         }
         want = self._naive_banded(spark, emb, 2, 4, 0.25, 4)
         assert got == want
+
+
+class TestSemdedupIncremental:
+    """Incremental == full semdedup over (corpus ∪ batch) restricted to
+    batch rows (the family differential contract), under a FROZEN
+    corpus-trained quantizer."""
+
+    def _corpus(self, spark, n=40, dim=6, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def test_incremental_equals_full_restricted(self, spark):
+        from datayours_spark.functions.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+            semdedup,
+            semdedup_incremental,
+            semdedup_index,
+        )
+
+        corpus = self._corpus(spark)
+        # batch: two exact copies of corpus vectors (must flag as dups),
+        # one batch-internal dup pair, one unrelated vector
+        src = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+        rows = [
+            (100, src[3]), (101, src[7]),
+            (102, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5]),
+            (103, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5]),
+        ]
+        batch = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+        cent = kmeans_centroids(corpus, k=3, iters=2)
+        tau = 0.9
+        full = {
+            r["vec_id"]: (r["cluster"], r["is_dup"])
+            for r in semdedup(
+                corpus.unionByName(batch), cent, tau=tau
+            ).collect()
+        }
+        want = {k: v for k, v in full.items() if k >= 100}
+        idx = semdedup_index(corpus, cent)
+        got = {
+            r["vec_id"]: (r["cluster"], r["is_dup"])
+            for r in semdedup_incremental(batch, cent, idx, tau=tau).collect()
+        }
+        assert got == want
+        # the copies really flagged; the batch-internal dup pair flagged
+        # its higher id (103 has same-cluster lower-id 102 at sim 1.0)
+        assert got[100][1] and got[101][1]
+        assert got[103][1]
+        # standing flags are untouched by construction: full over the
+        # union agrees with corpus-only on every standing row
+        standalone = {
+            r["vec_id"]: r["is_dup"]
+            for r in semdedup(corpus, cent, tau=tau).collect()
+        }
+        assert {k: v[1] for k, v in full.items() if k < 100} == standalone
+
+    def test_guard_trips_on_touched_cluster(self, spark):
+        import pytest
+
+        from datayours_spark.functions.similarity import (
+            SemdedupClusterTooLarge,
+            kmeans_centroids,
+            semdedup_incremental,
+            semdedup_index,
+        )
+
+        corpus = self._corpus(spark, n=60)
+        cent = kmeans_centroids(corpus, k=1, iters=1)  # ONE wide cluster
+        idx = semdedup_index(corpus, cent)
+        batch = spark.createDataFrame(
+            [(200, [0.1] * 6)], "vec_id bigint, embedding array<double>"
+        )
+        with pytest.raises(SemdedupClusterTooLarge, match="touched standing"):
+            semdedup_incremental(
+                batch, cent, idx, tau=0.9, max_cluster=10
+            ).collect()
