@@ -952,11 +952,115 @@ aggregationMethod = sum
     spark.stop()
 
 
+def smoke_banded() -> None:
+    """Isolated: banded (OR-amplified) cosine near-dup vs the
+    single-signature path at SCALE_VECS, with PLANTED near-dup pairs —
+    every odd id is its even predecessor plus ~1/15-amplitude noise
+    (cos ≈ 0.998), so the ground truth is known and RECALL is measured,
+    not asserted.  At that angle one 20-plane signature catches ~65% of
+    planted pairs; 3 OR-ed bands of the same selectivity ~96% — the
+    banded pair set is a strict superset (band 0 IS the single
+    signature's plane slice) at ~n_bands× the blocking cost."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-banded",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        cosine_neardup,
+        cosine_neardup_banded,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    dim = 64
+    anchor = (F.col("id") - F.pmod(F.col("id"), F.lit(2))).cast("string")
+    base = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(anchor, F.lit("nd"), d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.when(
+            F.pmod(F.col("id"), F.lit(2)) == 1,
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(F.col("id").cast("string"), F.lit("nz"), d.cast("string"))
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 15000.0,
+        ).otherwise(F.lit(0.0)),
+    )
+    nd_dir = tempfile.mkdtemp(
+        prefix="scalesmoke_band_", dir="/root/repo/spark-warehouse"
+    )
+    (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(base, noise, lambda a, b: a + b).alias("embedding"),
+        )
+        .write.mode("overwrite")
+        .parquet(nd_dir)
+    )
+    nd = spark.read.parquet(nd_dir)
+    # warm the session (codegen, shuffle machinery) so run order doesn't
+    # bill the first measured pipeline the one-time setup
+    cosine_neardup(nd.limit(2_000), n_planes=20, threshold=0.9, dim=dim).count()
+
+    def _planted_recall(pairs_df) -> float:
+        caught = (
+            pairs_df.where(
+                (F.col("id2") == F.col("id1") + 1)
+                & (F.pmod(F.col("id1"), F.lit(2)) == 0)
+            ).count()
+        )
+        return round(caught / (n_vecs // 2), 4)
+
+    out: dict[str, dict] = {}
+    t = time.perf_counter()
+    single = cosine_neardup(nd, n_planes=20, threshold=0.9, dim=dim)
+    single.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t
+    out["single_20planes"] = {
+        "sec": round(dt, 2), "vecs": n_vecs,
+        "planted_recall": _planted_recall(single),
+    }
+    t = time.perf_counter()
+    banded = cosine_neardup_banded(
+        nd, n_planes=20, n_bands=3, threshold=0.9, dim=dim
+    )
+    banded.write.format("noop").mode("overwrite").save()
+    dt_b = time.perf_counter() - t
+    out["banded_3x20planes"] = {
+        "sec": round(dt_b, 2), "vecs": n_vecs,
+        "planted_recall": _planted_recall(banded),
+        "over_single_ratio": round(dt_b / dt, 2),
+    }
+    shutil.rmtree(nd_dir, ignore_errors=True)
+    print(json.dumps({"metric": "banded cosine near-dup smoke", "ops": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
         smoke_mixed_fetch()
     elif mode == "refresh_routed":
         smoke_refresh_routed()
+    elif mode == "banded":
+        smoke_banded()
     else:
         main()
