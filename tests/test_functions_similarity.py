@@ -1,5 +1,6 @@
 """Similarity/ANN operator tests: determinism and golden behavior."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.similarity import (
@@ -846,3 +847,126 @@ class TestSemdedupIncremental:
             semdedup_incremental(
                 batch, cent, idx, tau=0.9, max_cluster=10
             ).collect()
+
+
+class TestEmbeddingIncrementalDifferential:
+    """Seeded randomized equivalence for the embedding incremental family:
+    random corpora with planted identical groups and near-dup partners;
+    the incremental operators must reproduce the full recompute's answer
+    restricted to the batch, and the banded guarded path its naive
+    computation, at every seed tried."""
+
+    SEEDS = [5, 19, 31]
+
+    def _emb_rows(self, rng, ids, dim=6, dup_pool=None):
+        rows = []
+        for i in ids:
+            r = rng.random()
+            if dup_pool and r < 0.3:
+                v = list(rng.choice(dup_pool))          # exact duplicate
+            elif dup_pool and r < 0.5:
+                base = rng.choice(dup_pool)             # near-dup partner
+                v = [round(x + rng.uniform(-0.02, 0.02), 3) for x in base]
+            else:
+                v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+            rows.append((i, v))
+        return rows
+
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_cosine_incremental_matches_full(self, spark, seed):
+        import random
+
+        from datayours_spark.functions.similarity import (
+            cosine_collapse_index,
+            cosine_neardup,
+            cosine_neardup_incremental,
+        )
+
+        rng = random.Random(seed)
+        pool = [
+            tuple(round(rng.uniform(-1, 1), 3) for _ in range(6))
+            for _ in range(4)
+        ]
+        corpus_rows = self._emb_rows(rng, range(30), dup_pool=pool)
+        batch_rows = self._emb_rows(rng, range(100, 115), dup_pool=pool)
+        schema = "vec_id bigint, embedding array<double>"
+        corpus = spark.createDataFrame(corpus_rows, schema)
+        batch = spark.createDataFrame(batch_rows, schema)
+        kw = dict(n_planes=3, threshold=0.6, dim=6)
+        full = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup(corpus.unionByName(batch), **kw).collect()
+        }
+        want = {k: v for k, v in full.items() if k[0] >= 100 or k[1] >= 100}
+        members, reps = cosine_collapse_index(corpus, 3, dim=6)
+        got = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup_incremental(
+                batch, members, reps, **kw
+            ).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_semdedup_incremental_matches_full(self, spark, seed):
+        import random
+
+        from datayours_spark.functions.similarity import (
+            kmeans_centroids,
+            semdedup,
+            semdedup_incremental,
+            semdedup_index,
+        )
+
+        rng = random.Random(seed)
+        pool = [
+            tuple(round(rng.uniform(-1, 1), 3) for _ in range(6))
+            for _ in range(4)
+        ]
+        schema = "vec_id bigint, embedding array<double>"
+        corpus = spark.createDataFrame(
+            self._emb_rows(rng, range(30), dup_pool=pool), schema
+        )
+        batch = spark.createDataFrame(
+            self._emb_rows(rng, range(100, 115), dup_pool=pool), schema
+        )
+        cent = kmeans_centroids(corpus, k=3, iters=2)
+        tau = 0.95
+        full = {
+            r["vec_id"]: (r["cluster"], r["is_dup"])
+            for r in semdedup(
+                corpus.unionByName(batch), cent, tau=tau
+            ).collect()
+        }
+        want = {k: v for k, v in full.items() if k >= 100}
+        got = {
+            r["vec_id"]: (r["cluster"], r["is_dup"])
+            for r in semdedup_incremental(
+                batch, cent, semdedup_index(corpus, cent), tau=tau
+            ).collect()
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("seed", SEEDS)
+    def test_banded_matches_naive(self, spark, seed):
+        import random
+
+        from datayours_spark.functions.similarity import cosine_neardup_banded
+
+        rng = random.Random(seed)
+        pool = [
+            tuple(round(rng.uniform(-1, 1), 3) for _ in range(6))
+            for _ in range(4)
+        ]
+        schema = "vec_id bigint, embedding array<double>"
+        emb = spark.createDataFrame(
+            self._emb_rows(rng, range(35), dup_pool=pool), schema
+        )
+        got = {
+            (r["id1"], r["id2"]): r["sim"]
+            for r in cosine_neardup_banded(
+                emb, n_planes=2, n_bands=3, threshold=0.5, dim=6
+            ).collect()
+        }
+        want = TestCosineNeardupBanded()._naive_banded(spark, emb, 2, 3, 0.5, 6)
+        assert got == want
