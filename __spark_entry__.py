@@ -613,6 +613,11 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_BANDS, MINHASH_ROWS = 5, 4
 MINHASH_THRESHOLD = 0.5
+#: edit-distance verify stage: normalized-similarity cutoff and the
+#: per-pair cost cap (levenshtein runs on the first EDIT_PREFIX chars —
+#: bounded O(EDIT_PREFIX^2) per candidate pair regardless of doc length)
+EDIT_SIM_THRESHOLD = 0.6
+EDIT_PREFIX = 1000
 
 #: session-scoped dedup SIGNATURE caches (minhash signature table /
 #: 60-bit simhash fingerprints): per-doc signatures are index state —
@@ -682,6 +687,25 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         signatures=_minhash_sigs(spark, sf_dir),
     )
     return dup_clusters(pairs)
+
+
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive near-dup verification: MinHash-LSH candidates
+    re-verified by normalized Levenshtein similarity instead of token-set
+    Jaccard — the verify stage that distinguishes a true edit near-dup
+    from a bag-of-words coincidence (Jaccard scores "a b c" vs "c b a" as
+    1.0; edit similarity does not).  Candidate generation reuses the
+    stored signature table; the per-pair cost is capped at EDIT_PREFIX^2
+    by the prefix bound."""
+    from datayours_spark.functions.dedup import edit_verified_pairs, lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(
+        _minhash_sigs(spark, sf_dir), MINHASH_BANDS, MINHASH_ROWS
+    )
+    return edit_verified_pairs(
+        cand, docs, threshold=EDIT_SIM_THRESHOLD, prefix_len=EDIT_PREFIX
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2760,6 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6, selfcheck-verified; rotate into the window r7 ---
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
+        "q_neardup_verified": q_neardup_verified,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3192,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_neardup_verified": _edit_verify_oracle_sql(),
         # connected components as a recursive transitive-closure CTE: node v
         # belongs to cluster min(reachable ids).  Closure size is bounded by
         # sum of component sizes squared — fine for an oracle at sf0.01.
@@ -4686,6 +4712,23 @@ def _minhash_oracle_sql() -> str:
                        / len(list_distinct(s1.s || s2.s)), 4) AS jaccard
           FROM cand JOIN sets s1 ON id1 = s1.doc_id JOIN sets s2 ON id2 = s2.doc_id)
         SELECT id1, id2, jaccard FROM j WHERE jaccard >= {MINHASH_THRESHOLD}
+    """
+
+
+def _edit_verify_oracle_sql() -> str:
+    """DuckDB mirror of q_neardup_verified: identical candidate CTEs to
+    _minhash_oracle_sql (shared banding constants), with the Jaccard
+    verify tail swapped for the prefix-capped Levenshtein verify — both
+    engines implement classic character-level edit distance."""
+    head, _ = _minhash_oracle_sql().split("sets AS (", 1)
+    return head + f"""txt AS (SELECT doc_id, substr(text, 1, {EDIT_PREFIX}) AS t
+                 FROM documents),
+        v AS (
+          SELECT id1, id2, levenshtein(t1.t, t2.t)::BIGINT AS lev,
+                 round(1.0 - levenshtein(t1.t, t2.t) * 1.0
+                       / greatest(len(t1.t), len(t2.t), 1), 4) AS edit_sim
+          FROM cand JOIN txt t1 ON id1 = t1.doc_id JOIN txt t2 ON id2 = t2.doc_id)
+        SELECT id1, id2, lev, edit_sim FROM v WHERE edit_sim >= {EDIT_SIM_THRESHOLD}
     """
 
 

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "q_dedup_embed_incremental",
     "q_dedup_embed_banded",
     "q_semdedup_incremental",
+    "q_neardup_verified",
 ]
 
 

@@ -66,7 +66,7 @@ FAMILIES = {
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",
         "q_minhash_guarded", "q_simhash_guarded", "q_simhash_neardup",
-        "q_ngram_jaccard", "q_dedup_report",
+        "q_ngram_jaccard", "q_dedup_report", "q_neardup_verified",
     ],
     "span_dedup": [
         "q_span_mask", "q_span_removed", "q_span_incremental",

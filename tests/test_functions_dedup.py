@@ -657,3 +657,62 @@ class TestNgramJaccardDifferential:
             ).collect()
         }
         assert guarded == plain
+
+
+class TestEditVerifiedPairs:
+    """edit_verified_pairs: the order-sensitive verify stage."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 1-token edit of 1
+            (3, "dog lazy the over jumps fox brown quick the"),  # reorder of 1
+            (4, "entirely unrelated text about spark plans"),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _all_pairs(self, spark):
+        ids = [1, 2, 3, 4]
+        return spark.createDataFrame(
+            [(a, b) for a in ids for b in ids if a < b], "id1 bigint, id2 bigint"
+        )
+
+    def test_edit_beats_jaccard_on_reorder(self, spark):
+        from datayours_spark.functions.dedup import edit_verified_pairs, jaccard_pairs
+
+        docs = self._docs(spark)
+        pairs = self._all_pairs(spark)
+        jac = {(r.id1, r.id2): r.jaccard for r in jaccard_pairs(pairs, docs).collect()}
+        # token-set Jaccard cannot tell the reorder (1,3) from identity...
+        assert jac[(1, 3)] == 1.0
+        edit = {
+            (r.id1, r.id2): r.edit_sim
+            for r in edit_verified_pairs(pairs, docs, threshold=0.0).collect()
+        }
+        # ...but edit similarity scores the true edit far above the reorder
+        assert edit[(1, 2)] > 0.9
+        assert edit[(1, 3)] < edit[(1, 2)]
+
+    def test_threshold_and_schema(self, spark):
+        from datayours_spark.functions.dedup import edit_verified_pairs
+
+        docs = self._docs(spark)
+        out = edit_verified_pairs(self._all_pairs(spark), docs, threshold=0.9)
+        rows = out.collect()
+        assert {(r.id1, r.id2) for r in rows} == {(1, 2)}
+        assert dict(out.dtypes)["lev"] == "bigint"
+
+    def test_prefix_cap_bounds_comparison(self, spark):
+        from datayours_spark.functions.dedup import edit_verified_pairs
+
+        # identical 1000-char prefixes, wildly different tails: the capped
+        # verify must score them identical (per-pair cost is the CAP, not
+        # the doc length)
+        base = "tok " * 300  # 1200 chars
+        docs = spark.createDataFrame(
+            [(1, base + "alpha " * 500), (2, base + "omega " * 900)],
+            "doc_id bigint, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id1 bigint, id2 bigint")
+        row = edit_verified_pairs(pairs, docs, threshold=0.0, prefix_len=1000).collect()[0]
+        assert row.lev == 0 and row.edit_sim == 1.0
