@@ -1145,6 +1145,23 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_pii_injected_docs(spark, sf_dir))
 
 
+VOCAB_V = 20  # induced-vocabulary size for the OOV coverage check
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage screen: induce the exact top-VOCAB_V unigram
+    vocabulary (count DESC, token ASC — unique on any engine), then score
+    every document's out-of-vocabulary token ratio.  High-OOV docs
+    shatter into byte-fallback at training time; this is the signal that
+    routes them out.  One explode+count for the vocab, one broadcast left
+    join + per-doc aggregation for the scores."""
+    from datayours_spark.functions.text import oov_rate, vocab_topv
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_topv(docs, VOCAB_V)
+    return oov_rate(docs, vocab)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL frequency over the corpus — the domain-blocklist /
     overrepresentation screen of a pre-training pipeline.  URLs are
@@ -2785,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_neardup_verified": q_neardup_verified,
+        "q_oov_rate": q_oov_rate,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -2942,6 +2960,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_pii_scrub": pii_sql,
         "q_url_stats": url_sql,
+        "q_oov_rate": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            v AS (
+              SELECT tok FROM (
+                SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+                FROM tok GROUP BY tok)
+              WHERE rk <= {VOCAB_V}),
+            j AS (
+              SELECT t.doc_id, v.tok IS NOT NULL AS known
+              FROM tok t LEFT JOIN v ON t.tok = v.tok)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN known THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+                   round(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1.0
+                         / count(*), 4) AS oov_ratio
+            FROM j GROUP BY doc_id
+        """,
         "q_ingest_parse": f"""
             WITH dp AS ({DP_USER}),
             lines AS (

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q_dedup_embed_banded",
     "q_semdedup_incremental",
     "q_neardup_verified",
+    "q_oov_rate",
 ]
 
 

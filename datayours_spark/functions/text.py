@@ -12,7 +12,7 @@ the final per-group aggregates the caller adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import md5_int32
@@ -391,4 +391,66 @@ def url_domains(
         ).alias("url"),
     ).withColumn(
         "domain", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    )
+
+
+def vocab_topv(docs: DataFrame, v: int, text_col: str = "text") -> DataFrame:
+    """Exact top-``v`` unigram vocabulary by corpus frequency: (tok, n, rk).
+
+    Vocabulary induction for tokenizer-coverage checks — the deterministic
+    (count DESC, tok ASC) tiebreak makes the induced vocab unique, so any
+    engine re-derives the identical token set.
+
+    Scale shape: one explode feeding one map-side-combined count
+    aggregation; the ranking window runs over DISTINCT TOKENS (vocabulary
+    scale — ~10^5-10^6 rows even for a 100 TB corpus), not documents, so
+    the single-partition sort is model-state-sized like the centroid and
+    stratum tables elsewhere."""
+    counts = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= v)
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against an induced (or given)
+    vocabulary: (doc_id, n_tokens, n_oov, oov_ratio).
+
+    The tokenizer-fit signal: a doc whose tokens mostly fall outside the
+    vocabulary will shatter into long byte-fallback sequences at training
+    time — high-OOV docs are re-routed or dropped before they burn
+    context budget.  ``vocab`` is any (tok) DataFrame (typically
+    :func:`vocab_topv` output).
+
+    Scale shape: explode → BROADCAST left join on the vocabulary-sized
+    token list → one groupBy(doc_id) aggregation — a single corpus
+    shuffle; the vocab never shuffles the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    )
+    known = F.broadcast(vocab.select("tok").withColumn("_known", F.lit(1)))
+    hit = F.sum(F.when(F.col("_known").isNull(), 1).otherwise(0))
+    return (
+        toks.join(known, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            hit.cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4),
+        )
     )

@@ -90,3 +90,26 @@ class TestUrlDomains:
             [(1, "x https://h.io/a/b tail")], "doc_id bigint, text string"
         )
         assert url_domains(df).collect()[0]["url"] == "https://h.io/a/b"
+
+
+class TestOovRate:
+    def test_induced_vocab_and_ratios(self, spark):
+        from datayours_spark.functions.text import oov_rate, vocab_topv
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b b c"),       # a:3 b:2 c:1
+                (2, "a b zz qq"),          # 2 oov of 4 under V=3
+                (3, "zz zz zz"),           # all oov under V=3 (zz:3 ties a:4? no)
+            ],
+            "doc_id bigint, text string",
+        )
+        # corpus counts: a:4 b:3 zz:4 c:1 qq:1 — top-3 by (n DESC, tok ASC)
+        # is a(4), zz(4), b(3); deterministic tiebreak a < zz
+        vocab = vocab_topv(docs, 3)
+        assert {r.tok for r in vocab.collect()} == {"a", "zz", "b"}
+        out = {r.doc_id: r for r in oov_rate(docs, vocab).collect()}
+        assert out[1].n_oov == 1 and out[1].n_tokens == 6   # only c
+        assert out[2].n_oov == 1                             # only qq
+        assert out[3].n_oov == 0
+        assert out[2].oov_ratio == 0.25
