@@ -1054,6 +1054,57 @@ def smoke_banded() -> None:
     spark.stop()
 
 
+def smoke_edit_verify() -> None:
+    """Isolated: the Levenshtein verify stage over MinHash-LSH candidates
+    at SCALE_DOCS, with PLANTED near-dup pairs (synthetic_documents pairs
+    ids f/f+1 for f%10==0: 48 of 50 tokens shared, so edit_sim ≈ 0.96 ≫
+    the 0.6 gate) — measures candidate count, verified count, planted
+    recall, and verify-stage pair throughput.  The claim under test:
+    stage cost is LINEAR in candidates (prefix-capped per-pair work),
+    so pairs/s should hold as SCALE_DOCS grows."""
+    spark = get_spark(
+        "scalesmoke-editverify",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.dedup import (
+        edit_verified_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = synthetic_documents(spark, N_DOCS).localCheckpoint(eager=True)
+    sigs = minhash_signatures(docs, k=20)
+    t0 = time.time()
+    cand = lsh_candidate_pairs(
+        sigs, bands=5, rows=4, collapse_identical=True
+    ).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    dt_cand = time.time() - t0
+
+    t0 = time.time()
+    ver = edit_verified_pairs(cand, docs, threshold=0.6).localCheckpoint(eager=True)
+    n_ver = ver.count()
+    dt_ver = time.time() - t0
+
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2")
+    )
+    n_planted = planted.count()
+    hit = ver.join(planted, ["id1", "id2"], "left_semi").count()
+
+    out = {
+        "n_docs": N_DOCS,
+        "candidates": n_cand,
+        "candidate_s": round(dt_cand, 1),
+        "verified": n_ver,
+        "verify_s": round(dt_ver, 1),
+        "verify_pairs_per_s": int(n_cand / max(dt_ver, 1e-9)),
+        "planted_recall": round(hit / max(n_planted, 1), 4),
+    }
+    print(json.dumps({"metric": "edit-distance verify smoke", "ops": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
@@ -1062,5 +1113,7 @@ if __name__ == "__main__":
         smoke_refresh_routed()
     elif mode == "banded":
         smoke_banded()
+    elif mode == "edit_verify":
+        smoke_edit_verify()
     else:
         main()
