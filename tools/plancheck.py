@@ -182,6 +182,22 @@ def main() -> None:
     )
     plan = plan_of(registry["q_contamination"](spark, SF_DIR))
     check("contamination eval set broadcasts", "BroadcastHashJoin" in plan)
+    # edit-distance verify: the corpus text sides must NEVER be a broadcast
+    # build (impossible at real scale; the shuffle_hash hint pins it) —
+    # broadcast is fine only for tiny literal sides, of which this plan
+    # has none
+    # (the plan's one BroadcastHashJoin is the upstream band-bucket join,
+    # whose signature side is legitimately tiny; the two doc-text joins
+    # are the ones that must shuffle)
+    plan = plan_of(registry["q_neardup_verified"](spark, SF_DIR))
+    check(
+        "edit verify joins both doc-text sides via shuffle",
+        len(re.findall(r"ShuffledHashJoin", plan)) >= 2,
+    )
+    # OOV rate: the vocabulary side must broadcast (vocab-sized model
+    # state), and the corpus-side explode must not shuffle twice
+    plan = plan_of(registry["q_oov_rate"](spark, SF_DIR))
+    check("oov vocab joins as broadcast", "BroadcastHashJoin" in plan)
 
     # ---- 6c. round-2 operators --------------------------------------------
     # guarded dedup: the expansion joins must be plain equi-joins (hash
