@@ -1146,6 +1146,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_V = 20  # induced-vocabulary size for the OOV coverage check
+CHUNK_WINDOW, CHUNK_STRIDE = 32, 16  # retrieval chunking: 50% overlap
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval/embedding pipelines:
+    overlapping CHUNK_WINDOW-token chunks every CHUNK_STRIDE tokens, with
+    integer-arithmetic chunk identity (any engine re-derives the same
+    chunk table).  One generator projection, zero shuffles."""
+    from datayours_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
 
 
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2803,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_neardup_verified": q_neardup_verified,
         "q_oov_rate": q_oov_rate,
+        "q_chunk_docs": q_chunk_docs,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -2977,6 +2990,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1.0
                          / count(*), 4) AS oov_ratio
             FROM j GROUP BY doc_id
+        """,
+        "q_chunk_docs": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, n, {CHUNK_STRIDE})) AS s1
+              FROM t)
+            SELECT doc_id,
+                   ((s1 - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_no,
+                   (s1 - 1)::BIGINT AS chunk_start,
+                   len(t[s1 : s1 + {CHUNK_WINDOW - 1}])::BIGINT AS n_chunk_tokens,
+                   array_to_string(t[s1 : s1 + {CHUNK_WINDOW - 1}], ' ') AS chunk_text
+            FROM s
         """,
         "q_ingest_parse": f"""
             WITH dp AS ({DP_USER}),

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_semdedup_incremental",
     "q_neardup_verified",
     "q_oov_rate",
+    "q_chunk_docs",
 ]
 
 

@@ -454,3 +454,42 @@ def oov_rate(
             F.round(F.col("n_oov") / F.col("n_tokens"), 4),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: (doc_id, chunk_no, chunk_start,
+    n_chunk_tokens, chunk_text) — one row per overlapping ``window``-token
+    chunk, starts every ``stride`` tokens.
+
+    The retrieval/embedding pre-step: long documents are embedded and
+    indexed per chunk, with the overlap (window > stride) preserving
+    context across chunk boundaries.  Chunk identity is pure integer
+    arithmetic on the token index (chunk_no = chunk_start div stride), so
+    any engine re-derives the same chunk set — the chunk table can serve
+    as a stable join key for embeddings computed elsewhere.
+
+    Scale shape: ONE generator projection (sequence + explode) with no
+    shuffle at all — chunking streams through the scan, and the output
+    size is bounded at ~n_tokens/stride rows per doc.  The final chunk
+    may be shorter than ``window`` (tail), never empty."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(int(stride)))
+    chunk = F.slice("_t", F.col("_s0") + 1, int(window))
+    return (
+        d.select("doc_id", "_t", F.explode(starts).alias("_s0"))
+        .select(
+            "doc_id",
+            F.expr(f"_s0 div {int(stride)}").cast("bigint").alias("chunk_no"),
+            F.col("_s0").cast("bigint").alias("chunk_start"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )

@@ -94,7 +94,7 @@ FAMILIES = {
         "q_tfidf_terms", "q_top_ngrams", "q_repetition_filter",
         "q_token_histogram", "q_unigram_logprob", "q_bigram_logprob",
         "q_corpus_clean", "q_adaptive_quality", "q_quantile_profile",
-        "q_daily_active", "q_sliding_rate", "q_oov_rate",
+        "q_daily_active", "q_sliding_rate", "q_oov_rate", "q_chunk_docs",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",

@@ -113,3 +113,38 @@ class TestOovRate:
         assert out[2].n_oov == 1                             # only qq
         assert out[3].n_oov == 0
         assert out[2].oov_ratio == 0.25
+
+
+class TestChunkDocuments:
+    def test_overlap_and_tail(self, spark):
+        from datayours_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(10))), (2, "only three toks")],
+            "doc_id bigint, text string",
+        )
+        rows = sorted(
+            chunk_documents(docs, window=4, stride=2).collect(),
+            key=lambda r: (r.doc_id, r.chunk_no),
+        )
+        d1 = [r for r in rows if r.doc_id == 1]
+        # starts 0,2,4,6,8 — full windows until the tail
+        assert [r.chunk_start for r in d1] == [0, 2, 4, 6, 8]
+        assert d1[0].chunk_text == "t0 t1 t2 t3"
+        assert d1[1].chunk_text == "t2 t3 t4 t5"       # 50% overlap
+        assert d1[-1].chunk_text == "t8 t9"            # short tail, never empty
+        assert d1[-1].n_chunk_tokens == 2
+        d2 = [r for r in rows if r.doc_id == 2]
+        assert [(r.chunk_start, r.n_chunk_tokens) for r in d2] == [(0, 3), (2, 1)]
+
+    def test_chunk_identity_is_reconstructible(self, spark):
+        from datayours_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(7, " ".join(f"w{i}" for i in range(37)))], "doc_id bigint, text string"
+        )
+        rows = chunk_documents(docs, window=8, stride=4).collect()
+        toks = [f"w{i}" for i in range(37)]
+        for r in rows:
+            assert r.chunk_no == r.chunk_start // 4
+            assert r.chunk_text == " ".join(toks[r.chunk_start : r.chunk_start + 8])
