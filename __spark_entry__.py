@@ -1147,6 +1147,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_V = 20  # induced-vocabulary size for the OOV coverage check
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 16  # retrieval chunking: 50% overlap
+DUP_NGRAM_N = 2  # duplicate-ngram quality gate: bigram variant
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-bigram fraction — the published
+    boilerplate gate that catches repeated-template docs no single-token
+    repetition filter sees.  Generator projection + two map-side-combined
+    aggregations sharing the doc_id key prefix."""
+    from datayours_spark.functions.text import dup_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=DUP_NGRAM_N)
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2816,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_verified": q_neardup_verified,
         "q_oov_rate": q_oov_rate,
         "q_chunk_docs": q_chunk_docs,
+        "q_dup_ngrams": q_dup_ngrams,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3006,6 +3019,26 @@ def oracle_sql() -> dict[str, str]:
                    len(t[s1 : s1 + {CHUNK_WINDOW - 1}])::BIGINT AS n_chunk_tokens,
                    array_to_string(t[s1 : s1 + {CHUNK_WINDOW - 1}], ' ') AS chunk_text
             FROM s
+        """,
+        "q_dup_ngrams": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            bg AS (
+              SELECT doc_id, n,
+                     unnest([array_to_string(t[i : i + {DUP_NGRAM_N - 1}], ' ')
+                             FOR i IN generate_series(1, n - {DUP_NGRAM_N - 1})]) AS ng
+              FROM t WHERE n >= {DUP_NGRAM_N}),
+            c AS (
+              SELECT doc_id, n, ng, count(*) AS cnt
+              FROM bg GROUP BY 1, 2, 3)
+            SELECT doc_id,
+                   (max(n) - {DUP_NGRAM_N - 1})::BIGINT AS n_ngrams,
+                   sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)::BIGINT AS dup_ngrams,
+                   round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) * 1.0
+                         / (max(n) - {DUP_NGRAM_N - 1}), 4) AS dup_fraction
+            FROM c GROUP BY doc_id
         """,
         "q_ingest_parse": f"""
             WITH dp AS ({DP_USER}),

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_neardup_verified",
     "q_oov_rate",
     "q_chunk_docs",
+    "q_dup_ngrams",
 ]
 
 

@@ -493,3 +493,51 @@ def chunk_documents(
             F.concat_ws(" ", chunk).alias("chunk_text"),
         )
     )
+
+
+def dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document duplicate n-gram fraction: (doc_id, n_ngrams,
+    dup_ngrams, dup_fraction) — the fraction of a doc's n-gram
+    OCCURRENCES whose n-gram appears at least twice in that doc.
+
+    The published boilerplate/repetition quality gate (the duplicate
+    2-/3-/4-gram fractions): a doc assembled from a repeated template
+    scores high here even when no single token dominates, so it
+    complements the top-token repetition filter.  Docs with fewer than
+    ``n`` tokens emit no row (no n-grams exist), identically in any
+    engine.
+
+    Scale shape: one generator projection (the n-gram enumeration is a
+    guarded sequence+transform — no self-join), one (doc_id, ngram)
+    count aggregation, one per-doc rollup; both aggregations map-side
+    combine and share the doc_id-prefixed key."""
+    t = F.split(text_col, " ")
+    starts = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("_n"),
+        F.explode(grams).alias("ng"),
+    )
+    cnt = base.groupBy("doc_id", "ng").agg(
+        F.count("*").alias("cnt"), F.first("_n").alias("_n")
+    )
+    dup = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            (F.first("_n") - (n - 1)).cast("bigint").alias("n_ngrams"),
+            dup.cast("bigint").alias("dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 4),
+        )
+    )

@@ -148,3 +148,33 @@ class TestChunkDocuments:
         for r in rows:
             assert r.chunk_no == r.chunk_start // 4
             assert r.chunk_text == " ".join(toks[r.chunk_start : r.chunk_start + 8])
+
+
+class TestDupNgramStats:
+    def test_bigram_fraction(self, spark):
+        from datayours_spark.functions.text import dup_ngram_stats
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b a b a"),          # bigrams: ab ba ab ba — all dup
+                (2, "u v w x y"),          # all unique
+                (3, "one"),                # no bigrams -> no row
+                (4, "p q r p q"),          # pq qr rp pq: pq dup (2 of 4)
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in dup_ngram_stats(docs, n=2).collect()}
+        assert 3 not in out
+        assert out[1].n_ngrams == 4 and out[1].dup_fraction == 1.0
+        assert out[2].dup_ngrams == 0 and out[2].dup_fraction == 0.0
+        assert out[4].dup_ngrams == 2 and out[4].dup_fraction == 0.5
+
+    def test_trigram_variant(self, spark):
+        from datayours_spark.functions.text import dup_ngram_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b c a b c")], "doc_id bigint, text string"
+        )
+        row = dup_ngram_stats(docs, n=3).collect()[0]
+        # trigrams: abc bca cab abc bca cab abc — all 7 are repeats
+        assert row.n_ngrams == 7 and row.dup_fraction == 1.0
