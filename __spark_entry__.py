@@ -2695,42 +2695,48 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Window policy: the driver oracle-checks the first 50 dict entries
-    # each round (dict-order prefix).  Round 6 rotates in the four
-    # queries added in round 5 (q_dm_timeline / q_pii_scrub / q_url_stats
-    # / q_multimodal_neardup — selfcheck-green, never driver-checked) in
-    # place of four twice-green r5 rows (q_span_removed, q_rollup_meta,
-    # q_sample_uniform_k, q_token_histogram).  With those four green,
-    # every oracle-backed query has earned a driver CORRECTNESS row in
-    # some round (108/108).  The two `no_oracle` approx queries sit at
-    # the very end so no window slot is structurally un-greenable.
-    # Every in-window entry has an oracle_sql() — asserted by
-    # tests/test_entry_contract.py, which also pins a staleness bound:
-    # no operator family may drift more than 2 rounds without driver
-    # coverage.
+    # each round (dict-order prefix).  Round 7 rotates in the six queries
+    # added in round 6 (q_dedup_embed_banded / q_semdedup_incremental /
+    # q_neardup_verified / q_oov_rate / q_chunk_docs / q_dup_ngrams —
+    # selfcheck-green, never driver-checked) plus one query from each of
+    # the four families whose last driver-green row dates to round 4
+    # (q_ingest_parse, q_fetch_grid, q_user_hook, q_tpch_q1), in place of
+    # ten twice-green rows (q_unigram_logprob, q_bigram_logprob,
+    # q_ann_ivf_probe2, q_ann_ivfpq_probe2, q_ann_ivfpq_rerank,
+    # q_ann_recall, q_sample_temperature, q_quota_topk, q_top_ngrams,
+    # q_daily_active).  With these ten green, every oracle-backed query
+    # has earned a driver CORRECTNESS row in some round (115/115) and no
+    # family exceeds the 2-round staleness bound.  The two `no_oracle`
+    # approx queries sit at the very end so no window slot is
+    # structurally un-greenable.  Every in-window entry has an
+    # oracle_sql() — asserted by tests/test_entry_contract.py.
     return {
-        # --- r6 window: the four round-5 queries, first driver check --
+        # --- r7 window: the six round-6 queries, first driver check ---
+        "q_dedup_embed_banded": q_dedup_embed_banded,
+        "q_semdedup_incremental": q_semdedup_incremental,
+        "q_neardup_verified": q_neardup_verified,
+        "q_oov_rate": q_oov_rate,
+        "q_chunk_docs": q_chunk_docs,
+        "q_dup_ngrams": q_dup_ngrams,
+        # --- r7 window: stale-family re-verification ------------------
+        "q_ingest_parse": q_ingest_parse,
+        "q_fetch_grid": q_fetch_grid,
+        "q_user_hook": q_user_hook,
+        "q_tpch_q1": q_tpch_q1,
+        # --- r7 window: recent-green rows kept in-window --------------
         "q_dm_timeline": q_dm_timeline,
         "q_pii_scrub": q_pii_scrub,
         "q_url_stats": q_url_stats,
         "q_multimodal_neardup": q_multimodal_neardup,
-        # --- r6 window: r5-green rows kept in-window ------------------
         "q_span_mask": q_span_mask,
         "q_span_incremental": q_span_incremental,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_bigram_logprob": q_bigram_logprob,
         "q_ann_ivf": q_ann_ivf,
-        "q_ann_ivf_probe2": q_ann_ivf_probe2,
         "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
         "q_ann_ivfpq_res": q_ann_ivfpq_res,
-        "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
-        "q_ann_recall": q_ann_recall,
         "q_semdedup": q_semdedup,
         "q_cluster_topics": q_cluster_topics,
         "q_dedup_embed": q_dedup_embed,
-        # --- r6 window: new this round, first driver check ------------
         "q_dedup_embed_incremental": q_dedup_embed_incremental,
-        # --------------------------------------------------------------
         "q_render_api": q_render_api,
         "q_render_mixed": q_render_mixed,
         "q_series_meta": q_series_meta,
@@ -2747,29 +2753,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_leakage_split": q_leakage_split,
         "q_sample_stratified": q_sample_stratified,
-        "q_sample_temperature": q_sample_temperature,
         "q_token_budget": q_token_budget,
-        "q_quota_topk": q_quota_topk,
         "q_repetition_filter": q_repetition_filter,
         "q_sliding_rate": q_sliding_rate,
         "q_pack_sequences": q_pack_sequences,
         "q_shard_balance": q_shard_balance,
         "q_shard_manifest": q_shard_manifest,
-        "q_top_ngrams": q_top_ngrams,
         "q_quantile_profile": q_quantile_profile,
         "q_adaptive_quality": q_adaptive_quality,
-        "q_daily_active": q_daily_active,
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_dedup_report": q_dedup_report,
-        # --- past the window: green driver row in r1–r5 --------------
+        # --- past the window: green driver row in r1–r6 --------------
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_ann_ivf_probe2": q_ann_ivf_probe2,
+        "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
+        "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+        "q_ann_recall": q_ann_recall,
+        "q_sample_temperature": q_sample_temperature,
+        "q_quota_topk": q_quota_topk,
+        "q_top_ngrams": q_top_ngrams,
+        "q_daily_active": q_daily_active,
         "q_rollup_routed": q_rollup_routed,
         "q_span_removed": q_span_removed,
         "q_rollup_meta": q_rollup_meta,
         "q_sample_uniform_k": q_sample_uniform_k,
         "q_token_histogram": q_token_histogram,
-        "q_ingest_parse": q_ingest_parse,
-        "q_fetch_grid": q_fetch_grid,
         "q_rollup_avg": _q_rollup("average"),
         "q_rollup_sum": _q_rollup("sum"),
         "q_rollup_max": _q_rollup("max"),
@@ -2789,7 +2799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rewrite_rules": q_rewrite_rules,
         "q_translation": q_translation,
         "q_interval_algebra": q_interval_algebra,
-        "q_tpch_q1": q_tpch_q1,
         "q_tpch_q3": q_tpch_q3,
         "q_join_enrich": q_join_enrich,
         "q_dedup_exact": q_dedup_exact,
@@ -2801,7 +2810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metrics_index": q_metrics_index,
         "q_resolution_route": q_resolution_route,
         "q_staircase": q_staircase,
-        "q_user_hook": q_user_hook,
         "q_carbon_aggregator": q_carbon_aggregator,
         "q_store_federation": q_store_federation,
         "q_ingest_reject": q_ingest_reject,
@@ -2822,13 +2830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
-        # --- new in r6, selfcheck-verified; rotate into the window r7 ---
-        "q_dedup_embed_banded": q_dedup_embed_banded,
-        "q_semdedup_incremental": q_semdedup_incremental,
-        "q_neardup_verified": q_neardup_verified,
-        "q_oov_rate": q_oov_rate,
-        "q_chunk_docs": q_chunk_docs,
-        "q_dup_ngrams": q_dup_ngrams,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
