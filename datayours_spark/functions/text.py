@@ -402,19 +402,32 @@ def vocab_topv(docs: DataFrame, v: int, text_col: str = "text") -> DataFrame:
     engine re-derives the identical token set.
 
     Scale shape: one explode feeding one map-side-combined count
-    aggregation; the ranking window runs over DISTINCT TOKENS (vocabulary
-    scale — ~10^5-10^6 rows even for a 100 TB corpus), not documents, so
-    the single-partition sort is model-state-sized like the centroid and
-    stratum tables elsewhere."""
+    aggregation, then DISTRIBUTED top-k.  A raw whitespace-token
+    vocabulary over a web-scale corpus reaches 10^8-10^9 distinct tokens
+    (typos/URLs/numbers), so no single task may ever sort the full count
+    table: the top-``v`` selection is expressed as ``orderBy(...).
+    limit(v)``, which Spark plans as ``TakeOrderedAndProject`` — every
+    partition keeps a bounded ``v``-row heap and only partition winners
+    are merged (O(v) memory per task, O(partitions x v) at the merge),
+    regardless of vocabulary size.  (A bare global ranking window would
+    NOT get this bound: Spark 4's InferWindowGroupLimit rewrite only
+    fires for windows with a non-empty partitionSpec, so the previous
+    ``Window.orderBy + row_number`` formulation sorted the entire
+    vocabulary in one task.)  The rank column is then assigned by a
+    window over just the ``v`` selected rows — model-state-sized like
+    the centroid and stratum tables elsewhere.  ``tools/plancheck.py``
+    asserts the TakeOrderedAndProject node is present in the executed
+    plan."""
     counts = (
         docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= v)
+    order = [F.col("n").desc(), F.col("tok").asc()]
+    top = counts.orderBy(*order).limit(int(v))
+    w = Window.orderBy(*order)
+    return top.select(
+        "tok", "n", F.row_number().over(w).cast("long").alias("rk")
     )
 
 
@@ -477,11 +490,18 @@ def chunk_documents(
     Scale shape: ONE generator projection (sequence + explode) with no
     shuffle at all — chunking streams through the scan, and the output
     size is bounded at ~n_tokens/stride rows per doc.  The final chunk
-    may be shorter than ``window`` (tail), never empty."""
+    may be shorter than ``window`` (tail), never empty.  A null text
+    yields zero chunks: ``split(NULL)`` is NULL so ``size`` is -1, and an
+    unguarded ``sequence(0, -2, stride)`` would throw at runtime and kill
+    the whole job for one bad row — the guard below (same discipline as
+    :func:`dup_ngram_stats`) maps it to an empty start list instead."""
     d = docs.select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_t")
     ).withColumn("_n", F.size("_t"))
-    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(int(stride)))
+    starts = F.when(
+        F.col("_n") >= 1,
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(int(stride))),
+    ).otherwise(F.array().cast("array<int>"))
     chunk = F.slice("_t", F.col("_s0") + 1, int(window))
     return (
         d.select("doc_id", "_t", F.explode(starts).alias("_s0"))

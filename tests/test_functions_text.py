@@ -137,6 +137,28 @@ class TestChunkDocuments:
         d2 = [r for r in rows if r.doc_id == 2]
         assert [(r.chunk_start, r.n_chunk_tokens) for r in d2] == [(0, 3), (2, 1)]
 
+    def test_null_text_yields_no_chunks_not_a_crash(self, spark):
+        # split(NULL) -> NULL, size -> -1; an unguarded sequence(0, -2, k)
+        # throws IllegalArgumentException and kills the whole job for one
+        # bad row.  The guard must map null text to zero chunk rows while
+        # leaving other docs (including the empty string, which tokenizes
+        # to one "" token) untouched.
+        from datayours_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, None), (3, "")],
+            "doc_id bigint, text string",
+        )
+        rows = chunk_documents(docs, window=3, stride=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert 2 not in by_doc                      # null text: zero rows
+        assert [r.chunk_text for r in sorted(by_doc[1], key=lambda r: r.chunk_no)] == [
+            "a b c", "c d"
+        ]
+        assert [r.chunk_text for r in by_doc[3]] == [""]   # unchanged
+
     def test_chunk_identity_is_reconstructible(self, spark):
         from datayours_spark.functions.text import chunk_documents
 

@@ -198,6 +198,17 @@ def main() -> None:
     # state), and the corpus-side explode must not shuffle twice
     plan = plan_of(registry["q_oov_rate"](spark, SF_DIR))
     check("oov vocab joins as broadcast", "BroadcastHashJoin" in plan)
+    # ... and vocab induction must be DISTRIBUTED top-k: a bounded
+    # per-partition heap (TakeOrderedAndProject), never a global sort of
+    # the full count table in one task (a web-scale raw vocabulary is
+    # 10^8-10^9 distinct tokens).  Guards the vocab_topv formulation —
+    # Spark 4's WindowGroupLimit rewrite does NOT fire for empty
+    # partitionSpec windows, so an orderBy window there would silently
+    # single-task the whole vocabulary.
+    check(
+        "vocab induction is bounded top-k (TakeOrderedAndProject)",
+        "TakeOrderedAndProject" in plan,
+    )
 
     # ---- 6c. round-2 operators --------------------------------------------
     # guarded dedup: the expansion joins must be plain equi-joins (hash
