@@ -696,12 +696,17 @@ def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a bag-of-words coincidence (Jaccard scores "a b c" vs "c b a" as
     1.0; edit similarity does not).  Candidate generation reuses the
     stored signature table; the per-pair cost is capped at EDIT_PREFIX^2
-    by the prefix bound."""
+    by the prefix bound.  collapse_identical=True engages the hot-bucket
+    guard so a boilerplate-heavy corpus cannot make the candidate
+    self-join quadratic — the pair set is proven identical to the
+    unguarded form (lsh_candidate_pairs docstring), so the oracle is
+    unchanged."""
     from datayours_spark.functions.dedup import edit_verified_pairs, lsh_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(
-        _minhash_sigs(spark, sf_dir), MINHASH_BANDS, MINHASH_ROWS
+        _minhash_sigs(spark, sf_dir), MINHASH_BANDS, MINHASH_ROWS,
+        collapse_identical=True,
     )
     return edit_verified_pairs(
         cand, docs, threshold=EDIT_SIM_THRESHOLD, prefix_len=EDIT_PREFIX

@@ -56,7 +56,9 @@ def cosine_topk(
     pairs = norms.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("qv")), F.col("norm") * F.col("qnorm")
+    )
     ranked = pairs.select(
         "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
     ).withColumn(
@@ -270,8 +272,11 @@ def cosine_collapse_index(
         _bucket_expr(F.col("v"), n_planes, dim).alias("bucket"),
     ).localCheckpoint(eager=True)
     self_sim = F.round(
-        dot(F.col("v"), F.col("v"))
-        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        F.try_divide(
+            dot(F.col("v"), F.col("v")),
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("v"), F.col("v"))),
+        ),
         round_dp,
     )
     members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
@@ -295,9 +300,14 @@ def cosine_neardup_collapsed(
 
     members: (vec_id, rep, self_sim) — every vector mapped to the least
     vec_id with a BIT-IDENTICAL vector; self_sim is the rounded cosine of
-    the group vector with itself (1.0 for any non-zero vector, NaN for the
-    zero vector — the same arithmetic the naive path applies to an
-    identical pair, see the proof in :func:`cosine_neardup`).
+    the group vector with itself (1.0 for any non-zero vector; for the
+    zero vector ``try_divide`` yields NULL — under Spark 4's default ANSI
+    mode a plain division would instead kill the whole job with
+    DIVIDE_BY_ZERO on one bad row — so a zero-vector pair is dropped by
+    the ``sim >= threshold`` filter, the same arithmetic the naive path
+    applies to an identical pair, see the proof in :func:`cosine_neardup`;
+    behavior pinned by
+    ``test_functions_similarity.py::test_zero_vector_pairs_drop``).
     rep_pairs: (id1, id2, sim) near-dup pairs BETWEEN distinct vectors'
     representatives, already threshold-filtered.
 
@@ -339,7 +349,9 @@ def _rep_self_pairs(
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = F.try_divide(
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         pairs.select(
             F.col("a.vec_id").alias("id1"),
@@ -430,7 +442,8 @@ def cosine_neardup(
     2. The naive pair set {(a,b): a<b ∧ bucket(a)=bucket(b) ∧ sim≥t}
        therefore partitions into (i) intra-group pairs — co-bucketed by
        construction, sim = the group vector's self-cosine (bit-identical
-       arithmetic: dot(v,v)/(√dot(v,v)·√dot(v,v)), NaN for zero vectors,
+       arithmetic: try_divide(dot(v,v), √dot(v,v)·√dot(v,v)); for zero
+       vectors that is NULL and the pair falls to the threshold filter,
        exactly as the naive path computes for an identical pair) — and
        (ii) cross-group pairs, present iff the representatives are
        co-bucketed and sim(r1,r2) ≥ t.
@@ -456,7 +469,9 @@ def cosine_neardup(
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        sim = F.try_divide(
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+    )
         return (
             pairs.select(
                 F.col("a.vec_id").alias("id1"),
@@ -543,8 +558,11 @@ def cosine_neardup_banded(
         ],
     ).localCheckpoint(eager=True)
     self_sim = F.round(
-        dot(F.col("v"), F.col("v"))
-        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+        F.try_divide(
+            dot(F.col("v"), F.col("v")),
+            F.sqrt(dot(F.col("v"), F.col("v")))
+            * F.sqrt(dot(F.col("v"), F.col("v"))),
+        ),
         round_dp,
     )
     members = tagged.select("vec_id", "rep", self_sim.alias("self_sim"))
@@ -571,7 +589,9 @@ def cosine_neardup_banded(
             _raise_hot_self(band_total if band_total else None, max_bucket_pairs)
         if max_group is not None:
             _raise_wide_group(totals.get("max_group"), max_group)
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    sim = F.try_divide(
+        dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm")
+    )
     cand = None
     for b in range(n_bands):
         a_, b_ = reps.alias("a"), reps.alias("b")
@@ -675,7 +695,9 @@ def cosine_neardup_incremental(
                 )
             _raise_hot_self(totals.get("batch_pairs"), max_bucket_pairs)
     b, c = new_reps.alias("b"), index_reps.alias("c")
-    sim = dot(F.col("b.v"), F.col("c.v")) / (F.col("b.nrm") * F.col("c.nrm"))
+    sim = F.try_divide(
+        dot(F.col("b.v"), F.col("c.v")), F.col("b.nrm") * F.col("c.nrm")
+    )
     rep_cross = (
         b.join(c, F.col("b.bucket") == F.col("c.bucket"))
         .select(
@@ -931,7 +953,12 @@ def ivf_assign(
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "csim",
-        F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")), 9),
+        F.round(
+            F.try_divide(
+                dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cnorm")
+            ),
+            9,
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("centroid_id")
@@ -999,7 +1026,10 @@ def ivf_topk(
         .withColumn(
             "csim",
             F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
                 9,
             ),
         )
@@ -1017,7 +1047,9 @@ def ivf_topk(
         (F.col("cluster") == F.col("qcluster"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    sim = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnorm"))
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnorm")
+    )
     ranked = cand.select(
         "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
     ).withColumn(
@@ -1122,8 +1154,8 @@ def _argmax_codeword_sql(
             acc = acc + x * x
         dot_sql = _lit_dot_sql(vec_sql, offset, cv, expand, vec_is_exact)
         parts.append(
-            f"named_struct('s', round(({dot_sql}) / ({nrm_sql} * "
-            + f"{math.sqrt(acc)!r}D), 9), 'ni', {-cid})"
+            f"named_struct('s', round(try_divide(({dot_sql}), ({nrm_sql} * "
+            + f"{math.sqrt(acc)!r}D)), 9), 'ni', {-cid})"
         )
     inner = parts[0] if len(parts) == 1 else "greatest(" + ",".join(parts) + ")"
     return f"(-(({inner}).ni))"
@@ -1334,7 +1366,10 @@ def ivfpq_topk(
         .withColumn(
             "csim",
             F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
                 9,
             ),
         )
@@ -1392,7 +1427,8 @@ def ivfpq_topk(
             "query_id",
             "vec_id",
             F.round(
-                F.col("adot") / (F.col("nrm") * F.col("qnorm")), round_dp
+                F.try_divide(F.col("adot"), F.col("nrm") * F.col("qnorm")),
+                round_dp,
             ).alias("sim"),
         )
     )
@@ -1459,7 +1495,10 @@ def ivfpq_rerank_topk(
             "query_id",
             "vec_id",
             F.round(
-                dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnorm")),
+                F.try_divide(
+                    dot(F.col("v"), F.col("qv")),
+                    F.col("nrm") * F.col("qnorm"),
+                ),
                 round_dp,
             ).alias("sim"),
         )
@@ -1538,7 +1577,8 @@ def semdedup(
         F.col("v").alias("v2"), F.col("nrm").alias("n2"),
     )
     csim = F.round(
-        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+        F.try_divide(dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")),
+        9,
     )
     dup_ids = (
         left.join(right, ["cluster"])
@@ -1671,7 +1711,8 @@ def semdedup_incremental(
         F.col("v").alias("v2"), F.col("nrm").alias("n2"),
     )
     csim = F.round(
-        dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 9
+        F.try_divide(dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")),
+        9,
     )
     dup_ids = (
         left.join(right, ["cluster"])
@@ -1791,7 +1832,10 @@ def ivfpq_residual_topk(
         .withColumn(
             "csim",
             F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnorm")),
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
                 9,
             ),
         )
@@ -1848,8 +1892,10 @@ def ivfpq_residual_topk(
             "query_id",
             "vec_id",
             F.round(
-                (F.col("qc_dot") + F.col("rdot"))
-                / (F.col("nrm") * F.col("qnorm")),
+                F.try_divide(
+                    F.col("qc_dot") + F.col("rdot"),
+                    F.col("nrm") * F.col("qnorm"),
+                ),
                 round_dp,
             ).alias("sim"),
         )

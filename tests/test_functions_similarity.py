@@ -429,7 +429,38 @@ class TestCosineNeardupGuard:
         # sanity: intra-group pairs actually present (6 choose 2 from A)
         assert sum(1 for (a, b) in guarded if a < 6 and b < 6) == 15
 
-    def test_guarded_equals_naive_on_real_embeddings(self, spark):
+    def test_zero_vector_pairs_drop(self, spark):
+        """Pin the zero-vector edge: cosine uses try_divide, so a zero
+        norm yields NULL sim (NOT NaN, and NOT an ANSI DIVIDE_BY_ZERO
+        job-kill — under Spark 4's default ANSI mode a plain division
+        here crashed the whole job for one bad row) and identical
+        zero-vector pairs are dropped by the sim >= threshold filter —
+        identically on the guarded and naive paths (ADVICE r6: the
+        docstring previously claimed NaN)."""
+        from datayours_spark.functions.similarity import (
+            cosine_collapse_index, cosine_neardup,
+        )
+
+        rows = [(0, [0.0] * 4), (1, [0.0] * 4), (2, [1.0, 0.0, 0.0, 0.0]),
+                (3, [1.0, 0.0, 0.0, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        kw = dict(n_planes=2, threshold=0.5, dim=4)
+        for collapse in (True, False):
+            pairs = {
+                (r["id1"], r["id2"])
+                for r in cosine_neardup(
+                    emb, collapse_identical=collapse, **kw
+                ).collect()
+            }
+            # the identical non-zero pair survives; zero-vector pair drops
+            assert (2, 3) in pairs, collapse
+            assert (0, 1) not in pairs, collapse
+        # and the collapsed index records NULL (not NaN) self_sim for the
+        # zero group, 1.0 for the non-zero group
+        members, _ = cosine_collapse_index(emb, n_planes=2, dim=4)
+        sims = {r["vec_id"]: r["self_sim"] for r in members.collect()}
+        assert sims[0] is None and sims[1] is None
+        assert sims[2] == 1.0 and sims[3] == 1.0
         """Same differential on the fixture embeddings table (no planted
         structure — exercises the no-duplicates-at-all path)."""
         from datayours_spark.functions.similarity import cosine_neardup
