@@ -28,20 +28,30 @@ writes and the checkpoint commit can neither duplicate rows (the replay
 overwrites the same subdirectories) nor leak half-written files into the
 next batch's index join (uncommitted directories are invisible, and the
 replay recomputes from exactly the inputs the first attempt saw).
+
+Maintenance: `store.BatchStore` folds the per-batch directories into one
+compacted dir every ``compact_every`` batches (watermark compaction —
+see store.py for the crash analysis), so a long-horizon stream's
+per-batch listing/open cost stays bounded instead of growing one
+directory per batch forever.
 """
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datayours_spark.functions.dedup import minhash_incremental, minhash_index
+from datayours_spark.streaming.store import BatchStore
 
 DOC_SCHEMA = "doc_id bigint, text string"
 INDEX_SCHEMA = "doc_id bigint, band int, bh string"
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, jaccard double"
+
+SCHEMAS = {
+    "pairs": PAIRS_SCHEMA, "index": INDEX_SCHEMA, "corpus": DOC_SCHEMA,
+}
 
 
 @dataclass
@@ -57,39 +67,35 @@ class DedupStream:
     threshold: float = 0.5
     shingle_n: int = 3
     seed: int = 42
+    #: fold the per-batch store dirs every N batches (store.BatchStore)
+    compact_every: int | None = 64
+    _store: BatchStore = field(default=None, repr=False)
 
-    def _committed_dirs(self, name: str) -> list[str]:
-        """Batch subdirectories whose write fully committed (_SUCCESS)."""
-        root = os.path.join(self.store_dir, name)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
-        )
+    @property
+    def store(self) -> BatchStore:
+        if self._store is None:
+            self._store = BatchStore(
+                self.spark, self.store_dir, compact_every=self.compact_every
+            )
+        return self._store
 
     def _read_or_empty(self, name: str, schema: str) -> DataFrame:
-        dirs = self._committed_dirs(name)
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return self.store.read_or_empty(name, schema)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
         # idempotence under foreachBatch's at-least-once contract: every
         # sink write is keyed by batch_id; a replay of a fully-committed
-        # batch is a no-op, a replay of a partially-committed batch
-        # overwrites the same subdirectories with identical content (the
-        # inputs are the committed dirs only — exactly what the first
-        # attempt saw, since this batch's own dirs weren't committed)
-        sub = f"batch-{batch_id:012d}"
+        # batch is a no-op (batch_committed also answers True when
+        # compaction already folded the batch — store.py crash window 3),
+        # a replay of a partially-committed batch overwrites the same
+        # subdirectories with identical content (the inputs are the
+        # committed dirs only — exactly what the first attempt saw, since
+        # this batch's own dirs weren't committed)
         dests = {
-            name: os.path.join(self.store_dir, name, sub)
-            for name in ("pairs", "index", "corpus")
+            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
         }
         if all(
-            os.path.isfile(os.path.join(d, "_SUCCESS"))
-            for d in dests.values()
+            self.store.batch_committed(name, batch_id) for name in SCHEMAS
         ):
             return
         new = batch.select("doc_id", "text")
@@ -118,6 +124,7 @@ class DedupStream:
             .parquet(dests["index"])
         )
         new.write.mode("overwrite").parquet(dests["corpus"])
+        self.store.maybe_compact(batch_id, SCHEMAS)
 
     def start(self):
         docs = (

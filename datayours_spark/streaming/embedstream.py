@@ -33,19 +33,22 @@ first batch that completes it.
 Exactly-once: foreachBatch is at-least-once, so every sink write is
 keyed by batch_id (same ``batch-<id>`` + ``_SUCCESS`` discipline as
 DedupStream — see dedupstream.py's docstring for the crash analysis).
+Maintenance: `store.BatchStore` folds the per-batch directories every
+``compact_every`` batches (watermark compaction, crash analysis in
+store.py), and its Hadoop-FileSystem bookkeeping makes the store valid
+on any URI Spark can write, not just local POSIX paths.
 """
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
 from datayours_spark.functions.similarity import (
-    cosine_collapse_index,
-    cosine_neardup_incremental,
+    cosine_neardup_incremental_indexed,
 )
+from datayours_spark.streaming.store import BatchStore
 
 EMB_SCHEMA = "vec_id bigint, embedding array<double>"
 MEMBERS_SCHEMA = "vec_id bigint, rep bigint, self_sim double"
@@ -53,6 +56,10 @@ REPS_SCHEMA = (
     "vec_id bigint, v array<double>, nrm double, bucket bigint"
 )
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, sim double"
+
+SCHEMAS = {
+    "pairs": PAIRS_SCHEMA, "members": MEMBERS_SCHEMA, "reps": REPS_SCHEMA,
+}
 
 
 @dataclass
@@ -67,38 +74,38 @@ class EmbedStream:
     threshold: float = 0.25
     round_dp: int = 4
     dim: int | None = None
+    #: fold the per-batch store dirs every N batches (store.BatchStore)
+    compact_every: int | None = 64
+    _store: BatchStore = field(default=None, repr=False)
 
-    def _committed_dirs(self, name: str) -> list[str]:
-        root = os.path.join(self.store_dir, name)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
-        )
+    @property
+    def store(self) -> BatchStore:
+        if self._store is None:
+            self._store = BatchStore(
+                self.spark, self.store_dir, compact_every=self.compact_every
+            )
+        return self._store
 
     def _read_or_empty(self, name: str, schema: str) -> DataFrame:
-        dirs = self._committed_dirs(name)
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return self.store.read_or_empty(name, schema)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
-        sub = f"batch-{batch_id:012d}"
         dests = {
-            name: os.path.join(self.store_dir, name, sub)
-            for name in ("pairs", "members", "reps")
+            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
         }
         if all(
-            os.path.isfile(os.path.join(d, "_SUCCESS"))
-            for d in dests.values()
+            self.store.batch_committed(name, batch_id) for name in SCHEMAS
         ):
             return
         new = batch.select("vec_id", "embedding")
         members_idx = self._read_or_empty("members", MEMBERS_SCHEMA)
         reps_idx = self._read_or_empty("reps", REPS_SCHEMA)
-        pairs = cosine_neardup_incremental(
+        # the indexed variant returns the batch's own collapse-index rows
+        # alongside the pairs, so each micro-batch builds (and
+        # checkpoints) its collapse window exactly ONCE (round-6 verdict
+        # item #6 — previously cosine_collapse_index ran a second time
+        # for the index append)
+        pairs, new_members, new_reps = cosine_neardup_incremental_indexed(
             new,
             members_idx,
             reps_idx,
@@ -110,12 +117,10 @@ class EmbedStream:
         pairs.write.mode("overwrite").parquet(dests["pairs"])
         # index rows land AFTER the pair emission so the batch never joins
         # itself through the standing index (new×new is handled inside
-        # cosine_neardup_incremental)
-        new_members, new_reps = cosine_collapse_index(
-            new, self.n_planes, round_dp=self.round_dp, dim=self.dim
-        )
+        # the incremental computation)
         new_members.write.mode("overwrite").parquet(dests["members"])
         new_reps.write.mode("overwrite").parquet(dests["reps"])
+        self.store.maybe_compact(batch_id, SCHEMAS)
 
     def start(self):
         emb = (

@@ -30,13 +30,15 @@ Exactly-once: foreachBatch is at-least-once, so every sink write is
 keyed by batch_id (same ``batch-<id>`` + ``_SUCCESS`` discipline as
 DedupStream — see dedupstream.py's docstring for the crash analysis; a
 replay after a partial commit recomputes from the pre-batch index state
-and overwrites, converging to the same bytes).
+and overwrites, converging to the same bytes).  Maintenance:
+`store.BatchStore` folds the per-batch directories every
+``compact_every`` batches (watermark compaction, crash analysis in
+store.py).
 """
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,12 +46,15 @@ from datayours_spark.functions.similarity import (
     semdedup_incremental,
     semdedup_index,
 )
+from datayours_spark.streaming.store import BatchStore
 
 EMB_SCHEMA = "vec_id bigint, embedding array<double>"
 INDEX_SCHEMA = (
     "vec_id bigint, v array<double>, nrm double, cluster bigint"
 )
 FLAGS_SCHEMA = "vec_id bigint, cluster bigint, is_dup boolean"
+
+SCHEMAS = {"flags": FLAGS_SCHEMA, "index": INDEX_SCHEMA}
 
 
 @dataclass
@@ -63,32 +68,27 @@ class SemdedupStream:
     checkpoint_dir: str
     tau: float = 0.3
     max_cluster: int | None = None
+    #: fold the per-batch store dirs every N batches (store.BatchStore)
+    compact_every: int | None = 64
+    _store: BatchStore = field(default=None, repr=False)
 
-    def _committed_dirs(self, name: str) -> list[str]:
-        root = os.path.join(self.store_dir, name)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
-        )
+    @property
+    def store(self) -> BatchStore:
+        if self._store is None:
+            self._store = BatchStore(
+                self.spark, self.store_dir, compact_every=self.compact_every
+            )
+        return self._store
 
     def _read_or_empty(self, name: str, schema: str) -> DataFrame:
-        dirs = self._committed_dirs(name)
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return self.store.read_or_empty(name, schema)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
-        sub = f"batch-{batch_id:012d}"
         dests = {
-            name: os.path.join(self.store_dir, name, sub)
-            for name in ("flags", "index")
+            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
         }
         if all(
-            os.path.isfile(os.path.join(d, "_SUCCESS"))
-            for d in dests.values()
+            self.store.batch_committed(name, batch_id) for name in SCHEMAS
         ):
             return
         new = batch.select("vec_id", "embedding")
@@ -104,6 +104,7 @@ class SemdedupStream:
         semdedup_index(new, self.centroids).write.mode("overwrite").parquet(
             dests["index"]
         )
+        self.store.maybe_compact(batch_id, SCHEMAS)
 
     def start(self):
         emb = (

@@ -25,8 +25,7 @@ subdirectories with identical content.
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +34,7 @@ from datayours_spark.functions.dedup import (
     repeated_spans_incremental,
     shingle_postings,
 )
+from datayours_spark.streaming.store import BatchStore
 
 DOC_SCHEMA = "doc_id bigint, text string"
 POSTINGS_SCHEMA = "doc_id bigint, off int, h bigint"
@@ -42,6 +42,8 @@ SPANS_SCHEMA = (
     "doc_id bigint, start_tok bigint, end_tok bigint, span_tokens bigint,"
     " batch_id bigint"
 )
+
+SCHEMAS = {"spans": SPANS_SCHEMA, "postings": POSTINGS_SCHEMA}
 
 
 @dataclass
@@ -55,32 +57,27 @@ class SpanStream:
     k: int = 8
     min_span: int = 12
     min_docs: int = 2
+    #: fold the per-batch store dirs every N batches (store.BatchStore)
+    compact_every: int | None = 64
+    _store: BatchStore = field(default=None, repr=False)
 
-    def _committed_dirs(self, name: str) -> list[str]:
-        root = os.path.join(self.store_dir, name)
-        if not os.path.isdir(root):
-            return []
-        return sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if os.path.isfile(os.path.join(root, d, "_SUCCESS"))
-        )
+    @property
+    def store(self) -> BatchStore:
+        if self._store is None:
+            self._store = BatchStore(
+                self.spark, self.store_dir, compact_every=self.compact_every
+            )
+        return self._store
 
     def _read_or_empty(self, name: str, schema: str) -> DataFrame:
-        dirs = self._committed_dirs(name)
-        if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+        return self.store.read_or_empty(name, schema)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
-        sub = f"batch-{batch_id:012d}"
         dests = {
-            name: os.path.join(self.store_dir, name, sub)
-            for name in ("spans", "postings")
+            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
         }
         if all(
-            os.path.isfile(os.path.join(d, "_SUCCESS"))
-            for d in dests.values()
+            self.store.batch_committed(name, batch_id) for name in SCHEMAS
         ):
             return
         new = batch.select("doc_id", "text")
@@ -97,6 +94,7 @@ class SpanStream:
             .write.mode("overwrite")
             .parquet(dests["postings"])
         )
+        self.store.maybe_compact(batch_id, SCHEMAS)
 
     def start(self):
         docs = (

@@ -1,0 +1,209 @@
+"""Batch-keyed parquet store shared by the streaming dedup family
+(`DedupStream`, `SpanStream`, `EmbedStream`, `SemdedupStream`), with
+periodic compaction.
+
+The family's exactly-once discipline (dedupstream.py docstring) lands one
+``batch-<id>`` subdirectory per table per micro-batch.  Without
+maintenance a long-horizon stream accumulates one directory per batch
+FOREVER and every batch re-lists and re-opens all of them — a
+small-files + listing bottleneck (round-6 verdict item #4).  This module
+adds the compaction discipline the ingest pipeline already has
+(`stats.compact_series_stats`), adapted to the batch-keyed layout:
+
+Layout per table ``<store_dir>/<name>/``:
+
+- ``batch-<id>``      — one micro-batch's committed rows (`_SUCCESS`)
+- ``compacted-<id>``  — the folded union of every batch with
+  batch_id <= id (and any earlier compacted dir); ``<id>`` is the
+  COMPACTION WATERMARK
+
+Reader view = latest committed ``compacted-<W>`` plus the committed
+``batch-<id>`` dirs with id > W.  Batch dirs at or below the watermark
+are IGNORED even if present — that is what makes every crash window
+safe:
+
+1. Crash mid-compaction write: no ``_SUCCESS`` on the new compacted dir,
+   readers keep the old view; the next trigger simply re-runs.
+2. Crash after the compacted ``_SUCCESS`` but before the old dirs are
+   deleted: readers jump to the new watermark and ignore the
+   now-redundant batch dirs (no double-count); the leftover dirs are
+   garbage-collected opportunistically on the next compaction.
+3. foreachBatch replay of a batch that compaction already folded (its
+   ``batch-<id>`` dir was deleted): ``batch_committed`` answers True via
+   the watermark (id <= W), so the replay is the same no-op it would
+   have been against the original ``_SUCCESS`` marker — rows are never
+   re-emitted or re-appended.
+
+Compaction preserves the reader view EXACTLY (a union of parquet rows is
+re-written, nothing is aggregated), so the family's invariant — union of
+per-batch emissions == full recompute — is untouched; the stream tests
+assert it with compaction forced on.
+
+Concurrency contract (same as ``compact_series_stats``): call
+``maybe_compact`` from INSIDE the foreachBatch callback — the stream
+serializes it with the only appender.
+
+All filesystem bookkeeping (listing, markers, deletes) goes through the
+Hadoop FileSystem API of the path's own scheme, so the store works on
+any URI Spark itself can write (HDFS/S3A/file:), not just local POSIX
+paths (round-6 ADVICE: the previous os.listdir bookkeeping was
+local-only).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BATCH_RE = re.compile(r"^batch-(\d{12})$")
+_COMPACTED_RE = re.compile(r"^compacted-(\d{12})$")
+
+
+@dataclass
+class BatchStore:
+    """Batch-keyed multi-table parquet store with watermark compaction."""
+
+    spark: SparkSession
+    store_dir: str
+    #: fold the per-batch dirs every N batches; None disables
+    compact_every: int | None = 64
+    _fs: object = field(default=None, repr=False)
+    _jpath: object = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        self.store_dir = self.store_dir.rstrip("/")
+
+    # ------------------------------------------------------------ hadoop fs
+    def _path(self, *parts: str):
+        if self._jpath is None:
+            self._jpath = self.spark._jvm.org.apache.hadoop.fs.Path
+        return self._jpath("/".join([self.store_dir, *parts]))
+
+    def _filesystem(self):
+        if self._fs is None:
+            self._fs = self._path().getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+        return self._fs
+
+    def _listdir(self, name: str) -> list[str]:
+        fs = self._filesystem()
+        root = self._path(name)
+        if not fs.exists(root):
+            return []
+        return sorted(
+            st.getPath().getName() for st in fs.listStatus(root)
+        )
+
+    def _has_success(self, name: str, sub: str) -> bool:
+        fs = self._filesystem()
+        return fs.exists(self._path(name, sub, "_SUCCESS"))
+
+    def _delete(self, name: str, sub: str) -> None:
+        self._filesystem().delete(self._path(name, sub), True)
+
+    # ------------------------------------------------------------- layout
+    @staticmethod
+    def batch_sub(batch_id: int) -> str:
+        return f"batch-{batch_id:012d}"
+
+    def batch_dest(self, name: str, batch_id: int) -> str:
+        return "/".join([self.store_dir, name, self.batch_sub(batch_id)])
+
+    def watermark(self, name: str) -> int:
+        """Highest committed compaction watermark for a table (-1: none)."""
+        w = -1
+        for sub in self._listdir(name):
+            m = _COMPACTED_RE.match(sub)
+            if m and self._has_success(name, sub):
+                w = max(w, int(m.group(1)))
+        return w
+
+    def batch_committed(self, name: str, batch_id: int) -> bool:
+        """True when the batch's rows are durably in the reader view —
+        via its own ``_SUCCESS`` or because compaction folded it (crash
+        window 3 in the module docstring)."""
+        if self._has_success(name, self.batch_sub(batch_id)):
+            return True
+        return batch_id <= self.watermark(name)
+
+    def committed_dirs(self, name: str) -> list[str]:
+        """The reader view: latest compacted dir + newer batch dirs."""
+        subs = self._listdir(name)
+        w = -1
+        for sub in subs:
+            m = _COMPACTED_RE.match(sub)
+            if m and self._has_success(name, sub):
+                w = max(w, int(m.group(1)))
+        out = []
+        if w >= 0:
+            out.append("/".join([self.store_dir, name, f"compacted-{w:012d}"]))
+        for sub in subs:
+            m = _BATCH_RE.match(sub)
+            if m and int(m.group(1)) > w and self._has_success(name, sub):
+                out.append("/".join([self.store_dir, name, sub]))
+        return out
+
+    def read_or_empty(self, name: str, schema: str) -> DataFrame:
+        dirs = self.committed_dirs(name)
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    # ---------------------------------------------------------- compaction
+    def compact(self, name: str, schema: str, upto_batch_id: int) -> int:
+        """Fold the reader view at ``upto_batch_id`` into one
+        ``compacted-<upto>`` dir, then GC the folded dirs.  Returns the
+        number of directories folded (0 = nothing to do)."""
+        subs = self._listdir(name)
+        old_w = self.watermark(name)
+        folds = [
+            sub for sub in subs
+            if (m := _BATCH_RE.match(sub))
+            and old_w < int(m.group(1)) <= upto_batch_id
+            and self._has_success(name, sub)
+        ]
+        if folds:
+            srcs = []
+            if old_w >= 0:
+                srcs.append(
+                    "/".join([self.store_dir, name, f"compacted-{old_w:012d}"])
+                )
+            srcs += ["/".join([self.store_dir, name, s]) for s in folds]
+            (
+                self.spark.read.schema(schema).parquet(*srcs)
+                .write.mode("overwrite")
+                .parquet(
+                    "/".join(
+                        [self.store_dir, name, f"compacted-{upto_batch_id:012d}"]
+                    )
+                )
+            )
+        # GC everything the (possibly new) watermark supersedes — also
+        # reclaims leftovers from a crash between a past compaction's
+        # _SUCCESS and its deletes (crash window 2)
+        new_w = self.watermark(name)
+        for sub in self._listdir(name):
+            bm = _BATCH_RE.match(sub)
+            cm = _COMPACTED_RE.match(sub)
+            if bm and int(bm.group(1)) <= new_w:
+                self._delete(name, sub)
+            elif cm and int(cm.group(1)) < new_w:
+                self._delete(name, sub)
+            elif not bm and not cm:
+                continue  # foreign entry: leave it alone
+        return len(folds)
+
+    def maybe_compact(
+        self, batch_id: int, schemas: dict[str, str]
+    ) -> None:
+        """Compact every table when the cadence fires (call from inside
+        the foreachBatch callback, AFTER the batch's own writes)."""
+        if self.compact_every is None or self.compact_every <= 0:
+            return
+        if (batch_id + 1) % self.compact_every != 0:
+            return
+        for name, schema in schemas.items():
+            self.compact(name, schema, batch_id)
