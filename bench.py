@@ -135,18 +135,50 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "datayours_spark bench (headline queries, wall sec)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full precision for local analysis (the stdout line is size-capped)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL_FULL.json"), "w"
+    ) as fh:
+        json.dump(
+            {"metric": "datayours bench", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf_val},
+            fh,
         )
-    )
+    # stop FIRST so no shutdown log lands after the JSON line, then print
+    # the line built by bench_line() — the driver records only the LAST
+    # 2000 chars of stdout, and the r5/r6 captures lost the line head
+    # (and with it the total) once the pretty-printed map outgrew that
+    # window; bench_line() is compact and length-guarded by
+    # tests/test_bench_contract.py
     spark.stop()
+    print(bench_line(total, timings, sf_val), flush=True)
+
+
+def bench_line(total: float, timings: dict[str, float], sf) -> str:
+    """The driver-facing JSON line.  MUST stay well under 2000 chars:
+    the driver keeps only the final 2000 chars of stdout, and a longer
+    line is head-clipped into unparseable JSON (BENCH_r05/r06 were lost
+    this way).  Compact separators, 2-decimal per-query values, and
+    per-query keys WITHOUT the uniform ``q_`` prefix (``tpch_q1`` =
+    ``q_tpch_q1`` in queries(); full names + 3-decimal timings are in
+    BENCH_LOCAL_FULL.json) keep ~80 queries inside the window; the
+    length is pinned by tests/test_bench_contract.py so a future query
+    addition fails loudly here instead of silently losing the round's
+    bench capture."""
+    return json.dumps(
+        {
+            "metric": "datayours bench",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": {
+                n.removeprefix("q_"): round(v, 2) for n, v in timings.items()
+            },
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
 
 
 def _warm_streaming(spark) -> None:

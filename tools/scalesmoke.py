@@ -1105,6 +1105,184 @@ def smoke_edit_verify() -> None:
     spark.stop()
 
 
+def smoke_incremental() -> None:
+    """Isolated: the round-6 incremental embedding family at SCALE_VECS —
+    `cosine_neardup_incremental_indexed` and `semdedup_incremental`
+    against a STANDING index over the full corpus, with batches of
+    0.5% / 1% / 2%.  The claim under test: per-batch wall follows the
+    BATCH (the standing side contributes one bucket/cluster-pruned
+    equi-join), so doubling the batch should roughly double the batch
+    wall while the corpus stays fixed.  Planted cross-batch duplicates
+    (every 3rd batch vector copies a corpus vector bit-for-bit) prove
+    the new×old path actually fires at scale."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-incremental",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        cosine_collapse_index,
+        cosine_neardup_incremental_indexed,
+        kmeans_centroids,
+        semdedup_incremental,
+        semdedup_index,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    dim = 64
+
+    def _vec(prefix: str, key_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            key_col.cast("string"), F.lit(prefix),
+                            d.cast("string"),
+                        )
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0,
+        )
+
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_incr_", dir="/root/repo/spark-warehouse"
+    )
+    corpus_dir = f"{work}/corpus"
+    (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"), _vec("iv", F.col("id")).alias("embedding")
+        )
+        .write.mode("overwrite")
+        .parquet(corpus_dir)
+    )
+    corpus = spark.read.parquet(corpus_dir)
+    out: dict[str, dict] = {}
+
+    # ---- standing state builds (one-time, corpus-linear) -----------------
+    t = time.perf_counter()
+    members, reps = cosine_collapse_index(corpus, n_planes=20, dim=dim)
+    members.write.mode("overwrite").parquet(f"{work}/members")
+    reps.write.mode("overwrite").parquet(f"{work}/reps")
+    out["cosine_index_build"] = {
+        "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
+    }
+    members = spark.read.parquet(f"{work}/members")
+    reps = spark.read.parquet(f"{work}/reps")
+
+    # k ~ sqrt(N) (the SemDeDup cost rule: within-cluster pair count stays
+    # ~N^1.5); a small fixed k at 1.5M would make every batch's
+    # within-cluster comparison set ~1e9 pairs
+    k = max(32, int(n_vecs ** 0.5) // 32 * 32)
+    t = time.perf_counter()
+    cent = kmeans_centroids(
+        corpus.where(F.col("vec_id") % 23 == 0), k=k, iters=2
+    ).localCheckpoint(eager=True)
+    out["quantizer_train_on_sample"] = {
+        "sec": round(time.perf_counter() - t, 2),
+        "sample": n_vecs // 23, "k": k,
+    }
+    t = time.perf_counter()
+    semdedup_index(corpus, cent).write.mode("overwrite").parquet(f"{work}/semidx")
+    out["semdedup_index_build"] = {
+        "sec": round(time.perf_counter() - t, 2), "vecs": n_vecs,
+    }
+    semidx = spark.read.parquet(f"{work}/semidx")
+
+    # ---- per-batch cost vs batch size ------------------------------------
+    for frac_label, denom in (("0.5pct", 200), ("1pct", 100), ("2pct", 50)):
+        b = n_vecs // denom
+        # every 3rd batch vector copies corpus vector j bit-for-bit (the
+        # cross-batch duplicate path); the rest are fresh random vectors
+        batch = (
+            spark.range(b)
+            .select(
+                (F.col("id") + n_vecs).alias("vec_id"),
+                F.when(
+                    F.pmod(F.col("id"), F.lit(3)) == 0, _vec("iv", F.col("id"))
+                )
+                .otherwise(_vec(f"fresh_{frac_label}", F.col("id")))
+                .alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t = time.perf_counter()
+        pairs, bm, br = cosine_neardup_incremental_indexed(
+            batch, members, reps, n_planes=20, threshold=0.9, dim=dim
+        )
+        n_pairs = pairs.count()
+        cos_s = round(time.perf_counter() - t, 2)
+        t = time.perf_counter()
+        flags = semdedup_incremental(batch, cent, semidx, tau=0.9)
+        n_dup = flags.where(F.col("is_dup")).count()
+        sem_s = round(time.perf_counter() - t, 2)
+        out[f"batch_{frac_label}"] = {
+            "batch_vecs": b,
+            "cosine_incremental_s": cos_s,
+            "cosine_pairs": n_pairs,
+            "planted_dups_expected": (b + 2) // 3,
+            "semdedup_incremental_s": sem_s,
+            "semdedup_flagged": n_dup,
+        }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "incremental family smoke", "ops": out}))
+    spark.stop()
+
+
+def smoke_vocab() -> None:
+    """Isolated: vocabulary induction + per-doc OOV scoring at SCALE_DOCS.
+    The synthetic corpus has a ~1M-token raw vocabulary (the token
+    formula runs mod 1_000_003), i.e. vocabulary ≈ corpus at 1.5M docs —
+    exactly the regime where the pre-round-7 global-window formulation
+    would sort the whole count table in ONE task.  The smoke (a) asserts
+    the bounded top-k operator (TakeOrderedAndProject) is in the executed
+    plan at scale, (b) measures induction and scoring wall."""
+    spark = get_spark(
+        "scalesmoke-vocab",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.text import oov_rate, vocab_topv
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    docs = synthetic_documents(spark, n_docs).localCheckpoint(eager=True)
+    v = 50_000
+
+    vocab = vocab_topv(docs, v)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        "vocab induction lost its bounded top-k plan"
+    )
+    t = time.perf_counter()
+    vocab = vocab.localCheckpoint(eager=True)
+    n_vocab = vocab.count()
+    induct_s = round(time.perf_counter() - t, 2)
+
+    t = time.perf_counter()
+    scored = oov_rate(docs, vocab)
+    n_scored = scored.count()
+    high_oov = scored.where(F.col("oov_ratio") > 0.5).count()
+    score_s = round(time.perf_counter() - t, 2)
+    out = {
+        "n_docs": n_docs,
+        "v": v,
+        "vocab_rows": n_vocab,
+        "induction_s": induct_s,
+        "bounded_topk_plan": True,
+        "scored_docs": n_scored,
+        "high_oov_docs": high_oov,
+        "scoring_s": score_s,
+    }
+    print(json.dumps({"metric": "vocab induction smoke", "ops": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
@@ -1115,5 +1293,9 @@ if __name__ == "__main__":
         smoke_banded()
     elif mode == "edit_verify":
         smoke_edit_verify()
+    elif mode == "incremental":
+        smoke_incremental()
+    elif mode == "vocab":
+        smoke_vocab()
     else:
         main()
