@@ -954,6 +954,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing (MOSS) fingerprint parameters: 4-token k-grams, window 4 —
+#: guarantees any shared run of >= 7 tokens contributes a shared
+#: fingerprint; containment 0.5 = half the smaller doc's fingerprints
+WINNOW_K, WINNOW_W, WINNOW_T = 4, 4, 0.5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003):
+    the rightmost-min k-gram hash per w-window, position-aware — the
+    fingerprinting family member that can LOCATE overlap, next to
+    SimHash and MinHash.  One generator projection, zero shuffle."""
+    from datayours_spark.functions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint containment — the MOSS
+    report metric: shared distinct fingerprints / the smaller doc's
+    fingerprint count.  Posting-list equi-join over the winnowed (i.e.
+    ~2/(w+1)-compressed) index, with the sum(df²) fail-fast guard."""
+    from datayours_spark.functions.dedup import winnow_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis bundle: token counts (whitespace + BPE-ish regex),
     quality score, profile-based language ID, rolling-hash fingerprint."""
@@ -2835,6 +2863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
+        # --- new in r7, selfcheck-verified; rotate into the window r8 ---
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_winnow_neardup": q_winnow_neardup,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3469,6 +3500,57 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0
                         / len(list_distinct(a.sh || b.sh)), 4) >= {NGRAM_JACCARD_MIN}
+        """,
+        "q_winnow_fingerprints": f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            )
+            SELECT DISTINCT doc_id,
+              CAST(j + len(sub) - list_position(list_reverse(sub), list_min(sub))
+                   AS BIGINT) AS pos,
+              list_min(sub) AS h
+            FROM subs
+        """,
+        "q_winnow_neardup": f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            ), fps AS (
+              SELECT DISTINCT doc_id, list_min(sub) AS h FROM subs
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT id1, id2, shared,
+                     round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4) AS containment
+              FROM pairs
+              JOIN cnt n1 ON pairs.id1 = n1.doc_id
+              JOIN cnt n2 ON pairs.id2 = n2.doc_id
+            )
+            SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
+            FROM sc WHERE containment >= {WINNOW_T}
         """,
         "q_ann_lsh": f"""
             WITH ex AS (

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q_oov_rate",
     "q_chunk_docs",
     "q_dup_ngrams",
+    # round 7 additions
+    "q_winnow_neardup",
 ]
 
 

@@ -1218,3 +1218,146 @@ def ngram_jaccard_pairs(
         .where(F.col("inter") > 0)
     )
     return _finish(cand)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local fingerprinting algorithm): (doc_id, pos, h), one row
+    per selected k-gram hash.
+
+    Completes the fingerprinting family next to SimHash
+    (:func:`simhash_fingerprint`) and MinHash signatures: winnowing keeps
+    a POSITION-AWARE subset of the k-gram hashes — in every window of
+    ``w`` consecutive k-gram hashes, the RIGHTMOST minimal hash is
+    selected — with the guarantee that any shared substring of at least
+    ``w + k - 1`` tokens contributes at least one shared fingerprint.
+    That makes the fingerprints usable both for near-dup candidate
+    generation (:func:`winnow_neardup`) and for locating WHERE the
+    overlap is (``pos`` is the 1-based token index of the selected
+    k-gram), which MinHash signatures cannot do.
+
+    Determinism / engine parity: hashes are the md5-derived 32-bit
+    integers used across this module, selection is the deterministic
+    rightmost-min rule, and the short-document tail rule is fixed — a doc
+    with at least one k-gram but fewer than ``w`` of them yields one
+    window spanning all its k-gram hashes (so no non-empty document
+    fingerprints to nothing); null/short texts yield zero rows (guarded
+    sequences, no ANSI crash).
+
+    Scale shape: ONE generator projection — the k-gram hashing, window
+    minimization, and dedup all happen in array expressions inside the
+    scan (O(tokens x w) expression work per doc, no shuffle at all); the
+    only shuffle anywhere downstream is whatever consumes the
+    fingerprints.  Output is bounded at ~2/(w+1) of the k-gram count per
+    doc (the winnowing density bound), so the fingerprint table is a
+    corpus-linear, several-fold-compressed index."""
+    t = F.split(text_col, " ")
+    m = F.size(t) - (k - 1)
+    gram_idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        gram_idx, lambda i: md5_int32(F.concat_ws(" ", F.slice(t, i, k)))
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
+    mh = F.size("_h")
+    win_idx = F.when(
+        mh >= 1, F.sequence(F.lit(1), F.greatest(mh - (w - 1), F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _rightmost_min(j):
+        # scan the window left->right; <= keeps the rightmost minimum
+        return F.aggregate(
+            F.sequence(j, F.least(j + (w - 1), mh)),
+            F.struct(
+                F.lit(1 << 62).cast("bigint").alias("h"),
+                F.lit(-1).cast("int").alias("pos"),
+            ),
+            lambda acc, i: F.when(
+                F.element_at(F.col("_h"), i) <= acc["h"],
+                F.struct(
+                    F.element_at(F.col("_h"), i).alias("h"),
+                    i.cast("int").alias("pos"),
+                ),
+            ).otherwise(acc),
+        )
+
+    fp = F.array_distinct(F.transform(win_idx, _rightmost_min))
+    return d.select("doc_id", F.explode(fp).alias("f")).select(
+        "doc_id",
+        F.col("f.pos").cast("bigint").alias("pos"),
+        F.col("f.h").alias("h"),
+    )
+
+
+def winnow_neardup(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_join_pairs: int | None = 50_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint containment:
+    (id1, id2, shared, containment) for every pair whose shared distinct
+    fingerprint count reaches ``threshold`` of the SMALLER doc's
+    fingerprint set (containment — robust to length mismatch, the MOSS
+    report metric).
+
+    Scale shape: the fingerprint table is built in one generator
+    projection (:func:`winnow_fingerprints`), then ONE posting-list
+    equi-join on the fingerprint hash + one pair aggregate.  Join cost is
+    sum over hashes of df² — the same hot-key exposure as every inverted
+    index — so the ``max_join_pairs`` fail-fast measures sum(df·(df-1)/2)
+    in ONE tiny aggregation BEFORE the join and raises
+    :class:`ExpandedPairsTooLarge` on a boilerplate-dominated corpus
+    (route those through span dedup / collapse first, the same guidance
+    as :func:`ngram_jaccard_pairs`)."""
+    fp = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    fp = fp.localCheckpoint(eager=True)
+    if max_join_pairs is not None:
+        total = (
+            fp.groupBy("h")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .first()["p"]
+        )
+        if total is not None and total > max_join_pairs:
+            raise ExpandedPairsTooLarge(
+                f"winnowing posting-list join would compare ~{int(total):,} "
+                f"pairs (> max_join_pairs={max_join_pairs:,}); the corpus "
+                "is boilerplate-dominated — span-dedup or collapse it "
+                "first, or raise max_join_pairs deliberately"
+            )
+    cnt = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
+    n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
+    cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
+    return (
+        shared.join(n1, "id1")
+        .join(n2, "id2")
+        .select(
+            "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -716,3 +716,85 @@ class TestEditVerifiedPairs:
         pairs = spark.createDataFrame([(1, 2)], "id1 bigint, id2 bigint")
         row = edit_verified_pairs(pairs, docs, threshold=0.0, prefix_len=1000).collect()[0]
         assert row.lev == 0 and row.edit_sim == 1.0
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): the
+    rightmost-min selection rule, the short-doc tail rule, the null
+    guard, and the containment near-dup + its fail-fast guard."""
+
+    def test_selection_rule_and_guarantee(self, spark):
+        from datayours_spark.functions.dedup import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "x y a b c d e f")],
+            "doc_id bigint, text string",
+        )
+        fp = winnow_fingerprints(docs, k=3, w=3)
+        rows = {(r.doc_id, r.pos, r.h) for r in fp.collect()}
+        by_doc = {}
+        for d, p, h in rows:
+            by_doc.setdefault(d, set()).add(h)
+        # the winnowing guarantee: docs 1 and 2 share the 6-token run
+        # "a b c d e f" (>= w + k - 1 = 5 tokens), so they MUST share at
+        # least one fingerprint
+        assert by_doc[1] & by_doc[2]
+        # density bound: selections per doc <= number of windows
+        assert all(
+            len([1 for d, _, _ in rows if d == doc]) <= 6 - 3 + 1
+            for doc in (1, 2)
+        )
+
+    def test_short_doc_tail_and_null_guard(self, spark):
+        from datayours_spark.functions.dedup import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"),   # 2 trigrams < w -> ONE window over both
+             (2, "a b"),      # fewer than k tokens -> no fingerprints
+             (3, None)],      # null -> no rows, no ANSI crash
+            "doc_id bigint, text string",
+        )
+        rows = [(r.doc_id, r.pos) for r in winnow_fingerprints(docs, k=3, w=3).collect()]
+        ids = {d for d, _ in rows}
+        assert 2 not in ids and 3 not in ids
+        assert len([1 for d, _ in rows if d == 1]) == 1   # one tail window
+
+    def test_rightmost_min_tiebreak(self, spark):
+        from datayours_spark.functions.dedup import winnow_fingerprints
+
+        # identical k-grams at positions 1 and 3 ("a b a b a"): equal
+        # hashes in one window must select the RIGHTMOST occurrence
+        docs = spark.createDataFrame(
+            [(1, "a b a b a")], "doc_id bigint, text string"
+        )
+        rows = winnow_fingerprints(docs, k=2, w=4).collect()
+        # 4 bigrams (ab ba ab ba), one window of 4, two distinct hashes;
+        # whichever hash is minimal, its selected pos must be its LAST
+        # occurrence (3 for 'a b', 4 for 'b a')
+        assert len(rows) == 1
+        assert rows[0].pos in (3, 4)
+
+    def test_neardup_containment_and_guard(self, spark):
+        import pytest
+
+        from datayours_spark.functions.dedup import (
+            ExpandedPairsTooLarge, winnow_neardup,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"),
+             (2, "a b c d e f g h i k"),
+             (3, "q r s t u v w x y z")],
+            "doc_id bigint, text string",
+        )
+        pairs = {(r.id1, r.id2): r.containment
+                 for r in winnow_neardup(docs, k=3, w=3, threshold=0.3).collect()}
+        assert (1, 2) in pairs and all(k == (1, 2) for k in pairs)
+        # fail-fast: a boilerplate corpus (every doc identical) trips the
+        # sum(df^2) guard before any join
+        boiler = spark.createDataFrame(
+            [(i, "same words every single time here again ok") for i in range(40)],
+            "doc_id bigint, text string",
+        )
+        with pytest.raises(ExpandedPairsTooLarge):
+            winnow_neardup(boiler, k=3, w=3, max_join_pairs=100)
