@@ -982,6 +982,36 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup overlap matrix: for every (source1, source2)
+    pair (unordered, least/greatest-normalized), how many MinHash-LSH
+    near-dup pairs cross them — the which-dumps-duplicate-each-other
+    screen a mixing pipeline runs BEFORE weighting sources (a source
+    whose docs are mostly near-copies of another adds less novel data
+    than its row count suggests).  Reuses the stored signature table and
+    the collapse guard; two source-label joins + one tiny aggregate on
+    top of the near-dup pair set."""
+    from datayours_spark.functions.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(
+        docs, signatures=_minhash_sigs(spark, sf_dir), collapse_identical=True
+    )
+    src = docs.select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("id1"), F.col("source").alias("_s1"))
+    s2 = src.select(F.col("doc_id").alias("id2"), F.col("source").alias("_s2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            F.least("_s1", "_s2").alias("source1"),
+            F.greatest("_s1", "_s2").alias("source2"),
+        )
+        .groupBy("source1", "source2")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis bundle: token counts (whitespace + BPE-ish regex),
     quality score, profile-based language ID, rolling-hash fingerprint."""
@@ -2866,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7, selfcheck-verified; rotate into the window r8 ---
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_neardup": q_winnow_neardup,
+        "q_source_overlap": q_source_overlap,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3352,6 +3383,16 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_source_overlap": f"""
+            WITH pairs AS ({_minhash_oracle_sql()}),
+            lab AS (
+              SELECT least(d1.source, d2.source) AS source1,
+                     greatest(d1.source, d2.source) AS source2
+              FROM pairs JOIN documents d1 ON pairs.id1 = d1.doc_id
+                         JOIN documents d2 ON pairs.id2 = d2.doc_id)
+            SELECT source1, source2, count(*)::BIGINT AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
         "q_neardup_verified": _edit_verify_oracle_sql(),
         # connected components as a recursive transitive-closure CTE: node v
         # belongs to cluster min(reachable ids).  Closure size is bounded by

@@ -67,7 +67,7 @@ FAMILIES = {
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",
         "q_minhash_guarded", "q_simhash_guarded", "q_simhash_neardup",
         "q_ngram_jaccard", "q_dedup_report", "q_neardup_verified",
-        "q_winnow_fingerprints", "q_winnow_neardup",
+        "q_winnow_fingerprints", "q_winnow_neardup", "q_source_overlap",
     ],
     "span_dedup": [
         "q_span_mask", "q_span_removed", "q_span_incremental",

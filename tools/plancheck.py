@@ -209,6 +209,14 @@ def main() -> None:
         "vocab induction is bounded top-k (TakeOrderedAndProject)",
         "TakeOrderedAndProject" in plan,
     )
+    # winnowing fingerprints: ONE generator projection straight off the
+    # scan — the k-gram hashing, window minimization, and dedup are all
+    # array expressions, so the plan must contain ZERO exchanges
+    plan = plan_of(registry["q_winnow_fingerprints"](spark, SF_DIR))
+    check(
+        "winnow fingerprints are a zero-shuffle generator projection",
+        "Exchange" not in plan and "Generate" in plan,
+    )
 
     # ---- 6c. round-2 operators --------------------------------------------
     # guarded dedup: the expansion joins must be plain equi-joins (hash
