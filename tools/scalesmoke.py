@@ -1283,6 +1283,68 @@ def smoke_vocab() -> None:
     spark.stop()
 
 
+def smoke_winnow() -> None:
+    """Isolated: winnowing fingerprints + containment near-dup at
+    SCALE_DOCS.  Fingerprinting is a zero-shuffle generator projection,
+    so docs/s should hold (or rise) with corpus size; the near-dup join
+    runs over the ~2/(w+1)-compressed index, and the planted near-dup
+    pairs (synthetic_documents ids f/f+1 share their first 48 of 50
+    tokens — dozens of shared winnowed k-grams) give a measured recall.
+    The boilerplate corpus must trip the Σdf² fail-fast at aggregation
+    cost, never join cost."""
+    spark = get_spark(
+        "scalesmoke-winnow",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.dedup import (
+        ExpandedPairsTooLarge,
+        winnow_fingerprints,
+        winnow_neardup,
+    )
+
+    docs = synthetic_documents(spark, N_DOCS).localCheckpoint(eager=True)
+    out: dict[str, dict] = {}
+
+    t = time.perf_counter()
+    n_fp = winnow_fingerprints(docs, k=4, w=4).count()
+    dt = time.perf_counter() - t
+    out["fingerprints"] = {
+        "n_docs": N_DOCS, "fingerprints": n_fp,
+        "sec": round(dt, 1), "docs_per_s": int(N_DOCS / max(dt, 1e-9)),
+        "fp_per_doc": round(n_fp / N_DOCS, 2),
+    }
+
+    t = time.perf_counter()
+    nd = winnow_neardup(docs, k=4, w=4, threshold=0.5).localCheckpoint(
+        eager=True
+    )
+    n_pairs = nd.count()
+    dt = time.perf_counter() - t
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1).alias("id2")
+    )
+    n_planted = planted.count()
+    hit = nd.join(planted, ["id1", "id2"], "left_semi").count()
+    out["neardup"] = {
+        "pairs": n_pairs, "sec": round(dt, 1),
+        "planted_recall": round(hit / max(n_planted, 1), 4),
+    }
+
+    boiler = synthetic_documents(
+        spark, N_DOCS, boilerplate_pct=30
+    ).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    try:
+        winnow_neardup(boiler, k=4, w=4).count()
+        out["boilerplate_guard"] = {"tripped": False}
+    except ExpandedPairsTooLarge:
+        out["boilerplate_guard"] = {
+            "tripped": True, "sec": round(time.perf_counter() - t, 1),
+        }
+    print(json.dumps({"metric": "winnowing smoke", "ops": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
@@ -1297,5 +1359,7 @@ if __name__ == "__main__":
         smoke_incremental()
     elif mode == "vocab":
         smoke_vocab()
+    elif mode == "winnow":
+        smoke_winnow()
     else:
         main()
