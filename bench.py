@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_dup_ngrams",
     # round 7 additions
     "q_winnow_neardup",
+    "q_source_overlap",
 ]
 
 
