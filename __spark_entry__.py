@@ -982,6 +982,17 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021, A1.1) as
+    per-rule boolean columns + the pass_all gate — the standard
+    pretraining document filter, reported per rule so a pipeline can say
+    WHICH rule rejected a doc.  One zero-shuffle codegen projection."""
+    from datayours_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-dup overlap matrix: for every (source1, source2)
     pair (unordered, least/greatest-normalized), how many MinHash-LSH
@@ -2897,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_neardup": q_winnow_neardup,
         "q_source_overlap": q_source_overlap,
+        "q_gopher_rules": q_gopher_rules,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3383,6 +3395,63 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_gopher_rules": """
+            WITH d AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN len(t) ELSE 0 END AS n_words,
+                list_sum(list_transform(t, x -> length(x))) AS total_chars,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                len(lines) AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ellend,
+                len(list_filter(t,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                (coalesce(list_contains(t, 'the'), false)::INT
+                 + coalesce(list_contains(t, 'be'), false)::INT
+                 + coalesce(list_contains(t, 'to'), false)::INT
+                 + coalesce(list_contains(t, 'of'), false)::INT
+                 + coalesce(list_contains(t, 'and'), false)::INT
+                 + coalesce(list_contains(t, 'that'), false)::INT
+                 + coalesce(list_contains(t, 'have'), false)::INT
+                 + coalesce(list_contains(t, 'with'), false)::INT)
+                  AS stop_hits
+              FROM d)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+              coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                       AND total_chars * 1.0 / nullif(n_words, 0) <= 10,
+                       false) AS ok_mean_word_len,
+              coalesce((n_hash + n_ell) * 1.0 / nullif(n_words, 0) <= 0.1,
+                       false) AS ok_symbol_ratio,
+              coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.1,
+                       false) AS ok_bullet_lines,
+              coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                       false) AS ok_ellipsis_lines,
+              coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                       false) AS ok_alpha_words,
+              stop_hits >= 2 AS ok_stopwords,
+              (n_words >= 50 AND n_words <= 100000)
+                AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                     AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
+                AND coalesce((n_hash + n_ell) * 1.0 / nullif(n_words, 0)
+                     <= 0.1, false)
+                AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.1,
+                     false)
+                AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                     false)
+                AND coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                     false)
+                AND stop_hits >= 2 AS pass_all
+            FROM m
+        """,
         "q_source_overlap": f"""
             WITH pairs AS ({_minhash_oracle_sql()}),
             lab AS (

@@ -561,3 +561,86 @@ def dup_ngram_stats(
             F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 4),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1) as explicit per-rule booleans:
+    (doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+    ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+    pass_all).
+
+    The rule set most pretraining pipelines start from — each rule is a
+    separate column so a pipeline can report WHICH rule rejected a doc
+    (the standard ablation/debug need), with ``pass_all`` as the gate:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio (# and ...) <= 0.1
+    - < 90% of lines may NOT start with a bullet => ok when at most 10%
+      do (bullet chars: '-', '*')
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 of the 8 required English stop words appear
+
+    Scale shape: a single zero-shuffle projection — every rule is plain
+    column arithmetic over the token/line arrays, evaluated inside
+    whole-stage codegen at scan speed.  Null text fails all rules
+    (n_words = 0), never crashes (guarded arithmetic, try_divide)."""
+    t = F.split(text_col, " ")
+    n_words = F.when(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0), F.size(t)
+    ).otherwise(F.lit(0))
+    total_chars = F.aggregate(
+        F.coalesce(t, F.array().cast("array<string>")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    mean_len = F.try_divide(total_chars, n_words)
+    n_hash = F.length(text_col) - F.length(F.replace(text_col, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text_col)
+        - F.length(F.replace(text_col, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.try_divide(n_hash + n_ell, n_words)
+    lines = F.split(text_col, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))), n_lines
+    )
+    ellipsis_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))), n_lines
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))), n_words
+    )
+    stop_hits = None
+    for wrd in GOPHER_STOPWORDS:
+        hit = F.when(F.array_contains(t, wrd), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ok = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": F.coalesce(
+            (mean_len >= 3) & (mean_len <= 10), F.lit(False)
+        ),
+        "ok_symbol_ratio": F.coalesce(symbol_ratio <= 0.1, F.lit(False)),
+        "ok_bullet_lines": F.coalesce(bullet_frac <= 0.1, F.lit(False)),
+        "ok_ellipsis_lines": F.coalesce(ellipsis_frac <= 0.3, F.lit(False)),
+        "ok_alpha_words": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "ok_stopwords": F.coalesce(stop_hits >= 2, F.lit(False)),
+    }
+    cols = [F.col(id_col).alias("doc_id"), n_words.cast("bigint").alias("n_words")]
+    cols += [v.alias(k) for k, v in ok.items()]
+    passed = None
+    for v in ok.values():
+        passed = v if passed is None else passed & v
+    return docs.select(*cols, passed.alias("pass_all"))

@@ -200,3 +200,31 @@ class TestDupNgramStats:
         row = dup_ngram_stats(docs, n=3).collect()[0]
         # trigrams: abc bca cab abc bca cab abc — all 7 are repeats
         assert row.n_ngrams == 7 and row.dup_fraction == 1.0
+
+
+class TestGopherRules:
+    def test_rules_and_null_safety(self, spark):
+        from datayours_spark.functions.text import gopher_rules
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat " + " ".join(f"word{i}" for i in range(60))
+                    + " with that be of and have"),  # passes everything
+                (2, "short doc"),                    # word count
+                (3, None),                           # null: all False, no crash
+                (4, "# " * 80),                      # symbol + alpha + mean len
+                (5, " ".join("12345" for _ in range(80))),  # alpha + stopwords
+                (6, "the be to of " + " ".join(f"word{i}" for i in range(60))
+                    + "\n- bullet\n- bullet\n- bullet"),   # bullet lines
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+        assert out[1].pass_all
+        assert not out[2].ok_word_count and not out[2].pass_all
+        assert out[3].n_words == 0 and not any(
+            getattr(out[3], c) for c in out[3].asDict() if c.startswith("ok_")
+        )
+        assert not out[4].ok_symbol_ratio and not out[4].ok_mean_word_len
+        assert not out[5].ok_alpha_words and not out[5].ok_stopwords
+        assert not out[6].ok_bullet_lines    # 3 of 4 lines are bullets
