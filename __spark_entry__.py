@@ -982,6 +982,18 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
 
 
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap localization for the winnowing near-dup pairs: every
+    matched fingerprint co-occurrence (id1, id2, pos1, pos2, h) — WHERE
+    the two docs overlap, the report MinHash/SimHash cannot produce.
+    Pair-scoped joins: cost ∝ pairs × fingerprints/doc, never corpus²."""
+    from datayours_spark.functions.dedup import winnow_matches, winnow_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
+    return winnow_matches(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021, A1.1) as
     per-rule boolean columns + the pass_all gate — the standard
@@ -2909,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_neardup": q_winnow_neardup,
         "q_source_overlap": q_source_overlap,
         "q_gopher_rules": q_gopher_rules,
+        "q_winnow_matches": q_winnow_matches,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3395,6 +3408,45 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_winnow_matches": f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            ), fps_pos AS (
+              SELECT DISTINCT doc_id,
+                CAST(j + len(sub) - list_position(list_reverse(sub), list_min(sub))
+                     AS BIGINT) AS pos,
+                list_min(sub) AS h
+              FROM subs
+            ), fps AS (
+              SELECT DISTINCT doc_id, h FROM fps_pos
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+            ), prs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sel AS (
+              SELECT id1, id2 FROM prs
+              JOIN cnt n1 ON prs.id1 = n1.doc_id
+              JOIN cnt n2 ON prs.id2 = n2.doc_id
+              WHERE round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4)
+                    >= {WINNOW_T}
+            )
+            SELECT s.id1, s.id2, a.pos AS pos1, b.pos AS pos2, a.h
+            FROM sel s
+            JOIN fps_pos a ON s.id1 = a.doc_id
+            JOIN fps_pos b ON s.id2 = b.doc_id AND a.h = b.h
+        """,
         "q_gopher_rules": """
             WITH d AS (
               SELECT doc_id, text, string_split(text, ' ') AS t,

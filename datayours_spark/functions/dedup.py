@@ -1361,3 +1361,41 @@ def winnow_neardup(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def winnow_matches(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlap LOCALIZATION for winnowing near-dup pairs: for every
+    (id1, id2) pair, the matched fingerprint co-occurrences
+    (id1, id2, pos1, pos2, h) — ``pos1``/``pos2`` are the 1-based token
+    indexes of the shared k-gram in each document.
+
+    This is the step the position-blind families (MinHash/SimHash)
+    cannot provide: the MOSS-style report of WHERE two documents
+    overlap, ready for span extraction (consecutive matched positions
+    with a constant offset form a shared run) or for review UIs.  A hash
+    selected at several positions of one doc yields one row per
+    co-occurrence — all alignments are reported.
+
+    Scale shape: two equi-joins scoped BY THE PAIR LIST — the fingerprint
+    table is joined down to the pair's documents first, so cost follows
+    pairs x fingerprints-per-doc, never the corpus."""
+    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    a = fp.select(
+        F.col("doc_id").alias("id1"), F.col("pos").alias("pos1"), "h"
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id2"), F.col("pos").alias("pos2"), "h"
+    )
+    return (
+        pairs.select("id1", "id2")
+        .join(a, "id1")
+        .join(b, ["id2", "h"])
+        .select("id1", "id2", "pos1", "pos2", "h")
+    )

@@ -592,10 +592,15 @@ def gopher_rules(
     - >= 80% of words contain at least one alphabetic character
     - at least 2 of the 8 required English stop words appear
 
-    Scale shape: a single zero-shuffle projection — every rule is plain
-    column arithmetic over the token/line arrays, evaluated inside
-    whole-stage codegen at scan speed.  Null text fails all rules
-    (n_words = 0), never crashes (guarded arithmetic, try_divide)."""
+    Scale shape: a single zero-shuffle projection over the scan — every
+    rule is column arithmetic on the token/line arrays.  (The
+    higher-order filter/aggregate lambdas are CodegenFallback, so the
+    projection runs interpreted-but-JVM-side rather than in a
+    whole-stage-codegen span — still one scan-bound pass with no
+    exchange; plancheck pins the zero-shuffle shape.)  Null text fails
+    all rules (n_words = 0), never crashes: the ratio denominators are
+    double-typed, so the degenerate 0/0 is an IEEE NaN — whose every
+    comparison is false — not an ANSI DIVIDE_BY_ZERO."""
     t = F.split(text_col, " ")
     n_words = F.when(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0), F.size(t)

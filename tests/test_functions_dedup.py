@@ -798,3 +798,24 @@ class TestWinnowing:
         )
         with pytest.raises(ExpandedPairsTooLarge):
             winnow_neardup(boiler, k=3, w=3, max_join_pairs=100)
+
+    def test_matches_localize_the_overlap(self, spark):
+        from datayours_spark.functions.dedup import winnow_matches, winnow_neardup
+
+        docs = spark.createDataFrame(
+            [(1, "p q r a b c d e f g"),    # shared run at tokens 4-10
+             (2, "a b c d e f g x y z"),    # shared run at tokens 1-7
+             (3, "m n o mm nn oo mmm nnn")],
+            "doc_id bigint, text string",
+        )
+        pairs = winnow_neardup(docs, k=3, w=3, threshold=0.3)
+        m = winnow_matches(docs, pairs, k=3, w=3).collect()
+        assert m, "the shared 7-token run must produce matches"
+        # every match localizes the same k-gram: pos1 - pos2 == 3 (doc 1's
+        # run starts 3 tokens later), and the k-grams actually agree
+        toks1 = "p q r a b c d e f g".split()
+        toks2 = "a b c d e f g x y z".split()
+        for r in m:
+            assert (r.id1, r.id2) == (1, 2)
+            assert r.pos1 - r.pos2 == 3
+            assert toks1[r.pos1 - 1 : r.pos1 + 2] == toks2[r.pos2 - 1 : r.pos2 + 2]

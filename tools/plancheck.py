@@ -217,6 +217,15 @@ def main() -> None:
         "winnow fingerprints are a zero-shuffle generator projection",
         "Exchange" not in plan and "Generate" in plan,
     )
+    # gopher rules: pure per-row column arithmetic — zero exchanges.
+    # (No WholeStageCodegen span: the higher-order filter/aggregate
+    # lambdas are CodegenFallback, so the projection evaluates
+    # interpreted-but-JVM-side; still a single scan-bound pass.)
+    plan = plan_of(registry["q_gopher_rules"](spark, SF_DIR))
+    check(
+        "gopher rules are a zero-shuffle projection",
+        "Exchange" not in plan,
+    )
 
     # ---- 6c. round-2 operators --------------------------------------------
     # guarded dedup: the expansion joins must be plain equi-joins (hash
