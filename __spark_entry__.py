@@ -353,6 +353,52 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: TPC-H Q5 constants: region + the [1996-01-01, 1997-01-01) order window
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_START = 820_454_400
+TPCH_Q5_END = 852_076_800
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue: the SIX-table join
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with the
+    same-nation correlation (c_nationkey = s_nationkey) — the classic
+    join-order/broadcast showcase.  nation/region broadcast explicitly
+    (KB-scale dims); the fact-side joins shuffle on their keys and the
+    region + date predicates push into the scans, so at 100 TB the plan
+    is three key-partitioned shuffles over pre-filtered facts, with AQE
+    free to pick broadcast for supplier while it fits.  Exercises the
+    supplier table no other gate query touches."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate_sec") >= TPCH_Q5_START)
+        & (F.col("o_orderdate_sec") < TPCH_Q5_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == TPCH_Q5_REGION
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast metadata-enrichment join customer→nation→region."""
     cust = load_table(spark, sf_dir, "customer")
@@ -2922,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         "q_gopher_rules": q_gopher_rules,
         "q_winnow_matches": q_winnow_matches,
+        "q_tpch_q5": q_tpch_q5,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3291,6 +3338,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name
+        """,
+        "q_tpch_q5": f"""
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = '{TPCH_Q5_REGION}'
+              AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q5_START}
+              AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
+            GROUP BY n_name
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n

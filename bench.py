@@ -63,7 +63,10 @@ BENCH_QUERIES = [
     "q_daily_active",
     "q_dedup_incremental",
     "q_contamination",
-    "q_sample_uniform_k",
+    # (q_sample_uniform_k was benched r1-r6; retired from the stdout
+    # line to keep it inside the driver's 2000-char tail window — it is
+    # a sub-second deterministic-reservoir window whose cost profile
+    # q_sample_stratified/q_quota_topk already cover)
     "q_token_budget",
     # round 2 additions
     "q_rollup_routed",
@@ -115,6 +118,7 @@ BENCH_QUERIES = [
     # line must stay inside the 2000-char stdout tail window)
     "q_winnow_neardup",
     "q_source_overlap",
+    "q_tpch_q5",
 ]
 
 

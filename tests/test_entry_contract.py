@@ -61,7 +61,7 @@ FAMILIES = {
         "q_datamine_asof", "q_dash_report", "q_dm_timeline",
         "q_treemap_rollup", "q_tally_minmax",
     ],
-    "tpch": ["q_tpch_q1", "q_tpch_q3"],
+    "tpch": ["q_tpch_q1", "q_tpch_q3", "q_tpch_q5"],
     "dedup_exact_lsh": [
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",

@@ -217,6 +217,19 @@ def main() -> None:
         "winnow fingerprints are a zero-shuffle generator projection",
         "Exchange" not in plan and "Generate" in plan,
     )
+    # TPC-H Q5: the six-table join must broadcast its KB-scale dims
+    # (nation, region) and never plan a cartesian; the region + date
+    # predicates must reach the scans as pushed filters
+    plan = plan_of(registry["q_tpch_q5"](spark, SF_DIR))
+    check(
+        "tpch q5 broadcasts nation/region dims",
+        len(re.findall(r"BroadcastHashJoin", plan)) >= 2,
+    )
+    check(
+        "tpch q5 pushes the region predicate into the scan",
+        "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+        or "EqualTo(r_name,ASIA)" in plan,
+    )
     # gopher rules: pure per-row column arithmetic — zero exchanges.
     # (No WholeStageCodegen span: the higher-order filter/aggregate
     # lambdas are CodegenFallback, so the projection evaluates
