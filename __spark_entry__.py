@@ -1040,6 +1040,29 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matches(docs, pairs, k=WINNOW_K, w=WINNOW_W)
 
 
+def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing maintenance: docs with doc_id % 10 == 0
+    arrive as a new batch against the standing fingerprint index of the
+    rest — emits exactly the full winnow_neardup pairs that touch the
+    batch (new×old via one posting equi-join, new×new within the batch).
+    Completes the incremental family for the winnowing dedup form."""
+    from datayours_spark.functions.dedup import (
+        winnow_fingerprints, winnow_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
+    old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    idx = (
+        winnow_fingerprints(old, k=WINNOW_K, w=WINNOW_W)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    return winnow_incremental(
+        new, idx, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021, A1.1) as
     per-rule boolean columns + the pass_all gate — the standard
@@ -2968,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         "q_gopher_rules": q_gopher_rules,
         "q_winnow_matches": q_winnow_matches,
+        "q_winnow_incremental": q_winnow_incremental,
         "q_tpch_q5": q_tpch_q5,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
@@ -3467,6 +3491,39 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY label ORDER BY label
         """,
         "q_dedup_minhash": _minhash_oracle_sql(),
+        "q_winnow_incremental": f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            ), fps AS (
+              SELECT DISTINCT doc_id, list_min(sub) AS h FROM subs
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+            ), prs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT id1, id2, shared,
+                     round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4) AS containment
+              FROM prs
+              JOIN cnt n1 ON prs.id1 = n1.doc_id
+              JOIN cnt n2 ON prs.id2 = n2.doc_id
+            )
+            SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
+            FROM sc
+            WHERE containment >= {WINNOW_T}
+              AND (id1 % {INCR_BATCH_MOD} = 0 OR id2 % {INCR_BATCH_MOD} = 0)
+        """,
         "q_winnow_matches": f"""
             WITH tt AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -1399,3 +1399,85 @@ def winnow_matches(
         .join(b, ["id2", "h"])
         .select("id1", "id2", "pos1", "pos2", "h")
     )
+
+
+def winnow_incremental(
+    new_docs: DataFrame,
+    index_fp: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_join_pairs: int | None = 50_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing near-dup pairs introduced by a new batch against a
+    standing fingerprint index (the winnowing member of the incremental
+    family: MinHash, spans, embeddings, SemDeDup).
+
+    ``index_fp`` is the (doc_id, h) DISTINCT fingerprint relation from
+    :func:`winnow_fingerprints` over the existing corpus (positions
+    dropped — the pairing index).  Emits exactly the
+    :func:`winnow_neardup` pairs over (corpus ∪ batch) that involve at
+    least one new doc: new×old via ONE equi-join of the batch's
+    fingerprints against the index, new×new within the batch (the
+    symmetric self-match is de-duplicated by least/greatest + a
+    distinct-hash count).  Containment denominators come from per-doc
+    fingerprint counts over index ∪ batch — a corpus-linear map-side
+    aggregate (a production deployment stores the per-doc count next to
+    the index and skips it).
+
+    Per-batch join cost follows the batch's posting lists (Σ_h
+    new_df(h)·both_df(h)), measured by the fail-fast BEFORE the join —
+    a batch overlapping a boilerplate-dominated index raises
+    :class:`ExpandedPairsTooLarge` at aggregation cost."""
+    new_fp = (
+        winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    both = index_fp.select("doc_id", "h").unionByName(new_fp)
+    if max_join_pairs is not None:
+        nw = new_fp.groupBy("h").count().withColumnRenamed("count", "nc")
+        bw = both.groupBy("h").count().withColumnRenamed("count", "bc")
+        total = (
+            nw.join(bw, "h")
+            .agg(F.sum(F.col("nc") * F.col("bc")).alias("p"))
+            .first()["p"]
+        )
+        if total is not None and total > max_join_pairs:
+            raise ExpandedPairsTooLarge(
+                f"batch-vs-index winnow join would compare ~{int(total):,} "
+                f"posting pairs (> max_join_pairs={max_join_pairs:,}); "
+                "span-dedup or collapse the boilerplate first, or raise "
+                "max_join_pairs deliberately"
+            )
+    l, r = new_fp.alias("l"), both.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.least("l.doc_id", "r.doc_id").alias("id1"),
+            F.greatest("l.doc_id", "r.doc_id").alias("id2"),
+            F.col("l.h").alias("h"),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count_distinct("h").alias("shared"))
+    )
+    cnt = both.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
+    n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
+    cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
+    return (
+        shared.join(n1, "id1")
+        .join(n2, "id2")
+        .select(
+            "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

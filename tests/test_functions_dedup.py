@@ -819,3 +819,34 @@ class TestWinnowing:
             assert (r.id1, r.id2) == (1, 2)
             assert r.pos1 - r.pos2 == 3
             assert toks1[r.pos1 - 1 : r.pos1 + 2] == toks2[r.pos2 - 1 : r.pos2 + 2]
+
+    def test_incremental_equals_full_restricted_to_batch(self, spark):
+        """The incremental-family invariant for winnowing: pairs from a
+        batch vs the standing index == the full recompute's pairs that
+        touch the batch (differential, randomized split)."""
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental, winnow_neardup,
+        )
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(i, base + f" tail{i % 4}") for i in range(12)]
+            + [(20, "totally different island of words here now"),
+               (21, "totally different island of words here now indeed")],
+            "doc_id bigint, text string",
+        )
+        new = docs.where(F.col("doc_id") % 3 == 0)
+        old = docs.where(F.col("doc_id") % 3 != 0)
+        idx = winnow_fingerprints(old, k=3, w=3).select("doc_id", "h").distinct()
+        got = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_incremental(new, idx, k=3, w=3, threshold=0.4).collect()
+        }
+        full = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_neardup(docs, k=3, w=3, threshold=0.4).collect()
+            if r.id1 % 3 == 0 or r.id2 % 3 == 0
+        }
+        assert got == full and got   # equal AND non-trivial
+        assert any(a % 3 == 0 and b % 3 == 0 for a, b in got)   # new x new
+        assert any((a % 3 == 0) != (b % 3 == 0) for a, b in got)  # new x old
