@@ -1,0 +1,77 @@
+"""Streaming winnowing maintenance: per-batch emissions == full recompute."""
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.dedup import winnow_neardup
+from datayours_spark.streaming.winnowstream import WinnowStream
+
+TMP = Path(__file__).resolve().parent / "_tmp" / "winnowstream"
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DOCS = [
+    (1, BASE + " one two three"),      # near-dup family: 1, 2, 10
+    (2, BASE + " one two four"),
+    (3, "unrelated words entirely distinct content here now ok"),
+    (10, BASE + " one two five"),
+    (11, "another island of totally different tokens altogether fine"),
+    (20, BASE + " one two six"),       # joins the family post-restart
+]
+
+
+class TestWinnowStream:
+    def test_stream_matches_full_recompute(self, spark):
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        ws = WinnowStream(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            k=3, w=3, threshold=0.4,
+            compact_every=1,           # force compaction every batch
+        )
+        schema = "doc_id bigint, text string"
+        all_docs = spark.createDataFrame(DOCS, schema)
+
+        # batch 0: docs 1-3 (one in-batch pair 1-2); batch 1: 10, 11
+        batches = [DOCS[:3], DOCS[3:5]]
+        for i, rows in enumerate(batches):
+            ws._process(spark.createDataFrame(rows, schema), i)
+        got = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in ws.pairs().collect()
+        }
+        want = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_neardup(
+                spark.createDataFrame(DOCS[:5], schema), k=3, w=3, threshold=0.4
+            ).collect()
+        }
+        assert got == want
+        assert (1, 2) in got                        # new x new, batch 0
+        assert any(b == 10 for _, b in got)         # new x old, batch 1
+        # compaction forced every batch: one dir per table
+        import os
+
+        for name in ("pairs", "index"):
+            subs = sorted(os.listdir(TMP / "store" / name))
+            assert subs == ["compacted-000000000001"], (name, subs)
+
+        # replay of a folded batch is a no-op (watermark path)
+        n = ws.pairs().count()
+        ws._process(spark.createDataFrame(batches[0], schema), 0)
+        assert ws.pairs().count() == n
+
+        # a further batch still pairs against the standing index
+        ws._process(spark.createDataFrame([DOCS[5]], schema), 2)
+        after = {(r.id1, r.id2) for r in ws.pairs().collect()}
+        assert (1, 20) in after and (10, 20) in after
+        full = {
+            (r.id1, r.id2)
+            for r in winnow_neardup(all_docs, k=3, w=3, threshold=0.4).collect()
+        }
+        assert after == full
+        shutil.rmtree(TMP, ignore_errors=True)
