@@ -20,7 +20,9 @@ Same exactly-once discipline as `streaming.dedupstream.DedupStream`:
 foreachBatch is at-least-once, so every sink write is keyed by batch_id
 (its own ``batch-<id>`` subdirectory); readers only see committed
 (_SUCCESS) subdirectories, and a replay overwrites the same
-subdirectories with identical content.
+subdirectories with identical content.  Maintenance: `store.BatchStore`
+folds the per-batch directories every ``compact_every`` batches
+(watermark compaction, crash analysis in store.py).
 """
 
 from __future__ import annotations
