@@ -483,6 +483,18 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
 
 
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over an SQ8-quantized corpus: asymmetric top-k
+    (exact queries vs the uniformly 8-bit-reconstructed corpus) — the
+    4×-memory, no-codebook quantization family member between full
+    vectors and IVF-PQ.  Bounds are 2·dim doubles of model state; the
+    scan reads 1-byte codes instead of 8-byte doubles at scale."""
+    from datayours_spark.functions.similarity import sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
+
+
 def q_metrics_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 /metrics/find: glob query → branch/leaf node rows."""
     from datayours_spark.operators.catalog import find_nodes, series_catalog
@@ -2993,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_matches": q_winnow_matches,
         "q_winnow_incremental": q_winnow_incremental,
         "q_tpch_q5": q_tpch_q5,
+        "q_ann_sq": q_ann_sq,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3829,6 +3842,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
             FROM sc WHERE containment >= {WINNOW_T}
+        """,
+        "q_ann_sq": f"""
+            WITH ex AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            b AS (SELECT dim, min(x) AS vmin, max(x) AS vmax
+                  FROM ex GROUP BY dim),
+            c AS (
+              SELECT vec_id, ex.dim, vmin, vmax,
+                CASE WHEN vmax - vmin > 0
+                     THEN greatest(0, least(255,
+                          CAST(floor((x - vmin) / (vmax - vmin) * 255 + 0.5)
+                               AS INT)))
+                     ELSE 0 END AS code
+              FROM ex JOIN b ON ex.dim = b.dim),
+            r AS (SELECT vec_id, dim,
+                         vmin + code / 255.0 * (vmax - vmin) AS xh
+                  FROM c),
+            nr AS (SELECT vec_id, sqrt(sum(xh * xh)) AS nrm
+                   FROM r GROUP BY vec_id),
+            q AS (SELECT vec_id AS query_id, dim, x AS qx
+                  FROM ex WHERE vec_id < {N_ANN_QUERIES}),
+            qn AS (SELECT query_id, sqrt(sum(qx * qx)) AS qnorm
+                   FROM q GROUP BY query_id),
+            d AS (
+              SELECT q.query_id, r.vec_id, sum(r.xh * q.qx) AS dp
+              FROM r JOIN q ON r.dim = q.dim
+              WHERE r.vec_id != q.query_id GROUP BY 1, 2),
+            s AS (
+              SELECT query_id, vec_id,
+                     round(dp / (nrm * qnorm), 4) AS sim
+              FROM d JOIN nr USING (vec_id) JOIN qn USING (query_id)),
+            rk AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s)
+            SELECT query_id, vec_id, sim, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= {ANN_TOP_K}
         """,
         "q_ann_lsh": f"""
             WITH ex AS (

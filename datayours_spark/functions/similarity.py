@@ -1946,3 +1946,134 @@ def ivfpq_residual_topk(
     return ranked.where(F.col("rank") <= k).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+# --------------------------------------------------------- SQ8 quantization
+
+def sq_train(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Scalar-quantizer (SQ8) training: per-dimension (vmin, vmax) bounds
+    — the FAISS-style SQ codec's whole model state (2·dim doubles, KBs),
+    collected to the driver like the k-means centroids and embedded into
+    encode/decode plans as literals.
+
+    One explode + one map-side-combined min/max aggregation over the
+    corpus — linear, single pass."""
+    comps = emb.select(
+        F.posexplode(as_double_array(vec_col)).alias("dim", "x")
+    )
+    rows = (
+        comps.groupBy("dim")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [(float(r["vmin"]), float(r["vmax"])) for r in rows]
+
+
+def _sq_arrays(bounds: list[tuple[float, float]]) -> tuple[Column, Column]:
+    vmin_arr = F.array(*[F.lit(float(a)) for a, _ in bounds])
+    span_arr = F.array(*[F.lit(float(b - a)) for a, b in bounds])
+    return vmin_arr, span_arr
+
+
+def sq_encode(
+    emb: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ8 encoding: (vec_id, codes) with one uniform 8-bit code per
+    dimension — c = floor((x − vmin)/(vmax − vmin)·255 + 0.5), clamped to
+    [0, 255]; a constant dimension (span 0) codes to 0.  The explicit
+    floor(x+0.5) (not round()) pins half-way behavior identically across
+    engines.
+
+    This is the 4× memory form between full vectors (8 B/dim) and PQ
+    (sub-byte/dim): 1 B/dim logical width with NO codebook training and
+    near-exact reconstruction — the right first step when an embedding
+    store outgrows RAM but PQ's recall loss is unwanted.  Zero shuffle:
+    the codec is a projection with literal bounds."""
+    vmin_arr, span_arr = _sq_arrays(bounds)
+    codes = F.transform(
+        as_double_array(vec_col),
+        lambda x, i: F.when(
+            F.element_at(span_arr, i + 1) > 0,
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x - F.element_at(vmin_arr, i + 1))
+                        / F.element_at(span_arr, i + 1)
+                        * 255
+                        + 0.5
+                    ).cast("int"),
+                ),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def sq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    bounds: list[tuple[float, float]] | None = None,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: EXACT query vectors scored against the
+    RECONSTRUCTED corpus (x̂ = vmin + c/255·span) — the standard SQ
+    search (queries are few; only the corpus pays the memory cut).
+    Output matches :func:`cosine_topk`'s shape: (query_id, vec_id, sim,
+    rank), rank ties broken by vec_id after rounding.
+
+    ``bounds``/``codes`` inject stored index state (the session
+    index-cache discipline); omitted, they are derived in-plan.  Scale
+    shape: decode is a literal-array projection over the codes table,
+    then the same broadcast-queries + per-query window as brute force —
+    the scan reads 1-byte codes instead of 8-byte doubles, which is the
+    entire point at 100 TB."""
+    from pyspark.sql import Window
+
+    if bounds is None:
+        bounds = sq_train(emb, vec_col=vec_col)
+    if codes is None:
+        codes = sq_encode(emb, bounds, id_col=id_col, vec_col=vec_col)
+    vmin_arr, span_arr = _sq_arrays(bounds)
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(vmin_arr, i + 1)
+        + c.cast("double") / 255.0 * F.element_at(span_arr, i + 1),
+    )
+    recon = codes.select("vec_id", xhat.alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    queries = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        )
+        .withColumn("qnorm", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    )
+    pairs = recon.crossJoin(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    ranked = pairs.select(
+        "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
+    ).withColumn("rank", F.row_number().over(w))
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

@@ -1001,3 +1001,69 @@ class TestEmbeddingIncrementalDifferential:
         }
         want = TestCosineNeardupBanded()._naive_banded(spark, emb, 2, 3, 0.5, 6)
         assert got == want
+
+
+class TestSq8:
+    """SQ8 scalar quantization: codec determinism, reconstruction error
+    bound, constant-dimension handling, and search fidelity."""
+
+    def _emb4(self, spark):
+        rows = [
+            (0, [0.0, -1.0, 5.0, 2.0]),
+            (1, [1.0, 1.0, 5.0, 0.0]),
+            (2, [0.5, 0.0, 5.0, 1.0]),      # dim 2 constant across corpus
+            (3, [0.25, -0.5, 5.0, 1.5]),
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def test_codes_in_range_and_constant_dim(self, spark):
+        from datayours_spark.functions.similarity import sq_encode, sq_train
+
+        emb = self._emb4(spark)
+        bounds = sq_train(emb)
+        assert bounds[2] == (5.0, 5.0)           # constant dim
+        codes = {r.vec_id: r.codes for r in sq_encode(emb, bounds).collect()}
+        for cs in codes.values():
+            assert all(0 <= c <= 255 for c in cs)
+            assert cs[2] == 0                    # constant dim codes to 0
+        # extremes hit the rails exactly
+        assert codes[0][1] == 0 and codes[1][1] == 255
+
+    def test_reconstruction_error_bounded(self, spark):
+        from datayours_spark.functions.similarity import sq_encode, sq_train
+
+        import pyspark.sql.functions as F
+
+        emb = self._emb4(spark)
+        bounds = sq_train(emb)
+        codes = sq_encode(emb, bounds)
+        # decode in the test and compare: |x - xhat| <= span/255/2 per dim
+        got = {r.vec_id: r.codes for r in codes.collect()}
+        orig = {r.vec_id: r.embedding for r in emb.collect()}
+        for vid, cs in got.items():
+            for d, c in enumerate(cs):
+                vmin, vmax = bounds[d]
+                span = vmax - vmin
+                xhat = vmin + c / 255.0 * span if span > 0 else vmin
+                assert abs(orig[vid][d] - xhat) <= span / 255.0 / 2 + 1e-12
+
+    def test_topk_matches_exact_on_fixture(self, spark):
+        from datayours_spark.functions.similarity import cosine_topk, sq_topk
+
+        emb = _emb(spark).limit(200)
+        sq_rows = sq_topk(emb, [0, 1], 5).collect()
+        ex_rows = cosine_topk(emb, [0, 1], 5).collect()
+        sq_sets = {}
+        ex_sets = {}
+        for r in sq_rows:
+            sq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        for r in ex_rows:
+            ex_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        sq_top1 = {r.query_id: r.vec_id for r in sq_rows if r.rank == 1}
+        ex_top1 = {r.query_id: r.vec_id for r in ex_rows if r.rank == 1}
+        # 8-bit reconstruction is near-exact: the top-1 must coincide and
+        # the top-5 SETS must overlap >= 4/5 (near-ties at 4-dp rounding
+        # may legitimately swap adjacent ranks — quantization is lossy)
+        assert sq_top1 == ex_top1
+        for q in ex_sets:
+            assert len(sq_sets[q] & ex_sets[q]) >= 4, (q, sq_sets[q], ex_sets[q])
