@@ -1236,6 +1236,87 @@ def smoke_incremental() -> None:
     spark.stop()
 
 
+def smoke_sq() -> None:
+    """Isolated: SQ8 scalar quantization at SCALE_VECS — train bounds
+    (one min/max pass), encode the corpus, and run the asymmetric top-k
+    against the brute-force baseline: wall times plus top-10 overlap on
+    5 queries.  The claims under test: the codec is corpus-linear with
+    tiny model state, and the quantized search matches brute force's
+    shape (same broadcast-queries + window plan over 1-byte codes)."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-sq",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        cosine_topk,
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    dim = 64
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(
+                    F.concat(F.col("id").cast("string"), F.lit("sq"),
+                             d.cast("string"))
+                ),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_sq_", dir="/root/repo/spark-warehouse"
+    )
+    (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(f"{work}/emb")
+    )
+    emb = spark.read.parquet(f"{work}/emb")
+    out: dict[str, dict] = {}
+
+    t = time.perf_counter()
+    bounds = sq_train(emb)
+    out["train"] = {"sec": round(time.perf_counter() - t, 2), "vecs": n_vecs}
+    t = time.perf_counter()
+    sq_encode(emb, bounds).write.mode("overwrite").parquet(f"{work}/codes")
+    out["encode"] = {"sec": round(time.perf_counter() - t, 2)}
+    codes = spark.read.parquet(f"{work}/codes")
+
+    qids = list(range(5))
+    t = time.perf_counter()
+    sq = sq_topk(emb, qids, 10, bounds=bounds, codes=codes)
+    sq_sets: dict[int, set] = {}
+    for r in sq.collect():
+        sq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    sq_s = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    ex_sets: dict[int, set] = {}
+    for r in cosine_topk(emb, qids, 10).collect():
+        ex_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    ex_s = round(time.perf_counter() - t, 2)
+    overlap = sum(len(sq_sets[q] & ex_sets[q]) for q in ex_sets) / (
+        10 * len(ex_sets)
+    )
+    out["search"] = {
+        "sq8_s": sq_s, "brute_s": ex_s,
+        "top10_overlap_vs_exact": round(overlap, 3),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "sq8 smoke", "ops": out}))
+    spark.stop()
+
+
 def smoke_vocab() -> None:
     """Isolated: vocabulary induction + per-doc OOV scoring at SCALE_DOCS.
     The synthetic corpus has a ~1M-token raw vocabulary (the token
@@ -1361,5 +1442,7 @@ if __name__ == "__main__":
         smoke_vocab()
     elif mode == "winnow":
         smoke_winnow()
+    elif mode == "sq":
+        smoke_sq()
     else:
         main()
