@@ -2141,6 +2141,22 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SAMPLE_EVERY_MS = 2_500
 
 
+AUDIO_SEG_WINDOW_MS, AUDIO_SEG_STRIDE_MS = 1_000, 500  # 50% overlap
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio segmentation plan: overlapping fixed-duration
+    segments per audio asset (the audio analogue of frame sampling and
+    text chunking) — integer-arithmetic segment identity for joining
+    externally computed segment embeddings; one generator projection."""
+    from datayours_spark.functions.multimodal import audio_segment_plan
+
+    assets = _documents_as_assets(spark, sf_dir)
+    return audio_segment_plan(
+        assets, AUDIO_SEG_WINDOW_MS, AUDIO_SEG_STRIDE_MS
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan: one row per sampled frame timestamp,
     generated with sequence+explode (never materialized driver-side)."""
@@ -3006,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_incremental": q_winnow_incremental,
         "q_tpch_q5": q_tpch_q5,
         "q_ann_sq": q_ann_sq,
+        "q_audio_segments": q_audio_segments,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3842,6 +3859,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
             FROM sc WHERE containment >= {WINNOW_T}
+        """,
+        "q_audio_segments": f"""
+            WITH a AS (
+              SELECT doc_id AS asset_id, n_chars * 10 AS duration_ms
+              FROM documents WHERE doc_id % 3 = 1),
+            seg AS (
+              SELECT asset_id, duration_ms,
+                unnest(generate_series(0,
+                  CASE WHEN duration_ms >= 1 THEN duration_ms - 1 ELSE -1 END,
+                  {AUDIO_SEG_STRIDE_MS})) AS start_ms
+              FROM a)
+            SELECT asset_id,
+              CAST(start_ms // {AUDIO_SEG_STRIDE_MS} AS BIGINT) AS segment_no,
+              CAST(start_ms AS BIGINT) AS start_ms,
+              CAST(least(start_ms + {AUDIO_SEG_WINDOW_MS}, duration_ms)
+                   AS BIGINT) AS end_ms,
+              CAST(least(start_ms + {AUDIO_SEG_WINDOW_MS}, duration_ms)
+                   - start_ms AS BIGINT) AS segment_ms
+            FROM seg
         """,
         "q_ann_sq": f"""
             WITH ex AS (

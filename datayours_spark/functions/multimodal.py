@@ -172,3 +172,43 @@ def frame_sample_plan(videos: DataFrame, every_ms: int) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+def audio_segment_plan(
+    assets: DataFrame, window_ms: int, stride_ms: int
+) -> DataFrame:
+    """Overlapping audio segmentation plan: one row per ``window_ms``
+    segment starting every ``stride_ms`` — (asset_id, segment_no,
+    start_ms, end_ms, segment_ms), the audio analogue of
+    :func:`frame_sample_plan` (video) and ``text.chunk_documents``
+    (text): the pre-step that schedules per-segment feature extraction
+    (the DSP itself is decoder work, stubbed in this container).
+
+    Segment identity is integer arithmetic on start_ms (segment_no =
+    start_ms div stride), so externally computed segment embeddings can
+    join back deterministically.  The tail segment is clipped at the
+    asset's duration, never empty; a non-positive/NULL duration yields
+    zero rows via the guarded sequence (no ANSI crash on one bad row).
+    Zero shuffle: a generator projection streaming through the scan.
+    """
+    starts = F.when(
+        F.col("duration_ms") >= 1,
+        F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(int(stride_ms))),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        assets.where(F.col("kind") == "audio")
+        .select("asset_id", "duration_ms", F.explode(starts).alias("start_ms"))
+        .select(
+            "asset_id",
+            F.expr(f"start_ms div {int(stride_ms)}").cast("bigint").alias(
+                "segment_no"
+            ),
+            F.col("start_ms").cast("bigint").alias("start_ms"),
+            F.least(
+                F.col("start_ms") + int(window_ms), F.col("duration_ms")
+            ).cast("bigint").alias("end_ms"),
+        )
+        .withColumn(
+            "segment_ms", (F.col("end_ms") - F.col("start_ms")).cast("bigint")
+        )
+    )

@@ -101,7 +101,7 @@ FAMILIES = {
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",
-                   "q_resize_plan"],
+                   "q_resize_plan", "q_audio_segments"],
 }
 
 

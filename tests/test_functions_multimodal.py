@@ -157,3 +157,33 @@ class TestMixedCorpusDefaultDecoder:
         )
         out = mm.extract_features(imgs, real=True).collect()
         assert out[0]["feature"] == [3.0] * mm.FEATURE_DIM
+
+
+class TestAudioSegments:
+    def test_overlap_tail_and_guards(self, spark):
+        from datayours_spark.functions.multimodal import audio_segment_plan
+
+        rows = [
+            (1, "audio", bytearray(b"wav"), 0, 0, 2300, "pcm"),   # tail clip
+            (2, "audio", bytearray(b"wav"), 0, 0, None, "pcm"),   # null dur
+            (3, "audio", bytearray(b"wav"), 0, 0, 0, "pcm"),      # zero dur
+            (4, "video", bytearray(b"mp4"), 0, 0, 9000, "h264"),  # wrong kind
+        ]
+        assets = spark.createDataFrame(
+            rows,
+            "asset_id bigint, kind string, data binary, width int, "
+            "height int, duration_ms int, codec string",
+        )
+        segs = audio_segment_plan(assets, window_ms=1000, stride_ms=500)
+        got = [
+            (r.asset_id, r.segment_no, r.start_ms, r.end_ms, r.segment_ms)
+            for r in sorted(segs.collect(), key=lambda r: (r.asset_id, r.segment_no))
+        ]
+        # asset 1 (2300 ms): starts 0,500,...,2000; last two clip at 2300
+        assert got == [
+            (1, 0, 0, 1000, 1000),
+            (1, 1, 500, 1500, 1000),
+            (1, 2, 1000, 2000, 1000),
+            (1, 3, 1500, 2300, 800),
+            (1, 4, 2000, 2300, 300),
+        ]
