@@ -1075,6 +1075,23 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 gate queries: fixed lexical query strings over the corpus
+BM25_QUERIES = [(0, "table window agg"), (1, "customer query stream")]
+BM25_TOP_K = 10
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query string — the
+    Robertson/Spärck-Jones ranking (Lucene/ATIRE idf form) every
+    retrieval/eval-overlap probe starts from.  Posting-list shaped: tf
+    aggregate + query-term semi-joined df + broadcast corpus scalars,
+    ranked by a per-query top-k window over only the matching docs."""
+    from datayours_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERIES, BM25_TOP_K)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021, A1.1) as
     per-rule boolean columns + the pass_all gate — the standard
@@ -3023,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q5": q_tpch_q5,
         "q_ann_sq": q_ann_sq,
         "q_audio_segments": q_audio_segments,
+        "q_bm25": q_bm25,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3859,6 +3877,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
             FROM sc WHERE containment >= {WINNOW_T}
+        """,
+        "q_bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+            q(query_id, tok) AS (VALUES {_bm25_values()}),
+            dft AS (
+              SELECT tok, count(*) AS df FROM tf
+              WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+            sc AS (
+              SELECT q.query_id, tf.doc_id,
+                round(sum(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                  * (tf * (1.2 + 1))
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ), 4) AS score
+              FROM tf JOIN q ON tf.tok = q.tok
+              JOIN dlen USING (doc_id)
+              CROSS JOIN stats
+              JOIN dft ON tf.tok = dft.tok
+              GROUP BY 1, 2),
+            rk AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+            SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= {BM25_TOP_K}
         """,
         "q_audio_segments": f"""
             WITH a AS (
@@ -5221,6 +5271,17 @@ def _span_cte_sql() -> str:
                   FROM allspans
                   WHERE end_tok - start_tok + 1 >= {SPAN_MIN_TOKENS})
     """
+
+
+def _bm25_values() -> str:
+    """VALUES rows for the BM25 oracle's query terms — built from
+    BM25_QUERIES with the SAME order-preserving dedup as bm25_topk."""
+    rows = []
+    for qid, qtext in BM25_QUERIES:
+        for t in dict.fromkeys(qtext.split(" ")):
+            if t:
+                rows.append(f"({qid}::BIGINT, '{t}')")
+    return ", ".join(rows)
 
 
 def _minhash_oracle_sql() -> str:

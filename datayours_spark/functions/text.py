@@ -649,3 +649,84 @@ def gopher_rules(
     for v in ok.values():
         passed = v if passed is None else passed & v
     return docs.select(*cols, passed.alias("pass_all"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents per query string —
+    (query_id, doc_id, score, rank).
+
+    The Robertson/Spärck-Jones ranking every retrieval pipeline starts
+    from: score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the non-negative
+    Lucene/ATIRE form).  Deterministic: scores round to ``round_dp`` and
+    rank ties break by doc_id, so any engine reproduces the ordering.
+
+    Scale shape: one explode feeding a (doc_id, tok) tf aggregate; df is
+    a token-keyed aggregate SEMI-JOINED down to the query's terms before
+    anything corpus-sized shuffles twice; N and avgdl enter as broadcast
+    scalars (crossJoin of a 1-row aggregate — no driver-side action);
+    the final per-query ranking is a top-k window per query over only
+    the docs that matched ≥ 1 term (the posting-list union, not the
+    corpus)."""
+    from pyspark.sql import Window
+
+    qrows = [(int(qid), t) for qid, qtext in queries
+             for t in dict.fromkeys(qtext.split(" ")) if t]
+    spark = docs.sparkSession
+    qterms = F.broadcast(
+        spark.createDataFrame(qrows, "query_id bigint, tok string")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = (
+        tf.join(qterms.select("tok").distinct(), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    scored = (
+        tf.join(qterms, "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), round_dp).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -97,7 +97,7 @@ FAMILIES = {
         "q_token_histogram", "q_unigram_logprob", "q_bigram_logprob",
         "q_corpus_clean", "q_adaptive_quality", "q_quantile_profile",
         "q_daily_active", "q_sliding_rate", "q_oov_rate", "q_chunk_docs",
-        "q_dup_ngrams", "q_gopher_rules",
+        "q_dup_ngrams", "q_gopher_rules", "q_bm25",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",

@@ -228,3 +228,39 @@ class TestGopherRules:
         assert not out[4].ok_symbol_ratio and not out[4].ok_mean_word_len
         assert not out[5].ok_alpha_words and not out[5].ok_stopwords
         assert not out[6].ok_bullet_lines    # 3 of 4 lines are bullets
+
+
+class TestBm25:
+    def test_ranking_and_idf_shape(self, spark):
+        from datayours_spark.functions.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "cat dog cat dog cat"),     # tf(cat)=3 in a short doc
+                (2, "cat and some other words here today friend"),
+                (3, "dog only here with more words to pad it out"),
+                (4, "nothing relevant at all in this document body"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = bm25_topk(docs, [(0, "cat")], k=3).collect()
+        ranks = {r.rank: r.doc_id for r in out}
+        assert ranks[1] == 1                  # highest tf, shortest doc
+        assert ranks[2] == 2
+        assert 4 not in {r.doc_id for r in out}   # non-matching never ranks
+        # multi-term query: doc with both terms outranks single-term docs
+        out2 = bm25_topk(docs, [(0, "cat dog")], k=3).collect()
+        assert {r.rank: r.doc_id for r in out2}[1] == 1
+
+    def test_duplicate_query_terms_count_once(self, spark):
+        from datayours_spark.functions.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(1, "cat sat here"), (2, "dog ran far")],
+            "doc_id bigint, text string",
+        )
+        a = {(r.query_id, r.doc_id): r.score
+             for r in bm25_topk(docs, [(0, "cat")], k=2).collect()}
+        b = {(r.query_id, r.doc_id): r.score
+             for r in bm25_topk(docs, [(0, "cat cat cat")], k=2).collect()}
+        assert a == b
