@@ -1708,6 +1708,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ — inverted lists over the SQ8-quantized corpus (the FAISS
+    IVF,SQ8 composition): the learned coarse quantizer prunes candidates
+    to the probed cluster, which are then scored against their 8-bit
+    reconstruction; queries stay exact.  Same probe arithmetic as
+    q_ann_ivf with the 8× smaller candidate read."""
+    from datayours_spark.functions.similarity import ivfsq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _ann_centroids(spark, sf_dir)
+    return ivfsq_topk(
+        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent,
+        assignments=_ann_assignments(spark, sf_dir),
+    )
+
+
 ANN_IVF_NPROBE = 2
 
 
@@ -3041,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_sq": q_ann_sq,
         "q_audio_segments": q_audio_segments,
         "q_bm25": q_bm25,
+        "q_ann_ivfsq": q_ann_ivfsq,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -4446,6 +4463,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ann_ivf": _kmeans_ivf_oracle_sql(),
         "q_ann_ivf_probe2": _kmeans_ivf_oracle_sql(nprobe=ANN_IVF_NPROBE),
+        "q_ann_ivfsq": _ivfsq_oracle_sql(),
         "q_ann_ivfpq": _ivfpq_oracle_sql(),
         "q_ann_ivfpq_probe2": _ivfpq_oracle_sql(nprobe=ANN_IVF_NPROBE),
         "q_ann_ivfpq_res": _ivfpq_oracle_sql(residual=True),
@@ -5068,6 +5086,46 @@ def _kmeans_ivf_oracle_sql(nprobe: int = 1) -> str:
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS rank
           FROM cand) WHERE rank <= {ANN_TOP_K}""")
+    return ",".join(sqls)
+
+
+def _ivfsq_oracle_sql(nprobe: int = 1) -> str:
+    """DuckDB replay of ivfsq_topk: the shared coarse-quantizer CTEs
+    (identical probe arithmetic to the IVF oracle) with candidates
+    scored against their SQ8 reconstruction — per-dimension min/max
+    bounds, floor(x+0.5) codes, decode, component-level dot against the
+    exact query vectors."""
+    sqls = _kmeans_coarse_cte_sqls(nprobe)
+    sqls.append(f"""
+        exc AS (
+          SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+          FROM ex),
+        sqb AS (SELECT dim, min(x) AS vmin, max(x) AS vmax
+                FROM exc GROUP BY dim),
+        rx AS (
+          SELECT vec_id, exc.dim,
+            vmin + (CASE WHEN vmax - vmin > 0
+                    THEN greatest(0, least(255,
+                         CAST(floor((x - vmin) / (vmax - vmin) * 255 + 0.5)
+                              AS INT)))
+                    ELSE 0 END) / 255.0 * (vmax - vmin) AS xh
+          FROM exc JOIN sqb ON exc.dim = sqb.dim),
+        nrq AS (SELECT vec_id, sqrt(sum(xh * xh)) AS rnrm
+                FROM rx GROUP BY vec_id),
+        dq AS (
+          SELECT q.query_id, rx.vec_id, q.qnorm,
+                 sum(rx.xh * q.qv[rx.dim]) AS dp
+          FROM rx JOIN t USING (vec_id)
+          JOIN q ON t.cluster = q.qcluster AND rx.vec_id != q.query_id
+          GROUP BY 1, 2, 3),
+        sqsc AS (
+          SELECT query_id, dq.vec_id,
+                 round(dp / (nrq.rnrm * dq.qnorm), 4) AS sim
+          FROM dq JOIN nrq ON dq.vec_id = nrq.vec_id)
+        SELECT query_id, vec_id, sim, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+          FROM sqsc) WHERE rank <= {ANN_TOP_K}""")
     return ",".join(sqls)
 
 

@@ -2077,3 +2077,107 @@ def sq_topk(
     return ranked.where(F.col("rank") <= k).withColumn(
         "rank", F.col("rank").cast("long")
     )
+
+
+def ivfsq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    bounds: list[tuple[float, float]] | None = None,
+    codes: DataFrame | None = None,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ: inverted-list probing over an SQ8-quantized corpus — the
+    FAISS ``IVF,SQ8`` composition between IVF-Flat (full vectors per
+    list) and IVF-PQ (sub-byte codes): the coarse quantizer prunes the
+    candidate set to the probed clusters, and candidates are scored
+    against their 8-bit reconstruction (queries stay exact, as in
+    :func:`sq_topk`).
+
+    Scale shape = :func:`ivf_topk`'s with the 8× smaller candidate read:
+    probe sets computed on the broadcast centroid table (same 9-dp
+    assignment arithmetic, so nprobe=1 is exactly the query's own
+    cluster), candidate generation an equi-join on the cluster id, and
+    the per-list storage is 1-byte codes — the inverted lists fit where
+    full vectors would not, without PQ codebook training."""
+    from pyspark.sql import Window
+
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, cluster_col, id_col, vec_col)
+    )
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, cent, id_col, vec_col)
+    )
+    if bounds is None:
+        bounds = sq_train(emb, vec_col=vec_col)
+    if codes is None:
+        codes = sq_encode(emb, bounds, id_col=id_col, vec_col=vec_col)
+    vmin_arr, span_arr = _sq_arrays(bounds)
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(vmin_arr, i + 1)
+        + c.cast("double") / 255.0 * F.element_at(span_arr, i + 1),
+    )
+    recon = codes.select("vec_id", xhat.alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    tagged = recon.join(assign, "vec_id")
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    queries = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim",
+            F.round(
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
+                9,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnorm"),
+            F.col("centroid_id").alias("qcluster"),
+        )
+    )
+    cand = tagged.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnorm")
+    )
+    ranked = cand.select(
+        "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )

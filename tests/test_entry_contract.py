@@ -82,7 +82,7 @@ FAMILIES = {
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",
         "q_ann_ivfpq_probe2", "q_ann_ivfpq_res", "q_ann_ivfpq_rerank",
-        "q_ann_recall", "q_ann_sq",
+        "q_ann_recall", "q_ann_sq", "q_ann_ivfsq",
     ],
     "contamination": ["q_contamination", "q_fuzzy_contamination",
                       "q_leakage_split"],

@@ -1067,3 +1067,25 @@ class TestSq8:
         assert sq_top1 == ex_top1
         for q in ex_sets:
             assert len(sq_sets[q] & ex_sets[q]) >= 4, (q, sq_sets[q], ex_sets[q])
+
+    def test_ivfsq_probe_all_matches_sq_bruteforce(self, spark):
+        """nprobe = n_clusters degrades IVF-SQ to exactly sq_topk (same
+        reconstruction, every inverted list probed) — the graceful-
+        degradation invariant every IVF family member must keep."""
+        from datayours_spark.functions.similarity import (
+            ivfsq_topk, kmeans_centroids, sq_topk,
+        )
+
+        emb = _emb(spark).limit(150)
+        cent = kmeans_centroids(emb, k=4, iters=1)
+        ivfsq = {
+            (r.query_id, r.rank): (r.vec_id, r.sim)
+            for r in ivfsq_topk(
+                emb, [0, 1], 5, centroids=cent, nprobe=4
+            ).collect()
+        }
+        flat = {
+            (r.query_id, r.rank): (r.vec_id, r.sim)
+            for r in sq_topk(emb, [0, 1], 5).collect()
+        }
+        assert ivfsq == flat
