@@ -3662,9 +3662,10 @@ def oracle_sql() -> dict[str, str]:
               coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
                        AND total_chars * 1.0 / nullif(n_words, 0) <= 10,
                        false) AS ok_mean_word_len,
-              coalesce((n_hash + n_ell) * 1.0 / nullif(n_words, 0) <= 0.1,
+              coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                       AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1,
                        false) AS ok_symbol_ratio,
-              coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.1,
+              coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
                        false) AS ok_bullet_lines,
               coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
                        false) AS ok_ellipsis_lines,
@@ -3674,9 +3675,9 @@ def oracle_sql() -> dict[str, str]:
               (n_words >= 50 AND n_words <= 100000)
                 AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
                      AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
-                AND coalesce((n_hash + n_ell) * 1.0 / nullif(n_words, 0)
-                     <= 0.1, false)
-                AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.1,
+                AND coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                     AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1, false)
+                AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
                      false)
                 AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
                      false)

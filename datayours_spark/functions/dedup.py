@@ -1430,14 +1430,53 @@ def winnow_incremental(
     Per-batch join cost follows the batch's posting lists (Σ_h
     new_df(h)·both_df(h)), measured by the fail-fast BEFORE the join —
     a batch overlapping a boilerplate-dominated index raises
-    :class:`ExpandedPairsTooLarge` at aggregation cost."""
+    :class:`ExpandedPairsTooLarge` at aggregation cost.
+
+    Re-ingestion is replacement: a ``doc_id`` appearing in BOTH the
+    index and the batch keeps only the batch's fresh fingerprints (a
+    broadcast anti-join on the batch's doc_ids — no corpus shuffle), so
+    per-doc ``n_fp`` denominators never double-count a re-ingested doc
+    (ADVICE r7)."""
+    pairs, _ = winnow_incremental_indexed(
+        new_docs, index_fp, k=k, w=w, threshold=threshold,
+        max_join_pairs=max_join_pairs, id_col=id_col, text_col=text_col,
+    )
+    return pairs
+
+
+def winnow_incremental_indexed(
+    new_docs: DataFrame,
+    index_fp: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_join_pairs: int | None = 50_000_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`winnow_incremental` plus the batch's own distinct
+    (doc_id, h) fingerprint relation, already localCheckpointed.
+
+    Returns ``(pairs, batch_fp)``.  A streaming maintainer
+    (:class:`~datayours_spark.streaming.winnowstream.WinnowStream`)
+    appends ``batch_fp`` to its standing index instead of re-running
+    :func:`winnow_fingerprints` over the batch a second time — the same
+    build-once contract ``cosine_neardup_incremental_indexed`` gives
+    ``EmbedStream`` (ADVICE r7)."""
     new_fp = (
         winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
         .select("doc_id", "h")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    both = index_fp.select("doc_id", "h").unionByName(new_fp)
+    # Replacement semantics on re-ingest: drop index rows for batch
+    # doc_ids (tiny broadcast side) before the union.
+    new_ids = new_fp.select("doc_id").distinct()
+    both = (
+        index_fp.select("doc_id", "h")
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .unionByName(new_fp)
+    )
     if max_join_pairs is not None:
         nw = new_fp.groupBy("h").count().withColumnRenamed("count", "nc")
         bw = both.groupBy("h").count().withColumnRenamed("count", "bc")
@@ -1472,7 +1511,7 @@ def winnow_incremental(
     n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
     cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
-    return (
+    pairs = (
         shared.join(n1, "id1")
         .join(n2, "id2")
         .select(
@@ -1481,3 +1520,4 @@ def winnow_incremental(
         )
         .where(F.col("containment") >= threshold)
     )
+    return pairs, new_fp

@@ -585,9 +585,11 @@ def gopher_rules(
 
     - word count in [min_words, max_words]
     - mean word length in [3, 10] characters
-    - symbol-to-word ratio (# and ...) <= 0.1
-    - < 90% of lines may NOT start with a bullet => ok when at most 10%
-      do (bullet chars: '-', '*')
+    - symbol-to-word ratio <= 0.1 for '#' AND (separately) for '...' —
+      the paper gates each symbol's ratio on its own, not their sum
+    - at most 90% of lines may start with a bullet (the paper removes
+      docs where MORE than 90% of lines are bullets; bullet chars:
+      '-', '*')
     - <= 30% of lines end with an ellipsis
     - >= 80% of words contain at least one alphabetic character
     - at least 2 of the 8 required English stop words appear
@@ -616,7 +618,8 @@ def gopher_rules(
         F.length(text_col)
         - F.length(F.replace(text_col, F.lit("..."), F.lit("")))
     ) / 3
-    symbol_ratio = F.try_divide(n_hash + n_ell, n_words)
+    hash_ratio = F.try_divide(n_hash, n_words)
+    ell_ratio = F.try_divide(n_ell, n_words)
     lines = F.split(text_col, "\n")
     n_lines = F.size(lines)
     bullet_frac = F.try_divide(
@@ -637,8 +640,10 @@ def gopher_rules(
         "ok_mean_word_len": F.coalesce(
             (mean_len >= 3) & (mean_len <= 10), F.lit(False)
         ),
-        "ok_symbol_ratio": F.coalesce(symbol_ratio <= 0.1, F.lit(False)),
-        "ok_bullet_lines": F.coalesce(bullet_frac <= 0.1, F.lit(False)),
+        "ok_symbol_ratio": F.coalesce(
+            (hash_ratio <= 0.1) & (ell_ratio <= 0.1), F.lit(False)
+        ),
+        "ok_bullet_lines": F.coalesce(bullet_frac <= 0.9, F.lit(False)),
         "ok_ellipsis_lines": F.coalesce(ellipsis_frac <= 0.3, F.lit(False)),
         "ok_alpha_words": F.coalesce(alpha_frac >= 0.8, F.lit(False)),
         "ok_stopwords": F.coalesce(stop_hits >= 2, F.lit(False)),

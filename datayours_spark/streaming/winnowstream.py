@@ -34,10 +34,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datayours_spark.functions.dedup import (
-    winnow_fingerprints,
-    winnow_incremental,
-)
+from datayours_spark.functions.dedup import winnow_incremental_indexed
 from datayours_spark.streaming.store import BatchStore
 
 DOC_SCHEMA = "doc_id bigint, text string"
@@ -83,20 +80,17 @@ class WinnowStream:
             return
         new = batch.select("doc_id", "text")
         index = self._read_or_empty("index", INDEX_SCHEMA)
-        pairs = winnow_incremental(
+        # _indexed returns the batch's checkpointed fingerprints so the
+        # index append reuses them instead of re-fingerprinting the
+        # batch (the EmbedStream build-once contract — ADVICE r7)
+        pairs, batch_fp = winnow_incremental_indexed(
             new, index, k=self.k, w=self.w, threshold=self.threshold
         )
         pairs.write.mode("overwrite").parquet(dests["pairs"])
         # index rows land AFTER the pair emission so the batch never
         # joins itself through the standing index (new×new is handled
         # inside winnow_incremental)
-        (
-            winnow_fingerprints(new, k=self.k, w=self.w)
-            .select("doc_id", "h")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(dests["index"])
-        )
+        batch_fp.write.mode("overwrite").parquet(dests["index"])
         self.store.maybe_compact(batch_id, SCHEMAS)
 
     def start(self):

@@ -850,3 +850,59 @@ class TestWinnowing:
         assert got == full and got   # equal AND non-trivial
         assert any(a % 3 == 0 and b % 3 == 0 for a, b in got)   # new x new
         assert any((a % 3 == 0) != (b % 3 == 0) for a, b in got)  # new x old
+
+    def test_reingested_doc_replaces_index_rows(self, spark):
+        """A doc_id present in BOTH the standing index and the batch must
+        not double-count in the n_fp containment denominators (ADVICE
+        r7): re-ingestion is replacement, so an unchanged re-ingested
+        doc yields exactly the pairs a fresh doc with the same text
+        would."""
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental,
+        )
+
+        text_a = "alpha beta gamma delta epsilon zeta eta theta iota"
+        docs = spark.createDataFrame(
+            [(1, text_a), (2, text_a + " kappa")],
+            "doc_id bigint, text string",
+        )
+        idx = winnow_fingerprints(docs, k=3, w=3).select("doc_id", "h").distinct()
+        # re-ingest doc 1 unchanged: its (1,2) pair must score as in the
+        # non-overlapping run, not with a doubled denominator
+        batch = docs.where(F.col("doc_id") == 1)
+        got = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_incremental(batch, idx, k=3, w=3, threshold=0.4).collect()
+        }
+        fresh_idx = winnow_fingerprints(
+            docs.where(F.col("doc_id") == 2), k=3, w=3
+        ).select("doc_id", "h").distinct()
+        want = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_incremental(
+                batch, fresh_idx, k=3, w=3, threshold=0.4
+            ).collect()
+        }
+        assert got == want and (1, 2) in got
+
+    def test_indexed_variant_returns_batch_fingerprints(self, spark):
+        """winnow_incremental_indexed's second return is exactly the
+        batch's distinct (doc_id, h) relation — what a streaming
+        maintainer appends to its standing index."""
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental_indexed,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon zeta eta")],
+            "doc_id bigint, text string",
+        )
+        idx = spark.createDataFrame([], "doc_id bigint, h bigint")
+        _, batch_fp = winnow_incremental_indexed(docs, idx, k=3, w=3)
+        want = {
+            (r.doc_id, r.h)
+            for r in winnow_fingerprints(docs, k=3, w=3)
+            .select("doc_id", "h").distinct().collect()
+        }
+        assert {(r.doc_id, r.h) for r in batch_fp.collect()} == want

@@ -461,6 +461,8 @@ class TestCosineNeardupGuard:
         sims = {r["vec_id"]: r["self_sim"] for r in members.collect()}
         assert sims[0] is None and sims[1] is None
         assert sims[2] == 1.0 and sims[3] == 1.0
+
+    def test_guarded_equals_naive_on_real_embeddings(self, spark):
         """Same differential on the fixture embeddings table (no planted
         structure — exercises the no-duplicates-at-all path)."""
         from datayours_spark.functions.similarity import cosine_neardup

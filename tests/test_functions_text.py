@@ -215,7 +215,12 @@ class TestGopherRules:
                 (4, "# " * 80),                      # symbol + alpha + mean len
                 (5, " ".join("12345" for _ in range(80))),  # alpha + stopwords
                 (6, "the be to of " + " ".join(f"word{i}" for i in range(60))
-                    + "\n- bullet\n- bullet\n- bullet"),   # bullet lines
+                    + "\n- bullet" * 10),  # 10/11 lines bulleted > 0.9
+                (7, "the be to of " + " ".join(f"word{i}" for i in range(60))
+                    + " with have that\n- one\n- two\n- three"),  # 3/4 = 0.75
+                (8, "the be to of " + "# " * 5 + "... " * 5
+                    + " ".join(f"word{i}" for i in range(60))
+                    + " with have that"),  # each ~0.07 <= 0.1, sum > 0.1
             ],
             "doc_id bigint, text string",
         )
@@ -227,7 +232,9 @@ class TestGopherRules:
         )
         assert not out[4].ok_symbol_ratio and not out[4].ok_mean_word_len
         assert not out[5].ok_alpha_words and not out[5].ok_stopwords
-        assert not out[6].ok_bullet_lines    # 3 of 4 lines are bullets
+        assert not out[6].ok_bullet_lines    # 10 of 11 lines > 0.9 gate
+        assert out[7].ok_bullet_lines        # 0.75 passes the paper's 0.9
+        assert out[8].ok_symbol_ratio        # each symbol gated separately
 
 
 class TestBm25:
