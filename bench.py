@@ -43,9 +43,12 @@ BENCH_QUERIES = [
     "q_text_stats",
     "q_ann_cosine",
     "q_dedup_minhash",
-    "q_text_profile",
+    # (q_text_profile and q_render_json retired from the stdout line in
+    # r8 for line-length headroom: both are sub-second scan-bound
+    # projections whose cost profile q_text_stats and q_render_api
+    # already cover; full timings for every query remain available via
+    # BENCH_LOCAL_FULL.json)
     "q_multimodal_features",
-    "q_render_json",
     "q_streaming_rollup",
     "q_sessionize",
     "q_render_api",
@@ -80,9 +83,10 @@ BENCH_QUERIES = [
     # round 3 additions
     "q_ann_ivf_probe2",
     "q_sample_temperature",
-    # round 4 additions
+    # round 4 additions (q_span_removed retired from the stdout line in
+    # r8 for line-length headroom: q_span_dedup + q_span_incremental
+    # cover the span family's cost profile)
     "q_span_dedup",
-    "q_span_removed",
     "q_span_incremental",
     "q_ann_ivfpq",
     "q_ann_ivfpq_res",
@@ -97,8 +101,9 @@ BENCH_QUERIES = [
     "q_ann_recall",
     "q_cluster_topics",
     "q_shard_manifest",
-    # round 5 additions
-    "q_ann_ivfpq_probe2",
+    # round 5 additions (q_ann_ivfpq_probe2 retired from the stdout line
+    # in r8 for line-length headroom: its cost profile is covered by
+    # q_ann_ivfpq + q_ann_ivf_probe2, which both stay)
     "q_datamine_asof",
     "q_ngram_jaccard",
     "q_pii_scrub",
@@ -119,6 +124,11 @@ BENCH_QUERIES = [
     "q_winnow_neardup",
     "q_source_overlap",
     "q_tpch_q5",
+    # round 8 additions — the r7 operators the verdict flagged unbenched
+    "q_winnow_fingerprints",
+    "q_bm25",
+    "q_ann_sq",
+    "q_ann_ivfsq",
 ]
 
 

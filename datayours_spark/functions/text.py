@@ -675,13 +675,17 @@ def bm25_topk(
     Lucene/ATIRE form).  Deterministic: scores round to ``round_dp`` and
     rank ties break by doc_id, so any engine reproduces the ordering.
 
-    Scale shape: one explode feeding a (doc_id, tok) tf aggregate; df is
-    a token-keyed aggregate SEMI-JOINED down to the query's terms before
-    anything corpus-sized shuffles twice; N and avgdl enter as broadcast
-    scalars (crossJoin of a 1-row aggregate — no driver-side action);
-    the final per-query ranking is a top-k window per query over only
-    the docs that matched ≥ 1 term (the posting-list union, not the
-    corpus)."""
+    Scale shape: the exploded token stream is broadcast-SEMI-JOINED
+    against the query's term list BEFORE the (doc_id, tok) tf aggregate,
+    so the only thing that shuffles at corpus scale is the matched
+    posting lists — at 100 TB that is orders of magnitude smaller than
+    the full (doc, token) relation.  The single remaining corpus-wide
+    aggregate is ``dlen`` (``groupBy(doc_id).count()`` — map-side
+    combinable partial aggregation, the minimum BM25's |d|/avgdl terms
+    require); df then derives from the already-filtered tf; N and avgdl
+    enter as broadcast scalars (crossJoin of a 1-row aggregate — no
+    driver-side action); the final per-query ranking is a top-k window
+    per query over only the docs that matched ≥ 1 term."""
     from pyspark.sql import Window
 
     qrows = [(int(qid), t) for qid, qtext in queries
@@ -694,16 +698,20 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(text_col, " ")).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # the query-term filter sits BELOW the tf aggregate: only matched
+    # (doc, tok) rows ever shuffle (the corpus-wide token relation never
+    # does — the one corpus aggregate left is dlen, which partial-aggs
+    # map-side)
+    tf = (
+        toks.join(qterms.select("tok").distinct(), "tok", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
     dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    df_t = (
-        tf.join(qterms.select("tok").distinct(), "tok", "left_semi")
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )

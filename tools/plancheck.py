@@ -230,6 +230,54 @@ def main() -> None:
         "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
         or "EqualTo(r_name,ASIA)" in plan,
     )
+    # ... and the region prune must sit BELOW the fact joins (r8 join
+    # reorder — Catalyst won't do it without CBO stats).  Formatted-plan
+    # node ids are post-order (descendants number lower than ancestors):
+    # the customer region semi-join must number below the orderkey fact
+    # join, and the supplier⋈nation join below the final suppkey join —
+    # so non-region customers/suppliers never enter the fact shuffles.
+    joins = {
+        int(m.group(1)): (m.group(2) + m.group(3), m.group(4))
+        for m in re.finditer(
+            r"\((\d+)\) (\w*Join)\w*\s*\nLeft keys[^\n]*: \[([^\]]*)\]"
+            r"\nRight keys[^\n]*: \[([^\]]*)\]\nJoin type: (\w+)",
+            plan,
+        )
+    }
+    keys = {i: lk + " " + rk for i, (lk, rk) in
+            ((i, (v[0], v[1])) for i, v in joins.items())}
+    orderkey_ids = [i for i, k in keys.items() if "l_orderkey" in k]
+    suppkey_ids = [i for i, k in keys.items() if "l_suppkey" in k]
+    cust_semi = [i for i, k in keys.items()
+                 if "c_nationkey" in k and "n_nationkey" in k]
+    supp_nat = [i for i, k in keys.items()
+                if "s_nationkey" in k and "n_nationkey" in k]
+    ok = (
+        bool(orderkey_ids) and bool(suppkey_ids)
+        and bool(cust_semi) and bool(supp_nat)
+        and min(cust_semi) < min(orderkey_ids)
+        and min(supp_nat) < max(suppkey_ids)
+    )
+    check(
+        "tpch q5 prunes customer+supplier by region below the fact joins",
+        ok,
+        f"cust_semi={cust_semi} orderkey={orderkey_ids} "
+        f"supp_nat={supp_nat} suppkey={suppkey_ids}",
+    )
+    # bm25: the query-term filter must sit BELOW the tf aggregate — the
+    # broadcast LeftSemi join consumes the raw token explode (Generate)
+    # directly, so only matched posting lists ever shuffle; the full
+    # corpus (doc, token) relation never feeds a corpus-wide exchange.
+    # Both tf branches (score and df) must show the shape.
+    plan = plan_of(registry["q_bm25"](spark, SF_DIR))
+    semi_over_explode = re.findall(
+        r"BroadcastHashJoin LeftSemi[^\n]*\n[^\n]*Generate", plan
+    )
+    check(
+        "bm25 semi-joins query terms below the tf aggregate",
+        len(semi_over_explode) >= 2,
+        f"saw {len(semi_over_explode)} LeftSemi-over-Generate spans",
+    )
     # gopher rules: pure per-row column arithmetic — zero exchanges.
     # (No WholeStageCodegen span: the higher-order filter/aggregate
     # lambdas are CodegenFallback, so the projection evaluates

@@ -1426,6 +1426,48 @@ def smoke_winnow() -> None:
     spark.stop()
 
 
+def smoke_bm25() -> None:
+    """Isolated: BM25 top-k at SCALE_DOCS — measures the r8 plan fix
+    (query-term semi-join BELOW the tf aggregate).  Reports the corpus
+    token count vs the matched-token count actually entering the tf
+    shuffle: the volume ratio is the point — at 100 TB only the matched
+    posting lists shuffle, the corpus-wide (doc, token) relation never
+    does (the one corpus aggregate left, dlen, partial-aggs map-side)."""
+    spark = get_spark(
+        "scalesmoke-bm25",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.text import bm25_topk
+
+    docs = synthetic_documents(spark, N_DOCS).localCheckpoint(eager=True)
+    # query terms drawn from the synthetic vocabulary (same formula as
+    # synthetic_documents): two family tokens, a doc-specific token, and
+    # a term matching nothing
+    tok = lambda seed, j: "w" + str(
+        (seed * seed + seed * 2_654_435_761 + j * j * 7_919 + j * 104_729)
+        % 1_000_003
+    )
+    qs = [(1, f"{tok(0, 1)} {tok(0, 49)}"), (2, f"{tok(2, 5)} nomatchterm")]
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    total_toks = toks.count()
+    qterm_list = [t for _, q in qs for t in q.split(" ")]
+    matched_toks = toks.where(F.col("tok").isin(qterm_list)).count()
+    t = time.perf_counter()
+    out_rows = bm25_topk(docs, qs, k=10).count()
+    dt = time.perf_counter() - t
+    print(json.dumps({
+        "metric": "bm25 smoke",
+        "n_docs": N_DOCS,
+        "corpus_tokens": total_toks,
+        "matched_tokens_into_tf_shuffle": matched_toks,
+        "shuffle_reduction": round(total_toks / max(matched_toks, 1), 1),
+        "topk_rows": out_rows,
+        "sec": round(dt, 1),
+        "docs_per_s": int(N_DOCS / max(dt, 1e-9)),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
@@ -1444,5 +1486,7 @@ if __name__ == "__main__":
         smoke_winnow()
     elif mode == "sq":
         smoke_sq()
+    elif mode == "bm25":
+        smoke_bm25()
     else:
         main()
