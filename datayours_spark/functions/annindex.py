@@ -147,3 +147,95 @@ def append_to_ann_index(out_dir: str, new_vectors: DataFrame) -> None:
         .partitionBy("cluster")
         .parquet(f"{out_dir}/codes")
     )
+
+
+# ------------------------------------------------------------- SQ8 rung
+
+def save_sq_index(
+    out_dir: str,
+    centroids: DataFrame,
+    bounds: list[tuple[float, float]],
+    codes: DataFrame,
+    assignments: DataFrame,
+    meta: dict,
+) -> None:
+    """Persist the IVF-SQ index bundle — the SQ rung of the same
+    lifecycle :func:`save_ann_index` gives IVF-PQ.  Layout:
+
+    - ``centroids/``  parquet (centroid_id, cv, cnorm) — KBs
+    - ``bounds/``     parquet (dim, vmin, vmax) — the 2·dim doubles of
+      SQ8 model state, engine-readable like every other artifact
+    - ``codes/``      parquet (vec_id, codes), PARTITIONED BY cluster —
+      the inverted lists; a probe-limited search reads exactly the
+      probed partitions
+    - ``meta.json``   dim / k / seed / kind="ivf-sq8"
+
+    ``codes`` carries (vec_id, codes) from
+    :func:`~datayours_spark.functions.similarity.sq_encode`; the cluster
+    partition key is joined in from ``assignments``."""
+    spark = centroids.sparkSession
+    centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    b = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(bounds)],
+        "dim int, vmin double, vmax double",
+    )
+    b.write.mode("overwrite").parquet(f"{out_dir}/bounds")
+    (
+        codes.join(assignments, "vec_id")
+        .select("cluster", "vec_id", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{out_dir}/codes")
+    )
+    with open(f"{out_dir}/meta.json", "w") as fh:
+        json.dump({**meta, "kind": "ivf-sq8"}, fh, sort_keys=True)
+
+
+def load_sq_index(spark: SparkSession, out_dir: str) -> dict:
+    """Load an SQ bundle saved by :func:`save_sq_index`.
+
+    Returns ``{"centroids": DF, "bounds": list[(vmin, vmax)],
+    "codes": DF (cluster, vec_id, codes), "meta": dict}`` in the shapes
+    :func:`~datayours_spark.functions.similarity.ivfsq_topk_pruned`
+    takes: the codes relation KEEPS its cluster partition column so the
+    probe filter prunes partitions, and searching a loaded index never
+    re-trains or re-encodes anything."""
+    with open(os.path.join(out_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    centroids = spark.read.parquet(f"{out_dir}/centroids")
+    brows = spark.read.parquet(f"{out_dir}/bounds").orderBy("dim").collect()
+    bounds = [(float(r["vmin"]), float(r["vmax"])) for r in brows]
+    stored = spark.read.parquet(f"{out_dir}/codes")
+    return {
+        "centroids": centroids,
+        "bounds": bounds,
+        "codes": stored.select(
+            F.col("cluster").cast("int").alias("cluster"), "vec_id", "codes"
+        ),
+        "meta": meta,
+    }
+
+
+def append_to_sq_index(out_dir: str, new_vectors: DataFrame) -> None:
+    """Incrementally index a batch against a SAVED SQ index: encode with
+    the stored bounds, assign with the stored centroids, append into the
+    cluster-partitioned codes table — the streaming-ingest path, same
+    contract as :func:`append_to_ann_index` (model state immutable,
+    dynamic partition append touches only the clusters the batch lands
+    in, caller owns vec_id dedup).
+
+    Out-of-bounds components in a new batch clamp to [0, 255] (the SQ8
+    codec's saturation behavior) — bounds retraining is a rebuild."""
+    from datayours_spark.functions.similarity import ivf_assign, sq_encode
+
+    spark = new_vectors.sparkSession
+    idx = load_sq_index(spark, out_dir)
+    codes = sq_encode(new_vectors, idx["bounds"])
+    assign = ivf_assign(new_vectors, idx["centroids"])
+    (
+        codes.join(assign, "vec_id")
+        .select("cluster", "vec_id", "codes")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(f"{out_dir}/codes")
+    )

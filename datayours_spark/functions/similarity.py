@@ -980,9 +980,18 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine:
     (vec_id, cluster).  Ties break by centroid_id; the centroid table is
-    tiny → broadcast, so assignment is a narrow map-side pass."""
-    from pyspark.sql import Window
+    tiny → broadcast, so assignment is a narrow map-side pass.
 
+    The argmax is a ``max_by`` aggregation, NOT a per-vector window: the
+    broadcast crossJoin expands to N×k scored rows, and a window would
+    shuffle ALL of them on vec_id (1.8B rows at 1.5M×1216 — the r7
+    verdict's semdedup-build finding); ``max_by`` partial-aggregates
+    map-side, collapsing each vector's k candidates to one row BEFORE
+    the exchange, so shuffle volume is N regardless of k.  The ordering
+    struct (csim, −centroid_id) reproduces the window's (csim DESC,
+    centroid_id ASC) tie-break exactly — a null csim (zero-norm vector)
+    sorts below every real score in both forms, so degenerate vectors
+    still land on the lowest-id centroid."""
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -995,13 +1004,16 @@ def ivf_assign(
             9,
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("centroid_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("centroid_id").cast("long").alias("cluster"))
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(
+                F.col("csim").alias("s"),
+                (-F.col("centroid_id")).alias("nid"),
+            ),
+        )
+        .cast("long")
+        .alias("cluster")
     )
 
 
@@ -1638,16 +1650,30 @@ def semdedup_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
+    probe_supers: int | None = None,
 ) -> DataFrame:
     """The standing SemDeDup state: (vec_id, v, nrm, cluster) — the
     corpus with its coarse assignment, the relation
     :func:`semdedup_incremental` probes per batch (the SemDeDup member of
-    the standing-index family: ``minhash_index``, ``cosine_collapse_index``)."""
-    assign = (
-        assignments
-        if assignments is not None
-        else ivf_assign(emb, centroids, id_col, vec_col)
-    )
+    the standing-index family: ``minhash_index``, ``cosine_collapse_index``).
+
+    ``probe_supers`` switches the ONE-TIME build to the hierarchical
+    :func:`ivf_assign_pruned` path — at the SemDeDup regime (k ≈ √N)
+    the flat assignment scores k×N = O(N^1.5) pairs, the pruned path
+    ≈ (1+P)·√k per vector (r7 verdict's build finding; bounded
+    deviation documented there).  The incremental batches that probe
+    this index must then be assigned with the SAME pruned function so
+    batch and standing rows follow one quantizer rule — pass the
+    matching ``assignments`` into :func:`semdedup_incremental`."""
+    if assignments is not None:
+        assign = assignments
+    elif probe_supers is not None:
+        assign = ivf_assign_pruned(
+            emb, centroids, probe_supers=probe_supers,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        assign = ivf_assign(emb, centroids, id_col, vec_col)
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -2180,4 +2206,281 @@ def ivfsq_topk(
     )
     return ranked.where(F.col("rank") <= k).withColumn(
         "rank", F.col("rank").cast("long")
+    )
+
+
+def sq_decode_expr(bounds: list[tuple[float, float]]) -> Column:
+    """The SQ8 reconstruction x̂ = vmin + c/255·span as a column
+    expression over a ``codes`` array column — literal bounds, zero
+    shuffle."""
+    vmin_arr, span_arr = _sq_arrays(bounds)
+    return F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(vmin_arr, i + 1)
+        + c.cast("double") / 255.0 * F.element_at(span_arr, i + 1),
+    )
+
+
+def ivfsq_topk_pruned(
+    emb: DataFrame,
+    clustered_codes: DataFrame,
+    bounds: list[tuple[float, float]],
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF-SQ search over a LOADED cluster-partitioned codes table
+    (:func:`datayours_spark.functions.annindex.load_sq_index`) with
+    LITERAL probe clusters — the partition-pruned production path the
+    IVF-PQ rung already has.
+
+    ``clustered_codes`` carries (cluster, vec_id, codes) straight from
+    the stored inverted-list layout, so there is NO vec_id tag join
+    (the r7 verdict's corpus×corpus finding), and the probe-cluster
+    filter is a static ``cluster IN (...)`` literal — collected from the
+    probe ranking at nprobe × |queries| ints of model-state scale — so
+    partition pruning does the inverted-list seek: the scan AND the SQ
+    decode projection touch only the probed partitions, ``nprobe/k`` of
+    the index regardless of corpus size.
+
+    Probe ranking is byte-identical to :func:`ivfsq_topk`'s (9-dp
+    rounded cosine against the broadcast centroid table), so the stored
+    path returns exactly the in-memory results."""
+    from pyspark.sql import Window
+
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id")
+    )
+    queries = (
+        vecs.where(F.col("vec_id").isin(query_ids))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "csim",
+            F.round(
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
+                9,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnorm"),
+            F.col("centroid_id").alias("qcluster"),
+        )
+    )
+    # nprobe × |queries| ints — model-state scale, the scalar guard that
+    # buys STATIC partition pruning on the codes scan
+    probe_list = sorted(
+        int(r["qcluster"])
+        for r in queries.select("qcluster").distinct().collect()
+    )
+    recon = (
+        clustered_codes.where(F.col("cluster").isin(probe_list))
+        .select("cluster", "vec_id", sq_decode_expr(bounds).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    cand = recon.join(
+        F.broadcast(queries),
+        (F.col("cluster") == F.col("qcluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.try_divide(
+        dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qnorm")
+    )
+    ranked = cand.select(
+        "query_id", "vec_id", F.round(sim, round_dp).alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def ivf_assign_pruned(
+    emb: DataFrame,
+    centroids: DataFrame,
+    probe_supers: int = 2,
+    super_iters: int = 2,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hierarchical (two-level) coarse assignment for LARGE k — the
+    pruned build path the r7 verdict asked for on ``semdedup_index``:
+    with k ≈ √N centroids the flat :func:`ivf_assign` scores k×N pairs
+    (O(N^1.5) at the SemDeDup regime), while this path scores
+    ≈ (1 + probe_supers)·√k per vector:
+
+    1. the k centroids are themselves k-means-grouped into s = ⌈√k⌉
+       SUPER-centroids (k rows — model-state-scale training via the
+       deterministic :func:`kmeans_centroids` contract);
+    2. each vector scores the s supers in a zero-shuffle literal-array
+       projection and shortlists its ``probe_supers`` best;
+    3. only the shortlisted supers' member centroids are scored — a
+       broadcast equi-join on the super id (explode of the size-P
+       shortlist, never a corpus×k expansion) — and the argmax runs as
+       the same map-side ``max_by`` as :func:`ivf_assign`.
+
+    At k=1216: 35 + 2·35 ≈ 105 scored pairs per vector vs 1216 — an
+    ~11× scoring cut, and the shuffle stays N rows.
+
+    BOUNDED DEVIATION, not exact: a vector lands on its true nearest
+    centroid unless that centroid's super is outside the vector's top-P
+    shortlist (the standard IVF probe trade, here applied to the
+    assignment itself).  ``probe_supers >= s`` degrades gracefully to
+    EXACT :func:`ivf_assign` output (test-pinned).  Supers that own no
+    centroid are dropped from the shortlist table, so every vector
+    always scores ≥ 1 real centroid and the output covers every input
+    row exactly once (test-pinned)."""
+    cent_emb = centroids.select(
+        F.col("centroid_id").cast("long").alias("vec_id"),
+        F.col("cv").alias("embedding"),
+    )
+    crows = centroids.select("centroid_id").collect()  # k ids — model state
+    k = len(crows)
+    import math as _math
+
+    s = max(int(_math.ceil(_math.sqrt(k))), 1)
+    super_cent = kmeans_centroids(
+        cent_emb, k=s, iters=super_iters, seed=seed
+    )
+    c2s = ivf_assign(cent_emb, super_cent)  # (centroid_id, super) — k rows
+    member_counts = {
+        int(r["cluster"]) for r in c2s.select("cluster").distinct().collect()
+    }
+    srows = [
+        r for r in super_cent.collect()
+        if int(r["centroid_id"]) in member_counts
+    ]
+    sup_arr = F.array(*[
+        F.struct(
+            F.lit(int(r["centroid_id"])).alias("sid"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("sv"),
+            F.lit(float(r["cnorm"])).alias("snorm"),
+        )
+        for r in srows
+    ])
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    scored_sup = F.transform(
+        sup_arr,
+        lambda c: F.struct(
+            (
+                -F.round(
+                    F.try_divide(
+                        dot(F.col("v"), c["sv"]), F.col("nrm") * c["snorm"]
+                    ),
+                    9,
+                )
+            ).alias("ns"),
+            c["sid"].alias("sid"),
+        ),
+    )
+    shortlist = F.transform(
+        F.slice(F.array_sort(scored_sup), 1, probe_supers), lambda x: x["sid"]
+    )
+    with_sup = vecs.select(
+        "vec_id", "v", "nrm", F.explode(shortlist).alias("qsuper")
+    )
+    members = centroids.join(
+        c2s.select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("cluster").cast("int").alias("qsuper"),
+        ),
+        "centroid_id",
+    )
+    cand = with_sup.join(F.broadcast(members), "qsuper").withColumn(
+        "csim",
+        F.round(
+            F.try_divide(
+                dot(F.col("v"), F.col("cv")), F.col("nrm") * F.col("cnorm")
+            ),
+            9,
+        ),
+    )
+    return cand.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(
+                F.col("csim").alias("s"),
+                (-F.col("centroid_id")).alias("nid"),
+            ),
+        )
+        .cast("long")
+        .alias("cluster")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int,
+    rrf_k: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked lists: score(q, d) = Σ_lists 1/(rrf_k + rank_list(q, d)),
+    missing-from-a-list contributes 0 — the standard hybrid-retrieval
+    combiner (lexical BM25 + vector cosine) that needs NO score
+    calibration because it only consumes ranks.
+
+    Each input carries (query_id, doc_id, rank); output is
+    (query_id, doc_id, rrf, rank) with the fused per-query top-``k``
+    (ties by doc_id).  Deterministic: contributions are summed in list
+    order and rounded to ``round_dp``, so any engine reproduces the
+    ordering.
+
+    Scale shape: the inputs are already per-query top-k lists (k·|Q|
+    rows — model-state scale, not corpus scale), so the full-outer
+    joins and the final window cost nothing at any corpus size; all the
+    heavy lifting happened inside the input rankings."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (rrf_k + F.col("rank"))).alias(f"_c{i}"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = reduce(
+        lambda a, b: a.join(b, ["query_id", "doc_id"], "full_outer"), contribs
+    )
+    score = F.round(
+        reduce(
+            lambda a, b: a + b,
+            [F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+             for i in range(len(contribs))],
+        ),
+        round_dp,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select("query_id", "doc_id", score.alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
     )

@@ -145,3 +145,112 @@ class TestAnnIndexPersistence:
         want = rows(res_codes(emb), ivf_assign(emb, cent))
         assert got == want
         shutil.rmtree(out, ignore_errors=True)
+
+
+class TestSqIndexPersistence:
+    """The SQ8 rung of the index lifecycle (r8): save/load/append with
+    cluster-partitioned codes and the literal-probe pruned search."""
+
+    def _build(self, spark):
+        from datayours_spark.functions.similarity import sq_encode, sq_train
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        cent = kmeans_centroids(emb, k=4, iters=2)
+        bounds = sq_train(emb)
+        codes = sq_encode(emb, bounds)
+        assign = ivf_assign(emb, cent)
+        return emb, dim, cent, bounds, codes, assign
+
+    def test_roundtrip_pruned_search_equals_in_memory(self, spark, tmp_path):
+        from datayours_spark.functions.annindex import (
+            load_sq_index, save_sq_index,
+        )
+        from datayours_spark.functions.similarity import (
+            ivfsq_topk, ivfsq_topk_pruned,
+        )
+
+        emb, dim, cent, bounds, codes, assign = self._build(spark)
+        out = str(tmp_path / "sqindex")
+        save_sq_index(out, cent, bounds, codes, assign,
+                      {"dim": dim, "k": 4, "seed": 42})
+        idx = load_sq_index(spark, out)
+        assert idx["meta"]["kind"] == "ivf-sq8"
+        assert idx["bounds"] == bounds
+        live = ivfsq_topk(emb, [0, 1], 5, bounds=bounds, codes=codes,
+                          centroids=cent, assignments=assign)
+        loaded = ivfsq_topk_pruned(
+            emb, idx["codes"], idx["bounds"], idx["centroids"], [0, 1], 5
+        )
+        assert sorted(map(tuple, live.collect())) == sorted(
+            map(tuple, loaded.collect())
+        )
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_pruned_search_partition_filters(self, spark, tmp_path):
+        """The literal probe list must surface as a STATIC
+        PartitionFilters [cluster IN (...)] on the stored codes scan —
+        partition pruning is the inverted-list seek."""
+        import contextlib
+        import io
+        import re
+
+        from datayours_spark.functions.annindex import (
+            load_sq_index, save_sq_index,
+        )
+        from datayours_spark.functions.similarity import ivfsq_topk_pruned
+
+        emb, dim, cent, bounds, codes, assign = self._build(spark)
+        out = str(tmp_path / "sqindex")
+        save_sq_index(out, cent, bounds, codes, assign,
+                      {"dim": dim, "k": 4, "seed": 42})
+        idx = load_sq_index(spark, out)
+        df = ivfsq_topk_pruned(
+            emb, idx["codes"], idx["bounds"], idx["centroids"], [0, 1], 5
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert re.search(r"PartitionFilters: \[cluster#\d+ IN \(", plan)
+        shutil.rmtree(out, ignore_errors=True)
+
+    def test_incremental_append_equals_full_build(self, spark, tmp_path):
+        """Index 80%, append 20%: pruned searches over the appended
+        index equal the full build (bounds + centroids shared, so codes
+        and assignments are identical)."""
+        from datayours_spark.functions.annindex import (
+            append_to_sq_index, load_sq_index, save_sq_index,
+        )
+        from datayours_spark.functions.similarity import (
+            ivfsq_topk_pruned, sq_encode,
+        )
+
+        emb, dim, cent, bounds, codes, assign = self._build(spark)
+        n = emb.count()
+        cut = int(n * 0.8)
+        first = emb.where(F.col("vec_id") < cut)
+        rest = emb.where(F.col("vec_id") >= cut)
+        out = str(tmp_path / "sqindex")
+        save_sq_index(
+            out, cent, bounds, sq_encode(first, bounds),
+            ivf_assign(first, cent), {"dim": dim, "k": 4, "seed": 42},
+        )
+        append_to_sq_index(out, rest)
+        idx = load_sq_index(spark, out)
+        assert idx["codes"].count() == n
+        full_out = str(tmp_path / "sqfull")
+        save_sq_index(full_out, cent, bounds, codes, assign,
+                      {"dim": dim, "k": 4, "seed": 42})
+        fidx = load_sq_index(spark, full_out)
+        a = ivfsq_topk_pruned(
+            emb, idx["codes"], idx["bounds"], idx["centroids"], [0, 1], 5
+        )
+        b = ivfsq_topk_pruned(
+            emb, fidx["codes"], fidx["bounds"], fidx["centroids"], [0, 1], 5
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(full_out, ignore_errors=True)

@@ -1091,3 +1091,72 @@ class TestSq8:
             for r in sq_topk(emb, [0, 1], 5).collect()
         }
         assert ivfsq == flat
+
+
+class TestIvfAssignPruned:
+    """The r8 hierarchical coarse-assignment build path (two-level
+    super-centroid shortlist) for large-k regimes like semdedup_index."""
+
+    def _fixture(self, spark):
+        from datayours_spark.functions.similarity import kmeans_centroids
+
+        emb = _emb(spark).limit(400)
+        cent = kmeans_centroids(emb, k=16, iters=2)
+        return emb, cent
+
+    def test_full_probe_equals_exact(self, spark):
+        """probe_supers >= s degrades gracefully to EXACT ivf_assign
+        output — the invariant that pins the pruned path to the flat
+        assignment contract."""
+        from datayours_spark.functions.similarity import (
+            ivf_assign, ivf_assign_pruned,
+        )
+
+        emb, cent = self._fixture(spark)
+        exact = {(r.vec_id, r.cluster) for r in ivf_assign(emb, cent).collect()}
+        # s = ceil(sqrt(16)) = 4; probe all 4 supers
+        pruned = {
+            (r.vec_id, r.cluster)
+            for r in ivf_assign_pruned(emb, cent, probe_supers=4).collect()
+        }
+        assert pruned == exact
+
+    def test_narrow_probe_covers_all_and_mostly_agrees(self, spark):
+        """probe_supers=2: every vector is assigned exactly once, the
+        cluster ids are real centroids, and the bounded deviation stays
+        small on the fixture."""
+        from datayours_spark.functions.similarity import (
+            ivf_assign, ivf_assign_pruned,
+        )
+
+        emb, cent = self._fixture(spark)
+        n = emb.count()
+        rows = ivf_assign_pruned(emb, cent, probe_supers=2).collect()
+        assert len(rows) == n
+        assert len({r.vec_id for r in rows}) == n
+        valid = {r.centroid_id for r in cent.collect()}
+        assert {r.cluster for r in rows} <= valid
+        exact = dict(
+            (r.vec_id, r.cluster) for r in ivf_assign(emb, cent).collect()
+        )
+        agree = sum(1 for r in rows if exact[r.vec_id] == r.cluster) / n
+        assert agree >= 0.9, f"agreement {agree}"
+
+    def test_zero_vector_assigned(self, spark):
+        """A zero-norm vector still lands deterministically (null sims
+        sort below real scores at both levels)."""
+        from pyspark.sql import functions as F
+
+        from datayours_spark.functions.similarity import ivf_assign_pruned
+
+        emb, cent = self._fixture(spark)
+        dim = len(emb.select("embedding").first()[0])
+        z = emb.sparkSession.createDataFrame(
+            [(999_999, [0.0] * dim)], "vec_id bigint, embedding array<double>"
+        )
+        rows = ivf_assign_pruned(
+            emb.select("vec_id", "embedding").unionByName(z),
+            cent,
+            probe_supers=2,
+        ).where(F.col("vec_id") == 999_999).collect()
+        assert len(rows) == 1 and rows[0].cluster is not None
