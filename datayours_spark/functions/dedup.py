@@ -1521,3 +1521,64 @@ def winnow_incremental_indexed(
         .where(F.col("containment") >= threshold)
     )
     return pairs, new_fp
+
+
+def winnow_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    gap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared-RUN extraction from winnowing matches — the MOSS-style
+    report as a usable span table: (id1, id2, start1, end1, start2,
+    end2, n_matches), where [startN, endN] are 1-based token spans of
+    one contiguous shared run in each document.
+
+    Matched fingerprint positions with a CONSTANT OFFSET (pos1 − pos2)
+    belong to the same alignment; within one alignment, winnowing
+    guarantees a selected fingerprint at least every ``w`` positions of
+    a true shared run (the w+k−1 coverage guarantee), so position gaps
+    > ``gap`` (default ``w``) split islands — the standard
+    islands-and-gaps pass, here per (pair, offset).  A run whose last
+    matched k-gram starts at position e covers tokens through e+k−1.
+
+    Scale shape: everything downstream of :func:`winnow_matches` is
+    pair-scoped — the distinct + lag window + aggregation all partition
+    by (id1, id2, offset), so cost follows matched co-occurrences,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    gap = w if gap is None else gap
+    m = winnow_matches(
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col
+    )
+    d = m.select(
+        "id1", "id2", (F.col("pos1") - F.col("pos2")).alias("offset"), "pos1"
+    ).distinct()
+    ww = Window.partitionBy("id1", "id2", "offset").orderBy("pos1")
+    brk = F.when(
+        F.col("pos1") - F.lag("pos1").over(ww) <= gap, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = d.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(ww)
+    )
+    return (
+        isl.groupBy("id1", "id2", "offset", "island")
+        .agg(
+            F.min("pos1").alias("s"),
+            F.max("pos1").alias("e"),
+            F.count("*").alias("n_matches"),
+        )
+        .select(
+            "id1",
+            "id2",
+            F.col("s").cast("long").alias("start1"),
+            (F.col("e") + k - 1).cast("long").alias("end1"),
+            (F.col("s") - F.col("offset")).cast("long").alias("start2"),
+            (F.col("e") + k - 1 - F.col("offset")).cast("long").alias("end2"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+        )
+    )

@@ -906,3 +906,52 @@ class TestWinnowing:
             .select("doc_id", "h").distinct().collect()
         }
         assert {(r.doc_id, r.h) for r in batch_fp.collect()} == want
+
+
+class TestWinnowSpans:
+    def test_spans_are_shared_token_runs(self, spark):
+        """Two docs sharing TWO separate runs at different offsets must
+        yield (at least) one span row per run, and every reported span
+        must slice to IDENTICAL token sequences in both docs — the
+        defining property of the MOSS span report."""
+        from datayours_spark.functions.dedup import winnow_neardup, winnow_spans
+
+        r1 = "r1a r1b r1c r1d r1e r1f"
+        r2 = "r2a r2b r2c r2d r2e r2f"
+        t1 = f"{r1} u1 u2 {r2}"            # run2 at doc1 pos 9..14
+        t2 = f"{r1} v1 v2 v3 {r2}"         # run2 at doc2 pos 10..15
+        docs = spark.createDataFrame(
+            [(1, t1), (2, t2)], "doc_id bigint, text string"
+        )
+        pairs = winnow_neardup(docs, k=3, w=3, threshold=0.3)
+        rows = winnow_spans(docs, pairs, k=3, w=3).collect()
+        assert rows, "no spans extracted"
+        toks1, toks2 = t1.split(" "), t2.split(" ")
+        offsets = set()
+        for r in rows:
+            assert r.id1 == 1 and r.id2 == 2
+            assert r.end1 - r.start1 == r.end2 - r.start2
+            offsets.add(r.start1 - r.start2)
+            assert (
+                toks1[r.start1 - 1 : r.end1] == toks2[r.start2 - 1 : r.end2]
+            ), (r, toks1[r.start1 - 1 : r.end1], toks2[r.start2 - 1 : r.end2])
+            assert r.n_matches >= 1
+        assert len(offsets) == 2, offsets  # the two runs align differently
+
+    def test_gap_splits_islands_within_one_offset(self, spark):
+        """The SAME offset with a gap > w between matched positions must
+        split into two span rows (islands-and-gaps), not one megaspan."""
+        from datayours_spark.functions.dedup import winnow_neardup, winnow_spans
+
+        r1 = "a1 a2 a3 a4 a5 a6"
+        r2 = "b1 b2 b3 b4 b5 b6"
+        mid1 = "x1 x2 x3 x4 x5 x6 x7 x8"
+        mid2 = "y1 y2 y3 y4 y5 y6 y7 y8"   # same length -> same offset 0
+        docs = spark.createDataFrame(
+            [(1, f"{r1} {mid1} {r2}"), (2, f"{r1} {mid2} {r2}")],
+            "doc_id bigint, text string",
+        )
+        pairs = winnow_neardup(docs, k=3, w=3, threshold=0.3)
+        rows = winnow_spans(docs, pairs, k=3, w=3).collect()
+        zero_off = [r for r in rows if r.start1 == r.start2]
+        assert len(zero_off) == 2, rows    # two islands, one per run
