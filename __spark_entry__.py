@@ -1068,6 +1068,19 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matches(docs, pairs, k=WINNOW_K, w=WINNOW_W)
 
 
+def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-run span table from the winnowing matches (r7 verdict
+    task #8): matched positions grouped per (pair, constant offset) and
+    split islands-and-gaps over pos1 (gap > w ends a run) — the MOSS
+    report as contiguous token spans [start, end] per document, with
+    the run's match count."""
+    from datayours_spark.functions.dedup import winnow_neardup, winnow_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
+    return winnow_spans(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+
+
 def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing maintenance: docs with doc_id % 10 == 0
     arrive as a new batch against the standing fingerprint index of the
@@ -1106,6 +1119,78 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, BM25_QUERIES, BM25_TOP_K)
+
+
+#: chunk-retrieval unit id: doc_id * CHUNK_ID_BASE + chunk_no (chunk_no
+#: is bounded by n_tokens/stride << CHUNK_ID_BASE at any document length
+#: this corpus can hold)
+CHUNK_ID_BASE = 1_000_000
+
+
+def q_bm25_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval (the RAG shape): BM25 top-k over sliding-window
+    CHUNKS instead of whole documents — long documents stop swamping
+    the length normalization, and the hit localizes WHERE the match is.
+    Composes chunk_documents (zero-shuffle generator) with bm25_topk
+    (query-term semi-join below tf); the chunk unit id is integer
+    arithmetic so any engine re-derives it.  Output: (query_id, doc_id,
+    chunk_no, score, rank)."""
+    from datayours_spark.functions.text import bm25_topk, chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).select(
+        (F.col("doc_id") * CHUNK_ID_BASE + F.col("chunk_no")).alias("chunk_id"),
+        "chunk_text",
+    )
+    ranked = bm25_topk(
+        chunks, BM25_QUERIES, BM25_TOP_K,
+        id_col="chunk_id", text_col="chunk_text",
+    )
+    return ranked.select(
+        "query_id",
+        F.expr(f"doc_id div {CHUNK_ID_BASE}").cast("long").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(CHUNK_ID_BASE)).cast("long").alias("chunk_no"),
+        "score",
+        "rank",
+    )
+
+
+HYBRID_QUERY_IDS = [0, 1, 2]
+HYBRID_TOP_K = 10
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid query-by-example retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009): for each query DOC, fuse (a) BM25 over the
+    query doc's own terms (lexical) and (b) embedding-cosine top-k
+    (semantic, doc_id ≡ vec_id in the fixture), by
+    rrf = Σ 1/(60 + rank) — rank-only fusion, no score calibration.
+    Self-hits are dropped from both lists (list ranks keep their
+    original positions, the standard RRF treatment).  The example
+    texts are a driver-side lookup of |Q| rows (model-state scale);
+    everything else is the two underlying rankings' plans."""
+    from datayours_spark.functions.similarity import cosine_topk, rrf_fuse
+    from datayours_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtexts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.col("doc_id").isin(HYBRID_QUERY_IDS))
+        .select("doc_id", "text")
+        .collect()
+    }
+    lex = bm25_topk(
+        docs, [(qid, qtexts[qid]) for qid in HYBRID_QUERY_IDS],
+        HYBRID_TOP_K + 1,
+    ).where(F.col("doc_id") != F.col("query_id"))
+    vec = (
+        cosine_topk(emb, HYBRID_QUERY_IDS, HYBRID_TOP_K)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, vec], HYBRID_TOP_K)
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1724,19 +1809,72 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Build-and-persist the IVF-SQ index bundle ONCE per session
+    (annindex.save_sq_index layout: codes PARTITIONED BY cluster), and
+    return (index_dir, bounds).  The r8 production path: searches load
+    this store and prune to probed cluster partitions instead of
+    decoding + tag-joining the whole corpus in-query (the r7 verdict's
+    `weak` finding)."""
+    import shutil
+
+    from datayours_spark.functions.annindex import save_sq_index
+    from datayours_spark.functions.similarity import sq_encode, sq_train
+
+    key = _ann_key(spark, sf_dir, "sq_index_dir")
+    cached = _ANN_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    app_id = spark.sparkContext.applicationId
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+    )
+    os.makedirs(base, exist_ok=True)
+    # reap index dirs left by dead sessions (same hygiene as
+    # _purge_stale for the in-memory cache)
+    for d in os.listdir(base):
+        if d.startswith("sq_index_") and app_id not in d:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    out = os.path.join(
+        base, f"sq_index_{app_id}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq_train(emb)
+    save_sq_index(
+        out,
+        _ann_centroids(spark, sf_dir),
+        bounds,
+        sq_encode(emb, bounds),
+        _ann_assignments(spark, sf_dir),
+        {"dim": ANN_DIM, "k": ANN_IVF_K, "seed": ANN_IVF_SEED},
+    )
+    _ANN_INDEX_CACHE[key] = (out, bounds)
+    return out, bounds
+
+
 def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ — inverted lists over the SQ8-quantized corpus (the FAISS
     IVF,SQ8 composition): the learned coarse quantizer prunes candidates
     to the probed cluster, which are then scored against their 8-bit
     reconstruction; queries stay exact.  Same probe arithmetic as
-    q_ann_ivf with the 8× smaller candidate read."""
-    from datayours_spark.functions.similarity import ivfsq_topk
+    q_ann_ivf with the 8× smaller candidate read.
+
+    Runs the FULL index lifecycle: build + persist cluster-partitioned
+    (annindex.save_sq_index, once per session), then load and search
+    with literal probe clusters (ivfsq_topk_pruned) — the executed plan
+    carries PartitionFilters on the codes scan (plancheck pins it), so
+    the decode projection and candidate read touch only the probed
+    inverted lists.  Results are byte-identical to the in-query
+    ivfsq_topk derivation; the DuckDB oracle replays that."""
+    from datayours_spark.functions.annindex import load_sq_index
+    from datayours_spark.functions.similarity import ivfsq_topk_pruned
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = _ann_centroids(spark, sf_dir)
-    return ivfsq_topk(
-        emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent,
-        assignments=_ann_assignments(spark, sf_dir),
+    idx_dir, _bounds = _sq_index_dir(spark, sf_dir)
+    idx = load_sq_index(spark, idx_dir)
+    return ivfsq_topk_pruned(
+        emb, idx["codes"], idx["bounds"], idx["centroids"],
+        list(range(N_ANN_QUERIES)), ANN_TOP_K,
     )
 
 
@@ -2927,50 +3065,53 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Window policy: the driver oracle-checks the first 50 dict entries
-    # each round (dict-order prefix).  Round 7 rotates in the six queries
-    # added in round 6 (q_dedup_embed_banded / q_semdedup_incremental /
-    # q_neardup_verified / q_oov_rate / q_chunk_docs / q_dup_ngrams —
-    # selfcheck-green, never driver-checked) plus one query from each of
-    # the four families whose last driver-green row dates to round 4
-    # (q_ingest_parse, q_fetch_grid, q_user_hook, q_tpch_q1), in place of
-    # ten twice-green rows (q_unigram_logprob, q_bigram_logprob,
-    # q_ann_ivf_probe2, q_ann_ivfpq_probe2, q_ann_ivfpq_rerank,
-    # q_ann_recall, q_sample_temperature, q_quota_topk, q_top_ngrams,
-    # q_daily_active).  With these ten green, every oracle-backed query
-    # has earned a driver CORRECTNESS row in some round (115/115) and no
-    # family exceeds the 2-round staleness bound.  The two `no_oracle`
+    # each round (dict-order prefix).  Round 8 rotates in the ELEVEN
+    # queries added in round 7 (the winnowing family, q_source_overlap,
+    # q_gopher_rules, q_tpch_q5, q_ann_sq, q_ann_ivfsq,
+    # q_audio_segments, q_bm25 — all selfcheck-green, never
+    # driver-checked), in place of eleven thrice-green rows
+    # (q_span_mask, q_span_incremental, q_ann_ivf, q_ann_ivfpq,
+    # q_ann_ivfpq_res, q_semdedup, q_cluster_topics, q_dedup_embed,
+    # q_render_mixed, q_tfidf_terms, q_corpus_clean — every one green
+    # in r5/r6/r7, and each of their families keeps either an in-window
+    # member or an r7-green row, so nothing ages past the 2-round
+    # staleness bound).  With these eleven green, EVERY oracle-backed
+    # query has earned a driver CORRECTNESS row in some round (126/126
+    # — full closure of the driver contract).  The two `no_oracle`
     # approx queries sit at the very end so no window slot is
     # structurally un-greenable.  Every in-window entry has an
     # oracle_sql() — asserted by tests/test_entry_contract.py.
     return {
-        # --- r7 window: the six round-6 queries, first driver check ---
+        # --- r8 window: the eleven round-7 queries, first driver check
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_winnow_neardup": q_winnow_neardup,
+        "q_winnow_matches": q_winnow_matches,
+        "q_winnow_incremental": q_winnow_incremental,
+        "q_source_overlap": q_source_overlap,
+        "q_gopher_rules": q_gopher_rules,
+        "q_tpch_q5": q_tpch_q5,
+        "q_ann_sq": q_ann_sq,
+        "q_ann_ivfsq": q_ann_ivfsq,
+        "q_audio_segments": q_audio_segments,
+        "q_bm25": q_bm25,
+        # --- r8 window: once-green r7 rows kept for a second row ------
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_neardup_verified": q_neardup_verified,
         "q_oov_rate": q_oov_rate,
         "q_chunk_docs": q_chunk_docs,
         "q_dup_ngrams": q_dup_ngrams,
-        # --- r7 window: stale-family re-verification ------------------
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
         "q_user_hook": q_user_hook,
         "q_tpch_q1": q_tpch_q1,
-        # --- r7 window: recent-green rows kept in-window --------------
         "q_dm_timeline": q_dm_timeline,
         "q_pii_scrub": q_pii_scrub,
         "q_url_stats": q_url_stats,
         "q_multimodal_neardup": q_multimodal_neardup,
-        "q_span_mask": q_span_mask,
-        "q_span_incremental": q_span_incremental,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_ivfpq_res": q_ann_ivfpq_res,
-        "q_semdedup": q_semdedup,
-        "q_cluster_topics": q_cluster_topics,
-        "q_dedup_embed": q_dedup_embed,
         "q_dedup_embed_incremental": q_dedup_embed_incremental,
+        # --- r8 window: recent-green rows kept in-window --------------
         "q_render_api": q_render_api,
-        "q_render_mixed": q_render_mixed,
         "q_series_meta": q_series_meta,
         "q_streaming_rollup": q_streaming_rollup,
         "q_multireader": q_multireader,
@@ -2981,8 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resize_plan": q_resize_plan,
         "q_sessionize": q_sessionize,
         "q_locf_chunked": q_locf_chunked,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_corpus_clean": q_corpus_clean,
         "q_leakage_split": q_leakage_split,
         "q_sample_stratified": q_sample_stratified,
         "q_token_budget": q_token_budget,
@@ -2996,7 +3135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_dedup_report": q_dedup_report,
-        # --- past the window: green driver row in r1–r6 --------------
+        # --- past the window: green driver row in r1–r7 --------------
+        "q_span_mask": q_span_mask,
+        "q_span_incremental": q_span_incremental,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_ivfpq_res": q_ann_ivfpq_res,
+        "q_semdedup": q_semdedup,
+        "q_cluster_topics": q_cluster_topics,
+        "q_dedup_embed": q_dedup_embed,
+        "q_render_mixed": q_render_mixed,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_corpus_clean": q_corpus_clean,
         "q_unigram_logprob": q_unigram_logprob,
         "q_bigram_logprob": q_bigram_logprob,
         "q_ann_ivf_probe2": q_ann_ivf_probe2,
@@ -3062,18 +3212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
-        # --- new in r7, selfcheck-verified; rotate into the window r8 ---
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_winnow_neardup": q_winnow_neardup,
-        "q_source_overlap": q_source_overlap,
-        "q_gopher_rules": q_gopher_rules,
-        "q_winnow_matches": q_winnow_matches,
-        "q_winnow_incremental": q_winnow_incremental,
-        "q_tpch_q5": q_tpch_q5,
-        "q_ann_sq": q_ann_sq,
-        "q_audio_segments": q_audio_segments,
-        "q_bm25": q_bm25,
-        "q_ann_ivfsq": q_ann_ivfsq,
+        # --- new in r8, selfcheck-verified; rotate into the window r9 ---
+        "q_winnow_spans": q_winnow_spans,
+        "q_bm25_chunks": q_bm25_chunks,
+        "q_hybrid_rrf": q_hybrid_rrf,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3605,44 +3747,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE containment >= {WINNOW_T}
               AND (id1 % {INCR_BATCH_MOD} = 0 OR id2 % {INCR_BATCH_MOD} = 0)
         """,
-        "q_winnow_matches": f"""
-            WITH tt AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ), hh AS (
-              SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
-                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
-              FROM tt
-            ), subs AS (
-              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
-              FROM hh CROSS JOIN
-                unnest(generate_series(1, CASE WHEN len(h) >= 1
-                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
-            ), fps_pos AS (
-              SELECT DISTINCT doc_id,
-                CAST(j + len(sub) - list_position(list_reverse(sub), list_min(sub))
-                     AS BIGINT) AS pos,
-                list_min(sub) AS h
-              FROM subs
-            ), fps AS (
-              SELECT DISTINCT doc_id, h FROM fps_pos
-            ), cnt AS (
-              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
-            ), prs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), sel AS (
-              SELECT id1, id2 FROM prs
-              JOIN cnt n1 ON prs.id1 = n1.doc_id
-              JOIN cnt n2 ON prs.id2 = n2.doc_id
-              WHERE round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4)
-                    >= {WINNOW_T}
+        "q_winnow_matches": _winnow_matches_oracle_sql(),
+        "q_winnow_spans": f"""
+            WITH m AS ({_winnow_matches_oracle_sql()}),
+            d AS (
+              SELECT DISTINCT id1, id2, pos1 - pos2 AS off, pos1 FROM m
+            ), g AS (
+              SELECT *, CASE WHEN pos1 - lag(pos1) OVER
+                     (PARTITION BY id1, id2, off ORDER BY pos1)
+                     <= {WINNOW_W} THEN 0 ELSE 1 END AS brk
+              FROM d
+            ), i AS (
+              SELECT *, sum(brk) OVER
+                     (PARTITION BY id1, id2, off ORDER BY pos1) AS island
+              FROM g
             )
-            SELECT s.id1, s.id2, a.pos AS pos1, b.pos AS pos2, a.h
-            FROM sel s
-            JOIN fps_pos a ON s.id1 = a.doc_id
-            JOIN fps_pos b ON s.id2 = b.doc_id AND a.h = b.h
+            SELECT id1, id2,
+              CAST(min(pos1) AS BIGINT) AS start1,
+              CAST(max(pos1) + {WINNOW_K - 1} AS BIGINT) AS end1,
+              CAST(min(pos1) - off AS BIGINT) AS start2,
+              CAST(max(pos1) + {WINNOW_K - 1} - off AS BIGINT) AS end2,
+              count(*)::BIGINT AS n_matches
+            FROM i GROUP BY id1, id2, off, island
         """,
         "q_gopher_rules": """
             WITH d AS (
@@ -3943,6 +4069,123 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
             SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= {BM25_TOP_K}
+        """,
+        "q_bm25_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, n, {CHUNK_STRIDE})) AS s1
+              FROM t),
+            ch AS (
+              SELECT doc_id * {CHUNK_ID_BASE}
+                       + ((s1 - 1) // {CHUNK_STRIDE}) AS chunk_id,
+                     array_to_string(t[s1 : s1 + {CHUNK_WINDOW - 1}], ' ')
+                       AS chunk_text
+              FROM s),
+            toks AS (
+              SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS tok
+              FROM ch),
+            tf AS (SELECT chunk_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dlen AS (SELECT chunk_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+            q(query_id, tok) AS (VALUES {_bm25_values()}),
+            dft AS (
+              SELECT tok, count(*) AS df FROM tf
+              WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+            sc AS (
+              SELECT q.query_id, tf.chunk_id,
+                round(sum(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                  * (tf * (1.2 + 1))
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ), 4) AS score
+              FROM tf JOIN q ON tf.tok = q.tok
+              JOIN dlen USING (chunk_id)
+              CROSS JOIN stats
+              JOIN dft ON tf.tok = dft.tok
+              GROUP BY 1, 2),
+            rk AS (
+              SELECT query_id, chunk_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, chunk_id) AS rank
+              FROM sc)
+            SELECT query_id,
+                   (chunk_id // {CHUNK_ID_BASE})::BIGINT AS doc_id,
+                   (chunk_id % {CHUNK_ID_BASE})::BIGINT AS chunk_no,
+                   score, CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= {BM25_TOP_K}
+        """,
+        "q_hybrid_rrf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dlen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dlen),
+            q AS (
+              SELECT doc_id AS query_id,
+                     unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents
+              WHERE doc_id IN ({", ".join(str(i) for i in HYBRID_QUERY_IDS)})),
+            dft AS (
+              SELECT tok, count(*) AS df FROM tf
+              WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+            sc AS (
+              SELECT q.query_id, tf.doc_id,
+                round(sum(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                  * (tf * (1.2 + 1))
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                ), 4) AS score
+              FROM tf JOIN q ON tf.tok = q.tok
+              JOIN dlen USING (doc_id)
+              CROSS JOIN stats
+              JOIN dft ON tf.tok = dft.tok
+              GROUP BY 1, 2),
+            lex AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc),
+            lexf AS (
+              SELECT * FROM lex
+              WHERE rank <= {HYBRID_TOP_K + 1} AND doc_id <> query_id),
+            e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+            qv AS (SELECT vec_id AS query_id, v AS qvec, norm AS qnorm FROM nn
+                   WHERE vec_id IN ({", ".join(str(i) for i in HYBRID_QUERY_IDS)})),
+            vpairs AS (
+              SELECT qv.query_id, nn.vec_id,
+                     round(list_dot_product(nn.v, qv.qvec)
+                           / (nn.norm * qv.qnorm), 4) AS sim
+              FROM nn CROSS JOIN qv WHERE nn.vec_id <> qv.query_id),
+            vrank AS (
+              SELECT query_id, vec_id AS doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM vpairs),
+            vecf AS (SELECT * FROM vrank WHERE rank <= {HYBRID_TOP_K}),
+            f AS (
+              SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                     coalesce(l.doc_id, v.doc_id) AS doc_id,
+                     round(coalesce(1.0::DOUBLE / (60 + l.rank), 0)
+                           + coalesce(1.0::DOUBLE / (60 + v.rank), 0), 6) AS rrf
+              FROM lexf l FULL OUTER JOIN vecf v
+                ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+            fr AS (
+              SELECT query_id, doc_id, rrf,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, doc_id) AS rank
+              FROM f)
+            SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
+            FROM fr WHERE rank <= {HYBRID_TOP_K}
         """,
         "q_audio_segments": f"""
             WITH a AS (
@@ -5357,6 +5600,53 @@ def _bm25_values() -> str:
             if t:
                 rows.append(f"({qid}::BIGINT, '{t}')")
     return ", ".join(rows)
+
+
+def _winnow_matches_oracle_sql() -> str:
+    """DuckDB replay of winnow_fingerprints → winnow_neardup →
+    winnow_matches: rightmost-min per w-window fingerprints with
+    positions, containment-thresholded pairs, then the pair-scoped
+    position co-occurrences (shared by the q_winnow_matches and
+    q_winnow_spans oracles)."""
+    return f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            ), fps_pos AS (
+              SELECT DISTINCT doc_id,
+                CAST(j + len(sub) - list_position(list_reverse(sub), list_min(sub))
+                     AS BIGINT) AS pos,
+                list_min(sub) AS h
+              FROM subs
+            ), fps AS (
+              SELECT DISTINCT doc_id, h FROM fps_pos
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+            ), prs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sel AS (
+              SELECT id1, id2 FROM prs
+              JOIN cnt n1 ON prs.id1 = n1.doc_id
+              JOIN cnt n2 ON prs.id2 = n2.doc_id
+              WHERE round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4)
+                    >= {WINNOW_T}
+            )
+            SELECT s.id1, s.id2, a.pos AS pos1, b.pos AS pos2, a.h
+            FROM sel s
+            JOIN fps_pos a ON s.id1 = a.doc_id
+            JOIN fps_pos b ON s.id2 = b.doc_id AND a.h = b.h
+    """
 
 
 def _minhash_oracle_sql() -> str:

@@ -68,7 +68,7 @@ FAMILIES = {
         "q_minhash_guarded", "q_simhash_guarded", "q_simhash_neardup",
         "q_ngram_jaccard", "q_dedup_report", "q_neardup_verified",
         "q_winnow_fingerprints", "q_winnow_neardup", "q_source_overlap",
-        "q_winnow_matches", "q_winnow_incremental",
+        "q_winnow_matches", "q_winnow_incremental", "q_winnow_spans",
     ],
     "span_dedup": [
         "q_span_mask", "q_span_removed", "q_span_incremental",
@@ -77,7 +77,7 @@ FAMILIES = {
     "embedding_similarity": [
         "q_dedup_embed", "q_dedup_embed_incremental", "q_semdedup",
         "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
-        "q_embed_centroid", "q_multimodal_neardup",
+        "q_embed_centroid", "q_multimodal_neardup", "q_hybrid_rrf",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",
@@ -97,7 +97,7 @@ FAMILIES = {
         "q_token_histogram", "q_unigram_logprob", "q_bigram_logprob",
         "q_corpus_clean", "q_adaptive_quality", "q_quantile_profile",
         "q_daily_active", "q_sliding_rate", "q_oov_rate", "q_chunk_docs",
-        "q_dup_ngrams", "q_gopher_rules", "q_bm25",
+        "q_dup_ngrams", "q_gopher_rules", "q_bm25", "q_bm25_chunks",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",

@@ -1312,6 +1312,70 @@ def smoke_sq() -> None:
         "sq8_s": sq_s, "brute_s": ex_s,
         "top10_overlap_vs_exact": round(overlap, 3),
     }
+
+    # ---- IVF-SQ index lifecycle (r8): persist -> append -> pruned
+    # search, mirroring the IVF-PQ rows.  The stored codes are the
+    # cluster-partitioned inverted lists; the search must read ONLY the
+    # probed partitions (static PartitionFilters from the literal probe
+    # list) and never tag-join the corpus on vec_id.
+    from datayours_spark.functions.annindex import (
+        append_to_sq_index,
+        load_sq_index,
+        save_sq_index,
+    )
+    from datayours_spark.functions.similarity import (
+        ivf_assign,
+        ivfsq_topk_pruned,
+        kmeans_centroids,
+    )
+
+    k_clusters = max(int(n_vecs ** 0.5) // 8, 8)
+    t = time.perf_counter()
+    cent = kmeans_centroids(emb, k=k_clusters, iters=2)
+    out["ivfsq_coarse_train"] = {
+        "sec": round(time.perf_counter() - t, 2), "k": k_clusters,
+    }
+    idx_dir = f"{work}/sqindex"
+    t = time.perf_counter()
+    save_sq_index(
+        idx_dir, cent, bounds, codes, ivf_assign(emb, cent),
+        {"dim": dim, "k": k_clusters, "seed": 42},
+    )
+    out["ivfsq_index_persist"] = {"sec": round(time.perf_counter() - t, 2)}
+    batch_n = max(n_vecs // 100, 1)
+    batch = spark.range(n_vecs, n_vecs + batch_n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    t = time.perf_counter()
+    append_to_sq_index(idx_dir, batch)
+    out["ivfsq_index_append_1pct"] = {
+        "sec": round(time.perf_counter() - t, 2), "batch": batch_n,
+    }
+    t = time.perf_counter()
+    idx = load_sq_index(spark, idx_dir)
+    full = emb.unionByName(batch)
+    searched = ivfsq_topk_pruned(
+        full, idx["codes"], idx["bounds"], idx["centroids"], qids, 10
+    )
+    got = {(r.query_id, r.vec_id) for r in searched.collect()}
+    truth = {(q, v) for q, vs in ex_sets.items() for v in vs}
+    # recall here is the single-probe IVF dial on STRUCTURELESS random
+    # vectors (true top-10 spreads across the k lists) — compare the
+    # sq8-codec overlap above (brute over codes, 0.98) and the clustered
+    # center-purity analysis in the IVF-PQ smoke; the lifecycle claim
+    # under test is persist/append/pruned-read, not absolute recall
+    out["ivfsq_pruned_search"] = {
+        "sec": round(time.perf_counter() - t, 2),
+        "vecs": n_vecs + batch_n,
+        "nprobe": 1,
+        "recall_at_10_vs_exact": round(
+            len(got & truth) / max(len(truth), 1), 3
+        ),
+    }
+    idx_plan = searched._jdf.queryExecution().executedPlan().toString()
+    out["ivfsq_search_partition_pruned"] = {
+        "pruned": "PartitionFilters" in idx_plan and "cluster" in idx_plan,
+    }
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "sq8 smoke", "ops": out}))
     spark.stop()
@@ -1426,6 +1490,229 @@ def smoke_winnow() -> None:
     spark.stop()
 
 
+def smoke_winnowstream() -> None:
+    """Isolated: winnowing at the STREAMING horizon (r7 verdict task #7)
+    — a standing (doc_id, h) fingerprint index over SCALE_DOCS docs,
+    probed by batches of 0.5% / 1% / 2% via
+    ``winnow_incremental_indexed`` (the WinnowStream per-micro-batch
+    operator), mirroring the embedding-family rows: per-batch wall must
+    follow the BATCH (the standing side contributes one posting-list
+    equi-join), and every 3rd batch doc copies a corpus doc verbatim so
+    the new×old path provably fires.  Also times one forced
+    ``BatchStore`` compaction cycle over the accumulated per-batch
+    index dirs — the small-files fold a long-running stream depends
+    on."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-winnowstream",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_incremental_indexed,
+    )
+    from datayours_spark.streaming.store import BatchStore
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    docs = synthetic_documents(spark, n_docs).localCheckpoint(eager=True)
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_wstream_", dir="/root/repo/spark-warehouse"
+    )
+    out: dict[str, dict] = {}
+
+    t = time.perf_counter()
+    (
+        winnow_fingerprints(docs, k=4, w=4)
+        .select("doc_id", "h")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{work}/index")
+    )
+    idx = spark.read.parquet(f"{work}/index")
+    out["standing_index_build"] = {
+        "sec": round(time.perf_counter() - t, 1), "docs": n_docs,
+        "fingerprints": idx.count(),
+    }
+
+    for frac_label, denom in (("0.5pct", 200), ("1pct", 100), ("2pct", 50)):
+        b = n_docs // denom
+        # every 3rd batch doc re-uses corpus doc id%n_docs's token stream
+        # (same family seed) -> a planted new×old containment pair
+        copy_of = F.pmod(F.col("id"), F.lit(n_docs))
+        batch = (
+            synthetic_documents(spark, n_docs)
+            .join(
+                spark.range(b).select(
+                    (F.col("id") + n_docs).alias("new_id"),
+                    copy_of.alias("doc_id"),
+                    F.pmod(F.col("id"), F.lit(3)).alias("m3"),
+                ),
+                "doc_id",
+            )
+            .select(
+                F.col("new_id").alias("doc_id"),
+                F.when(
+                    F.col("m3") == 0, F.col("text")
+                ).otherwise(
+                    F.concat(F.lit(f"fresh {frac_label} "), F.col("text"),
+                             F.lit(" tailx"))
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t = time.perf_counter()
+        pairs, batch_fp = winnow_incremental_indexed(
+            batch, idx, k=4, w=4, threshold=0.5
+        )
+        n_pairs = pairs.count()
+        out[f"batch_{frac_label}"] = {
+            "batch_docs": b,
+            "sec": round(time.perf_counter() - t, 2),
+            "pairs": n_pairs,
+            "planted_copies": (b + 2) // 3,
+        }
+
+    # ---- compaction cycle: fold 16 per-batch index dirs into the
+    # watermark dir (the BatchStore discipline under WinnowStream)
+    store = BatchStore(spark, f"{work}/store", compact_every=16)
+    bfp = batch_fp.localCheckpoint(eager=True)
+    per_batch = bfp.count()
+    for i in range(16):
+        bfp.write.mode("overwrite").parquet(store.batch_dest("index", i))
+    t = time.perf_counter()
+    folded = store.compact("index", "doc_id bigint, h bigint", 15)
+    rows_after = store.read_or_empty("index", "doc_id bigint, h bigint").count()
+    out["compaction_cycle"] = {
+        "dirs_folded": folded, "rows_per_dir": per_batch,
+        "sec": round(time.perf_counter() - t, 2), "rows_after": rows_after,
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "winnow stream smoke", "ops": out}))
+    spark.stop()
+
+
+def smoke_semdedup_build() -> None:
+    """Isolated: the SemDeDup STANDING-INDEX one-time build at
+    SCALE_VECS with the paper-regime k ≈ √N centroids — the r7 verdict's
+    `weak` finding (flat ivf_assign scores k×N = O(N^1.5) pairs;
+    measured 1054 s at 1.5M/1216 in r7).
+
+    Measures the r8 fixes: (a) the flat path re-measured with the
+    map-side max_by argmax (shuffle N rows instead of N×k — set
+    SCALE_SKIP_EXACT=1 to skip it), and (b) the hierarchical
+    ivf_assign_pruned path (≈(1+P)·√k scored pairs per vector), with
+    the assignment-agreement fraction on a 10k sample quantifying the
+    documented bounded deviation.  Centroids are hash-fabricated and the
+    corpus is CLUSTERED around them (vector i = centroid (i mod k) +
+    noise at 1/5 amplitude — the shape clusterable embedding corpora
+    have, which is SemDeDup's operating assumption; on structureless
+    random vectors every cosine is a noise-level near-tie and ANY
+    pruned assignment decoheres, measured at 0.46 agreement — that
+    regime is where semantic dedup itself is meaningless).  The build
+    cost under test is ASSIGNMENT, not centroid training."""
+    spark = get_spark(
+        "scalesmoke-semdedup-build",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_pruned,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    k = int(os.environ.get("SCALE_K", max(int(n_vecs ** 0.5), 8)))
+    dim = 64
+    def _hash_vec(tag, denom):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("id").cast("string"),
+                                        F.lit(tag), d.cast("string"))),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / denom,
+        )
+    # clustered corpus: vector i sits near centroid (i mod k) — the
+    # center vector re-derives from the SAME hash formula the centroid
+    # table uses, plus per-vector noise at 1/5 amplitude
+    center = F.pmod(F.col("id"), F.lit(k))
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(center.cast("string"), F.lit("cent"),
+                                    d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(
+                cvec, _hash_vec("sb", 5000.0), lambda a, b: a + b
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = (
+        spark.range(k)
+        .select(
+            F.col("id").cast("int").alias("centroid_id"),
+            _hash_vec("cent", 1000.0).alias("cv"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(F.aggregate(F.transform(F.col("cv"), lambda x: x * x),
+                               F.lit(0.0), lambda a, b: a + b)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out: dict[str, dict] = {}
+    t = time.perf_counter()
+    pruned = ivf_assign_pruned(emb, cent, probe_supers=2).localCheckpoint(
+        eager=True
+    )
+    n_assigned = pruned.count()
+    out["pruned_build"] = {
+        "sec": round(time.perf_counter() - t, 1), "vecs": n_vecs, "k": k,
+        "assigned": n_assigned,
+    }
+    sample = emb.where(F.col("vec_id") % max(n_vecs // 10_000, 1) == 0)
+    ex_s = {
+        r.vec_id: r.cluster for r in ivf_assign(sample, cent).collect()
+    }
+    pr_s = {
+        r.vec_id: r.cluster
+        for r in pruned.join(
+            sample.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    agree = sum(1 for v, c in pr_s.items() if ex_s[v] == c) / max(len(ex_s), 1)
+    out["sample_agreement_vs_exact"] = {
+        "sample": len(ex_s), "agree_frac": round(agree, 4),
+    }
+    if os.environ.get("SCALE_SKIP_EXACT", "") != "1":
+        # materialize via checkpoint like the pruned path above — a bare
+        # count() would let Catalyst prune the max_by aggregate (and the
+        # scoring with it) down to a group count
+        t = time.perf_counter()
+        n_exact = ivf_assign(emb, cent).localCheckpoint(eager=True).count()
+        out["flat_build_maxby"] = {
+            "sec": round(time.perf_counter() - t, 1), "assigned": n_exact,
+        }
+    print(json.dumps({"metric": "semdedup build smoke", "ops": out}))
+    spark.stop()
+
+
 def smoke_bm25() -> None:
     """Isolated: BM25 top-k at SCALE_DOCS — measures the r8 plan fix
     (query-term semi-join BELOW the tf aggregate).  Reports the corpus
@@ -1488,5 +1775,9 @@ if __name__ == "__main__":
         smoke_sq()
     elif mode == "bm25":
         smoke_bm25()
+    elif mode == "semdedup_build":
+        smoke_semdedup_build()
+    elif mode == "winnowstream":
+        smoke_winnowstream()
     else:
         main()
