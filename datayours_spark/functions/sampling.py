@@ -292,3 +292,68 @@ def shard_balance(
         "stratum",
         ((offset_expr + F.col("rn")) % n_shards).cast("int").alias("shard"),
     )
+
+
+def mixing_weights(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights per stratum (the
+    multilingual-sampling rule of mT5/XLM-R, alpha-smoothed source
+    weighting): weight_s = share_s**alpha / sum(share**alpha), where
+    share_s is the stratum's fraction of corpus tokens.  ``alpha = 1``
+    reproduces natural proportions, ``alpha -> 0`` approaches uniform —
+    the knob that keeps a 100:1 head source from drowning the tail.
+
+    Returns one row per stratum: (stratum, n_docs, n_tokens, share,
+    weight, alloc_tokens, epochs) — ``alloc_tokens`` is the stratum's
+    slice of ``budget`` under the smoothed weights and ``epochs`` the
+    implied pass count over its data (epochs > 1 on an up-weighted tail
+    stratum is the repeat-rate a training run must budget for).
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus scan
+    (strata-sized output), then two broadcast scalar cross-joins for the
+    corpus total and the weight denominator — no window, no shuffle
+    beyond the strata-keyed combine.  Rounding at 6 dp pins the
+    pow/summation float edges across engines.
+    """
+    tokens = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("bigint")
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    shared = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_tokens") / F.col("tot"), 6))
+        .withColumn("sa", F.pow(F.col("share"), F.lit(float(alpha))))
+    )
+    denom = shared.agg(F.sum("sa").alias("sden"))
+    out = (
+        shared.crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.round(F.col("sa") / F.col("sden"), 6))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.lit(budget) * F.col("weight")).cast("bigint"),
+        )
+        .withColumn(
+            "epochs", F.round(F.col("alloc_tokens") / F.col("n_tokens"), 4)
+        )
+    )
+    return out.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "share",
+        "weight",
+        "alloc_tokens",
+        "epochs",
+    )

@@ -572,6 +572,7 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The published Gopher document-quality rules (Rae et al. 2021,
     arXiv:2112.11446 Appendix A1.1) as explicit per-rule booleans:
@@ -649,6 +650,7 @@ def gopher_rules(
         "ok_stopwords": F.coalesce(stop_hits >= 2, F.lit(False)),
     }
     cols = [F.col(id_col).alias("doc_id"), n_words.cast("bigint").alias("n_words")]
+    cols += [F.col(c) for c in carry_cols]
     cols += [v.alias(k) for k, v in ok.items()]
     passed = None
     for v in ok.values():
@@ -742,4 +744,49 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    language's documents into head / middle / tail terciles by LM score
+    (here the corpus-unigram :func:`unigram_logprob` proxy — head = the
+    best-scoring third, the slice CCNet keeps outright; tail = the third
+    most pipelines drop or down-weight).
+
+    Returns (doc_id, <by>, avg_logprob, p_low, p_high, bucket) with the
+    tercile thresholds exposed for auditability.
+
+    Scale shape: bucket membership is decided by comparing each doc's
+    score against its group's two PERCENTILE THRESHOLDS — a
+    groups-sized aggregate broadcast back onto the scored corpus — NOT
+    by an ``ntile`` window: a per-language ntile puts an entire
+    language in one task (the head language IS the corpus at 100 TB),
+    while the threshold form is one tiny aggregate plus a map-side
+    broadcast join, the same shape as the adaptive quality gate.
+    Thresholds and scores are both rounded to 6 dp, so the boundary
+    comparison is engine-stable.
+    """
+    scored = unigram_logprob(docs, text_col, id_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), by), "doc_id"
+    )
+    thr = scored.groupBy(by).agg(
+        F.round(F.percentile("avg_logprob", 1.0 / 3.0), 6).alias("p_low"),
+        F.round(F.percentile("avg_logprob", 2.0 / 3.0), 6).alias("p_high"),
+    )
+    return scored.join(F.broadcast(thr), by).select(
+        "doc_id",
+        by,
+        "avg_logprob",
+        "p_low",
+        "p_high",
+        F.when(F.col("avg_logprob") >= F.col("p_high"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("p_low"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

@@ -273,3 +273,58 @@ class TestShardBalance:
         a = sorted(map(tuple, shard_balance(docs, 4).collect()))
         b = sorted(map(tuple, shard_balance(docs.repartition(7), 4).collect()))
         assert a == b
+
+
+class TestMixingWeights:
+    def test_alpha_one_reproduces_natural_shares(self, spark):
+        from datayours_spark.functions.sampling import mixing_weights
+
+        docs = _docs(spark).withColumn(
+            "text", F.concat(F.lit("a b c "), F.col("doc_id").cast("string"))
+        )
+        out = {
+            r["stratum"]: r
+            for r in mixing_weights(
+                docs, stratum_col="source", alpha=1.0, budget=1000
+            ).collect()
+        }
+        for r in out.values():
+            assert abs(r["weight"] - r["share"]) <= 2e-6
+
+    def test_alpha_zero_is_uniform_and_budget_partitions(self, spark):
+        from datayours_spark.functions.sampling import mixing_weights
+
+        docs = _docs(spark).withColumn(
+            "text", F.concat(F.lit("a b c "), F.col("doc_id").cast("string"))
+        )
+        rows = mixing_weights(
+            docs, stratum_col="source", alpha=0.0, budget=999_999
+        ).collect()
+        # share^0 = 1 for every stratum -> uniform weights
+        ws = [r["weight"] for r in rows]
+        assert max(ws) - min(ws) <= 2e-6
+        # the allocation never exceeds the budget and floor() loses < 1
+        # token per stratum
+        assert sum(r["alloc_tokens"] for r in rows) <= 999_999
+        assert sum(r["alloc_tokens"] for r in rows) >= 999_999 - len(rows)
+
+    def test_smoothing_lifts_the_tail(self, spark):
+        """0 < alpha < 1 must up-weight the smallest stratum relative to
+        its natural share and down-weight the largest."""
+        from datayours_spark.functions.sampling import mixing_weights
+
+        docs = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 90, "big").otherwise("small").alias("source"),
+            F.lit("w1 w2 w3 w4").alias("text"),
+        )
+        out = {
+            r["stratum"]: r
+            for r in mixing_weights(
+                docs, stratum_col="source", alpha=0.5, budget=1000
+            ).collect()
+        }
+        assert out["small"]["weight"] > out["small"]["share"]
+        assert out["big"]["weight"] < out["big"]["share"]
+        # epochs on the up-weighted tail exceed the head's
+        assert out["small"]["epochs"] > out["big"]["epochs"]

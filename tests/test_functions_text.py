@@ -271,3 +271,58 @@ class TestBm25:
         b = {(r.query_id, r.doc_id): r.score
              for r in bm25_topk(docs, [(0, "cat cat cat")], k=2).collect()}
         assert a == b
+
+
+class TestPplBuckets:
+    def test_terciles_and_threshold_semantics(self, spark):
+        from datayours_spark.functions.text import ppl_buckets, unigram_logprob
+
+        # 9 docs in one lang with clearly separated unigram scores:
+        # common-word docs score high (head), rare-word docs low (tail)
+        rows = []
+        for i in range(9):
+            # doc i repeats token "common" (9-i) times and a unique
+            # token i times -> monotone score spread
+            toks = ["common"] * (9 - i) + [f"rare{i}_{j}" for j in range(i)]
+            rows.append((i, " ".join(toks), "en"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r["doc_id"]: r for r in ppl_buckets(docs).collect()}
+        assert len(out) == 9
+        buckets = [out[i]["bucket"] for i in range(9)]
+        # scores are monotone decreasing in i, so buckets must be
+        # head..head, middle..middle, tail..tail in order
+        assert buckets == sorted(buckets, key=["head", "middle", "tail"].index)
+        assert buckets.count("head") >= 1 and buckets.count("tail") >= 1
+        # bucket matches the exposed thresholds row-by-row
+        for r in out.values():
+            if r["avg_logprob"] >= r["p_high"]:
+                assert r["bucket"] == "head"
+            elif r["avg_logprob"] >= r["p_low"]:
+                assert r["bucket"] == "middle"
+            else:
+                assert r["bucket"] == "tail"
+
+    def test_thresholds_are_per_group(self, spark):
+        from datayours_spark.functions.text import ppl_buckets
+
+        rows = [(i, "a b c d", "en") for i in range(3)]
+        rows += [(10 + i, f"z{i} y{i} x{i}", "de") for i in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = ppl_buckets(docs).collect()
+        thr = {(r["lang"], r["p_low"], r["p_high"]) for r in out}
+        assert len({t[0] for t in thr}) == 2  # both langs present
+        assert len(thr) == 2  # one threshold pair per lang
+
+    def test_no_window_in_plan(self, spark):
+        """The scale contract: bucketing is a broadcast-threshold join,
+        not a per-language ntile window (a window would sort the head
+        language in one task at 100 TB)."""
+        from datayours_spark.functions.text import ppl_buckets
+
+        docs = spark.createDataFrame(
+            [(i, "a b", "en") for i in range(4)],
+            "doc_id long, text string, lang string",
+        )
+        plan = ppl_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
