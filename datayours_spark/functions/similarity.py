@@ -2484,3 +2484,150 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def knn_predict(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """k-NN label prediction over the embedding table: classify each
+    query vector by majority vote of its k nearest LABELED neighbours
+    (cosine), with every query id excluded from the candidate corpus —
+    the standard embedding-space auto-labeling / label-propagation
+    primitive (tag new documents with the domain/topic/quality label of
+    their neighbourhood).
+
+    Output: (query_id, pred_label, votes, top_sim) — the winning label,
+    its vote count, and the best similarity among its voters.  Ties
+    break by (votes DESC, label ASC) so the prediction is unique and
+    engine-independent; ``sim`` is rounded before ranking, the
+    :func:`cosine_topk` contract.
+
+    Scale shape: the query side broadcasts (|Q| vectors of model-state
+    scale), the corpus streams through one scan; the per-query top-k is
+    the brute-force rank — the honest exact baseline, same as
+    :func:`cosine_topk`.  At 100 TB swap the neighbour stage for the
+    IVF-PQ shortlist + re-rank (:func:`ivfpq_rerank_topk`) and vote over
+    its output; the vote itself is two tiny aggregates on k x |Q| rows.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+        as_double_array(vec_col).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    queries = base.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = base.where(~F.col("vec_id").isin(query_ids))
+    sim = F.round(
+        F.try_divide(dot(F.col("v"), F.col("qv")), F.col("nrm") * F.col("qn")),
+        round_dp,
+    )
+    ranked = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", "label", sim.alias("sim"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    votes = ranked.groupBy("query_id", "label").agg(
+        F.count("*").alias("votes"), F.max("sim").alias("top_sim")
+    )
+    return votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct("label", "votes", "top_sim"),
+            F.struct(F.col("votes").alias("nv"), (-F.col("label")).alias("nl")),
+        ).alias("w")
+    ).select(
+        "query_id",
+        F.col("w.label").alias("pred_label"),
+        F.col("w.votes").alias("votes"),
+        F.col("w.top_sim").alias("top_sim"),
+    )
+
+
+def random_projection_matrix(
+    in_dim: int, out_dim: int, seed: str = "rp"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for Johnson–Lindenstrauss random
+    projection (the Achlioptas 2003 database-friendly form): entry
+    (i, j) is +1 when md5("{seed}:{i}:{j}") has an even leading word,
+    −1 otherwise — reproducible on any engine, no RNG state.  Model
+    state: in_dim × out_dim ints, folded into the plan as literals
+    (the hyperplane-LSH discipline; this is its dense dim-REDUCTION
+    sibling — LSH keeps only the sign, projection keeps the value)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(in_dim)
+    ]
+
+
+def project_embeddings(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """JL random projection of the embedding column to ``out_dim`` dims:
+    y_j = Σ_i v_i · s(i,j) / √out_dim with the deterministic ±1 matrix
+    of :func:`random_projection_matrix` — the standard preprocessing
+    that cuts ANN/dedup footprint ~in_dim/out_dim× while approximately
+    preserving pairwise distances (distance distortion concentrates
+    around 1 at rate O(1/√out_dim)).
+
+    Output: (vec_id, p01..p{out_dim}) as flat DOUBLE columns.
+
+    Scale shape: a ZERO-SHUFFLE literal-array projection over the scan
+    — the matrix enters as a plan literal, every output coordinate is a
+    fixed-order fold over the input array (CodegenFallback like the SQ
+    codec: interpreted-but-JVM-side, no exchange, no Python).  Rounding
+    at ``round_dp`` pins the fixed-order float fold across engines."""
+    import math
+
+    mat = random_projection_matrix(in_dim, out_dim, seed)
+    mat_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in mat]
+    )
+    v = as_double_array(vec_col)
+    scale = math.sqrt(out_dim)
+    def _fold(jj: int):
+        return lambda acc, i: acc + F.element_at(v, i) * F.element_at(
+            F.element_at(mat_col, i), F.lit(jj)
+        )
+
+    cols = [F.col(id_col).alias("vec_id")]
+    for j in range(1, out_dim + 1):
+        y = F.aggregate(
+            F.sequence(F.lit(1), F.lit(in_dim)), F.lit(0.0), _fold(j)
+        )
+        cols.append(F.round(y / scale, round_dp).alias(f"p{j:02d}"))
+    return emb.select(*cols)

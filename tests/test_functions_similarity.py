@@ -1160,3 +1160,125 @@ class TestIvfAssignPruned:
             probe_supers=2,
         ).where(F.col("vec_id") == 999_999).collect()
         assert len(rows) == 1 and rows[0].cluster is not None
+
+
+class TestKnnPredict:
+    def _emb(self, spark):
+        # two well-separated clusters on axes 0 and 1; labels follow the
+        # cluster; queries 0 and 1 are one member of each
+        rows = []
+        for i in range(20):
+            v = [0.0, 0.0, 0.0]
+            if i % 2 == 0:
+                v[0] = 1.0 + 0.01 * i
+                lab = 7
+            else:
+                v[1] = 1.0 + 0.01 * i
+                lab = 9
+            rows.append((i, v, lab))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_majority_label_of_true_cluster(self, spark):
+        from datayours_spark.functions.similarity import knn_predict
+
+        out = {
+            r["query_id"]: r
+            for r in knn_predict(self._emb(spark), [0, 1], k=5).collect()
+        }
+        assert out[0]["pred_label"] == 7
+        assert out[1]["pred_label"] == 9
+        # the clusters are orthogonal, so all 5 votes are unanimous
+        assert out[0]["votes"] == 5 and out[1]["votes"] == 5
+        assert out[0]["top_sim"] == 1.0
+
+    def test_queries_excluded_from_corpus(self, spark):
+        """A query vector must never vote for itself or other queries:
+        with ALL even ids as queries, only odd (label 9) corpus remains."""
+        from datayours_spark.functions.similarity import knn_predict
+
+        evens = [i for i in range(20) if i % 2 == 0]
+        out = knn_predict(self._emb(spark), evens, k=3).collect()
+        assert len(out) == len(evens)
+        assert all(r["pred_label"] == 9 for r in out)
+
+    def test_vote_tiebreak_is_lowest_label(self, spark):
+        from datayours_spark.functions.similarity import knn_predict
+
+        # query 0 at the origin-ish direction equidistant from one doc
+        # of label 5 and one of label 3 -> 1 vote each, winner = 3
+        rows = [
+            (0, [1.0, 1.0], 0),
+            (1, [1.0, 0.0], 5),
+            (2, [0.0, 1.0], 3),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        out = knn_predict(emb, [0], k=2).collect()
+        assert len(out) == 1
+        assert out[0]["votes"] == 1
+        assert out[0]["pred_label"] == 3
+
+
+class TestProjectEmbeddings:
+    def test_matrix_is_deterministic_and_signed(self):
+        from datayours_spark.functions.similarity import (
+            random_projection_matrix,
+        )
+
+        m1 = random_projection_matrix(8, 4)
+        m2 = random_projection_matrix(8, 4)
+        assert m1 == m2
+        assert all(x in (-1, 1) for row in m1 for x in row)
+        assert random_projection_matrix(8, 4, seed="other") != m1
+        # signs are ~balanced (md5 parity): not all-equal per column
+        cols = list(zip(*random_projection_matrix(64, 4)))
+        assert all(len(set(c)) == 2 for c in cols)
+
+    def test_projection_matches_numpy_and_preserves_distance(self, spark):
+        import numpy as np
+
+        from datayours_spark.functions.similarity import (
+            project_embeddings,
+            random_projection_matrix,
+        )
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(40, 64)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        out = project_embeddings(emb, 64, 16).collect()
+        mat = np.array(random_projection_matrix(64, 16), dtype=float)
+        expect = vecs @ mat / np.sqrt(16)
+        got = np.array(
+            [[r[f"p{j:02d}"] for j in range(1, 17)]
+             for r in sorted(out, key=lambda r: r.vec_id)]
+        )
+        assert np.allclose(got, expect, atol=1e-5)
+        # JL property on this sample: squared pairwise distances are
+        # preserved in expectation — check the mean distortion is near 1
+        # and individual distortions are in a loose band
+        d_full = ((vecs[None, :, :] - vecs[:, None, :]) ** 2).sum(-1)
+        d_proj = ((got[None, :, :] - got[:, None, :]) ** 2).sum(-1)
+        iu = np.triu_indices(40, 1)
+        ratio = d_proj[iu] / d_full[iu]
+        assert 0.8 <= ratio.mean() <= 1.2
+        assert ratio.min() > 0.2 and ratio.max() < 3.0
+
+    def test_zero_shuffle_plan(self, spark):
+        from datayours_spark.functions.similarity import project_embeddings
+
+        emb = spark.createDataFrame(
+            [(0, [1.0] * 64)], "vec_id long, embedding array<double>"
+        )
+        plan = (
+            project_embeddings(emb, 64, 16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
