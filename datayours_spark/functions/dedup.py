@@ -1582,3 +1582,42 @@ def winnow_spans(
             F.col("n_matches").cast("long").alias("n_matches"),
         )
     )
+
+
+def winnow_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    gap: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlap REMOVAL driven by winnowing spans — the families compose:
+    :func:`winnow_neardup` finds WHICH docs overlap, :func:`winnow_spans`
+    finds WHERE, and this op cuts those runs out of the HIGHER-id member
+    of each pair (the lower id stays canonical, the asymmetric
+    keep-first convention of :func:`exact_dedup`), reusing
+    :func:`remove_spans`' indexed-filter projection for the cut.
+
+    Returns one row per INPUT doc: (doc_id, clean_text, kept_tokens,
+    removed_tokens) — docs in no pair pass through verbatim; a verbatim
+    copy comes back near-empty (span endpoints come from SELECTED
+    fingerprints, so up to w−1 tokens of edge slack can survive at each
+    end of a run — winnowing's coverage guarantee is interior).
+
+    Scale shape: span extraction is pair-scoped (cost follows matched
+    co-occurrences); the cut-list aggregates to ONE small array per
+    affected doc, equi-joined onto the corpus; the cut is a linear
+    projection — no explode, no sort, no range join."""
+    spans = winnow_spans(
+        docs, pairs, k=k, w=w, gap=gap, id_col=id_col, text_col=text_col
+    )
+    # winnow spans are 1-based inclusive token ranges; remove_spans cuts
+    # by 0-based lambda index
+    cut = spans.select(
+        F.col("id2").alias("doc_id"),
+        (F.col("start2") - 1).cast("long").alias("start_tok"),
+        (F.col("end2") - 1).cast("long").alias("end_tok"),
+    ).distinct()
+    return remove_spans(docs, spans=cut, text_col=text_col, id_col=id_col)

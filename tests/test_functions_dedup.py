@@ -955,3 +955,58 @@ class TestWinnowSpans:
         rows = winnow_spans(docs, pairs, k=3, w=3).collect()
         zero_off = [r for r in rows if r.start1 == r.start2]
         assert len(zero_off) == 2, rows    # two islands, one per run
+
+
+class TestWinnowDedup:
+    def test_overlap_cut_from_higher_id_only(self, spark):
+        """The composed removal: a shared run is cut from id2's text,
+        id1 keeps it verbatim, and docs in no pair pass untouched."""
+        from datayours_spark.functions.dedup import winnow_dedup, winnow_neardup
+
+        run = "r1 r2 r3 r4 r5 r6 r7 r8"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{run} u1 u2 u3"),
+                (2, f"v1 v2 v3 {run}"),
+                (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            ],
+            "doc_id bigint, text string",
+        )
+        pairs = winnow_neardup(docs, k=3, w=3, threshold=0.4)
+        assert {(r.id1, r.id2) for r in pairs.collect()} == {(1, 2)}
+        out = {r.doc_id: r for r in winnow_dedup(docs, pairs, k=3, w=3).collect()}
+        assert len(out) == 3
+        # id1 (canonical) and the unpaired doc are verbatim
+        assert out[1].clean_text == f"{run} u1 u2 u3"
+        assert out[1].removed_tokens == 0
+        assert out[3].removed_tokens == 0
+        # id2 lost the shared run but kept its unique prefix
+        assert "r1" not in out[2].clean_text.split(" ")
+        for v in ("v1", "v2", "v3"):
+            assert v in out[2].clean_text.split(" ")
+        assert out[2].removed_tokens >= len(run.split(" ")) - 2
+        assert out[2].kept_tokens + out[2].removed_tokens == 11
+
+    def test_full_copy_guts_the_duplicate(self, spark):
+        """A verbatim copy must come back (near-)empty while the
+        canonical survives whole.  Span endpoints come from SELECTED
+        fingerprints, so up to w−1 tokens can survive at each text edge
+        (the winnowing edge slack); everything interior is cut."""
+        from datayours_spark.functions.dedup import winnow_dedup, winnow_neardup
+
+        w = 3
+        t = " ".join(f"t{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(10, t), (11, t)], "doc_id bigint, text string"
+        )
+        pairs = winnow_neardup(docs, k=3, w=w, threshold=0.9)
+        out = {r.doc_id: r for r in winnow_dedup(docs, pairs, k=3, w=w).collect()}
+        assert out[10].clean_text == t
+        assert out[11].kept_tokens <= 2 * (w - 1)
+        assert out[11].removed_tokens >= 20 - 2 * (w - 1)
+        # whatever survives sits at the edges, never the interior
+        survivors = set(out[11].clean_text.split(" ")) - {""}
+        edge = {f"t{i}" for i in range(w - 1)} | {
+            f"t{i}" for i in range(20 - (w - 1), 20)
+        }
+        assert survivors <= edge, (survivors, edge)
