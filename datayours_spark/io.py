@@ -59,6 +59,53 @@ def epoch_us_col(df: DataFrame, col: str) -> F.Column:
     return F.expr(f"unix_micros(cast({col} as timestamp))")
 
 
+def epoch_range_pred(
+    df: DataFrame,
+    col: str,
+    start_sec: int | None = None,
+    end_sec: int | None = None,
+) -> F.Column:
+    """PUSHDOWN-FRIENDLY range predicate on a RAW timestamp column,
+    equivalent to ``start_sec <= <col>_sec < end_sec`` over the
+    normalized epoch companion — but expressed against the stored
+    column itself, so it reaches the parquet scan as a plain min/max
+    row-group filter (a predicate on the derived ``_sec`` projection
+    never pushes).  Handles both fixture encodings, same branching as
+    :func:`epoch_us_col`:
+
+    - long nanos: integer bound multiplication (exact for positive
+      epochs — ``x div 1e9 >= s`` ⇔ ``x >= s·1e9``);
+    - TIMESTAMP / TIMESTAMP_NTZ: a typed literal at the whole-second
+      bound (``unix_seconds`` truncates, and the bounds are whole
+      seconds, so ``floor(ts) >= s`` ⇔ ``ts >= s``).
+    """
+    from datetime import datetime, timezone
+
+    dtype = dict(df.dtypes)[col]
+
+    def _iso(sec: int) -> str:
+        return datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
+    preds: list[F.Column] = []
+    if dtype == "bigint":
+        if start_sec is not None:
+            preds.append(F.col(col) >= start_sec * NANOS_PER_SECOND)
+        if end_sec is not None:
+            preds.append(F.col(col) < end_sec * NANOS_PER_SECOND)
+    else:
+        lit = "TIMESTAMP_NTZ" if dtype == "timestamp_ntz" else "TIMESTAMP"
+        if start_sec is not None:
+            preds.append(F.expr(f"{col} >= {lit} '{_iso(start_sec)}'"))
+        if end_sec is not None:
+            preds.append(F.expr(f"{col} < {lit} '{_iso(end_sec)}'"))
+    out = F.lit(True)
+    for p in preds:
+        out = out & p
+    return out
+
+
 def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet as (event_type, ts TIMESTAMP, value).
 
