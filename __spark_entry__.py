@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datayours_spark.io import epoch_us_col, load_table
+from datayours_spark.io import epoch_range_pred, epoch_us_col, load_table
 from datayours_spark.operators.align import apply_null_policy, asof_resample
 from datayours_spark.operators.fetch import fetch_grid, lww_slots, time_grid
 from datayours_spark.operators.rollup import rollup
@@ -300,7 +300,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (bench headline aggregation)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.where(F.col("l_shipdate_sec") <= TPCH_Q1_CUTOFF)
+        # epoch_range_pred filters the RAW shipdate column so the cutoff
+        # pushes into the parquet scan (<= c over whole-second data is
+        # the half-open < c+1); a predicate on the derived _sec
+        # projection never reaches PushedFilters
+        li.where(epoch_range_pred(li, "l_shipdate", end_sec=TPCH_Q1_CUTOFF + 1))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -330,11 +334,14 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate_sec") < TPCH_Q3_DATE
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(
+        epoch_range_pred(orders, "o_orderdate", end_sec=TPCH_Q3_DATE)
     )
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate_sec") > TPCH_Q3_DATE
+    li = load_table(spark, sf_dir, "lineitem")
+    # strict > over whole-second data is >= date+1 — still pushable
+    li = li.where(
+        epoch_range_pred(li, "l_shipdate", start_sec=TPCH_Q3_DATE + 1)
     )
     return (
         li.join(
@@ -376,9 +383,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders scan; AQE is free to pick broadcast for supplier while it
     fits.  Exercises the supplier table no other gate query touches."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate_sec") >= TPCH_Q5_START)
-        & (F.col("o_orderdate_sec") < TPCH_Q5_END)
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(
+        epoch_range_pred(orders, "o_orderdate", TPCH_Q5_START, TPCH_Q5_END)
     )
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -412,6 +419,95 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+
+
+RP_OUT_DIM = 16
+
+
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the 64-d embeddings to 16 dims
+    (Achlioptas ±1 matrix, deterministic md5-derived signs) — the
+    footprint-cut preprocessing for cheaper downstream ANN/dedup.
+    ZERO-shuffle literal projection; plancheck pins no exchange."""
+    from datayours_spark.functions.similarity import project_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return project_embeddings(emb, ANN_DIM, RP_OUT_DIM)
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting revenue change: the pure
+    filter-and-aggregate probe — ship date in a one-year window,
+    discount band, quantity cap, ONE global sum.  The point at 100 TB
+    is the plan, not the arithmetic: all three predicates push into the
+    parquet scan (PushedFilters prunes row groups by min/max), the scan
+    reads only the four referenced columns, and the sum partial-aggs
+    map-side into a single-row exchange — plancheck pins pushdown and
+    ReadSchema width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        epoch_range_pred(li, "l_shipdate", TPCH_Q5_START, TPCH_Q5_END)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue")
+    )
+
+
+TPCH_Q10_START = 820_454_400   # 1996-01-01
+TPCH_Q10_END = 828_316_800     # 1996-04-01 (the 3-month Q10 window)
+TPCH_Q10_TOP = 20
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: top-20 customers by
+    revenue lost to returns in a quarter — customer ⋈ orders(window) ⋈
+    lineitem(returnflag = 'R') ⋈ broadcast nation.
+
+    Join order: the date-windowed orders hit lineitem first (both
+    predicates pushed into their scans, so the orderkey shuffle carries
+    one quarter × one returnflag of the fact data), customer joins the
+    reduced fact on custkey, nation broadcasts.  The top-20 is
+    ``orderBy().limit()`` → TakeOrderedAndProject (bounded per-partition
+    state), NOT a global rank window; ties break by custkey so the
+    selected set is engine-deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(
+        epoch_range_pred(orders, "o_orderdate", TPCH_Q10_START, TPCH_Q10_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # exact decimal accumulation: a double sum's last-ulp wobble is
+        # order-dependent and CAN land a group on a .xx5 rounding
+        # boundary (one did at sf0.01); the per-row double→decimal(18,6)
+        # conversion is engine-identical, and the decimal sum is exact
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(TPCH_Q10_TOP)
     )
 
 
@@ -1081,6 +1177,18 @@ def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_spans(docs, pairs, k=WINNOW_K, w=WINNOW_W)
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing family COMPOSED into removal: near-dup pairs →
+    shared-run spans → cut those runs out of the higher-id member of
+    each pair (lower id stays canonical), via remove_spans' linear
+    indexed-filter projection.  Docs in no pair pass through verbatim."""
+    from datayours_spark.functions.dedup import winnow_dedup, winnow_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
+    return winnow_dedup(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+
+
 def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing maintenance: docs with doc_id % 10 == 0
     arrive as a new batch against the standing fingerprint index of the
@@ -1202,6 +1310,85 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_rules(docs)
+
+
+MIX_ALPHA = 0.5
+MIX_BUDGET = 1_000_000
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the mT5/XLM-R
+    alpha-smoothing rule): per source, its token share, smoothed weight
+    share^alpha / sum(share^alpha), the slice of a MIX_BUDGET-token
+    training budget, and the implied epoch count over its data.  One
+    map-side-combinable aggregate + two broadcast scalar cross-joins."""
+    from datayours_spark.functions.sampling import mixing_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixing_weights(
+        docs, stratum_col="source", alpha=MIX_ALPHA, budget=MIX_BUDGET
+    )
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): each
+    language's docs split into head/middle/tail terciles by the
+    corpus-unigram LM score.  Bucket membership compares against the
+    language's two percentile THRESHOLDS (a languages-sized broadcast)
+    rather than an ntile window — at 100 TB the head language IS the
+    corpus, and an ntile would sort it in one task."""
+    from datayours_spark.functions.text import ppl_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppl_buckets(docs, by="lang")
+
+
+KNN_N_QUERIES = 5
+KNN_K = 7
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embeddings table: the first
+    KNN_N_QUERIES vectors are treated as unlabeled queries and classified
+    by majority label of their KNN_K nearest cosine neighbours drawn
+    from the remaining labeled corpus — embedding-space auto-labeling.
+    Queries broadcast; the exact rank is the honest brute baseline (at
+    100 TB the neighbour stage swaps for the IVF-PQ shortlist)."""
+    from datayours_spark.functions.similarity import knn_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_predict(emb, list(range(KNN_N_QUERIES)), KNN_K)
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality report card: doc/token counts, exact-duplicate
+    rate (1 − distinct texts / docs), and the Gopher pass rate — the
+    per-dump summary a mixing policy reads before assigning source
+    weights.  ONE scan: the Gopher booleans are a zero-shuffle
+    projection carrying (source, text), then a single sources-keyed
+    aggregate (count_distinct is the only two-phase member)."""
+    from datayours_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs, carry_cols=("source", "text"))
+    agg = g.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.count_distinct(F.md5("text")).alias("distinct_texts"),
+        F.round(F.avg(F.col("pass_all").cast("int")), 4).alias(
+            "gopher_pass_rate"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "distinct_texts",
+        F.round(1 - F.col("distinct_texts") / F.col("n_docs"), 4).alias(
+            "exact_dup_rate"
+        ),
+        "gopher_pass_rate",
+    )
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3214,8 +3401,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_render_json": q_render_json,
         # --- new in r8, selfcheck-verified; rotate into the window r9 ---
         "q_winnow_spans": q_winnow_spans,
+        "q_winnow_dedup": q_winnow_dedup,
         "q_bm25_chunks": q_bm25_chunks,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mix_weights": q_mix_weights,
+        "q_ppl_buckets": q_ppl_buckets,
+        "q_knn_label": q_knn_label,
+        "q_source_quality": q_source_quality,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q10": q_tpch_q10,
+        "q_embed_project": q_embed_project,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3598,6 +3793,29 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
         """,
+        "q_embed_project": _embed_project_oracle_sql(),
+        "q_tpch_q6": f"""
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) // 1000000 >= {TPCH_Q5_START}
+              AND epoch_us(l_shipdate) // 1000000 < {TPCH_Q5_END}
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_tpch_q10": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,6))), 2)::DOUBLE
+                     AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q10_START}
+              AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q10_END}
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT {TPCH_Q10_TOP}
+        """,
         "q_dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n
             FROM documents GROUP BY 1
@@ -3748,27 +3966,39 @@ def oracle_sql() -> dict[str, str]:
               AND (id1 % {INCR_BATCH_MOD} = 0 OR id2 % {INCR_BATCH_MOD} = 0)
         """,
         "q_winnow_matches": _winnow_matches_oracle_sql(),
-        "q_winnow_spans": f"""
-            WITH m AS ({_winnow_matches_oracle_sql()}),
-            d AS (
-              SELECT DISTINCT id1, id2, pos1 - pos2 AS off, pos1 FROM m
-            ), g AS (
-              SELECT *, CASE WHEN pos1 - lag(pos1) OVER
-                     (PARTITION BY id1, id2, off ORDER BY pos1)
-                     <= {WINNOW_W} THEN 0 ELSE 1 END AS brk
-              FROM d
-            ), i AS (
-              SELECT *, sum(brk) OVER
-                     (PARTITION BY id1, id2, off ORDER BY pos1) AS island
-              FROM g
-            )
-            SELECT id1, id2,
-              CAST(min(pos1) AS BIGINT) AS start1,
-              CAST(max(pos1) + {WINNOW_K - 1} AS BIGINT) AS end1,
-              CAST(min(pos1) - off AS BIGINT) AS start2,
-              CAST(max(pos1) + {WINNOW_K - 1} - off AS BIGINT) AS end2,
-              count(*)::BIGINT AS n_matches
-            FROM i GROUP BY id1, id2, off, island
+        "q_winnow_spans": _winnow_spans_oracle_sql(),
+        "q_winnow_dedup": f"""
+            WITH sp AS ({_winnow_spans_oracle_sql()}),
+            ds AS (
+              SELECT DISTINCT id2 AS doc_id, start2 - 1 AS start_tok,
+                     end2 - 1 AS end_tok
+              FROM sp),
+            tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                     unnest(t) AS tok
+              FROM tt),
+            kept AS (
+              SELECT tk.doc_id, tk.pos, tk.tok
+              FROM toks tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ds
+                WHERE ds.doc_id = tk.doc_id
+                  AND tk.pos BETWEEN ds.start_tok AND ds.end_tok)),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                     count(*)::BIGINT AS kept_tokens
+              FROM kept GROUP BY doc_id),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents)
+            SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                   CAST(b.n - coalesce(a.kept_tokens, 0) AS BIGINT)
+                     AS removed_tokens
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "q_gopher_rules": """
             WITH d AS (
@@ -4186,6 +4416,134 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
             SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
             FROM fr WHERE rank <= {HYBRID_TOP_K}
+        """,
+        "q_mix_weights": f"""
+            WITH per AS (
+              SELECT source AS stratum, count(*)::BIGINT AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(n_tokens) AS tot FROM per),
+            sh AS (
+              SELECT per.*, round(n_tokens * 1.0 / tot, 6) AS share,
+                     pow(round(n_tokens * 1.0 / tot, 6), {MIX_ALPHA}) AS sa
+              FROM per CROSS JOIN tot),
+            den AS (SELECT sum(sa) AS sden FROM sh),
+            w AS (
+              SELECT stratum, n_docs, n_tokens, share,
+                     round(sa / sden, 6) AS weight
+              FROM sh CROSS JOIN den)
+            SELECT stratum, n_docs, n_tokens, share, weight,
+                   CAST(floor({MIX_BUDGET} * weight) AS BIGINT)
+                     AS alloc_tokens,
+                   round(CAST(floor({MIX_BUDGET} * weight) AS BIGINT)
+                         * 1.0 / n_tokens, 4) AS epochs
+            FROM w
+        """,
+        "q_ppl_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            total AS (SELECT count(*) AS n FROM toks),
+            lp AS (
+              SELECT tok, log10(count(*) * 1.0 / (SELECT n FROM total)) AS logp
+              FROM toks GROUP BY tok),
+            scored AS (
+              SELECT t.doc_id, round(avg(lp.logp), 6) AS avg_logprob
+              FROM toks t JOIN lp USING (tok)
+              GROUP BY t.doc_id),
+            sl AS (
+              SELECT s.doc_id, d.lang, s.avg_logprob
+              FROM scored s JOIN documents d USING (doc_id)),
+            thr AS (
+              SELECT lang,
+                     round(quantile_cont(avg_logprob, 1.0 / 3.0), 6) AS p_low,
+                     round(quantile_cont(avg_logprob, 2.0 / 3.0), 6) AS p_high
+              FROM sl GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.avg_logprob, thr.p_low, thr.p_high,
+                   CASE WHEN sl.avg_logprob >= thr.p_high THEN 'head'
+                        WHEN sl.avg_logprob >= thr.p_low THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl JOIN thr USING (lang)
+        """,
+        "q_knn_label": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (SELECT vec_id, label, v,
+                         sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                  WHERE vec_id < {KNN_N_QUERIES}),
+            pairs AS (
+              SELECT q.query_id, n.vec_id, n.label,
+                     round(list_dot_product(n.v, q.qv) / (n.nrm * q.qn), 4)
+                       AS sim
+              FROM n CROSS JOIN q WHERE n.vec_id >= {KNN_N_QUERIES}),
+            ranked AS (
+              SELECT query_id, vec_id, label, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM pairs),
+            votes AS (
+              SELECT query_id, label, count(*)::BIGINT AS votes,
+                     max(sim) AS top_sim
+              FROM ranked WHERE rank <= {KNN_K} GROUP BY 1, 2),
+            win AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY votes DESC, label) AS rk
+              FROM votes)
+            SELECT query_id, label AS pred_label, votes, top_sim
+            FROM win WHERE rk = 1
+        """,
+        "q_source_quality": """
+            WITH m AS (
+              SELECT source, text,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN len(string_split(text, ' ')) ELSE 0 END AS n_words,
+                list_sum(list_transform(string_split(text, ' '),
+                                        x -> length(x))) AS total_chars,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                len(string_split(text, chr(10))) AS n_lines,
+                len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+                len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ellend,
+                len(list_filter(string_split(text, ' '),
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                (coalesce(list_contains(string_split(text, ' '), 'the'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'be'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'to'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'of'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'and'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'that'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'have'), false)::INT
+                 + coalesce(list_contains(string_split(text, ' '), 'with'), false)::INT)
+                  AS stop_hits
+              FROM documents),
+            p AS (
+              SELECT source, text, CAST(n_words AS BIGINT) AS n_words,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                      AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
+                 AND coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                      AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1, false)
+                 AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
+                      false)
+                 AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                      false)
+                 AND coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                      false)
+                 AND stop_hits >= 2) AS pass_all
+              FROM m)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_tokens,
+                   count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+                   round(1 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+                     AS exact_dup_rate,
+                   round(avg(pass_all::INT), 4) AS gopher_pass_rate
+            FROM p GROUP BY source
         """,
         "q_audio_segments": f"""
             WITH a AS (
@@ -5600,6 +5958,66 @@ def _bm25_values() -> str:
             if t:
                 rows.append(f"({qid}::BIGINT, '{t}')")
     return ", ".join(rows)
+
+
+def _embed_project_oracle_sql() -> str:
+    """DuckDB replay of the JL random projection: the SAME ±1 matrix
+    (derived by random_projection_matrix — md5 parity, no RNG state) is
+    inlined as a list literal, and each output coordinate re-derives as
+    the identical fixed-order fold."""
+    from datayours_spark.functions.similarity import random_projection_matrix
+
+    mat = random_projection_matrix(ANN_DIM, RP_OUT_DIM)
+    mat_sql = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(float(x)) for x in row) + "]" for row in mat
+        )
+        + "]"
+    )
+    proj_cols = ", ".join(
+        f"round(list_sum([v[i] * mat[i][{j}] "
+        f"for i in generate_series(1, {ANN_DIM})]) / sqrt({RP_OUT_DIM}), 6) "
+        f"AS p{j:02d}"
+        for j in range(1, RP_OUT_DIM + 1)
+    )
+    return f"""
+            WITH m AS (SELECT {mat_sql} AS mat),
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+            SELECT vec_id, {proj_cols}
+            FROM e CROSS JOIN m
+        """
+
+
+def _winnow_spans_oracle_sql() -> str:
+    """DuckDB replay of winnow_spans: islands-and-gaps over the matched
+    positions per (pair, constant offset) — shared by the q_winnow_spans
+    and q_winnow_dedup oracles."""
+    return f"""
+            WITH m AS ({_winnow_matches_oracle_sql()}),
+            d AS (
+              SELECT DISTINCT id1, id2, pos1 - pos2 AS off, pos1 FROM m
+            ), g AS (
+              SELECT *, CASE WHEN pos1 - lag(pos1) OVER
+                     (PARTITION BY id1, id2, off ORDER BY pos1)
+                     <= {WINNOW_W} THEN 0 ELSE 1 END AS brk
+              FROM d
+            ), i AS (
+              SELECT *, sum(brk) OVER
+                     (PARTITION BY id1, id2, off ORDER BY pos1) AS island
+              FROM g
+            )
+            SELECT id1, id2,
+              CAST(min(pos1) AS BIGINT) AS start1,
+              CAST(max(pos1) + {WINNOW_K - 1} AS BIGINT) AS end1,
+              CAST(min(pos1) - off AS BIGINT) AS start2,
+              CAST(max(pos1) + {WINNOW_K - 1} - off AS BIGINT) AS end2,
+              count(*)::BIGINT AS n_matches
+            FROM i GROUP BY id1, id2, off, island
+        """
 
 
 def _winnow_matches_oracle_sql() -> str:

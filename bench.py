@@ -99,24 +99,25 @@ BENCH_QUERIES = [
     "q_dedup_report",
     "q_adaptive_quality",
     "q_ann_recall",
-    "q_cluster_topics",
-    "q_shard_manifest",
+    # (q_cluster_topics, q_shard_manifest, q_pii_scrub, q_url_stats,
+    # q_dm_timeline, q_chunk_docs retired from the stdout line in r8 for
+    # line-length headroom: all are sub-second scan-bound or
+    # tiny-aggregate passes whose cost profile the remaining entries
+    # cover — q_text_stats/q_corpus_clean for the scan-speed
+    # projections, q_bm25_chunks for the chunk generator, q_semdedup for
+    # the cluster readout)
     # round 5 additions (q_ann_ivfpq_probe2 retired from the stdout line
     # in r8 for line-length headroom: its cost profile is covered by
     # q_ann_ivfpq + q_ann_ivf_probe2, which both stay)
     "q_datamine_asof",
     "q_ngram_jaccard",
-    "q_pii_scrub",
-    "q_url_stats",
     "q_multimodal_neardup",
-    "q_dm_timeline",
     # round 6 additions
     "q_dedup_embed_incremental",
     "q_dedup_embed_banded",
     "q_semdedup_incremental",
     "q_neardup_verified",
     "q_oov_rate",
-    "q_chunk_docs",
     "q_dup_ngrams",
     # round 7 additions (q_gopher_rules is deliberately NOT benched: it
     # is a scan-speed codegen projection, and the driver-facing bench
@@ -129,6 +130,16 @@ BENCH_QUERIES = [
     "q_bm25",
     "q_ann_sq",
     "q_ann_ivfsq",
+    # round 8 new operators (q_mix_weights/q_source_quality are NOT
+    # benched: scan-speed single-aggregate passes, and the driver line
+    # must stay inside the 2000-char stdout tail window)
+    "q_winnow_spans",
+    "q_bm25_chunks",
+    "q_hybrid_rrf",
+    "q_ppl_buckets",
+    "q_knn_label",
+    "q_tpch_q6",
+    "q_tpch_q10",
 ]
 
 

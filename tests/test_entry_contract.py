@@ -61,7 +61,8 @@ FAMILIES = {
         "q_datamine_asof", "q_dash_report", "q_dm_timeline",
         "q_treemap_rollup", "q_tally_minmax",
     ],
-    "tpch": ["q_tpch_q1", "q_tpch_q3", "q_tpch_q5"],
+    "tpch": ["q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
+             "q_tpch_q10"],
     "dedup_exact_lsh": [
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",
@@ -69,6 +70,7 @@ FAMILIES = {
         "q_ngram_jaccard", "q_dedup_report", "q_neardup_verified",
         "q_winnow_fingerprints", "q_winnow_neardup", "q_source_overlap",
         "q_winnow_matches", "q_winnow_incremental", "q_winnow_spans",
+        "q_winnow_dedup",
     ],
     "span_dedup": [
         "q_span_mask", "q_span_removed", "q_span_incremental",
@@ -78,6 +80,7 @@ FAMILIES = {
         "q_dedup_embed", "q_dedup_embed_incremental", "q_semdedup",
         "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
         "q_embed_centroid", "q_multimodal_neardup", "q_hybrid_rrf",
+        "q_knn_label", "q_embed_project",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",
@@ -90,6 +93,7 @@ FAMILIES = {
         "q_sample_stratified", "q_sample_temperature",
         "q_sample_uniform_k", "q_token_budget", "q_quota_topk",
         "q_shard_balance", "q_shard_manifest", "q_pack_sequences",
+        "q_mix_weights",
     ],
     "text_analysis": [
         "q_text_stats", "q_lang_quality", "q_text_profile",
@@ -98,6 +102,7 @@ FAMILIES = {
         "q_corpus_clean", "q_adaptive_quality", "q_quantile_profile",
         "q_daily_active", "q_sliding_rate", "q_oov_rate", "q_chunk_docs",
         "q_dup_ngrams", "q_gopher_rules", "q_bm25", "q_bm25_chunks",
+        "q_ppl_buckets", "q_source_quality",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",

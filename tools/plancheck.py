@@ -264,6 +264,49 @@ def main() -> None:
         f"cust_semi={cust_semi} orderkey={orderkey_ids} "
         f"supp_nat={supp_nat} suppkey={suppkey_ids}",
     )
+    # JL random projection (r8): the ±1 matrix is a plan literal and
+    # every output coordinate a fixed-order fold — zero exchanges.
+    plan = plan_of(registry["q_embed_project"](spark, SF_DIR))
+    check(
+        "embed projection is a zero-shuffle literal projection",
+        "Exchange" not in plan,
+    )
+    # tpch q6 (r8): the pure filter-agg probe — the DATE range must push
+    # into the parquet scan alongside discount/quantity (it is expressed
+    # on the RAW shipdate column via io.epoch_range_pred; a predicate on
+    # the derived _sec projection never pushes), and the scan must read
+    # only the four referenced columns.
+    plan = plan_of(registry["q_tpch_q6"](spark, SF_DIR))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed_txt = pushed.group(1) if pushed else ""
+    check(
+        "tpch q6 pushes the ship-date range into the scan",
+        "GreaterThanOrEqual(l_shipdate" in pushed_txt
+        and "LessThan(l_shipdate" in pushed_txt
+        and "GreaterThanOrEqual(l_discount" in pushed_txt
+        and "LessThan(l_quantity" in pushed_txt,
+        f"PushedFilters=[{pushed_txt[:120]}]",
+    )
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    n_cols = len(rs.group(1).split(",")) if rs else -1
+    check(
+        "tpch q6 scan reads exactly the four referenced columns",
+        n_cols == 4,
+        f"ReadSchema has {n_cols} columns",
+    )
+    # tpch q10 (r8): top-20 must plan TakeOrderedAndProject (bounded
+    # per-partition state), never a global rank window; the order-date
+    # range pushes into the orders scan.
+    plan = plan_of(registry["q_tpch_q10"](spark, SF_DIR))
+    check(
+        "tpch q10 top-k plans TakeOrderedAndProject, no Window",
+        "TakeOrderedAndProject" in plan and "Window" not in plan,
+    )
+    check(
+        "tpch q10 pushes the order-date range into the orders scan",
+        "GreaterThanOrEqual(o_orderdate" in plan
+        and "LessThan(o_orderdate" in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
@@ -301,6 +344,31 @@ def main() -> None:
     check(
         "gopher rules are a zero-shuffle projection",
         "Exchange" not in plan,
+    )
+    # mixing weights (r8): strata-keyed combine + two broadcast scalar
+    # cross-joins — never a window or sort over the corpus.
+    plan = plan_of(registry["q_mix_weights"](spark, SF_DIR))
+    check(
+        "mixing weights plan has no window and no sort",
+        "Window" not in plan and "Sort " not in plan,
+    )
+    # ppl buckets (r8): bucket assignment is a broadcast-threshold join,
+    # NOT an ntile window (a per-language window sorts the head language
+    # in one task at 100 TB).
+    plan = plan_of(registry["q_ppl_buckets"](spark, SF_DIR))
+    check(
+        "ppl buckets use broadcast thresholds, not an ntile window",
+        "Window" not in plan and "BroadcastHashJoin" in plan,
+    )
+    # source quality report (r8): ONE scan of documents — the Gopher
+    # booleans ride the same projection the aggregate consumes.
+    plan = plan_of(registry["q_source_quality"](spark, SF_DIR))
+    # count the detail headers only — the tree line repeats each scan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    check(
+        "source quality report reads documents exactly once",
+        n_scans == 1,
+        f"saw {n_scans} parquet scans",
     )
 
     # ---- 6c. round-2 operators --------------------------------------------
