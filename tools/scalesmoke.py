@@ -1755,6 +1755,77 @@ def smoke_bm25() -> None:
     spark.stop()
 
 
+def smoke_quality() -> None:
+    """Isolated: the round-8 corpus-statistics trio at SCALE_DOCS —
+    mixing weights (one strata-keyed combine), CCNet perplexity buckets
+    (token-keyed logprob join + broadcast tercile thresholds; the
+    Window-free formulation is the point at this scale), and the
+    per-source quality report card (single scan, Gopher booleans riding
+    the aggregate projection).  All three are corpus-linear single-pass
+    shapes; the smoke pins that none of them hides a corpus-wide sort
+    or window."""
+    spark = get_spark(
+        "scalesmoke-quality",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.sampling import mixing_weights
+    from datayours_spark.functions.text import gopher_rules, ppl_buckets
+
+    docs = (
+        synthetic_documents(spark, N_DOCS)
+        .withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("xx")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        )
+        .withColumn("source", F.concat(F.lit("src"), (F.col("doc_id") % 20)))
+        .localCheckpoint(eager=True)
+    )
+
+    t = time.perf_counter()
+    mw = mixing_weights(docs, stratum_col="source", alpha=0.5).collect()
+    t_mix = time.perf_counter() - t
+    assert len(mw) == 20
+    alloc = sum(r["alloc_tokens"] for r in mw)
+
+    t = time.perf_counter()
+    plan = ppl_buckets(docs, by="lang")
+    bucket_counts = {
+        r["bucket"]: r["n"]
+        for r in plan.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    t_ppl = time.perf_counter() - t
+    exec_plan = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in exec_plan
+
+    t = time.perf_counter()
+    g = gopher_rules(docs, carry_cols=("source",))
+    srcq = (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(F.col("pass_all").cast("int")), 4).alias("pass_rate"),
+        )
+        .collect()
+    )
+    t_src = time.perf_counter() - t
+
+    print(json.dumps({
+        "metric": "quality smoke",
+        "n_docs": N_DOCS,
+        "mix_sec": round(t_mix, 1),
+        "mix_alloc_tokens": int(alloc),
+        "ppl_sec": round(t_ppl, 1),
+        "ppl_window_free": "Window" not in exec_plan,
+        "ppl_buckets": {k: int(v) for k, v in sorted(bucket_counts.items())},
+        "source_report_sec": round(t_src, 1),
+        "n_sources": len(srcq),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "mixed_fetch":
@@ -1779,5 +1850,7 @@ if __name__ == "__main__":
         smoke_semdedup_build()
     elif mode == "winnowstream":
         smoke_winnowstream()
+    elif mode == "quality":
+        smoke_quality()
     else:
         main()
