@@ -436,6 +436,47 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_embeddings(emb, ANN_DIM, RP_OUT_DIM)
 
 
+def q_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity of the JL projection for retrieval: per query, the
+    overlap between cosine top-k in the PROJECTED 16-d space and the
+    exact 64-d top-k — the recall@k dial that tells you whether the 4×
+    footprint cut is safe for a given corpus (the honest-metrics
+    companion every compressed index here ships: q_ann_recall for
+    IVF-PQ, the 0.98 SQ overlap, now the JL rung)."""
+    from datayours_spark.functions.similarity import (
+        cosine_topk,
+        project_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(N_ANN_QUERIES))
+    exact = cosine_topk(emb, qids, ANN_TOP_K).select(
+        "query_id", "vec_id"
+    )
+    proj = project_embeddings(emb, ANN_DIM, RP_OUT_DIM)
+    proj_emb = proj.select(
+        "vec_id",
+        F.array(
+            *[F.col(f"p{j:02d}") for j in range(1, RP_OUT_DIM + 1)]
+        ).alias("embedding"),
+    )
+    approx = cosine_topk(proj_emb, qids, ANN_TOP_K).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(
+            approx.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .groupBy("query_id")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / ANN_TOP_K, 4).alias("recall"),
+        )
+    )
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style forecasting revenue change: the pure
     filter-and-aggregate probe — ship date in a one-year window,
@@ -508,6 +549,49 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(TPCH_Q10_TOP)
+    )
+
+
+TPCH_Q18_QTY = 300
+TPCH_Q18_TOP = 100
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds a threshold, with their customer — the
+    aggregate-HAVING-as-semijoin shape no other gate query exercises.
+
+    The per-order quantity sum is ONE map-side-combinable aggregate
+    whose HAVING filter collapses the order set to a sliver BEFORE any
+    join (at 100 TB this is the difference between joining 1e11
+    lineitems and joining the few thousand qualifying orders); the
+    qualifying set carries its sum, so the fact table is scanned exactly
+    once — no re-join of lineitem for the final sum.  Top-100 is
+    ``orderBy().limit()`` → TakeOrderedAndProject, ties broken by
+    orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > TPCH_Q18_QTY)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate_sec",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate_sec", "o_orderkey"
+        )
+        .limit(TPCH_Q18_TOP)
     )
 
 
@@ -1141,6 +1225,26 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
 
 
+def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached positional winnowing fingerprint table — index
+    state (computed once at ingest, stored next to the corpus), reused
+    by every winnow composition; the _minhash_sigs discipline."""
+    from datayours_spark.functions.dedup import winnow_fingerprints
+
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_SIG_CACHE, app_id)
+    key = (app_id, sf_dir, "winnow", WINNOW_K, WINNOW_W)
+    df = _SIG_CACHE.get(key) if _df_cache_enabled() else None
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+        if not _df_cache_enabled():
+            return df
+        df = df.localCheckpoint(eager=True)
+        _SIG_CACHE[key] = df
+    return df
+
+
 def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint containment — the MOSS
     report metric: shared distinct fingerprints / the smaller doc's
@@ -1149,7 +1253,10 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import winnow_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
+    return winnow_neardup(
+        docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T,
+        fingerprints=_winnow_fp(spark, sf_dir),
+    )
 
 
 def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,8 +1267,11 @@ def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import winnow_matches, winnow_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
-    return winnow_matches(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+    fp = _winnow_fp(spark, sf_dir)
+    pairs = winnow_neardup(
+        docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T, fingerprints=fp
+    )
+    return winnow_matches(docs, pairs, k=WINNOW_K, w=WINNOW_W, fingerprints=fp)
 
 
 def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,8 +1283,11 @@ def q_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import winnow_neardup, winnow_spans
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
-    return winnow_spans(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+    fp = _winnow_fp(spark, sf_dir)
+    pairs = winnow_neardup(
+        docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T, fingerprints=fp
+    )
+    return winnow_spans(docs, pairs, k=WINNOW_K, w=WINNOW_W, fingerprints=fp)
 
 
 def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,8 +1298,11 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import winnow_dedup, winnow_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = winnow_neardup(docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T)
-    return winnow_dedup(docs, pairs, k=WINNOW_K, w=WINNOW_W)
+    fp = _winnow_fp(spark, sf_dir)
+    pairs = winnow_neardup(
+        docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T, fingerprints=fp
+    )
+    return winnow_dedup(docs, pairs, k=WINNOW_K, w=WINNOW_W, fingerprints=fp)
 
 
 def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,6 +1772,18 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = vocab_topv(docs, VOCAB_V)
     return oov_rate(docs, vocab)
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-ization against the induced vocabulary — the step between
+    vocabulary induction and sequence packing: every token becomes its
+    frequency-rank id (1..V) or 0 for OOV, as (doc_id, pos, tid).  One
+    posexplode + one broadcast vocab join, zero corpus shuffle."""
+    from datayours_spark.functions.text import tokenize_ids, vocab_topv
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_topv(docs, VOCAB_V)
+    return tokenize_ids(docs, vocab)
 
 
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3410,7 +3538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_quality": q_source_quality,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q18": q_tpch_q18,
         "q_embed_project": q_embed_project,
+        "q_rp_recall": q_rp_recall,
+        "q_tokenize_ids": q_tokenize_ids,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3585,6 +3716,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1.0
                          / count(*), 4) AS oov_ratio
             FROM j GROUP BY doc_id
+        """,
+        "q_tokenize_ids": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            v AS (
+              SELECT tok, rk FROM (
+                SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+                FROM tok GROUP BY tok)
+              WHERE rk <= {VOCAB_V}),
+            p AS (
+              SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                     unnest(t) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents))
+            SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+                   CAST(coalesce(v.rk, 0) AS BIGINT) AS tid
+            FROM p LEFT JOIN v ON p.tok = v.tok
         """,
         "q_chunk_docs": f"""
             WITH t AS (
@@ -3792,6 +3941,71 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q5_START}
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
+        """,
+        "q_rp_recall": f"""
+            WITH pe AS ({_embed_project_oracle_sql()}),
+            pl AS (
+              SELECT vec_id,
+                     [{", ".join(f"p{j:02d}" for j in range(1, RP_OUT_DIM + 1))}]
+                       AS v
+              FROM pe),
+            pn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+                   FROM pl),
+            pq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+                   FROM pn WHERE vec_id < {N_ANN_QUERIES}),
+            ppairs AS (
+              SELECT pq.query_id, pn.vec_id,
+                     round(list_dot_product(pn.v, pq.qv)
+                           / (pn.norm * pq.qnorm), 4) AS sim
+              FROM pn CROSS JOIN pq WHERE pn.vec_id <> pq.query_id),
+            pr AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM ppairs),
+            approx AS (SELECT query_id, vec_id FROM pr
+                       WHERE rank <= {ANN_TOP_K}),
+            fe AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            fn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+                   FROM fe),
+            fq AS (SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+                   FROM fn WHERE vec_id < {N_ANN_QUERIES}),
+            fpairs AS (
+              SELECT fq.query_id, fn.vec_id,
+                     round(list_dot_product(fn.v, fq.qv)
+                           / (fn.norm * fq.qnorm), 4) AS sim
+              FROM fn CROSS JOIN fq WHERE fn.vec_id <> fq.query_id),
+            fr AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM fpairs),
+            ex AS (SELECT query_id, vec_id FROM fr WHERE rank <= {ANN_TOP_K})
+            SELECT ex.query_id,
+                   CAST(count(approx.vec_id) AS BIGINT) AS n_overlap,
+                   round(count(approx.vec_id) * 1.0 / {ANN_TOP_K}, 4)
+                     AS recall
+            FROM ex LEFT JOIN approx
+              ON ex.query_id = approx.query_id
+             AND ex.vec_id = approx.vec_id
+            GROUP BY ex.query_id
+        """,
+        "q_tpch_q18": f"""
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > {TPCH_Q18_QTY})
+            SELECT c_custkey, c_name, o_orderkey,
+                   epoch_us(o_orderdate) // 1000000 AS o_orderdate_sec,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate_sec, o_orderkey
+            LIMIT {TPCH_Q18_TOP}
         """,
         "q_embed_project": _embed_project_oracle_sql(),
         "q_tpch_q6": f"""

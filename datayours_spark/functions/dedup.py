@@ -1304,6 +1304,7 @@ def winnow_neardup(
     max_join_pairs: int | None = 50_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint containment:
     (id1, id2, shared, containment) for every pair whose shared distinct
@@ -1320,11 +1321,14 @@ def winnow_neardup(
     :class:`ExpandedPairsTooLarge` on a boilerplate-dominated corpus
     (route those through span dedup / collapse first, the same guidance
     as :func:`ngram_jaccard_pairs`)."""
-    fp = (
-        winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-        .select("doc_id", "h")
-        .distinct()
+    base_fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
     )
+    fp = base_fp.select("doc_id", "h").distinct()
     fp = fp.localCheckpoint(eager=True)
     if max_join_pairs is not None:
         total = (
@@ -1370,6 +1374,7 @@ def winnow_matches(
     w: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Overlap LOCALIZATION for winnowing near-dup pairs: for every
     (id1, id2) pair, the matched fingerprint co-occurrences
@@ -1385,8 +1390,19 @@ def winnow_matches(
 
     Scale shape: two equi-joins scoped BY THE PAIR LIST — the fingerprint
     table is joined down to the pair's documents first, so cost follows
-    pairs x fingerprints-per-doc, never the corpus."""
-    fp = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    pairs x fingerprints-per-doc, never the corpus.
+
+    ``fingerprints``: pass the stored positional table from
+    :func:`winnow_fingerprints` to reuse one derivation across the
+    neardup → matches → spans composition (index state, the
+    minhash_dedup(signatures=...) discipline)."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
+    )
     a = fp.select(
         F.col("doc_id").alias("id1"), F.col("pos").alias("pos1"), "h"
     )
@@ -1531,6 +1547,7 @@ def winnow_spans(
     gap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Shared-RUN extraction from winnowing matches — the MOSS-style
     report as a usable span table: (id1, id2, start1, end1, start2,
@@ -1553,7 +1570,8 @@ def winnow_spans(
 
     gap = w if gap is None else gap
     m = winnow_matches(
-        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col
+        docs, pairs, k=k, w=w, id_col=id_col, text_col=text_col,
+        fingerprints=fingerprints,
     )
     d = m.select(
         "id1", "id2", (F.col("pos1") - F.col("pos2")).alias("offset"), "pos1"
@@ -1592,6 +1610,7 @@ def winnow_dedup(
     gap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Overlap REMOVAL driven by winnowing spans — the families compose:
     :func:`winnow_neardup` finds WHICH docs overlap, :func:`winnow_spans`
@@ -1611,7 +1630,8 @@ def winnow_dedup(
     affected doc, equi-joined onto the corpus; the cut is a linear
     projection — no explode, no sort, no range join."""
     spans = winnow_spans(
-        docs, pairs, k=k, w=w, gap=gap, id_col=id_col, text_col=text_col
+        docs, pairs, k=k, w=w, gap=gap, id_col=id_col, text_col=text_col,
+        fingerprints=fingerprints,
     )
     # winnow spans are 1-based inclusive token ranges; remove_spans cuts
     # by 0-based lambda index

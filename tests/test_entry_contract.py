@@ -62,7 +62,7 @@ FAMILIES = {
         "q_treemap_rollup", "q_tally_minmax",
     ],
     "tpch": ["q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
-             "q_tpch_q10"],
+             "q_tpch_q10", "q_tpch_q18"],
     "dedup_exact_lsh": [
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",
@@ -80,7 +80,7 @@ FAMILIES = {
         "q_dedup_embed", "q_dedup_embed_incremental", "q_semdedup",
         "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
         "q_embed_centroid", "q_multimodal_neardup", "q_hybrid_rrf",
-        "q_knn_label", "q_embed_project",
+        "q_knn_label", "q_embed_project", "q_rp_recall",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",
@@ -102,7 +102,7 @@ FAMILIES = {
         "q_corpus_clean", "q_adaptive_quality", "q_quantile_profile",
         "q_daily_active", "q_sliding_rate", "q_oov_rate", "q_chunk_docs",
         "q_dup_ngrams", "q_gopher_rules", "q_bm25", "q_bm25_chunks",
-        "q_ppl_buckets", "q_source_quality",
+        "q_ppl_buckets", "q_source_quality", "q_tokenize_ids",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",
