@@ -790,3 +790,32 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map every document token to its vocabulary id — the id-ization
+    step between vocabulary induction (:func:`vocab_topv`) and sequence
+    packing / shard export: (doc_id, pos, tid) with ``pos`` the 0-based
+    token position and ``tid`` the vocab rank (1..V, the
+    frequency-ordered id convention) or ``unk_id`` for OOV tokens.
+
+    Scale shape: one posexplode generator feeding a BROADCAST left join
+    on the vocabulary (model-state scale — even a 10^5-type vocab is
+    MBs) — fully map-side, zero corpus shuffle; plancheck pins the
+    exchange-free shape."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    v = F.broadcast(vocab.select("tok", F.col("rk").alias("tid")))
+    return toks.join(v, "tok", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.col("tid"), F.lit(unk_id)).cast("long").alias("tid"),
+    )

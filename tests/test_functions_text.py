@@ -326,3 +326,44 @@ class TestPplBuckets:
         plan = ppl_buckets(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestTokenizeIds:
+    def test_rank_ids_and_unk(self, spark):
+        from datayours_spark.functions.text import tokenize_ids, vocab_topv
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a b b c"),
+                (2, "a b zz"),
+            ],
+            "doc_id long, text string",
+        )
+        vocab = vocab_topv(docs, 2)  # a (rk 1), b (rk 2); c/zz OOV
+        out = {
+            (r.doc_id, r.pos): r.tid
+            for r in tokenize_ids(docs, vocab).collect()
+        }
+        assert out[(1, 0)] == 1 and out[(1, 3)] == 2  # a->1, b->2
+        assert out[(1, 5)] == 0                       # c is OOV
+        assert out[(2, 2)] == 0                       # zz is OOV
+        assert len(out) == 9                          # every (doc, pos) kept
+
+    def test_zero_corpus_shuffle(self, spark):
+        from datayours_spark.functions.text import tokenize_ids
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        vocab = spark.createDataFrame(
+            [("a", 1)], "tok string, rk long"
+        )
+        plan = (
+            tokenize_ids(docs, vocab)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the only allowed exchange is the broadcast of the vocab
+        assert "Exchange hashpartitioning" not in plan
+        assert "BroadcastHashJoin" in plan
