@@ -307,6 +307,16 @@ def main() -> None:
         "GreaterThanOrEqual(o_orderdate" in plan
         and "LessThan(o_orderdate" in plan,
     )
+    # tpch q18 (r8): the HAVING aggregate must collapse lineitem BEFORE
+    # any join — partial_sum map-side, and the order-set filter sits on
+    # the aggregate, not after the customer join; top-100 is
+    # TakeOrderedAndProject.
+    plan = plan_of(registry["q_tpch_q18"](spark, SF_DIR))
+    check(
+        "tpch q18 aggregates lineitem map-side and takes ordered top-k",
+        "partial_sum" in plan and "TakeOrderedAndProject" in plan
+        and "Window" not in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
