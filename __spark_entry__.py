@@ -552,6 +552,46 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TPCH_Q14_START = 820_454_400   # 1996-01-01
+TPCH_Q14_END = 823_132_800     # 1996-02-01 (the one-month Q14 window)
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion effect: the share of one month's
+    revenue from PROMO-type parts — lineitem ⋈ part with a conditional
+    sum, the only gate query exercising the ``part`` table.
+
+    The ship-date window pushes into the lineitem scan
+    (epoch_range_pred on the raw column), part broadcasts (a dimension
+    — KBs here, low GBs at 100 TB, still the broadcast side against a
+    month of fact rows), and both sums partial-agg map-side into a
+    single-row exchange.  Exact decimal accumulation, the Q10
+    precedent: the ratio of two order-wobbled double sums can straddle
+    a rounding boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.where(
+        epoch_range_pred(li, "l_shipdate", TPCH_Q14_START, TPCH_Q14_END)
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            F.round(
+                100.0 * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
 TPCH_Q18_QTY = 300
 TPCH_Q18_TOP = 100
 
@@ -3538,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_quality": q_source_quality,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q14": q_tpch_q14,
         "q_tpch_q18": q_tpch_q18,
         "q_embed_project": q_embed_project,
         "q_rp_recall": q_rp_recall,
@@ -3992,6 +4033,18 @@ def oracle_sql() -> dict[str, str]:
               ON ex.query_id = approx.query_id
              AND ex.vec_id = approx.vec_id
             GROUP BY ex.query_id
+        """,
+        "q_tpch_q14": f"""
+            SELECT round(
+              100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6)) END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS DOUBLE), 4)
+              AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE epoch_us(l_shipdate) // 1000000 >= {TPCH_Q14_START}
+              AND epoch_us(l_shipdate) // 1000000 < {TPCH_Q14_END}
         """,
         "q_tpch_q18": f"""
             WITH big AS (

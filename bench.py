@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_knn_label",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_tpch_q14",
     "q_tpch_q18",
 ]
 

@@ -307,6 +307,14 @@ def main() -> None:
         "GreaterThanOrEqual(o_orderdate" in plan
         and "LessThan(o_orderdate" in plan,
     )
+    # tpch q14 (r8): part broadcasts against the month of fact rows and
+    # the ship-date window pushes into the lineitem scan.
+    plan = plan_of(registry["q_tpch_q14"](spark, SF_DIR))
+    check(
+        "tpch q14 broadcasts part and pushes the ship-date range",
+        "BroadcastHashJoin" in plan
+        and "GreaterThanOrEqual(l_shipdate" in plan,
+    )
     # tpch q18 (r8): the HAVING aggregate must collapse lineitem BEFORE
     # any join — partial_sum map-side, and the order-set filter sits on
     # the aggregate, not after the customer join; top-100 is
