@@ -552,6 +552,27 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROTO_DROP_FRAC = 0.2
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022): flag the 20% most
+    prototypical members of each learned k-means cluster (highest cosine
+    to their own centroid) for removal — keep-hard data pruning over the
+    embedding store, reusing the session's coarse quantizer and stored
+    assignment.  Per-cluster thresholds are a clusters-sized broadcast,
+    never a rank window."""
+    from datayours_spark.functions.similarity import prototype_prune
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb,
+        _ann_centroids(spark, sf_dir),
+        _ann_assignments(spark, sf_dir),
+        drop_frac=PROTO_DROP_FRAC,
+    )
+
+
 TPCH_Q14_START = 820_454_400   # 1996-01-01
 TPCH_Q14_END = 823_132_800     # 1996-02-01 (the one-month Q14 window)
 
@@ -3583,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_project": q_embed_project,
         "q_rp_recall": q_rp_recall,
         "q_tokenize_ids": q_tokenize_ids,
+        "q_prototype_prune": q_prototype_prune,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -3983,6 +4005,23 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
         """,
+        "q_prototype_prune": ",".join(
+            _kmeans_coarse_cte_sqls()
+            + [f"""
+        sc AS (
+          SELECT t.vec_id, t.cluster,
+                 round({DUCK_DOT.format(a="t.v", b="cn.cv")}
+                       / (t.nrm * cn.cnorm), 6) AS proto_sim
+          FROM t JOIN cn ON t.cluster = cn.centroid_id),
+        thr AS (
+          SELECT cluster,
+                 round(quantile_cont(proto_sim, {1.0 - PROTO_DROP_FRAC}), 6)
+                   AS thr
+          FROM sc GROUP BY cluster)
+        SELECT sc.vec_id, CAST(sc.cluster AS BIGINT) AS cluster,
+               sc.proto_sim, thr.thr, sc.proto_sim <= thr.thr AS keep
+        FROM sc JOIN thr USING (cluster)"""]
+        ),
         "q_rp_recall": f"""
             WITH pe AS ({_embed_project_oracle_sql()}),
             pl AS (

@@ -2631,3 +2631,65 @@ def project_embeddings(
         )
         cols.append(F.round(y / scale, round_dp).alias(f"p{j:02d}"))
     return emb.select(*cols)
+
+
+def prototype_prune(
+    emb: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    drop_frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): rank every vector by cosine to its OWN cluster
+    centroid (its prototypicality) and flag the ``drop_frac`` MOST
+    prototypical members of each cluster for removal — at scale, easy/
+    redundant examples near a prototype teach the least, so keep-hard
+    pruning beats random down-sampling.
+
+    Output: (vec_id, cluster, proto_sim, thr, keep) — keep = False for
+    the dropped top-``drop_frac`` slice; the threshold is exposed per
+    row for auditability (the ppl_buckets convention).
+
+    Scale shape: one vec_id-keyed join to the stored assignment, a
+    broadcast join to the centroid table (model state), then the
+    per-cluster threshold — a clusters-sized percentile aggregate
+    broadcast back — NOT a per-cluster rank window (with k ≈ √N a
+    cluster holds √N rows; fine, but the threshold form stays one tiny
+    aggregate regardless of cluster skew, the ppl_buckets argument).
+    Sims and thresholds round to 6 dp so the boundary comparison is
+    engine-stable; ties at the threshold are KEPT on both engines."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    sc = (
+        vecs.join(assignments, "vec_id")
+        .join(
+            F.broadcast(centroids),
+            F.col("cluster") == F.col("centroid_id"),
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(
+                F.try_divide(
+                    dot(F.col("v"), F.col("cv")),
+                    F.col("nrm") * F.col("cnorm"),
+                ),
+                6,
+            ).alias("proto_sim"),
+        )
+    )
+    thr = sc.groupBy("cluster").agg(
+        F.round(
+            F.percentile("proto_sim", float(1.0 - drop_frac)), 6
+        ).alias("thr")
+    )
+    return sc.join(F.broadcast(thr), "cluster").select(
+        "vec_id",
+        "cluster",
+        "proto_sim",
+        "thr",
+        (F.col("proto_sim") <= F.col("thr")).alias("keep"),
+    )

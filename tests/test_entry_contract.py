@@ -81,6 +81,7 @@ FAMILIES = {
         "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
         "q_embed_centroid", "q_multimodal_neardup", "q_hybrid_rrf",
         "q_knn_label", "q_embed_project", "q_rp_recall",
+        "q_prototype_prune",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",

@@ -1282,3 +1282,59 @@ class TestProjectEmbeddings:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestPrototypePrune:
+    def test_drops_most_prototypical_fraction(self, spark):
+        from datayours_spark.functions.similarity import prototype_prune
+
+        # one cluster on axis 0: members at increasing angular distance
+        # from the centroid direction; a second pure-axis-1 cluster
+        rows = []
+        for i in range(10):
+            rows.append((i, [1.0, 0.05 * i, 0.0]))
+        for i in range(10, 15):
+            rows.append((i, [0.0, 0.0, 1.0 + 0.1 * i]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0], 1.0), (1, [0.0, 0.0, 1.0], 1.0)],
+            "centroid_id int, cv array<double>, cnorm double",
+        )
+        assign = spark.createDataFrame(
+            [(i, 0 if i < 10 else 1) for i in range(15)],
+            "vec_id long, cluster long",
+        )
+        out = {r.vec_id: r for r in prototype_prune(
+            emb, cent, assign, drop_frac=0.2
+        ).collect()}
+        assert len(out) == 15
+        # cluster 0: vec 0 is the most prototypical (exactly on the
+        # centroid direction) -> dropped; the farthest member survives
+        assert out[0].keep is False
+        assert out[9].keep is True
+        dropped0 = [i for i in range(10) if not out[i].keep]
+        assert dropped0 == [0, 1]          # top-20% most prototypical
+        # cluster 1: all colinear with the centroid (sim 1.0) -> the
+        # 0.8-quantile equals every sim, ties kept -> nothing dropped
+        assert all(out[i].keep for i in range(10, 15))
+
+    def test_threshold_is_per_cluster_broadcast_not_window(self, spark):
+        from datayours_spark.functions.similarity import prototype_prune
+
+        emb = spark.createDataFrame(
+            [(i, [1.0, float(i)]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1.0)], "centroid_id int, cv array<double>, cnorm double"
+        )
+        assign = spark.createDataFrame(
+            [(i, 0) for i in range(6)], "vec_id long, cluster long"
+        )
+        plan = (
+            prototype_prune(emb, cent, assign)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
