@@ -552,6 +552,57 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning AUDIT table — per document, WHICH gate
+    would drop it and the final keep verdict: fails_gopher (the rule
+    set), ppl_tail (worst LM-score tercile within its language),
+    exact_dup (a non-canonical verbatim copy — lowest doc_id per text
+    survives).  The per-reason booleans are what an ablation or a
+    pipeline-debug session reads; ``keep`` is their conjunction.
+
+    Shape: the Gopher booleans ride a zero-shuffle projection; the LM
+    tercile reuses the broadcast-threshold bucketing; exact-dup is one
+    md5 aggregate broadcast-min per text (min(doc_id) per md5 is a
+    map-side-combinable aggregate, joined back on the hash)."""
+    from datayours_spark.functions.text import gopher_rules, ppl_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rules(docs).select(
+        "doc_id", (~F.col("pass_all")).alias("fails_gopher")
+    )
+    p = ppl_buckets(docs, by="lang").select(
+        "doc_id", (F.col("bucket") == "tail").alias("ppl_tail")
+    )
+    canon = (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    d = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(canon, "h")
+        .select(
+            "doc_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("exact_dup"),
+        )
+    )
+    return (
+        g.join(p, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "fails_gopher",
+            "ppl_tail",
+            "exact_dup",
+            (
+                ~F.col("fails_gopher")
+                & ~F.col("ppl_tail")
+                & ~F.col("exact_dup")
+            ).alias("keep"),
+        )
+    )
+
+
 PROTO_DROP_FRAC = 0.2
 
 
@@ -3605,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rp_recall": q_rp_recall,
         "q_tokenize_ids": q_tokenize_ids,
         "q_prototype_prune": q_prototype_prune,
+        "q_drop_reasons": q_drop_reasons,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -4004,6 +4056,82 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q5_START}
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
+        """,
+        "q_drop_reasons": """
+            WITH m AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            gm AS (
+              SELECT doc_id,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN len(t) ELSE 0 END AS n_words,
+                list_sum(list_transform(t, x -> length(x))) AS total_chars,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                len(lines) AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ellend,
+                len(list_filter(t,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                (coalesce(list_contains(t, 'the'), false)::INT
+                 + coalesce(list_contains(t, 'be'), false)::INT
+                 + coalesce(list_contains(t, 'to'), false)::INT
+                 + coalesce(list_contains(t, 'of'), false)::INT
+                 + coalesce(list_contains(t, 'and'), false)::INT
+                 + coalesce(list_contains(t, 'that'), false)::INT
+                 + coalesce(list_contains(t, 'have'), false)::INT
+                 + coalesce(list_contains(t, 'with'), false)::INT)
+                  AS stop_hits
+              FROM m),
+            gp AS (
+              SELECT doc_id,
+                ((n_words >= 50 AND n_words <= 100000)
+                 AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                      AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
+                 AND coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                      AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1, false)
+                 AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
+                      false)
+                 AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                      false)
+                 AND coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                      false)
+                 AND stop_hits >= 2) AS pass_all
+              FROM gm),
+            toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            total AS (SELECT count(*) AS n FROM toks),
+            lp AS (
+              SELECT tok, log10(count(*) * 1.0 / (SELECT n FROM total)) AS logp
+              FROM toks GROUP BY tok),
+            scored AS (
+              SELECT t.doc_id, round(avg(lp.logp), 6) AS avg_logprob
+              FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id),
+            sl AS (
+              SELECT s.doc_id, d.lang, s.avg_logprob
+              FROM scored s JOIN documents d USING (doc_id)),
+            thr AS (
+              SELECT lang,
+                     round(quantile_cont(avg_logprob, 1.0 / 3.0), 6) AS p_low
+              FROM sl GROUP BY lang),
+            pb AS (
+              SELECT sl.doc_id, sl.avg_logprob < thr.p_low AS ppl_tail
+              FROM sl JOIN thr USING (lang)),
+            canon AS (
+              SELECT md5(text) AS h, min(doc_id) AS canonical_id
+              FROM documents GROUP BY 1),
+            dup AS (
+              SELECT doc_id, doc_id <> canonical_id AS exact_dup
+              FROM documents JOIN canon ON md5(text) = h)
+            SELECT gp.doc_id, NOT gp.pass_all AS fails_gopher,
+                   pb.ppl_tail, dup.exact_dup,
+                   gp.pass_all AND NOT pb.ppl_tail AND NOT dup.exact_dup
+                     AS keep
+            FROM gp JOIN pb USING (doc_id) JOIN dup USING (doc_id)
         """,
         "q_prototype_prune": ",".join(
             _kmeans_coarse_cte_sqls()

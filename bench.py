@@ -132,9 +132,11 @@ BENCH_QUERIES = [
     "q_bm25",
     "q_ann_sq",
     "q_ann_ivfsq",
-    # round 8 new operators (q_mix_weights/q_source_quality are NOT
-    # benched: scan-speed single-aggregate passes, and the driver line
-    # must stay inside the 2000-char stdout tail window)
+    # round 8 new operators (q_mix_weights/q_source_quality/
+    # q_drop_reasons are NOT benched: single-aggregate passes or
+    # compositions whose cost profile q_ppl_buckets + q_gopher-family
+    # entries already cover, and the driver line must stay inside the
+    # 2000-char stdout tail window)
     "q_winnow_spans",
     "q_bm25_chunks",
     "q_hybrid_rrf",

@@ -1713,6 +1713,103 @@ def smoke_semdedup_build() -> None:
     spark.stop()
 
 
+def smoke_prototype() -> None:
+    """Isolated: SSL-prototype pruning at SCALE_VECS — one scoring pass
+    over the assigned corpus (cosine to OWN centroid), then the
+    per-cluster percentile threshold as a clusters-sized broadcast.  The
+    smoke pins that the threshold formulation stays Window-free in the
+    executed plan at scale and that the realized drop fraction matches
+    drop_frac (clustered corpus, same recipe as the semdedup-build
+    smoke; assignment via the hierarchical pruned path)."""
+    spark = get_spark(
+        "scalesmoke-prototype",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        ivf_assign_pruned,
+        prototype_prune,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    k = int(os.environ.get("SCALE_K", max(int(n_vecs ** 0.5), 8)))
+    dim = 64
+
+    def _hash_vec(tag, denom):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("id").cast("string"),
+                                        F.lit(tag), d.cast("string"))),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / denom,
+        )
+
+    center = F.pmod(F.col("id"), F.lit(k))
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(center.cast("string"), F.lit("cent"),
+                                    d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(
+                cvec, _hash_vec("sb", 5000.0), lambda a, b: a + b
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = (
+        spark.range(k)
+        .select(
+            F.col("id").cast("int").alias("centroid_id"),
+            _hash_vec("cent", 1000.0).alias("cv"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(F.aggregate(F.transform(F.col("cv"), lambda x: x * x),
+                               F.lit(0.0), lambda a, b: a + b)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    assign = ivf_assign_pruned(emb, cent, probe_supers=2).localCheckpoint(
+        eager=True
+    )
+    assign.count()
+    t_assign = time.perf_counter() - t
+
+    t = time.perf_counter()
+    pruned = prototype_prune(emb, cent, assign, drop_frac=0.2)
+    counts = pruned.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+    ).first()
+    t_score = time.perf_counter() - t
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    print(json.dumps({
+        "metric": "prototype prune smoke",
+        "vecs": n_vecs, "k": k,
+        "assign_sec": round(t_assign, 1),
+        "score_sec": round(t_score, 1),
+        "drop_frac_realized": round(1 - counts["kept"] / counts["n"], 4),
+        "window_free": "Window" not in plan,
+    }))
+    spark.stop()
+
+
 def smoke_bm25() -> None:
     """Isolated: BM25 top-k at SCALE_DOCS — measures the r8 plan fix
     (query-term semi-join BELOW the tf aggregate).  Reports the corpus
@@ -1852,5 +1949,7 @@ if __name__ == "__main__":
         smoke_winnowstream()
     elif mode == "quality":
         smoke_quality()
+    elif mode == "prototype":
+        smoke_prototype()
     else:
         main()
