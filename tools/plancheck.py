@@ -339,6 +339,27 @@ def main() -> None:
         len(semi_over_explode) >= 2,
         f"saw {len(semi_over_explode)} LeftSemi-over-Generate spans",
     )
+    # bm25 over chunks (r8): the chunk generator must feed the SAME
+    # LeftSemi-below-tf shape as whole-doc bm25 — only matched chunk
+    # tokens shuffle.
+    plan = plan_of(registry["q_bm25_chunks"](spark, SF_DIR))
+    semi_over_explode = re.findall(
+        r"BroadcastHashJoin LeftSemi[^\n]*\n[^\n]*Generate", plan
+    )
+    check(
+        "bm25-chunks keeps the query-term semi-join below its tf aggregate",
+        len(semi_over_explode) >= 2,
+        f"saw {len(semi_over_explode)} LeftSemi-over-Generate spans",
+    )
+    # knn label prediction (r8): the query side must broadcast (an
+    # explicit BroadcastNestedLoopJoin — the sweep separately asserts no
+    # CartesianProduct anywhere) and the vote must not add a second
+    # corpus shuffle beyond the per-query rank.
+    plan = plan_of(registry["q_knn_label"](spark, SF_DIR))
+    check(
+        "knn label prediction broadcasts the query side",
+        "BroadcastNestedLoopJoin" in plan,
+    )
     # ivf-sq (r8): the search must run against the PERSISTED
     # cluster-partitioned codes store with literal probe clusters —
     # static partition pruning (cluster IN (...)) does the
