@@ -552,6 +552,21 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct
+    3-shingles first seen (lowest doc_id) in that doc — the
+    contributes-new-text signal behind novelty-based selection; the
+    complement of the pairwise dedup families.  Posting-list shape:
+    one min-aggregate + one join, no pairwise term."""
+    from datayours_spark.functions.dedup import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=NOVELTY_N)
+
+
 def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning AUDIT table — per document, WHICH gate
     would drop it and the final keep verdict: fails_gopher (the rule
@@ -3657,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_ids": q_tokenize_ids,
         "q_prototype_prune": q_prototype_prune,
         "q_drop_reasons": q_drop_reasons,
+        "q_novelty": q_novelty,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -4056,6 +4072,27 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q5_START}
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
+        """,
+        "q_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [array_to_string(t[i:i+{NOVELTY_N - 1}], ' ')
+                        FOR i IN generate_series(1, len(t) - {NOVELTY_N - 1})]))
+                       AS shingle
+              FROM toks WHERE len(t) >= {NOVELTY_N}),
+            first AS (
+              SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+            SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN first.first_doc = sh.doc_id
+                            THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+                   round(sum(CASE WHEN first.first_doc = sh.doc_id
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                     AS novelty
+            FROM sh JOIN first USING (shingle)
+            GROUP BY sh.doc_id
         """,
         "q_drop_reasons": """
             WITH m AS (

@@ -1641,3 +1641,49 @@ def winnow_dedup(
         (F.col("end2") - 1).cast("long").alias("end_tok"),
     ).distinct()
     return remove_spans(docs, spans=cut, text_col=text_col, id_col=id_col)
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-token shingles whose FIRST corpus occurrence (lowest doc_id) is
+    this doc — the "how much new text does this doc contribute" signal
+    behind novelty-based selection and dump-ordering decisions (a doc
+    of 0.02 novelty is near-assembled from earlier material even when
+    no single pair crosses a near-dup threshold; the complement of the
+    pairwise families).
+
+    Output: (doc_id, n_shingles, n_novel, novelty).  Docs with fewer
+    than ``n`` tokens have no shingles and are dropped (same convention
+    as the shingle-based dedup ops).
+
+    Scale shape: one generator projection, ONE shingle-keyed
+    min-aggregate (map-side combinable), and one shingle-keyed join
+    back — the posting-list shape shared with every inverted-index op
+    here; cost is corpus-linear in shingles, no pairwise term at all.
+    First-occurrence is defined by doc_id order, so the score is
+    deterministic on any engine and any partitioning."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(token_shingles(text_col, n))
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)
+        )
+    )

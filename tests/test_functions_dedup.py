@@ -1010,3 +1010,35 @@ class TestWinnowDedup:
             f"t{i}" for i in range(20 - (w - 1), 20)
         }
         assert survivors <= edge, (survivors, edge)
+
+
+class TestNgramNovelty:
+    def test_first_occurrence_scoring(self, spark):
+        from datayours_spark.functions.dedup import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),          # all shingles first here
+                (2, "a b c x y"),          # 'a b c' seen in doc 1
+                (3, "a b c d e"),          # verbatim copy: zero novelty
+                (4, "p q"),                # too short for 3-shingles
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+        assert 4 not in out                       # no shingles -> dropped
+        assert out[1].novelty == 1.0
+        assert out[3].novelty == 0.0 and out[3].n_novel == 0
+        # doc 2: shingles {a b c, b c x, c x y}; only 'a b c' is old
+        assert out[2].n_shingles == 3 and out[2].n_novel == 2
+        assert out[2].novelty == round(2 / 3, 4)
+
+    def test_duplicate_shingles_within_doc_count_once(self, spark):
+        from datayours_spark.functions.dedup import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id bigint, text string"
+        )
+        out = ngram_novelty(docs, n=2).collect()[0]
+        # distinct 2-shingles: {a b, b a} -> 2, both novel
+        assert out.n_shingles == 2 and out.n_novel == 2
