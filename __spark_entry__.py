@@ -555,6 +555,22 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 NOVELTY_N = 3
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation matrix: labeled language × the profile
+    heuristic's prediction, with counts — the confusion audit run before
+    trusting an LID gate for routing (the heuristic's misses concentrate
+    somewhere specific; this shows WHERE).  One zero-shuffle scoring
+    projection + one two-key map-side-combinable aggregate."""
+    from datayours_spark.functions.text import predict_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predict_lang("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty: the fraction of a doc's distinct
     3-shingles first seen (lowest doc_id) in that doc — the
@@ -3673,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prototype_prune": q_prototype_prune,
         "q_drop_reasons": q_drop_reasons,
         "q_novelty": q_novelty,
+        "q_lang_confusion": q_lang_confusion,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
@@ -4072,6 +4089,13 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(o_orderdate) // 1000000 >= {TPCH_Q5_START}
               AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q5_END}
             GROUP BY n_name
+        """,
+        "q_lang_confusion": f"""
+            WITH base AS (
+              SELECT lang, string_split(text, ' ') AS t FROM documents)
+            SELECT lang, {_pred_lang_expr_sql()} AS pred_lang,
+                   count(*)::BIGINT AS n_docs
+            FROM base GROUP BY 1, 2
         """,
         "q_novelty": f"""
             WITH toks AS (
@@ -5982,6 +6006,22 @@ def _simhash_oracle_sql(bits: int = 32) -> str:
                  AS simhash
         FROM bits GROUP BY doc_id
     """
+
+
+def _pred_lang_expr_sql() -> str:
+    """The DuckDB replay of functions.text.predict_lang: struct argmax
+    over the stopword-profile hit ratios (shared by the text-profile and
+    lang-confusion oracles); expects a token list column ``t``."""
+    from datayours_spark.functions.text import LANG_PROFILES
+
+    profile_structs = ", ".join(
+        "{{'s': len(list_filter(t, w -> w IN ({words}))) * 1.0 / greatest(len(t), 1), "
+        "'lang': '{lang}'}}".format(
+            words=", ".join(f"'{w}'" for w in LANG_PROFILES[lang]), lang=lang
+        )
+        for lang in sorted(LANG_PROFILES)
+    )
+    return f"list_aggregate([{profile_structs}], 'max').lang"
 
 
 def _text_profile_oracle_sql() -> str:
