@@ -3533,9 +3533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_render_mixed, q_tfidf_terms, q_corpus_clean — every one green
     # in r5/r6/r7, and each of their families keeps either an in-window
     # member or an r7-green row, so nothing ages past the 2-round
-    # staleness bound).  With these eleven green, EVERY oracle-backed
-    # query has earned a driver CORRECTNESS row in some round (126/126
-    # — full closure of the driver contract).  The two `no_oracle`
+    # staleness bound).  With these eleven green, every oracle-backed
+    # query that existed at the START of round 8 has earned a driver
+    # CORRECTNESS row in some round (126/126 — closure of the r7-era
+    # driver contract); the NINETEEN queries ADDED during round 8
+    # (winnow spans/dedup, chunk-BM25, hybrid RRF, mix weights, ppl
+    # buckets, knn labels, source quality, TPC-H Q6/Q10/Q14/Q18, embed
+    # projection, rp recall, tokenize ids, prototype prune, drop
+    # reasons, novelty, lang confusion) sit past the window —
+    # selfcheck-green, queued for the r9 rotation.  The two `no_oracle`
     # approx queries sit at the very end so no window slot is
     # structurally un-greenable.  Every in-window entry has an
     # oracle_sql() — asserted by tests/test_entry_contract.py.

@@ -1810,6 +1810,48 @@ def smoke_prototype() -> None:
     spark.stop()
 
 
+def smoke_novelty() -> None:
+    """Isolated: per-doc n-gram novelty at SCALE_DOCS — the
+    first-occurrence posting shape (one shingle-keyed min-aggregate +
+    one join back) over ~48 shingles/doc.  The synthetic corpus's
+    near-dup families (ids % 10 in {0,1} share 48 of 50 tokens) give
+    the expected signal: the family's higher id scores near zero
+    novelty while singleton docs score ~1."""
+    spark = get_spark(
+        "scalesmoke-novelty",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.dedup import ngram_novelty
+
+    docs = synthetic_documents(spark, N_DOCS).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    nov = ngram_novelty(docs, n=3)
+    agg = nov.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_shingles").alias("shingles"),
+        F.round(F.avg("novelty"), 4).alias("mean_novelty"),
+        F.sum(F.when(F.col("novelty") <= 0.1, 1).otherwise(0)).alias(
+            "near_zero"
+        ),
+    ).first()
+    dt = time.perf_counter() - t
+    # family members with the HIGHER id (id % 10 == 1) repeat their
+    # partner's 48 family tokens -> expect >= one near-zero doc per pair
+    expected_pairs = N_DOCS // 10
+    print(json.dumps({
+        "metric": "novelty smoke",
+        "n_docs": int(agg["docs"]),
+        "shingle_rows": int(agg["shingles"]),
+        "sec": round(dt, 1),
+        "docs_per_s": int(N_DOCS / max(dt, 1e-9)),
+        "mean_novelty": float(agg["mean_novelty"]),
+        "near_zero_docs": int(agg["near_zero"]),
+        "planted_pairs": expected_pairs,
+        "signal_ok": int(agg["near_zero"]) >= expected_pairs,
+    }))
+    spark.stop()
+
+
 def smoke_bm25() -> None:
     """Isolated: BM25 top-k at SCALE_DOCS — measures the r8 plan fix
     (query-term semi-join BELOW the tf aggregate).  Reports the corpus
@@ -1951,5 +1993,7 @@ if __name__ == "__main__":
         smoke_quality()
     elif mode == "prototype":
         smoke_prototype()
+    elif mode == "novelty":
+        smoke_novelty()
     else:
         main()
