@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -2289,10 +2290,20 @@ def _sq_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
     )
     os.makedirs(base, exist_ok=True)
     # reap index dirs left by dead sessions (same hygiene as
-    # _purge_stale for the in-memory cache)
+    # _purge_stale for the in-memory cache).  A foreign app_id alone
+    # doesn't prove the owner is dead — a concurrent LIVE session can
+    # share this checkout — so only dirs untouched for an hour are
+    # reclaimed (a live owner's dir is always newer: it was written
+    # this session) (ADVICE r8).
+    now = time.time()
     for d in os.listdir(base):
         if d.startswith("sq_index_") and app_id not in d:
-            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            p = os.path.join(base, d)
+            try:
+                if now - os.path.getmtime(p) > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # raced with the owner or another reaper
     out = os.path.join(
         base, f"sq_index_{app_id}_{os.path.basename(sf_dir.rstrip('/'))}"
     )
@@ -4921,7 +4932,9 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_weights": f"""
             WITH per AS (
               SELECT source AS stratum, count(*)::BIGINT AS n_docs,
-                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     CAST(sum(CASE WHEN text IS NOT NULL AND len(text) > 0
+                                   THEN len(string_split(text, ' '))
+                                   ELSE 0 END) AS BIGINT)
                        AS n_tokens
               FROM documents GROUP BY 1),
             tot AS (SELECT sum(n_tokens) AS tot FROM per),

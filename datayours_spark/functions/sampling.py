@@ -321,10 +321,16 @@ def mixing_weights(
     beyond the strata-keyed combine.  Rounding at 6 dp pins the
     pow/summation float edges across engines.
     """
+    # NULL text splits to size -1 and '' to size 1 — both would skew a
+    # stratum's n_tokens; count them as 0 tokens, same guard as
+    # gopher_rules (ADVICE r8)
     tokens = (
         F.col(tokens_col)
         if tokens_col is not None
-        else F.size(F.split(F.col(text_col), " "))
+        else F.when(
+            F.col(text_col).isNotNull() & (F.length(text_col) > 0),
+            F.size(F.split(F.col(text_col), " ")),
+        ).otherwise(F.lit(0))
     ).cast("bigint")
     per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("n_docs"),

@@ -2363,12 +2363,12 @@ def ivf_assign_pruned(
         cent_emb, k=s, iters=super_iters, seed=seed
     )
     c2s = ivf_assign(cent_emb, super_cent)  # (centroid_id, super) — k rows
-    member_counts = {
+    occupied_supers = {
         int(r["cluster"]) for r in c2s.select("cluster").distinct().collect()
     }
     srows = [
         r for r in super_cent.collect()
-        if int(r["centroid_id"]) in member_counts
+        if int(r["centroid_id"]) in occupied_supers
     ]
     sup_arr = F.array(*[
         F.struct(

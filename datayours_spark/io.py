@@ -77,7 +77,12 @@ def epoch_range_pred(
       epochs — ``x div 1e9 >= s`` ⇔ ``x >= s·1e9``);
     - TIMESTAMP / TIMESTAMP_NTZ: a typed literal at the whole-second
       bound (``unix_seconds`` truncates, and the bounds are whole
-      seconds, so ``floor(ts) >= s`` ⇔ ``ts >= s``).
+      seconds, so ``floor(ts) >= s`` ⇔ ``ts >= s``).  The TIMESTAMP
+      literal carries an explicit ``+00:00`` offset so it parses the
+      same under ANY ``spark.sql.session.timeZone``, not just the UTC
+      this project's session factory pins (ADVICE r8).  TIMESTAMP_NTZ
+      is zone-free by definition; the fixture stores NTZ values as UTC
+      wall clock, which is the assumption the ``_iso`` bound encodes.
     """
     from datetime import datetime, timezone
 
@@ -95,11 +100,19 @@ def epoch_range_pred(
         if end_sec is not None:
             preds.append(F.col(col) < end_sec * NANOS_PER_SECOND)
     else:
-        lit = "TIMESTAMP_NTZ" if dtype == "timestamp_ntz" else "TIMESTAMP"
+        ntz = dtype == "timestamp_ntz"
+        lit = "TIMESTAMP_NTZ" if ntz else "TIMESTAMP"
+        # NTZ literals must NOT carry an offset (they're zone-free);
+        # zoned TIMESTAMP literals carry one so session tz is irrelevant
+        suffix = "" if ntz else "+00:00"
         if start_sec is not None:
-            preds.append(F.expr(f"{col} >= {lit} '{_iso(start_sec)}'"))
+            preds.append(
+                F.expr(f"{col} >= {lit} '{_iso(start_sec)}{suffix}'")
+            )
         if end_sec is not None:
-            preds.append(F.expr(f"{col} < {lit} '{_iso(end_sec)}'"))
+            preds.append(
+                F.expr(f"{col} < {lit} '{_iso(end_sec)}{suffix}'")
+            )
     out = F.lit(True)
     for p in preds:
         out = out & p

@@ -153,10 +153,20 @@ class BatchStore:
         return self.spark.read.schema(schema).parquet(*dirs)
 
     # ---------------------------------------------------------- compaction
-    def compact(self, name: str, schema: str, upto_batch_id: int) -> int:
+    def compact(
+        self, name: str, schema: str, upto_batch_id: int, fold=None
+    ) -> int:
         """Fold the reader view at ``upto_batch_id`` into one
         ``compacted-<upto>`` dir, then GC the folded dirs.  Returns the
-        number of directories folded (0 = nothing to do)."""
+        number of directories folded (0 = nothing to do).
+
+        ``fold`` (optional ``DataFrame -> DataFrame``) is applied to the
+        unioned rows before the compacted write.  It must preserve the
+        table's EFFECTIVE reader view — i.e. be a no-op under whatever
+        filter the table's reader applies anyway (e.g. last-writer-wins
+        per doc_id for a replacement-semantics index, where the reader
+        already drops superseded rows).  Used to bound storage growth;
+        correctness never depends on it."""
         subs = self._listdir(name)
         old_w = self.watermark(name)
         folds = [
@@ -172,8 +182,11 @@ class BatchStore:
                     "/".join([self.store_dir, name, f"compacted-{old_w:012d}"])
                 )
             srcs += ["/".join([self.store_dir, name, s]) for s in folds]
+            unioned = self.spark.read.schema(schema).parquet(*srcs)
+            if fold is not None:
+                unioned = fold(unioned)
             (
-                self.spark.read.schema(schema).parquet(*srcs)
+                unioned
                 .write.mode("overwrite")
                 .parquet(
                     "/".join(
@@ -197,13 +210,17 @@ class BatchStore:
         return len(folds)
 
     def maybe_compact(
-        self, batch_id: int, schemas: dict[str, str]
+        self, batch_id: int, schemas: dict[str, str], folds: dict | None = None
     ) -> None:
         """Compact every table when the cadence fires (call from inside
-        the foreachBatch callback, AFTER the batch's own writes)."""
+        the foreachBatch callback, AFTER the batch's own writes).
+        ``folds`` optionally maps table name -> fold callable (see
+        :meth:`compact`)."""
         if self.compact_every is None or self.compact_every <= 0:
             return
         if (batch_id + 1) % self.compact_every != 0:
             return
         for name, schema in schemas.items():
-            self.compact(name, schema, batch_id)
+            self.compact(
+                name, schema, batch_id, (folds or {}).get(name)
+            )

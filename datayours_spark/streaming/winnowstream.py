@@ -33,15 +33,32 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import winnow_incremental_indexed
 from datayours_spark.streaming.store import BatchStore
 
 DOC_SCHEMA = "doc_id bigint, text string"
-INDEX_SCHEMA = "doc_id bigint, h bigint"
+# ``batch`` stamps the ingesting micro-batch so re-ingestion is
+# REPLACEMENT all the way down: the reader keeps only each doc's
+# latest-batch fingerprints (last-writer-wins), so a doc re-ingested in
+# batch i never unions old+new rows when batch i+1 reads the index —
+# the n_fp containment denominator stays single-version (ADVICE r8).
+INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint"
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
 
 SCHEMAS = {"pairs": PAIRS_SCHEMA, "index": INDEX_SCHEMA}
+
+
+def _index_lww(index: DataFrame) -> DataFrame:
+    """Last-writer-wins view of the stored index: per doc_id, keep only
+    the rows of its highest ingesting batch.
+
+    Scale shape: one map-side-combinable per-doc max (docs-sized output)
+    joined back on (doc_id, batch) — both sides hash-partition on
+    doc_id, no window, no broadcast of anything corpus-sized."""
+    latest = index.groupBy("doc_id").agg(F.max("batch").alias("batch"))
+    return index.join(latest, ["doc_id", "batch"])
 
 
 @dataclass
@@ -79,19 +96,33 @@ class WinnowStream:
         ):
             return
         new = batch.select("doc_id", "text")
-        index = self._read_or_empty("index", INDEX_SCHEMA)
+        # Last-writer-wins read: superseded rows for docs re-ingested in
+        # EARLIER batches are dropped here (the compute-time anti-join
+        # inside winnow_incremental only covers THIS batch's doc_ids).
+        index = _index_lww(self._read_or_empty("index", INDEX_SCHEMA))
         # _indexed returns the batch's checkpointed fingerprints so the
         # index append reuses them instead of re-fingerprinting the
         # batch (the EmbedStream build-once contract — ADVICE r7)
         pairs, batch_fp = winnow_incremental_indexed(
-            new, index, k=self.k, w=self.w, threshold=self.threshold
+            new,
+            index.select("doc_id", "h"),
+            k=self.k,
+            w=self.w,
+            threshold=self.threshold,
         )
         pairs.write.mode("overwrite").parquet(dests["pairs"])
         # index rows land AFTER the pair emission so the batch never
         # joins itself through the standing index (new×new is handled
         # inside winnow_incremental)
-        batch_fp.write.mode("overwrite").parquet(dests["index"])
-        self.store.maybe_compact(batch_id, SCHEMAS)
+        batch_fp.withColumn("batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(dests["index"])
+        # compaction folds with the same LWW rule, so superseded rows
+        # are physically dropped (storage stays bounded by live docs);
+        # the fold is a no-op on the reader view, which filters anyway
+        self.store.maybe_compact(
+            batch_id, SCHEMAS, folds={"index": _index_lww}
+        )
 
     def start(self):
         docs = (

@@ -328,3 +328,27 @@ class TestMixingWeights:
         assert out["big"]["weight"] < out["big"]["share"]
         # epochs on the up-weighted tail exceed the head's
         assert out["small"]["epochs"] > out["big"]["epochs"]
+
+    def test_null_and_empty_text_count_zero_tokens(self, spark):
+        """NULL text (split size -1) and '' (split size 1) must not skew
+        a stratum's n_tokens (ADVICE r8)."""
+        from datayours_spark.functions.sampling import mixing_weights
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "w1 w2 w3"),
+                (2, "a", None),
+                (3, "a", ""),
+                (4, "b", "w1 w2 w3"),
+            ],
+            "doc_id bigint, source string, text string",
+        )
+        out = {
+            r["stratum"]: r
+            for r in mixing_weights(
+                docs, stratum_col="source", alpha=1.0, budget=100
+            ).collect()
+        }
+        # both strata hold exactly 3 real tokens -> identical n_tokens
+        assert out["a"]["n_tokens"] == 3 and out["b"]["n_tokens"] == 3
+        assert out["a"]["weight"] == out["b"]["weight"]

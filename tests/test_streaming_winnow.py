@@ -75,3 +75,61 @@ class TestWinnowStream:
         }
         assert after == full
         shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_reingestion_is_replacement_across_batches(self, spark):
+        """A doc re-ingested in an EARLIER batch must not leave stale
+        fingerprints in the standing index: later batches' containment
+        denominators see only the latest version (ADVICE r8)."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        ws = WinnowStream(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            k=3, w=3, threshold=0.4,
+            compact_every=2,
+        )
+        schema = "doc_id bigint, text string"
+        v1 = (1, BASE + " one two three")
+        # v2 rewrites doc 1 entirely — different fingerprint set
+        v2 = (1, "rewritten body with completely new vocabulary all over")
+        probe = (30, "rewritten body with completely new vocabulary all done")
+        ws._process(spark.createDataFrame([v1, DOCS[2]], schema), 0)
+        ws._process(spark.createDataFrame([v2], schema), 1)   # re-ingest
+        ws._process(spark.createDataFrame([probe], schema), 2)
+
+        # the standing index holds exactly ONE version of doc 1
+        from datayours_spark.streaming.winnowstream import (
+            INDEX_SCHEMA, _index_lww,
+        )
+        idx = _index_lww(ws._read_or_empty("index", INDEX_SCHEMA))
+        batches = [
+            r.batch
+            for r in idx.filter(F.col("doc_id") == 1)
+            .select("batch").distinct().collect()
+        ]
+        assert batches == [1], batches
+        # compaction at batch 1 physically dropped the v1 rows
+        raw = ws._read_or_empty("index", INDEX_SCHEMA)
+        assert raw.filter(
+            (F.col("doc_id") == 1) & (F.col("batch") == 0)
+        ).count() == 0
+
+        # batch 2's pair against doc 1 scores v2's fingerprints only ==
+        # a clean batch recompute over the LATEST versions
+        got = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in ws.pairs().collect()
+            if 30 in (r.id1, r.id2)
+        }
+        want = {
+            (r.id1, r.id2): (r.shared, r.containment)
+            for r in winnow_neardup(
+                spark.createDataFrame([v2, DOCS[2], probe], schema),
+                k=3, w=3, threshold=0.4,
+            ).collect()
+            if 30 in (r.id1, r.id2)
+        }
+        assert got == want and (1, 30) in got
+        shutil.rmtree(TMP, ignore_errors=True)
