@@ -3534,84 +3534,98 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Window policy: the driver oracle-checks the first 50 dict entries
-    # each round (dict-order prefix).  Round 8 rotates in the ELEVEN
-    # queries added in round 7 (the winnowing family, q_source_overlap,
-    # q_gopher_rules, q_tpch_q5, q_ann_sq, q_ann_ivfsq,
-    # q_audio_segments, q_bm25 — all selfcheck-green, never
-    # driver-checked), in place of eleven thrice-green rows
-    # (q_span_mask, q_span_incremental, q_ann_ivf, q_ann_ivfpq,
-    # q_ann_ivfpq_res, q_semdedup, q_cluster_topics, q_dedup_embed,
-    # q_render_mixed, q_tfidf_terms, q_corpus_clean — every one green
-    # in r5/r6/r7, and each of their families keeps either an in-window
-    # member or an r7-green row, so nothing ages past the 2-round
-    # staleness bound).  With these eleven green, every oracle-backed
-    # query that existed at the START of round 8 has earned a driver
-    # CORRECTNESS row in some round (126/126 — closure of the r7-era
-    # driver contract); the NINETEEN queries ADDED during round 8
-    # (winnow spans/dedup, chunk-BM25, hybrid RRF, mix weights, ppl
-    # buckets, knn labels, source quality, TPC-H Q6/Q10/Q14/Q18, embed
-    # projection, rp recall, tokenize ids, prototype prune, drop
-    # reasons, novelty, lang confusion) sit past the window —
-    # selfcheck-green, queued for the r9 rotation.  The two `no_oracle`
-    # approx queries sit at the very end so no window slot is
-    # structurally un-greenable.  Every in-window entry has an
-    # oracle_sql() — asserted by tests/test_entry_contract.py.
+    # each round (dict-order prefix).  Round 9 rotates in the NINETEEN
+    # queries added in round 8 (winnow spans/dedup, chunk-BM25, hybrid
+    # RRF, mix weights, ppl buckets, knn labels, source quality, TPC-H
+    # Q6/Q10/Q14/Q18, embed projection, rp recall, tokenize ids,
+    # prototype prune, drop reasons, novelty, lang confusion — all
+    # selfcheck-green, never driver-checked).  With these nineteen
+    # green, EVERY oracle-backed query in the registry has earned a
+    # driver CORRECTNESS row in some round (145/145 — full closure of
+    # the driver contract).  The other 31 slots keep one-or-more
+    # representatives of every SURVEY §2 family whose only coverage
+    # would otherwise age past the 2-round staleness bound
+    # (q_span_mask re-enters for span_dedup, last green r7; the §2-core
+    # ingest/fetch/rollup/meta/render/datamine/align/per-record rows
+    # stay in so their families are r9-green and need no forced swap
+    # before r11).  The two `no_oracle` approx queries sit at the very
+    # end so no window slot is structurally un-greenable.  Every
+    # in-window entry has an oracle_sql() — asserted by
+    # tests/test_entry_contract.py.
     return {
-        # --- r8 window: the eleven round-7 queries, first driver check
+        # --- r9 window: the nineteen round-8 queries, first driver check
+        "q_winnow_spans": q_winnow_spans,
+        "q_winnow_dedup": q_winnow_dedup,
+        "q_bm25_chunks": q_bm25_chunks,
+        "q_hybrid_rrf": q_hybrid_rrf,
+        "q_mix_weights": q_mix_weights,
+        "q_ppl_buckets": q_ppl_buckets,
+        "q_knn_label": q_knn_label,
+        "q_source_quality": q_source_quality,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q10": q_tpch_q10,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q18": q_tpch_q18,
+        "q_embed_project": q_embed_project,
+        "q_rp_recall": q_rp_recall,
+        "q_tokenize_ids": q_tokenize_ids,
+        "q_prototype_prune": q_prototype_prune,
+        "q_drop_reasons": q_drop_reasons,
+        "q_novelty": q_novelty,
+        "q_lang_confusion": q_lang_confusion,
+        # --- r9 window: family keepers (staleness bound + §2 cores) ---
+        "q_span_mask": q_span_mask,
+        "q_ingest_parse": q_ingest_parse,
+        "q_fetch_grid": q_fetch_grid,
+        "q_streaming_rollup": q_streaming_rollup,
+        "q_series_meta": q_series_meta,
+        "q_multireader": q_multireader,
+        "q_datamine_asof": q_datamine_asof,
+        "q_dash_report": q_dash_report,
+        "q_dm_timeline": q_dm_timeline,
+        "q_sessionize": q_sessionize,
+        "q_locf_chunked": q_locf_chunked,
+        "q_user_hook": q_user_hook,
+        "q_render_api": q_render_api,
+        "q_ann_sq": q_ann_sq,
+        "q_ann_ivfsq": q_ann_ivfsq,
+        "q_contamination": q_contamination,
+        "q_fuzzy_contamination": q_fuzzy_contamination,
+        "q_pii_scrub": q_pii_scrub,
+        "q_url_stats": q_url_stats,
+        "q_multimodal_features": q_multimodal_features,
+        "q_frame_sample": q_frame_sample,
+        "q_resize_plan": q_resize_plan,
+        "q_audio_segments": q_audio_segments,
+        "q_tpch_q1": q_tpch_q1,
+        "q_gopher_rules": q_gopher_rules,
+        "q_dedup_report": q_dedup_report,
+        "q_dedup_embed_banded": q_dedup_embed_banded,
+        "q_semdedup_incremental": q_semdedup_incremental,
+        "q_oov_rate": q_oov_rate,
+        "q_sample_stratified": q_sample_stratified,
+        "q_pack_sequences": q_pack_sequences,
+        # --- past the window: green driver row in r1–r8 --------------
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_neardup": q_winnow_neardup,
         "q_winnow_matches": q_winnow_matches,
         "q_winnow_incremental": q_winnow_incremental,
         "q_source_overlap": q_source_overlap,
-        "q_gopher_rules": q_gopher_rules,
         "q_tpch_q5": q_tpch_q5,
-        "q_ann_sq": q_ann_sq,
-        "q_ann_ivfsq": q_ann_ivfsq,
-        "q_audio_segments": q_audio_segments,
         "q_bm25": q_bm25,
-        # --- r8 window: once-green r7 rows kept for a second row ------
-        "q_dedup_embed_banded": q_dedup_embed_banded,
-        "q_semdedup_incremental": q_semdedup_incremental,
         "q_neardup_verified": q_neardup_verified,
-        "q_oov_rate": q_oov_rate,
         "q_chunk_docs": q_chunk_docs,
         "q_dup_ngrams": q_dup_ngrams,
-        "q_ingest_parse": q_ingest_parse,
-        "q_fetch_grid": q_fetch_grid,
-        "q_user_hook": q_user_hook,
-        "q_tpch_q1": q_tpch_q1,
-        "q_dm_timeline": q_dm_timeline,
-        "q_pii_scrub": q_pii_scrub,
-        "q_url_stats": q_url_stats,
         "q_multimodal_neardup": q_multimodal_neardup,
         "q_dedup_embed_incremental": q_dedup_embed_incremental,
-        # --- r8 window: recent-green rows kept in-window --------------
-        "q_render_api": q_render_api,
-        "q_series_meta": q_series_meta,
-        "q_streaming_rollup": q_streaming_rollup,
-        "q_multireader": q_multireader,
-        "q_datamine_asof": q_datamine_asof,
-        "q_dash_report": q_dash_report,
-        "q_multimodal_features": q_multimodal_features,
-        "q_frame_sample": q_frame_sample,
-        "q_resize_plan": q_resize_plan,
-        "q_sessionize": q_sessionize,
-        "q_locf_chunked": q_locf_chunked,
         "q_leakage_split": q_leakage_split,
-        "q_sample_stratified": q_sample_stratified,
         "q_token_budget": q_token_budget,
         "q_repetition_filter": q_repetition_filter,
         "q_sliding_rate": q_sliding_rate,
-        "q_pack_sequences": q_pack_sequences,
         "q_shard_balance": q_shard_balance,
         "q_shard_manifest": q_shard_manifest,
         "q_quantile_profile": q_quantile_profile,
         "q_adaptive_quality": q_adaptive_quality,
-        "q_contamination": q_contamination,
-        "q_fuzzy_contamination": q_fuzzy_contamination,
-        "q_dedup_report": q_dedup_report,
-        # --- past the window: green driver row in r1–r7 --------------
-        "q_span_mask": q_span_mask,
         "q_span_incremental": q_span_incremental,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivfpq": q_ann_ivfpq,
@@ -3687,26 +3701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
-        # --- new in r8, selfcheck-verified; rotate into the window r9 ---
-        "q_winnow_spans": q_winnow_spans,
-        "q_winnow_dedup": q_winnow_dedup,
-        "q_bm25_chunks": q_bm25_chunks,
-        "q_hybrid_rrf": q_hybrid_rrf,
-        "q_mix_weights": q_mix_weights,
-        "q_ppl_buckets": q_ppl_buckets,
-        "q_knn_label": q_knn_label,
-        "q_source_quality": q_source_quality,
-        "q_tpch_q6": q_tpch_q6,
-        "q_tpch_q10": q_tpch_q10,
-        "q_tpch_q14": q_tpch_q14,
-        "q_tpch_q18": q_tpch_q18,
-        "q_embed_project": q_embed_project,
-        "q_rp_recall": q_rp_recall,
-        "q_tokenize_ids": q_tokenize_ids,
-        "q_prototype_prune": q_prototype_prune,
-        "q_drop_reasons": q_drop_reasons,
-        "q_novelty": q_novelty,
-        "q_lang_confusion": q_lang_confusion,
         # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
