@@ -2545,7 +2545,16 @@ def knn_predict(
         )
         .where(F.col("rank") <= k)
     )
-    votes = ranked.groupBy("query_id", "label").agg(
+    return _knn_vote(ranked)
+
+
+def _knn_vote(scored: DataFrame) -> DataFrame:
+    """Majority vote over a (query_id, label, sim) neighbour relation:
+    two tiny aggregates on k × |Q| rows (model-state scale).  Ties break
+    (votes DESC, label ASC) so the prediction is unique and
+    engine-independent.  Shared by the exact and ANN-routed kNN paths so
+    the vote semantics cannot drift between them."""
+    votes = scored.groupBy("query_id", "label").agg(
         F.count("*").alias("votes"), F.max("sim").alias("top_sim")
     )
     return votes.groupBy("query_id").agg(
@@ -2559,6 +2568,74 @@ def knn_predict(
         F.col("w.votes").alias("votes"),
         F.col("w.top_sim").alias("top_sim"),
     )
+
+
+def knn_predict_routed(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    dim: int,
+    shortlist: int | None = None,
+    nprobe: int = 1,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    codes: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`knn_predict` with the neighbour stage routed through the
+    IVF-PQ index (:func:`ivfpq_rerank_topk`) instead of the brute-force
+    rank — the scale path for batch auto-labeling, where brute force
+    would scan the corpus once PER QUERY BATCH at full width.  The
+    index args (centroids/codebooks/codes/assignments) come from the
+    persisted lifecycle (``annindex.load_ann_index``) or the in-session
+    builders; same (query_id, pred_label, votes, top_sim) contract.
+
+    Exclusion parity with the exact form: the rerank is asked for
+    ``k + |Q|`` neighbours, every query id is dropped from the
+    candidates (the ANN stage only excludes SELF), and the survivors
+    re-rank to k — so a query landing in another query's shortlist can
+    never starve the vote below k candidates.
+
+    Scale shape: the neighbour stage touches nprobe/k_clusters of the
+    codes (partition-prunable when persisted) + ``shortlist`` full
+    vectors per query; everything after is model-state sized
+    (k × |Q| rows through :func:`_knn_vote`)."""
+    from pyspark.sql import Window
+
+    if shortlist is None:
+        shortlist = max(2 * (k + len(query_ids)), 15)
+    neigh = ivfpq_rerank_topk(
+        emb, query_ids, k + len(query_ids), centroids, codebooks, dim,
+        shortlist=shortlist, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, round_dp=round_dp, codes=codes,
+        assignments=assignments,
+    )
+    survivors = (
+        neigh.where(~F.col("vec_id").isin(query_ids))
+        .withColumn(
+            "r2",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("r2") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+    labels = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    # survivors is k x |Q| rows — broadcast it into the labels scan
+    scored = labels.join(F.broadcast(survivors), "vec_id").select(
+        "query_id", "label", "sim"
+    )
+    return _knn_vote(scored)
 
 
 def random_projection_matrix(
@@ -2610,7 +2687,16 @@ def project_embeddings(
     — the matrix enters as a plan literal, every output coordinate is a
     fixed-order fold over the input array (CodegenFallback like the SQ
     codec: interpreted-but-JVM-side, no exchange, no Python).  Rounding
-    at ``round_dp`` pins the fixed-order float fold across engines."""
+    at ``round_dp`` pins the fixed-order float fold across engines.
+
+    DIMS CAP: this form is for SMALL matrices only (the oracle-exact
+    gate fixture runs 64→16 = 1,024 literals).  At production dims the
+    interpreted fold re-evaluates the literal matrix inside the lambda
+    per row — measured at 1024→64: ~92 s of Catalyst plan build on the
+    65,536 literals and ~4 rows/s execution, vs ~3.8k rows/s for
+    :func:`project_embeddings_arrow` (same output, equality at
+    ``round_dp`` differential-test-pinned).  Use the Arrow form whenever
+    in_dim × out_dim exceeds a few thousand entries."""
     import math
 
     mat = random_projection_matrix(in_dim, out_dim, seed)
@@ -2631,6 +2717,63 @@ def project_embeddings(
         )
         cols.append(F.round(y / scale, round_dp).alias(f"p{j:02d}"))
     return emb.select(*cols)
+
+
+def project_embeddings_arrow(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Arrow-batched matmul form of :func:`project_embeddings` — same
+    contract, same deterministic ±1 matrix, same (vec_id, p01..pNN)
+    output (equality at ``round_dp`` is differential-test-pinned).
+
+    Use this form at production dims: the literal fold evaluates
+    in_dim × out_dim interpreted expression steps PER ROW (a 1024→64
+    projection is 65,536 steps/row — CodegenFallback, no codegen), while
+    this variant ships each Arrow batch to one BLAS dgemm
+    (batch × in_dim) @ (in_dim × out_dim).  The sign matrix is
+    rebuilt from the seed inside the closure — nothing corpus-sized or
+    matrix-sized enters the plan, so Catalyst never folds 65k literals.
+    Scale shape: zero shuffle (mapInPandas over the scan), Python only
+    behind Arrow — the contracted slow-path surface."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    mat = np.asarray(
+        random_projection_matrix(in_dim, out_dim, seed), dtype=np.float64
+    )
+    scale = math.sqrt(out_dim)
+    names = [f"p{j:02d}" for j in range(1, out_dim + 1)]
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [T.StructField(n, T.DoubleType()) for n in names]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            )
+            y = np.round(v @ mat / scale, round_dp)
+            out = pd.DataFrame({"vec_id": pdf["__id"].to_numpy()})
+            for j, n in enumerate(names):
+                out[n] = y[:, j]
+            yield out
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("__id"),
+        as_double_array(vec_col).alias("__v"),
+    ).mapInPandas(run, schema=schema)
 
 
 def prototype_prune(

@@ -1221,6 +1221,72 @@ class TestKnnPredict:
         assert out[0]["votes"] == 1
         assert out[0]["pred_label"] == 3
 
+    def test_routed_equals_exact_with_exhaustive_dials(self, spark):
+        """ANN-routed kNN ≡ exact kNN when the index dials are
+        exhaustive (nprobe = all clusters, shortlist ≥ corpus): the
+        routing must change WHERE neighbours come from, never the vote
+        semantics (exclusion, tie-breaks, top_sim)."""
+        from datayours_spark.functions.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+            knn_predict,
+            knn_predict_routed,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = self._emb(spark)
+        cent = kmeans_centroids(emb, k=2, iters=2)
+        books = pq_codebooks(emb, m=1, ks=16, dim=3)
+        codes = pq_encode(emb, books, 3)
+        assign = ivf_assign(emb, cent)
+        exact = {tuple(r) for r in knn_predict(emb, [0, 1], k=5).collect()}
+        routed = {
+            tuple(r)
+            for r in knn_predict_routed(
+                emb, [0, 1], 5, cent, books, 3,
+                shortlist=20, nprobe=2, codes=codes, assignments=assign,
+            ).collect()
+        }
+        assert routed == exact
+
+    def test_routed_runs_from_persisted_index(self, spark, tmp_path):
+        """The routed path must accept the persisted IVF-PQ lifecycle
+        verbatim (save → load → predict), partition-pruned codes and
+        all."""
+        from datayours_spark.functions.annindex import (
+            load_ann_index,
+            save_ann_index,
+        )
+        from datayours_spark.functions.similarity import (
+            ivf_assign,
+            kmeans_centroids,
+            knn_predict,
+            knn_predict_routed,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = self._emb(spark)
+        cent = kmeans_centroids(emb, k=2, iters=2)
+        books = pq_codebooks(emb, m=1, ks=16, dim=3)
+        save_ann_index(
+            str(tmp_path / "idx"), cent, books,
+            pq_encode(emb, books, 3), ivf_assign(emb, cent),
+            {"dim": 3, "k": 2, "seed": 42},
+        )
+        idx = load_ann_index(spark, str(tmp_path / "idx"))
+        routed = {
+            tuple(r)
+            for r in knn_predict_routed(
+                emb, [0, 1], 5, idx["centroids"], idx["codebooks"],
+                idx["meta"]["dim"], shortlist=20, nprobe=2,
+                codes=idx["codes"], assignments=idx["assignments"],
+            ).collect()
+        }
+        exact = {tuple(r) for r in knn_predict(emb, [0, 1], k=5).collect()}
+        assert routed == exact
+
 
 class TestProjectEmbeddings:
     def test_matrix_is_deterministic_and_signed(self):
@@ -1281,6 +1347,33 @@ class TestProjectEmbeddings:
             .executedPlan()
             .toString()
         )
+        assert "Exchange" not in plan
+
+    def test_arrow_variant_equals_fold_at_round_dp(self, spark):
+        """The BLAS-matmul form must reproduce the literal fold exactly
+        at round_dp — same matrix, same scaling, same column names (the
+        production-dims swap must be invisible downstream)."""
+        import numpy as np
+
+        from datayours_spark.functions.similarity import (
+            project_embeddings,
+            project_embeddings_arrow,
+        )
+
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(60, 48)
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            "vec_id long, embedding array<double>",
+        )
+        a = project_embeddings(emb, 48, 12)
+        b = project_embeddings_arrow(emb, 48, 12)
+        assert a.columns == b.columns
+        ra = {r.vec_id: tuple(r)[1:] for r in a.collect()}
+        rb = {r.vec_id: tuple(r)[1:] for r in b.collect()}
+        assert ra == rb
+        # the arrow form keeps the zero-shuffle shape too
+        plan = b._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
 
