@@ -1620,6 +1620,31 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_predict(emb, list(range(KNN_N_QUERIES)), KNN_K)
 
 
+#: rerank shortlist for the ANN-routed kNN: must exceed
+#: KNN_K + KNN_N_QUERIES so the post-exclusion re-rank never starves
+KNN_ROUTED_SHORTLIST = 20
+
+
+def q_knn_label_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_knn_label` with the neighbour stage routed through the
+    session IVF-PQ index (ADC shortlist → exact re-rank → exclusion →
+    vote) — the batch-auto-labeling scale path: brute force scans the
+    corpus at full width per query batch, this touches nprobe/k of the
+    codes + KNN_ROUTED_SHORTLIST full vectors per query.  Full replay
+    oracle (coarse quantizer + PQ training + ADC + re-rank + vote all
+    replayed in SQL)."""
+    from datayours_spark.functions.similarity import knn_predict_routed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_predict_routed(
+        emb, list(range(KNN_N_QUERIES)), KNN_K,
+        _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
+        ANN_DIM, shortlist=KNN_ROUTED_SHORTLIST,
+        codes=_ann_codes(spark, sf_dir, False),
+        assignments=_ann_assignments(spark, sf_dir),
+    )
+
+
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality report card: doc/token counts, exact-duplicate
     rate (1 − distinct texts / docs), and the Gopher pass rate — the
@@ -3561,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_weights": q_mix_weights,
         "q_ppl_buckets": q_ppl_buckets,
         "q_knn_label": q_knn_label,
+        "q_knn_label_routed": q_knn_label_routed,
         "q_source_quality": q_source_quality,
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q10": q_tpch_q10,
@@ -3602,10 +3628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_report": q_dedup_report,
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
-        "q_oov_rate": q_oov_rate,
         "q_sample_stratified": q_sample_stratified,
         "q_pack_sequences": q_pack_sequences,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_oov_rate": q_oov_rate,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_neardup": q_winnow_neardup,
         "q_winnow_matches": q_winnow_matches,
@@ -5004,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, label AS pred_label, votes, top_sim
             FROM win WHERE rk = 1
         """,
+        "q_knn_label_routed": _knn_routed_oracle_sql(),
         "q_source_quality": """
             WITH m AS (
               SELECT source, text,
@@ -6086,11 +6113,14 @@ DUCK_DOT = (
 )
 
 
-def _kmeans_coarse_cte_sqls(nprobe: int = 1) -> list:
+def _kmeans_coarse_cte_sqls(
+    nprobe: int = 1, n_queries: int = N_ANN_QUERIES
+) -> list:
     """The shared coarse-quantizer replay: md5 init + ANN_IVF_ITERS Lloyd
     iterations + final assignment `t(vec_id, v, nrm, cluster)` and probe
     set `q(query_id, qv, qnorm, qcluster)` — the common prefix of the IVF
-    and IVF-PQ oracles."""
+    and IVF-PQ oracles.  ``n_queries`` sizes the probe set (the routed
+    kNN oracle reuses the replay with its own query count)."""
     dot = DUCK_DOT
     sqls = [
         f"""
@@ -6162,7 +6192,7 @@ def _kmeans_coarse_cte_sqls(nprobe: int = 1) -> list:
                      round({dot.format(a="e.v", b="c.cv")}
                            / (e.nrm * c.cnorm), 9) DESC, c.centroid_id) AS rn
             FROM ex e CROSS JOIN cn c
-            WHERE e.vec_id < {N_ANN_QUERIES})
+            WHERE e.vec_id < {n_queries})
           WHERE rn <= {nprobe})""")
     return sqls
 
@@ -6275,6 +6305,8 @@ def _ivfpq_oracle_sql(
     nprobe: int = 1,
     residual: bool = False,
     rerank_shortlist: int | None = None,
+    n_queries: int = N_ANN_QUERIES,
+    final_k: int = ANN_TOP_K,
 ) -> str:
     """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk /
     ivfpq_residual_topk on top of the shared coarse-quantizer CTEs:
@@ -6285,7 +6317,7 @@ def _ivfpq_oracle_sql(
     to the reconstruction (queries stay UN-residualized: asymmetric)."""
     dot = DUCK_DOT
     dsub = ANN_DIM // ANN_PQ_M
-    sqls = _kmeans_coarse_cte_sqls(nprobe=nprobe)
+    sqls = _kmeans_coarse_cte_sqls(nprobe=nprobe, n_queries=n_queries)
     base = (
         """
         base AS MATERIALIZED (
@@ -6315,7 +6347,7 @@ def _ivfpq_oracle_sql(
           SELECT vec_id AS query_id, sub,
                  v[sub * {dsub} + 1 : sub * {dsub} + {dsub}] AS qsv
           FROM ex CROSS JOIN subsel
-          WHERE vec_id < {N_ANN_QUERIES}),
+          WHERE vec_id < {n_queries}),
         pq0 AS MATERIALIZED (
           SELECT sub,
                  row_number() OVER (PARTITION BY sub ORDER BY
@@ -6415,8 +6447,46 @@ def _ivfpq_oracle_sql(
         SELECT query_id, vec_id, sim, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, vec_id) AS rank
-          FROM {ranked_src}) WHERE rank <= {ANN_TOP_K}"""
+          FROM {ranked_src}) WHERE rank <= {final_k}"""
     return ",".join(sqls)
+
+
+def _knn_routed_oracle_sql() -> str:
+    """DuckDB replay of knn_predict_routed: the full IVF-PQ rerank
+    replay (coarse + PQ + ADC + exact re-rank) asked for
+    KNN_K + KNN_N_QUERIES neighbours, then the kNN contract's exclusion
+    (every query id out of the candidates), re-rank to KNN_K, label
+    join, and the (votes DESC, label ASC) majority vote."""
+    inner = _ivfpq_oracle_sql(
+        rerank_shortlist=KNN_ROUTED_SHORTLIST,
+        n_queries=KNN_N_QUERIES,
+        final_k=KNN_K + KNN_N_QUERIES,
+    )
+    return f"""
+        WITH neigh AS (
+          SELECT query_id, vec_id, sim FROM ({inner})
+          WHERE vec_id >= {KNN_N_QUERIES}),
+        topk AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS r
+          FROM neigh),
+        lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                FROM embeddings),
+        scored AS (
+          SELECT t.query_id, l.label, t.sim
+          FROM topk t JOIN lbl l USING (vec_id) WHERE t.r <= {KNN_K}),
+        votes AS (
+          SELECT query_id, label, count(*)::BIGINT AS votes,
+                 max(sim) AS top_sim
+          FROM scored GROUP BY 1, 2),
+        win AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY votes DESC, label) AS rk
+          FROM votes)
+        SELECT query_id, label AS pred_label, votes, top_sim
+        FROM win WHERE rk = 1
+    """
 
 
 def _simhash_neardup_oracle_sql() -> str:
