@@ -1620,8 +1620,8 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_predict(emb, list(range(KNN_N_QUERIES)), KNN_K)
 
 
-#: rerank shortlist for the ANN-routed kNN: must exceed
-#: KNN_K + KNN_N_QUERIES so the post-exclusion re-rank never starves
+#: rerank shortlist for the ANN-routed kNN (candidates already exclude
+#: every query id, so it only needs headroom over KNN_K)
 KNN_ROUTED_SHORTLIST = 20
 
 
@@ -3535,6 +3535,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIPE_MIN_WORDS = 20
+PIPE_GATE_COLS = (
+    "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+    "ok_alpha_words",
+)
+
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-build DAG in one shot: Gopher gate → winnow
+    near-dup drop (keep-lowest-id) → sequence-packing manifest — the
+    batch form of `streaming.pipeline.IngestPipeline`, whose stream is
+    integration-tested equal to this composition.  Returns the packing
+    manifest of the gated, deduplicated corpus (doc_id, shard,
+    n_tokens, offset, first_chunk, n_chunks).
+
+    Scale shape: gate is a zero-shuffle projection; the near-dup stage
+    is the winnow posting equi-join (never all-pairs); packing is one
+    running-sum window per md5 shard — three pipelined stages, no
+    corpus-sized broadcast or collect anywhere."""
+    from datayours_spark.streaming.pipeline import ingest_pipeline_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # the fixture corpus is synthetic non-English text: the stopword
+    # rule (correctly) rejects ALL of it, so the gate here names the
+    # rules that apply to such a corpus — word count, mean word length,
+    # symbol ratio, alpha words — keeping the composition exercised
+    _gates, _pairs, packed = ingest_pipeline_batch(
+        docs, min_words=PIPE_MIN_WORDS, k=WINNOW_K, w=WINNOW_W,
+        threshold=WINNOW_T, shards=PACK_SHARDS, capacity=PACK_CAPACITY,
+        gate_cols=PIPE_GATE_COLS,
+    )
+    return packed
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency: top-K token trigrams per language — the
     contamination/boilerplate screening primitive.  One explode + two-key
@@ -3629,8 +3665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_sample_stratified": q_sample_stratified,
-        "q_pack_sequences": q_pack_sequences,
+        "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_pack_sequences": q_pack_sequences,
         "q_oov_rate": q_oov_rate,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_winnow_neardup": q_winnow_neardup,
@@ -4532,64 +4569,7 @@ def oracle_sql() -> dict[str, str]:
                      AS removed_tokens
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
-        "q_gopher_rules": """
-            WITH d AS (
-              SELECT doc_id, text, string_split(text, ' ') AS t,
-                     string_split(text, chr(10)) AS lines
-              FROM documents),
-            m AS (
-              SELECT doc_id,
-                CASE WHEN text IS NOT NULL AND length(text) > 0
-                     THEN len(t) ELSE 0 END AS n_words,
-                list_sum(list_transform(t, x -> length(x))) AS total_chars,
-                length(text) - length(replace(text, '#', '')) AS n_hash,
-                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
-                len(lines) AS n_lines,
-                len(list_filter(lines,
-                    l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
-                len(list_filter(lines,
-                    l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ellend,
-                len(list_filter(t,
-                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
-                (coalesce(list_contains(t, 'the'), false)::INT
-                 + coalesce(list_contains(t, 'be'), false)::INT
-                 + coalesce(list_contains(t, 'to'), false)::INT
-                 + coalesce(list_contains(t, 'of'), false)::INT
-                 + coalesce(list_contains(t, 'and'), false)::INT
-                 + coalesce(list_contains(t, 'that'), false)::INT
-                 + coalesce(list_contains(t, 'have'), false)::INT
-                 + coalesce(list_contains(t, 'with'), false)::INT)
-                  AS stop_hits
-              FROM d)
-            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-              n_words >= 50 AND n_words <= 100000 AS ok_word_count,
-              coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
-                       AND total_chars * 1.0 / nullif(n_words, 0) <= 10,
-                       false) AS ok_mean_word_len,
-              coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
-                       AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1,
-                       false) AS ok_symbol_ratio,
-              coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
-                       false) AS ok_bullet_lines,
-              coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
-                       false) AS ok_ellipsis_lines,
-              coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
-                       false) AS ok_alpha_words,
-              stop_hits >= 2 AS ok_stopwords,
-              (n_words >= 50 AND n_words <= 100000)
-                AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
-                     AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
-                AND coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
-                     AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1, false)
-                AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
-                     false)
-                AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
-                     false)
-                AND coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
-                     false)
-                AND stop_hits >= 2 AS pass_all
-            FROM m
-        """,
+        "q_gopher_rules": _gopher_oracle_sql(),
         "q_source_overlap": f"""
             WITH pairs AS ({_minhash_oracle_sql()}),
             lab AS (
@@ -4769,37 +4749,7 @@ def oracle_sql() -> dict[str, str]:
               list_min(sub) AS h
             FROM subs
         """,
-        "q_winnow_neardup": f"""
-            WITH tt AS (
-              SELECT doc_id, string_split(text, ' ') AS t FROM documents
-            ), hh AS (
-              SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
-                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
-              FROM tt
-            ), subs AS (
-              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
-              FROM hh CROSS JOIN
-                unnest(generate_series(1, CASE WHEN len(h) >= 1
-                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
-            ), fps AS (
-              SELECT DISTINCT doc_id, list_min(sub) AS h FROM subs
-            ), cnt AS (
-              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
-            ), pairs AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            ), sc AS (
-              SELECT id1, id2, shared,
-                     round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4) AS containment
-              FROM pairs
-              JOIN cnt n1 ON pairs.id1 = n1.doc_id
-              JOIN cnt n2 ON pairs.id2 = n2.doc_id
-            )
-            SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
-            FROM sc WHERE containment >= {WINNOW_T}
-        """,
+        "q_winnow_neardup": _winnow_neardup_oracle_sql(),
         "q_bm25": f"""
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -5031,6 +4981,7 @@ def oracle_sql() -> dict[str, str]:
             FROM win WHERE rk = 1
         """,
         "q_knn_label_routed": _knn_routed_oracle_sql(),
+        "q_ingest_pipeline": _pipeline_oracle_sql(),
         "q_source_quality": """
             WITH m AS (
               SELECT source, text,
@@ -6307,6 +6258,7 @@ def _ivfpq_oracle_sql(
     rerank_shortlist: int | None = None,
     n_queries: int = N_ANN_QUERIES,
     final_k: int = ANN_TOP_K,
+    exclude_all_queries: bool = False,
 ) -> str:
     """DuckDB replay of pq_codebooks + pq_encode + ivfpq_topk /
     ivfpq_residual_topk on top of the shared coarse-quantizer CTEs:
@@ -6414,7 +6366,8 @@ def _ivfpq_oracle_sql(
         pairs AS (
           SELECT qp.query_id, t.vec_id, t.nrm, qp.qnorm, qp.qc_dot
           FROM t JOIN qp ON t.cluster = qp.qcluster
-                        AND t.vec_id != qp.query_id),
+                        AND t.vec_id != qp.query_id
+                        {"AND t.vec_id >= " + str(n_queries) if exclude_all_queries else ""}),
         adc AS (
           SELECT p.query_id, p.vec_id,
                  round(({coarse_term}sum(tb.pdot))
@@ -6453,29 +6406,24 @@ def _ivfpq_oracle_sql(
 
 def _knn_routed_oracle_sql() -> str:
     """DuckDB replay of knn_predict_routed: the full IVF-PQ rerank
-    replay (coarse + PQ + ADC + exact re-rank) asked for
-    KNN_K + KNN_N_QUERIES neighbours, then the kNN contract's exclusion
-    (every query id out of the candidates), re-rank to KNN_K, label
-    join, and the (votes DESC, label ASC) majority vote."""
+    replay (coarse + PQ + ADC + exact re-rank) with the kNN contract's
+    exclusion applied BEFORE the ANN stages (every query id out of the
+    candidate pairs — mirroring the Spark side's candidate anti-join),
+    then label join and the (votes DESC, label ASC) majority vote."""
     inner = _ivfpq_oracle_sql(
         rerank_shortlist=KNN_ROUTED_SHORTLIST,
         n_queries=KNN_N_QUERIES,
-        final_k=KNN_K + KNN_N_QUERIES,
+        final_k=KNN_K,
+        exclude_all_queries=True,
     )
     return f"""
         WITH neigh AS (
-          SELECT query_id, vec_id, sim FROM ({inner})
-          WHERE vec_id >= {KNN_N_QUERIES}),
-        topk AS (
-          SELECT query_id, vec_id, sim,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, vec_id) AS r
-          FROM neigh),
+          SELECT query_id, vec_id, sim FROM ({inner})),
         lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS label
                 FROM embeddings),
         scored AS (
-          SELECT t.query_id, l.label, t.sim
-          FROM topk t JOIN lbl l USING (vec_id) WHERE t.r <= {KNN_K}),
+          SELECT n.query_id, l.label, n.sim
+          FROM neigh n JOIN lbl l USING (vec_id)),
         votes AS (
           SELECT query_id, label, count(*)::BIGINT AS votes,
                  max(sim) AS top_sim
@@ -6486,6 +6434,149 @@ def _knn_routed_oracle_sql() -> str:
           FROM votes)
         SELECT query_id, label AS pred_label, votes, top_sim
         FROM win WHERE rk = 1
+    """
+
+
+def _pipeline_oracle_sql() -> str:
+    """DuckDB replay of the composed ingest pipeline: Gopher pass_all
+    gate → winnow near-dup pairs over the survivors → drop every doc
+    that is the greater id of a pair → per-shard running-sum packing —
+    each stage the SAME replay its standalone oracle uses."""
+    gate = " AND ".join(f"g.{c}" for c in PIPE_GATE_COLS)
+    return f"""
+        WITH g AS ({_gopher_oracle_sql(min_words=PIPE_MIN_WORDS)}),
+        surv AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN g ON d.doc_id = g.doc_id AND {gate}),
+        sc AS ({_winnow_neardup_oracle_sql("surv")}),
+        drops AS (SELECT DISTINCT id2 AS doc_id FROM sc),
+        kept AS (
+          SELECT s.doc_id, s.text FROM surv s
+          LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL),
+        staged AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::BIGINT
+                      % {PACK_SHARDS} AS INT) AS shard,
+                 CAST(CASE WHEN text IS NOT NULL AND len(text) > 0
+                           THEN len(string_split(text, ' '))
+                           ELSE 0 END AS BIGINT) AS n_tokens
+          FROM kept),
+        packed AS (
+          SELECT doc_id, shard, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                   - n_tokens)::BIGINT AS "offset"
+          FROM staged)
+        SELECT doc_id, shard, n_tokens, "offset",
+               "offset" // {PACK_CAPACITY} AS first_chunk,
+               (("offset" + greatest(n_tokens, 1) - 1) // {PACK_CAPACITY})
+                 - ("offset" // {PACK_CAPACITY}) + 1 AS n_chunks
+        FROM packed
+    """
+
+
+def _gopher_oracle_sql(
+    source: str = "documents",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB replay of gopher_rules over ``source`` — shared by the
+    standalone gate query and the composed ingest-pipeline oracle."""
+    return f"""
+            WITH d AS (
+              SELECT doc_id, text, string_split(text, ' ') AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM {source}),
+            m AS (
+              SELECT doc_id,
+                CASE WHEN text IS NOT NULL AND length(text) > 0
+                     THEN len(t) ELSE 0 END AS n_words,
+                list_sum(list_transform(t, x -> length(x))) AS total_chars,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+                len(lines) AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\\s*[-*]'))) AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ellend,
+                len(list_filter(t,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                (coalesce(list_contains(t, 'the'), false)::INT
+                 + coalesce(list_contains(t, 'be'), false)::INT
+                 + coalesce(list_contains(t, 'to'), false)::INT
+                 + coalesce(list_contains(t, 'of'), false)::INT
+                 + coalesce(list_contains(t, 'and'), false)::INT
+                 + coalesce(list_contains(t, 'that'), false)::INT
+                 + coalesce(list_contains(t, 'have'), false)::INT
+                 + coalesce(list_contains(t, 'with'), false)::INT)
+                  AS stop_hits
+              FROM d)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+              n_words >= {min_words} AND n_words <= {max_words} AS ok_word_count,
+              coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                       AND total_chars * 1.0 / nullif(n_words, 0) <= 10,
+                       false) AS ok_mean_word_len,
+              coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                       AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1,
+                       false) AS ok_symbol_ratio,
+              coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
+                       false) AS ok_bullet_lines,
+              coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                       false) AS ok_ellipsis_lines,
+              coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                       false) AS ok_alpha_words,
+              stop_hits >= 2 AS ok_stopwords,
+              (n_words >= {min_words} AND n_words <= {max_words})
+                AND coalesce(total_chars * 1.0 / nullif(n_words, 0) >= 3
+                     AND total_chars * 1.0 / nullif(n_words, 0) <= 10, false)
+                AND coalesce(n_hash * 1.0 / nullif(n_words, 0) <= 0.1
+                     AND n_ell * 1.0 / nullif(n_words, 0) <= 0.1, false)
+                AND coalesce(n_bullet * 1.0 / nullif(n_lines, 0) <= 0.9,
+                     false)
+                AND coalesce(n_ellend * 1.0 / nullif(n_lines, 0) <= 0.3,
+                     false)
+                AND coalesce(n_alpha * 1.0 / nullif(n_words, 0) >= 0.8,
+                     false)
+                AND stop_hits >= 2 AS pass_all
+            FROM m
+    """
+
+
+def _winnow_neardup_oracle_sql(source: str = "documents") -> str:
+    """DuckDB replay of winnow_neardup over ``source`` (a table or CTE
+    name) — shared by the standalone gate query and the composed
+    ingest-pipeline oracle."""
+    return f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM {source}
+            ), hh AS (
+              SELECT doc_id,
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                 for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+              FROM tt
+            ), subs AS (
+              SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+              FROM hh CROSS JOIN
+                unnest(generate_series(1, CASE WHEN len(h) >= 1
+                       THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)
+            ), fps AS (
+              SELECT DISTINCT doc_id, list_min(sub) AS h FROM subs
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sc AS (
+              SELECT id1, id2, shared,
+                     round(shared * 1.0 / least(n1.n_fp, n2.n_fp), 4) AS containment
+              FROM pairs
+              JOIN cnt n1 ON pairs.id1 = n1.doc_id
+              JOIN cnt n2 ON pairs.id2 = n2.doc_id
+            )
+            SELECT id1, id2, CAST(shared AS BIGINT) AS shared, containment
+            FROM sc WHERE containment >= {WINNOW_T}
     """
 
 

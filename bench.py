@@ -50,14 +50,17 @@ BENCH_QUERIES = [
     # projections whose cost profile q_text_stats and q_render_api
     # already cover; full timings for every query remain available via
     # BENCH_LOCAL_FULL.json)
-    "q_multimodal_features",
+    # (q_multimodal_features retired from the stdout line in r9: a
+    # sub-second Arrow batch pass whose cost profile
+    # q_multimodal_neardup keeps on the line)
     "q_streaming_rollup",
     "q_sessionize",
     "q_render_api",
     "q_dedup_embed",
     "q_locf_chunked",
     "q_sample_stratified",
-    "q_quota_topk",
+    # (q_quota_topk retired from the stdout line in r9: a sub-second
+    # per-stratum top-k covered by q_sample_stratified + q_maxpoints)
     "q_repetition_filter",
     # (q_token_histogram retired from the stdout line in r8 for
     # length headroom: a sub-second two-key scan aggregate whose cost
@@ -164,6 +167,8 @@ BENCH_QUERIES = [
     "q_drop_reasons",
     "q_mix_weights",
     "q_rp_recall",
+    "q_ingest_pipeline",
+    "q_knn_label_routed",
 ]
 
 

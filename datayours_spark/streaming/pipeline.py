@@ -1,0 +1,307 @@
+"""Composed streaming ingest DAG: quality gate → winnow dedup →
+sequence packing, ONE foreachBatch over a shared ``BatchStore`` — the
+production shape whose stages the streaming family's members
+(`QualityStream`, `WinnowStream`, the packing manifest of
+``q_pack_sequences``) prove only individually.  Reference parity: this
+is the Spark composition of the ingest→filter→store relay the reference
+runs as chained daemons (DataYours' UDP→translate→archive pipeline,
+`L_DataDaemon.lua`), re-expressed for the LLM-corpus domain.
+
+Every micro-batch of (doc_id, text, source):
+
+1. **GATE** — `gopher_rules` scores the batch (zero-shuffle projection);
+   the per-rule booleans land in ``gates`` (the permanent record of
+   which rule rejected each doc) and only ``pass_all`` survivors flow
+   on.
+2. **DEDUP** — `winnow_incremental_indexed` pairs the survivors against
+   the standing fingerprint index (last-writer-wins per doc, the
+   WinnowStream discipline); pairs land in ``pairs``, the batch's
+   fingerprints append to ``index``.  A survivor is DROPPED when it is
+   the GREATER id of any emitted pair — with monotone doc_ids this is
+   exactly the batch-mode keep-lowest-id rule, so the stream's kept set
+   equals a clean batch recompute (tested).
+3. **PACK** — the kept docs get (shard, offset, chunk) packing manifest
+   rows continuing each shard's running offset; per-shard end offsets
+   land in ``cursors`` (shards-sized) so the next batch resumes WITHOUT
+   rescanning the corpus-sized ``packed`` table.
+
+Order contract: doc_ids are monotone with ingestion order (the batch
+operators' keep-lowest-id convention and the stream's first-seen-wins
+agree only then; an out-of-order re-feed changes which member of a
+dup pair survives, never the pair set).
+
+Invariant (tested): gates ≡ batch `gopher_rules`; kept/packed ≡ the
+batch composition gate → `winnow_neardup` → drop-greater-ids → pack in
+doc_id order per shard — including across restart/replay (exactly-once
+via the BatchStore markers) and forced compaction.
+
+Scale shape per batch: gate is a projection; dedup is the WinnowStream
+posting equi-join (batch×index via fingerprint postings, never
+all-pairs); packing is one batch-sized window per shard plus a
+broadcast of the shards-sized cursor row set.  Nothing corpus-sized is
+rescanned per batch — the standing state enters via the fingerprint
+index (compacted LWW) and the cursor rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datayours_spark.functions.dedup import (
+    winnow_incremental_indexed,
+    winnow_neardup,
+)
+from datayours_spark.functions.sampling import hash_bucket
+from datayours_spark.functions.text import gopher_rules
+from datayours_spark.streaming.store import BatchStore
+from datayours_spark.streaming.winnowstream import _index_lww
+
+DOC_SCHEMA = "doc_id bigint, text string, source string"
+GATES_SCHEMA = (
+    "doc_id bigint, n_words bigint, source string, ok_word_count boolean, "
+    "ok_mean_word_len boolean, ok_symbol_ratio boolean, "
+    "ok_bullet_lines boolean, ok_ellipsis_lines boolean, "
+    "ok_alpha_words boolean, ok_stopwords boolean, pass_all boolean"
+)
+PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
+INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint"
+PACKED_SCHEMA = (
+    "doc_id bigint, shard int, n_tokens bigint, offset bigint, "
+    "first_chunk bigint, n_chunks bigint"
+)
+CURSORS_SCHEMA = "shard int, end_offset bigint, batch bigint"
+
+SCHEMAS = {
+    "gates": GATES_SCHEMA,
+    "pairs": PAIRS_SCHEMA,
+    "index": INDEX_SCHEMA,
+    "packed": PACKED_SCHEMA,
+    "cursors": CURSORS_SCHEMA,
+}
+
+
+def _pack_manifest(
+    docs: DataFrame,
+    shards: int,
+    capacity: int,
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """Packing manifest rows for ``docs`` (doc_id, text): per md5 shard,
+    concatenate in doc_id order from each shard's ``starts`` offset
+    (default 0) and map every doc to its chunk range.  One window per
+    shard over the input — batch-sized in the stream, corpus-sized in
+    the batch oracle, identical arithmetic in both."""
+    staged = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "pack", shards)
+        .cast("int")
+        .alias("shard"),
+        F.when(
+            F.col("text").isNotNull() & (F.length("text") > 0),
+            F.size(F.split("text", " ")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    if starts is None:
+        base = F.lit(0).cast("bigint")
+        staged_b = staged
+    else:
+        staged_b = staged.join(F.broadcast(starts), "shard", "left")
+        base = F.coalesce(F.col("start_offset"), F.lit(0)).cast("bigint")
+    packed = staged_b.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (base + cum - F.col("n_tokens")).alias("offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "offset",
+        F.expr(f"offset div {capacity}").alias("first_chunk"),
+        (
+            F.expr(f"(offset + greatest(n_tokens, 1) - 1) div {capacity}")
+            - F.expr(f"offset div {capacity}")
+            + 1
+        ).alias("n_chunks"),
+    )
+
+
+def ingest_pipeline_batch(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    shards: int = 4,
+    capacity: int = 512,
+    gate_cols: tuple[str, ...] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The batch-mode composition the stream must reproduce:
+    gate → winnow near-dup pairs → drop every doc that is the greater
+    id of a pair → pack the kept docs.  Returns (gates, pairs, packed).
+    This is the differential oracle for :class:`IngestPipeline` and a
+    one-shot corpus-build entry point in its own right.
+
+    ``gate_cols`` selects which Gopher rule booleans must hold (default
+    ``pass_all`` = every rule).  A corpus that is legitimately
+    non-English (or synthetic) fails the stopword rule WHOLESALE — the
+    rule working as published, not a bug — so a pipeline over such data
+    names the rules that apply instead of silently emptying itself."""
+    gates = gopher_rules(
+        docs, min_words=min_words, max_words=max_words,
+        carry_cols=("source",),
+    )
+    gate = (
+        F.col("pass_all")
+        if gate_cols is None
+        else F.aggregate(
+            F.array(*[F.col(c) for c in gate_cols]),
+            F.lit(True),
+            lambda a, b: a & b,
+        )
+    )
+    survivors = docs.join(
+        gates.where(gate).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = winnow_neardup(survivors, k=k, w=w, threshold=threshold)
+    kept = survivors.join(
+        pairs.select(F.col("id2").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    packed = _pack_manifest(kept, shards, capacity)
+    return gates, pairs, packed
+
+
+@dataclass
+class IngestPipeline:
+    """Continuous gate → dedup → pack corpus build over a document
+    stream (module docstring has the full contract)."""
+
+    spark: SparkSession
+    input_dir: str       # streaming source: parquet drops of DOC_SCHEMA
+    store_dir: str       # holds gates/, pairs/, index/, packed/, cursors/
+    checkpoint_dir: str
+    min_words: int = 50
+    max_words: int = 100_000
+    k: int = 4
+    w: int = 4
+    threshold: float = 0.5
+    shards: int = 4
+    capacity: int = 512
+    #: fold the per-batch store dirs every N batches (store.BatchStore)
+    compact_every: int | None = 64
+    _store: BatchStore = field(default=None, repr=False)
+
+    @property
+    def store(self) -> BatchStore:
+        if self._store is None:
+            self._store = BatchStore(
+                self.spark, self.store_dir, compact_every=self.compact_every
+            )
+        return self._store
+
+    def _read_or_empty(self, name: str) -> DataFrame:
+        return self.store.read_or_empty(name, SCHEMAS[name])
+
+    def _process(self, batch: DataFrame, batch_id: int) -> None:
+        dests = {
+            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
+        }
+        if all(
+            self.store.batch_committed(name, batch_id) for name in SCHEMAS
+        ):
+            return
+        docs = batch.select("doc_id", "text", "source")
+
+        # 1. GATE — score once (checkpoint), feed the gates sink and the
+        # survivor filter without re-projecting
+        gates = gopher_rules(
+            docs, min_words=self.min_words, max_words=self.max_words,
+            carry_cols=("source",),
+        ).localCheckpoint(eager=True)
+        gates.write.mode("overwrite").parquet(dests["gates"])
+        survivors = docs.join(
+            gates.where("pass_all").select("doc_id"), "doc_id", "left_semi"
+        )
+
+        # 2. DEDUP — survivors vs the standing LWW index
+        index = _index_lww(self._read_or_empty("index"))
+        pairs, batch_fp = winnow_incremental_indexed(
+            survivors,
+            index.select("doc_id", "h"),
+            k=self.k, w=self.w, threshold=self.threshold,
+        )
+        pairs = pairs.localCheckpoint(eager=True)  # pairs sink + drop set
+        pairs.write.mode("overwrite").parquet(dests["pairs"])
+        batch_fp.withColumn("batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(dests["index"])
+        kept = survivors.join(
+            pairs.select(F.col("id2").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+
+        # 3. PACK — continue each shard's running offset from the
+        # cursors table (batches × shards rows, never the packed corpus)
+        cursors = self._read_or_empty("cursors")
+        starts = cursors.groupBy("shard").agg(
+            F.max("end_offset").alias("start_offset")
+        )
+        packed = _pack_manifest(
+            kept, self.shards, self.capacity, starts=starts
+        ).localCheckpoint(eager=True)  # packed sink + cursor fold
+        packed.write.mode("overwrite").parquet(dests["packed"])
+        new_cursors = (
+            packed.groupBy("shard")
+            .agg(F.max(F.col("offset") + F.col("n_tokens")).alias("end"))
+            .join(F.broadcast(starts), "shard", "outer")
+            .select(
+                F.col("shard").cast("int").alias("shard"),
+                F.greatest(
+                    F.coalesce(F.col("end"), F.lit(0)),
+                    F.coalesce(F.col("start_offset"), F.lit(0)),
+                ).alias("end_offset"),
+                F.lit(batch_id).alias("batch"),
+            )
+        )
+        new_cursors.write.mode("overwrite").parquet(dests["cursors"])
+        self.store.maybe_compact(
+            batch_id, SCHEMAS, folds={"index": _index_lww}
+        )
+
+    def start(self):
+        docs = (
+            self.spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(self.input_dir)
+        )
+        return (
+            docs.writeStream.foreachBatch(self._process)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+
+    def gates(self) -> DataFrame:
+        return self._read_or_empty("gates")
+
+    def pairs(self) -> DataFrame:
+        return self._read_or_empty("pairs")
+
+    def packed(self) -> DataFrame:
+        return self._read_or_empty("packed")

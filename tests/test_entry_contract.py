@@ -80,8 +80,8 @@ FAMILIES = {
         "q_dedup_embed", "q_dedup_embed_incremental", "q_semdedup",
         "q_cluster_topics", "q_ann_cosine", "q_ann_lsh",
         "q_embed_centroid", "q_multimodal_neardup", "q_hybrid_rrf",
-        "q_knn_label", "q_embed_project", "q_rp_recall",
-        "q_prototype_prune",
+        "q_knn_label", "q_knn_label_routed", "q_embed_project",
+        "q_rp_recall", "q_prototype_prune",
     ],
     "ann_index": [
         "q_ann_ivf", "q_ann_ivf_probe2", "q_ann_ivfpq",
@@ -107,6 +107,7 @@ FAMILIES = {
         "q_drop_reasons", "q_lang_confusion",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
+    "pipeline_compose": ["q_ingest_pipeline"],
     "multimodal": ["q_multimodal_features", "q_frame_sample",
                    "q_resize_plan", "q_audio_segments"],
 }

@@ -1,0 +1,123 @@
+"""Composed streaming ingest DAG (gate → winnow dedup → pack): the
+stream's tables must equal the batch composition over the full corpus,
+across replay and forced compaction."""
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from datayours_spark.streaming.pipeline import (
+    IngestPipeline,
+    ingest_pipeline_batch,
+)
+
+TMP = Path(__file__).resolve().parent / "_tmp" / "pipeline"
+
+# every PASSING doc: >= 6 words, >= 2 of the 8 Gopher stopwords, all
+# alphabetic, mean word length in [3, 10]
+GOOD = "the quick brown fox and that lazy dog with grace"
+DOCS = [
+    (1, GOOD + " alpha beta gamma", "web"),
+    (2, "xx yy", "web"),                       # FAILS word count (< 6)
+    (3, GOOD + " alpha beta delta", "web"),    # near-dup of 1
+    (10, "walrus zebra quokka lemur panda otter", "crawl"),  # no stopwords
+    (11, GOOD + " epsilon zeta eta", "crawl"),
+    (20, GOOD + " alpha beta theta", "web"),   # near-dup of 1 and 3
+    (21, GOOD + " iota kappa mu nu xi omicron", "crawl"),
+]
+SCHEMA = "doc_id bigint, text string, source string"
+KW = dict(min_words=6, max_words=100, k=3, w=3, threshold=0.3,
+          shards=2, capacity=8)
+
+
+class TestIngestPipeline:
+    def test_stream_equals_batch_composition(self, spark):
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            compact_every=2,            # force compaction mid-run
+            **KW,
+        )
+        batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        b_gates, b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+
+        # 1. gates: per-row scoring — identical by construction
+        assert {tuple(r) for r in pipe.gates().collect()} == {
+            tuple(r) for r in b_gates.collect()
+        }
+        # the two planted failures were gated, nothing else
+        gated = {
+            r.doc_id for r in pipe.gates().where("NOT pass_all").collect()
+        }
+        assert gated == {2, 10}
+
+        # 2. pairs: union of per-batch emissions == full recompute
+        got_pairs = {tuple(r) for r in pipe.pairs().collect()}
+        assert got_pairs == {tuple(r) for r in b_pairs.collect()}
+        # the near-dup family produced cross-batch pairs
+        ids_in_pairs = {i for p in got_pairs for i in p[:2]}
+        assert {1, 3, 20} <= ids_in_pairs
+        # gated docs never reach the dedup stage
+        assert not ids_in_pairs & gated
+
+        # 3. packed manifest: kept set, per-shard offsets and chunk
+        # ranges all equal the batch pack
+        got_packed = {tuple(r) for r in pipe.packed().collect()}
+        assert got_packed == {tuple(r) for r in b_packed.collect()}
+        kept = {r[0] for r in got_packed}
+        assert 1 in kept and not kept & {2, 3, 10, 20}  # dups dropped
+
+        # 4. replay of a folded batch is a no-op (exactly-once)
+        n = pipe.packed().count()
+        pipe._process(spark.createDataFrame(batches[0], SCHEMA), 0)
+        assert pipe.packed().count() == n
+
+        # 5. compaction fired (compact_every=2): batch dirs 0-1 folded
+        import os
+
+        subs = sorted(os.listdir(TMP / "store" / "packed"))
+        assert "compacted-000000000001" in subs
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_cursors_resume_across_batches(self, spark):
+        """A shard's offsets must be contiguous across batches: doc N+1
+        starts exactly where doc N ended within its shard."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            **KW,
+        )
+        # docs share only a 3-word prefix (1 of 7 shingles at k=3), so
+        # none pair as near-dups; all pass the gate (9 words, 3 stop
+        # words, mean word length ~5)
+        rows = [
+            (i, f"the and with alpha{i} bravo{i} carbon{i} delta{i} "
+                f"echo{i} fox{i}", "web")
+            for i in range(1, 9)
+        ]
+        pipe._process(spark.createDataFrame(rows[:4], SCHEMA), 0)
+        pipe._process(spark.createDataFrame(rows[4:], SCHEMA), 1)
+        packed = pipe.packed().orderBy("shard", "offset").collect()
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert len(packed) == 8
+        for shard_rows in by_shard.values():
+            off = 0
+            for r in shard_rows:
+                assert r.offset == off, (r, off)
+                off += r.n_tokens
+        shutil.rmtree(TMP, ignore_errors=True)

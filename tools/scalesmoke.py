@@ -1810,6 +1810,263 @@ def smoke_prototype() -> None:
     spark.stop()
 
 
+def smoke_pipeline() -> None:
+    """Isolated: the COMPOSED streaming ingest DAG (gate → winnow dedup
+    → pack, `streaming.pipeline.IngestPipeline`) at the streaming
+    horizon — batch 0 ingests the SCALE_DOCS standing corpus through
+    the full composition, then 1% batches (with planted gate failures
+    and planted copies of corpus docs) probe the standing state, then
+    the BatchStore compaction folds the accumulated dirs.  The claims
+    under test: per-batch wall follows the BATCH once the standing
+    state exists (the index enters via the posting equi-join, the pack
+    cursor via a shards-sized read — no corpus rescan), planted
+    failures are gated, planted copies are dropped, everything else is
+    packed with contiguous per-shard offsets."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-pipeline",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.streaming.pipeline import IngestPipeline
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    stop = "the and with of to "
+
+    def _with_gate_cols(df, fail_mod: int | None):
+        text = F.concat(F.lit(stop), F.col("text"))
+        if fail_mod:
+            # planted gate failure: every fail_mod-th doc truncated to
+            # two gibberish words (fails word count AND stop words)
+            text = F.when(
+                F.pmod(F.col("doc_id"), F.lit(fail_mod)) == 0,
+                F.lit("w1 w2"),
+            ).otherwise(text)
+        return df.select(
+            "doc_id", text.alias("text"), F.lit("web").alias("source")
+        )
+
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_pipe_", dir="/root/repo/spark-warehouse"
+    )
+    pipe = IngestPipeline(
+        spark=spark,
+        input_dir=f"{work}/in",
+        store_dir=f"{work}/store",
+        checkpoint_dir=f"{work}/ckpt",
+        min_words=50,
+        k=4, w=4, threshold=0.5,
+        shards=32, capacity=2048,
+        compact_every=2,
+    )
+    corpus = _with_gate_cols(
+        synthetic_documents(spark, n_docs), fail_mod=97
+    ).localCheckpoint(eager=True)
+    out: dict[str, dict] = {}
+
+    t = time.perf_counter()
+    pipe._process(corpus, 0)
+    out["standing_ingest"] = {
+        "docs": n_docs,
+        "sec": round(time.perf_counter() - t, 1),
+        "gated_out": pipe.gates().where("NOT pass_all").count(),
+        "dup_pairs": pipe.pairs().count(),
+        "packed": pipe.packed().count(),
+    }
+
+    b = n_docs // 100
+    packed_before = out["standing_ingest"]["packed"]
+    for i in (1, 2, 3):
+        # even new ids copy corpus docs VERBATIM (planted new×old
+        # containment, must be dropped); odd new ids are genuinely
+        # fresh docs from a disjoint seed range (must be kept) — note
+        # an appended-to copy would ALSO be a drop by containment, so
+        # fresh means fresh seeds, not corpus text with extra words
+        fresh = (
+            synthetic_documents(spark, n_docs * i + b)
+            .where(F.col("doc_id") >= n_docs * i)
+            .where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        )
+        copies = (
+            synthetic_documents(spark, n_docs)
+            .join(
+                spark.range(0, b, 2).select(
+                    (F.col("id") + n_docs * i).alias("new_id"),
+                    F.pmod(F.col("id") * 7 + i, F.lit(n_docs)).alias(
+                        "doc_id"
+                    ),
+                ),
+                "doc_id",
+            )
+            .select(F.col("new_id").alias("doc_id"), "text")
+        )
+        batch = _with_gate_cols(
+            fresh.unionByName(copies), fail_mod=None
+        ).localCheckpoint(eager=True)
+        t = time.perf_counter()
+        pipe._process(batch, i)
+        packed_now = pipe.packed().count()
+        out[f"batch_{i}_1pct"] = {
+            "batch_docs": b,
+            "sec": round(time.perf_counter() - t, 1),
+            "packed_delta": packed_now - packed_before,
+        }
+        packed_before = packed_now
+
+    # offsets stay contiguous per shard across the whole horizon
+    from pyspark.sql import Window as W
+
+    packed = pipe.packed()
+    lagged = packed.withColumn(
+        "prev_end",
+        F.lag(F.col("offset") + F.col("n_tokens")).over(
+            W.partitionBy("shard").orderBy("offset")
+        ),
+    )
+    gaps = lagged.where(
+        F.col("prev_end").isNotNull()
+        & (F.col("offset") != F.col("prev_end"))
+    ).count()
+    out["pack_contiguity"] = {"offset_gaps": gaps}
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "pipeline smoke", "ops": out}))
+    spark.stop()
+
+
+def smoke_knn() -> None:
+    """Isolated: ANN-routed batch auto-labeling at SCALE_KNN_QUERIES
+    (default 100k) queries against a SCALE_VECS clustered corpus — the
+    r8 verdict's knn_predict scale concern.  The brute-force form scans
+    the corpus at full vector width per query batch; the routed form
+    votes over the IVF-PQ shortlist (codes + shortlist full vectors).
+    The corpus is planted (centroid + noise, label = cluster identity)
+    so prediction accuracy against the planted label is a real quality
+    readout, not just a wall clock."""
+    spark = get_spark(
+        "scalesmoke-knn",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.similarity import (
+        ivf_assign,
+        knn_predict_routed,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    n_vecs = int(os.environ.get("SCALE_VECS", 200_000))
+    n_queries = int(os.environ.get("SCALE_KNN_QUERIES", 100_000))
+    # the sqrt(N) IVF regime: candidate volume per query ~ N/k_clusters,
+    # so an undersized k turns the probe join quadratic-ish
+    k_clusters = int(
+        os.environ.get("SCALE_K", max(int(n_vecs ** 0.5), 64))
+    )
+    dim = 64
+    k = 10
+
+    center = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(k_clusters))
+    cvec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(center.cast("string"), F.lit("kc"),
+                                    d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 1000.0,
+    )
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(
+                F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("kn"),
+                                    d.cast("string"))),
+                F.lit(2001),
+            )
+            - 1000
+        )
+        / 5000.0,
+    )
+    emb = (
+        spark.range(n_vecs)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.zip_with(cvec, noise, lambda a, b: a + b).alias("embedding"),
+            center.cast("int").alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cent = (
+        spark.range(k_clusters)
+        .select(
+            F.col("id").cast("int").alias("centroid_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (
+                    F.pmod(
+                        F.xxhash64(F.concat(F.col("id").cast("string"),
+                                            F.lit("kc"), d.cast("string"))),
+                        F.lit(2001),
+                    )
+                    - 1000
+                )
+                / 1000.0,
+            ).alias("cv"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(F.aggregate(F.transform(F.col("cv"), lambda x: x * x),
+                               F.lit(0.0), lambda a, b: a + b)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out: dict[str, dict] = {}
+
+    t = time.perf_counter()
+    books = pq_codebooks(emb, m=8, ks=16, iters=2, dim=dim)
+    out["pq_train"] = {"sec": round(time.perf_counter() - t, 1)}
+    t = time.perf_counter()
+    codes = pq_encode(emb, books, dim).localCheckpoint(eager=True)
+    codes.count()
+    assign = ivf_assign(emb, cent).localCheckpoint(eager=True)
+    assign.count()
+    out["encode_assign"] = {
+        "sec": round(time.perf_counter() - t, 1), "vecs": n_vecs,
+    }
+
+    qids = list(range(n_queries))
+    t = time.perf_counter()
+    pred = knn_predict_routed(
+        emb, qids, k, cent, books, dim,
+        nprobe=1, codes=codes, assignments=assign,
+    ).localCheckpoint(eager=True)
+    n_pred = pred.count()
+    wall = time.perf_counter() - t
+    # planted-label accuracy: the query's own cluster label should win
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").cast("long").alias("true_label"))
+    acc = (
+        pred.join(truth, "query_id")
+        .agg(F.avg((F.col("pred_label") == F.col("true_label"))
+                   .cast("int")).alias("a"))
+        .first()["a"]
+    )
+    out["routed_predict"] = {
+        "sec": round(wall, 1),
+        "queries": n_queries,
+        "predicted": n_pred,
+        "queries_per_sec": int(n_queries / wall),
+        "planted_label_accuracy": round(float(acc), 4),
+    }
+    print(json.dumps({
+        "metric": "knn routed smoke",
+        "vecs": n_vecs, "k_clusters": k_clusters, "k": k, "ops": out,
+    }))
+    spark.stop()
+
+
 def smoke_rp() -> None:
     """Isolated: JL random projection at PRODUCTION dims (default
     1024→64) — the r8 verdict's missing measurement.  The literal-fold
@@ -2101,5 +2358,9 @@ if __name__ == "__main__":
         smoke_novelty()
     elif mode == "rp":
         smoke_rp()
+    elif mode == "knn":
+        smoke_knn()
+    elif mode == "pipeline":
+        smoke_pipeline()
     else:
         main()
