@@ -1955,6 +1955,31 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_ids(docs, vocab)
 
 
+BPE_MERGE_BUDGET = 12
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table induction (Sennrich et al. 2016) over the corpus:
+    the BPE_MERGE_BUDGET most frequent adjacent symbol pairs, learned
+    from characters + the </w> marker with each round's winner merged
+    everywhere before the recount — the real-tokenizer companion to the
+    whitespace `vocab_topv` feeding `tokenize_ids`.  Output:
+    (merge_rank, lhs, rhs, pair_freq), the ordered merge table.
+
+    Scale shape: the corpus collapses to the word-frequency table once;
+    every round is one vocab-sized pair aggregate + a bounded top-1 +
+    one literal replace rewrite (the winning pair is model state).  The
+    DuckDB oracle replays all rounds CTE-for-CTE."""
+    from datayours_spark.functions.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=BPE_MERGE_BUDGET)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank bigint, lhs string, rhs string, pair_freq bigint",
+    )
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL frequency over the corpus — the domain-blocklist /
     overrepresentation screen of a pre-training pipeline.  URLs are
@@ -3631,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_project": q_embed_project,
         "q_rp_recall": q_rp_recall,
         "q_tokenize_ids": q_tokenize_ids,
+        "q_bpe_merges": q_bpe_merges,
         "q_prototype_prune": q_prototype_prune,
         "q_drop_reasons": q_drop_reasons,
         "q_novelty": q_novelty,
@@ -3664,9 +3690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_report": q_dedup_report,
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
-        "q_sample_stratified": q_sample_stratified,
+        "q_bpe_merges": q_bpe_merges,
         "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_sample_stratified": q_sample_stratified,
         "q_pack_sequences": q_pack_sequences,
         "q_oov_rate": q_oov_rate,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -4982,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_knn_label_routed": _knn_routed_oracle_sql(),
         "q_ingest_pipeline": _pipeline_oracle_sql(),
+        "q_bpe_merges": _bpe_oracle_sql(),
         "q_source_quality": """
             WITH m AS (
               SELECT source, text,
@@ -6435,6 +6463,52 @@ def _knn_routed_oracle_sql() -> str:
         SELECT query_id, label AS pred_label, votes, top_sim
         FROM win WHERE rk = 1
     """
+
+
+def _bpe_oracle_sql(k: int = None) -> str:
+    """DuckDB replay of bpe_merges: the word-frequency base, then k
+    rounds of (pair count over the double-spaced symbol strings →
+    deterministic top-1 → one replace rewrite) — every round its own
+    CTE pair, the iterative-oracle pattern of the k-means replay."""
+    if k is None:
+        k = BPE_MERGE_BUDGET
+    sqls = ["""
+        WITH words AS (
+          SELECT word, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE length(word) > 0 GROUP BY word),
+        w0 AS MATERIALIZED (
+          SELECT freq,
+                 ' ' || array_to_string(
+                   list_append([word[i:i] FOR i IN
+                                generate_series(1, length(word))],
+                               '</w>'), '  ') || ' ' AS s
+          FROM words)"""]
+    for i in range(1, k + 1):
+        p = f"w{i - 1}"
+        sqls.append(f"""
+        t{i} AS (SELECT freq, string_split(trim(s), '  ') AS ss FROM {p}),
+        -- (w/m MATERIALIZED: inlined CTEs re-evaluate the whole chain
+        -- per round, turning k rounds quadratic-to-exponential)
+        pc{i} AS (
+          SELECT ss[j] AS a, ss[j + 1] AS b, sum(freq)::BIGINT AS cnt
+          FROM t{i} CROSS JOIN
+            unnest(generate_series(1, len(ss) - 1)) AS u(j)
+          GROUP BY 1, 2),
+        m{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i}
+                 ORDER BY cnt DESC, a, b LIMIT 1),
+        w{i} AS MATERIALIZED (
+          SELECT freq, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' ') AS s
+          FROM {p} CROSS JOIN m{i} m)""")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
+        f"cnt AS pair_freq FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    sqls.append(f"\n        SELECT * FROM ({unions})")
+    return ",".join(sqls[:-1]) + sqls[-1]
 
 
 def _pipeline_oracle_sql() -> str:

@@ -110,7 +110,9 @@ BENCH_QUERIES = [
     # hash-mod aggregate covered by q_pack_sequences)
     "q_bigram_logprob",
     "q_dedup_report",
-    "q_adaptive_quality",
+    # (q_adaptive_quality retired from the stdout line in r9: covered
+    # by q_quantile_profile + q_corpus_clean for the threshold-scan
+    # profile)
     "q_ann_recall",
     # (q_cluster_topics, q_shard_manifest, q_pii_scrub, q_url_stats,
     # q_dm_timeline, q_chunk_docs retired from the stdout line in r8 for
@@ -169,6 +171,7 @@ BENCH_QUERIES = [
     "q_rp_recall",
     "q_ingest_pipeline",
     "q_knn_label_routed",
+    "q_bpe_merges",
 ]
 
 

@@ -819,3 +819,134 @@ def tokenize_ids(
         F.col("pos").cast("long").alias("pos"),
         F.coalesce(F.col("tid"), F.lit(unk_id)).cast("long").alias("tid"),
     )
+
+
+# --------------------------------------------------------------- BPE
+
+#: BPE end-of-word marker (Sennrich et al. 2016).  Symbols never
+#: contain spaces, so the spaced-string encoding below is unambiguous.
+BPE_EOW = "</w>"
+
+
+def _bpe_spaced(chars_col):
+    """Encode a symbol array as the DOUBLE-SPACED string ``' a  b  c '``
+    (two spaces between symbols, one at each end).  Replacing the
+    pattern ``' a  b '`` with ``' ab '`` then merges one adjacent pair
+    occurrence per scan position, left-to-right non-overlapping over
+    the ORIGINAL string — exactly the published merge semantics
+    (Sennrich's ``(?<!\\S)a b(?!\\S)`` re.sub): in ``l l l l`` the
+    first and second merges both fire (``ll ll``), in ``l l l`` only
+    the first (``ll l``) — while keeping the whole rewrite one
+    engine-portable ``replace`` call (no lookarounds, which RE2/DuckDB
+    lack)."""
+    return F.concat(
+        F.lit(" "), F.array_join(chars_col, "  "), F.lit(" ")
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge induction (Sennrich et al. 2016): learn
+    the ``n_merges`` most frequent adjacent symbol pairs, starting from
+    characters + the ``</w>`` end-of-word marker, each round merging
+    the winning pair everywhere before recounting.  Returns the ordered
+    merge table ``[(left, right, pair_freq), ...]`` — model state, like
+    :func:`~datayours_spark.functions.similarity.pq_codebooks`.
+
+    Ties break (freq DESC, left ASC, right ASC) so the table is unique
+    and engine-independent (the DuckDB oracle replays every round).
+
+    Scale shape: the corpus collapses to the WORD-FREQUENCY table once
+    (one map-side-combinable aggregate; every later round touches only
+    the vocabulary, never the corpus — the standard BPE reduction).
+    Each round is (a) one pair-count aggregate over the vocab (pair
+    extraction is a zip of two array slices — a generator projection),
+    (b) a bounded top-1 (``orderBy().limit(1)``, TakeOrderedAndProject),
+    (c) one literal ``replace`` rewrite of the spaced symbol string —
+    the merge pair enters as a plan literal, nothing shuffles.  Plan
+    depth grows with rounds, so the vocab re-checkpoints every
+    ``checkpoint_every`` merges."""
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    vocab = words.select(
+        "freq",
+        _bpe_spaced(
+            F.concat(chars, F.array(F.lit(BPE_EOW)))
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for r in range(n_merges):
+        ss = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(ss)
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ss, 1, n - 1).alias("a"),
+                    F.slice(ss, 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).where(F.col("p.b").isNotNull())
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+        )
+        if (r + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: segment every document token into
+    its BPE subword symbols — (doc_id, pos, word, sym_pos, sym).  The
+    merge table is model state (``n_merges`` literal replaces chained
+    into ONE projection over the token generator), so the whole
+    segmentation is a zero-shuffle codegen pass; feed the output to
+    :func:`tokenize_ids`-style id-ization or straight to packing."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).where(F.length("word") > 0)
+    chars = F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")
+    s = _bpe_spaced(F.concat(chars, F.array(F.lit(BPE_EOW))))
+    for a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return toks.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "word",
+        F.posexplode(F.split(F.trim(s), "  ")).alias("sym_pos", "sym"),
+    ).select(
+        "doc_id", "pos", "word",
+        F.col("sym_pos").cast("long").alias("sym_pos"), "sym",
+    )
