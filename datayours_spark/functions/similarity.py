@@ -2594,45 +2594,42 @@ def knn_predict_routed(
     persisted lifecycle (``annindex.load_ann_index``) or the in-session
     builders; same (query_id, pred_label, votes, top_sim) contract.
 
-    Exclusion parity with the exact form: the rerank is asked for
-    ``k + |Q|`` neighbours, every query id is dropped from the
-    candidates (the ANN stage only excludes SELF), and the survivors
-    re-rank to k — so a query landing in another query's shortlist can
-    never starve the vote below k candidates.
+    Exclusion parity with the exact form: every query id leaves the
+    CANDIDATE relation (codes + assignments) BEFORE the ANN stages, via
+    a broadcast anti-join on the |Q|-row query-id relation — so no
+    shortlist slot is ever wasted on a query, the rerank depth stays k
+    regardless of |Q|, and the path holds for batch labeling at
+    |Q| = 100k+ (an over-fetch-then-filter formulation would need
+    k + |Q| neighbours per query).
 
     Scale shape: the neighbour stage touches nprobe/k_clusters of the
     codes (partition-prunable when persisted) + ``shortlist`` full
-    vectors per query; everything after is model-state sized
-    (k × |Q| rows through :func:`_knn_vote`)."""
-    from pyspark.sql import Window
-
+    vectors per query; everything after is k × |Q| rows (broadcast into
+    the labels scan, then :func:`_knn_vote`)."""
     if shortlist is None:
-        shortlist = max(2 * (k + len(query_ids)), 15)
+        shortlist = max(2 * k, 15)
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in query_ids], "vec_id bigint"
+    )
+    if assignments is None:
+        assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, dim, id_col, vec_col)
+    cand_codes = codes.join(F.broadcast(qdf), "vec_id", "left_anti")
+    cand_assign = assignments.join(F.broadcast(qdf), "vec_id", "left_anti")
     neigh = ivfpq_rerank_topk(
-        emb, query_ids, k + len(query_ids), centroids, codebooks, dim,
+        emb, query_ids, k, centroids, codebooks, dim,
         shortlist=shortlist, nprobe=nprobe, id_col=id_col,
-        vec_col=vec_col, round_dp=round_dp, codes=codes,
-        assignments=assignments,
-    )
-    survivors = (
-        neigh.where(~F.col("vec_id").isin(query_ids))
-        .withColumn(
-            "r2",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("sim").desc(), F.col("vec_id")
-                )
-            ),
-        )
-        .where(F.col("r2") <= k)
-        .select("query_id", "vec_id", "sim")
-    )
+        vec_col=vec_col, round_dp=round_dp, codes=cand_codes,
+        assignments=cand_assign,
+    ).select("query_id", "vec_id", "sim")
     labels = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).cast("long").alias("label"),
     )
-    # survivors is k x |Q| rows — broadcast it into the labels scan
-    scored = labels.join(F.broadcast(survivors), "vec_id").select(
+    # neigh is k x |Q| rows — broadcast it into the labels scan
+    scored = labels.join(F.broadcast(neigh), "vec_id").select(
         "query_id", "label", "sim"
     )
     return _knn_vote(scored)

@@ -161,9 +161,17 @@ def ingest_pipeline_batch(
     non-English (or synthetic) fails the stopword rule WHOLESALE — the
     rule working as published, not a bug — so a pipeline over such data
     names the rules that apply instead of silently emptying itself."""
-    gates = gopher_rules(
+    # text rides THROUGH the gate projection so the survivor filter is
+    # a plain WHERE over one scan — a semi-join back to docs would
+    # broadcast a corpus-sized id set at 100 TB
+    scored = gopher_rules(
         docs, min_words=min_words, max_words=max_words,
-        carry_cols=("source",),
+        carry_cols=("source", "text"),
+    )
+    gates = scored.select(
+        "doc_id", "n_words", "source", "ok_word_count",
+        "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
+        "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "pass_all",
     )
     gate = (
         F.col("pass_all")
@@ -174,12 +182,15 @@ def ingest_pipeline_batch(
             lambda a, b: a & b,
         )
     )
-    survivors = docs.join(
-        gates.where(gate).select("doc_id"), "doc_id", "left_semi"
-    )
+    survivors = scored.where(gate).select("doc_id", "text")
     pairs = winnow_neardup(survivors, k=k, w=w, threshold=threshold)
+    # the drop set can be corpus-scale on a duplicate-heavy crawl, so
+    # the anti-join hash-shuffles instead of broadcasting or sorting
+    # the survivor scan (the edit_verified_pairs precedent)
     kept = survivors.join(
-        pairs.select(F.col("id2").alias("doc_id")).distinct(),
+        pairs.select(F.col("id2").alias("doc_id"))
+        .distinct()
+        .hint("shuffle_hash"),
         "doc_id",
         "left_anti",
     )
@@ -229,15 +240,19 @@ class IngestPipeline:
         docs = batch.select("doc_id", "text", "source")
 
         # 1. GATE — score once (checkpoint), feed the gates sink and the
-        # survivor filter without re-projecting
-        gates = gopher_rules(
+        # survivor filter without re-projecting; text rides through the
+        # projection so no join back to docs is needed
+        scored = gopher_rules(
             docs, min_words=self.min_words, max_words=self.max_words,
-            carry_cols=("source",),
+            carry_cols=("source", "text"),
         ).localCheckpoint(eager=True)
-        gates.write.mode("overwrite").parquet(dests["gates"])
-        survivors = docs.join(
-            gates.where("pass_all").select("doc_id"), "doc_id", "left_semi"
-        )
+        scored.select(
+            "doc_id", "n_words", "source", "ok_word_count",
+            "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
+            "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
+            "pass_all",
+        ).write.mode("overwrite").parquet(dests["gates"])
+        survivors = scored.where("pass_all").select("doc_id", "text")
 
         # 2. DEDUP — survivors vs the standing LWW index
         index = _index_lww(self._read_or_empty("index"))

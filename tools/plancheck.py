@@ -572,6 +572,40 @@ def main() -> None:
             f"build-time jobs {new_jobs} ran {tasks} tasks",
         )
 
+    # routed knn (r9): the kNN exclusion contract must be applied to
+    # the CANDIDATE relation BEFORE the ANN stages — a broadcast
+    # left-anti join on the |Q|-row query-id relation feeding the probe
+    # join (an over-fetch-then-filter would need k + |Q| neighbours per
+    # query at batch-labeling scale); and no corpus relation may reach
+    # a sort-merge join.
+    plan = plan_of(registry["q_knn_label_routed"](spark, SF_DIR))
+    check(
+        "routed knn anti-joins query ids out of the candidates",
+        "BroadcastHashJoin LeftAnti" in plan,
+    )
+    check(
+        "routed knn has no corpus sort-merge join",
+        "SortMergeJoin" not in plan,
+    )
+    # composed ingest pipeline (r9): the gate is a pure projection
+    # filter over ONE scan (no semi-join back to the docs — that would
+    # broadcast a corpus-sized id set); the drop-set anti-join
+    # hash-shuffles instead of sorting the survivor scan; the pack
+    # window partitions by shard (never an empty partitionSpec).
+    plan = plan_of(registry["q_ingest_pipeline"](spark, SF_DIR))
+    check(
+        "pipeline gate filters in-scan (no semi-join back to docs)",
+        "LeftSemi" not in plan,
+    )
+    check(
+        "pipeline drop-set anti-join is shuffled-hash",
+        "ShuffledHashJoin LeftAnti" in plan,
+    )
+    check(
+        "pipeline pack window partitions by shard",
+        bool(re.search(r"windowspecdefinition\(shard", plan)),
+    )
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []

@@ -1810,6 +1810,38 @@ def smoke_prototype() -> None:
     spark.stop()
 
 
+def smoke_bpe() -> None:
+    """Isolated: BPE merge induction at SCALE_DOCS — the claim under
+    test is the standard BPE reduction: after ONE corpus-sized
+    word-frequency aggregate, every merge round touches only the
+    vocabulary (here ~1M distinct synthetic words, the worst case:
+    vocabulary ≈ corpus), so per-round wall is corpus-INDEPENDENT and
+    bounded by the vocab.  Reports the base-aggregate time and the
+    per-round time across SCALE_BPE_MERGES rounds."""
+    spark = get_spark(
+        "scalesmoke-bpe",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.text import bpe_merges
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    n_merges = int(os.environ.get("SCALE_BPE_MERGES", 16))
+    docs = synthetic_documents(spark, n_docs).localCheckpoint(eager=True)
+
+    t = time.perf_counter()
+    merges = bpe_merges(docs, n_merges=n_merges)
+    wall = time.perf_counter() - t
+    print(json.dumps({
+        "metric": "bpe smoke",
+        "docs": n_docs,
+        "merges_learned": len(merges),
+        "total_sec": round(wall, 1),
+        "sec_per_round": round(wall / max(len(merges), 1), 2),
+        "top_merge": list(merges[0]) if merges else None,
+    }))
+    spark.stop()
+
+
 def smoke_pipeline() -> None:
     """Isolated: the COMPOSED streaming ingest DAG (gate → winnow dedup
     → pack, `streaming.pipeline.IngestPipeline`) at the streaming
@@ -1832,10 +1864,23 @@ def smoke_pipeline() -> None:
     from datayours_spark.streaming.pipeline import IngestPipeline
 
     n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
-    stop = "the and with of to "
 
     def _with_gate_cols(df, fail_mod: int | None):
-        text = F.concat(F.lit(stop), F.col("text"))
+        # the Gopher stopword rule needs English stopwords, but a FIXED
+        # prefix would be boilerplate: identical leading shingles give
+        # one winnow posting shared by EVERY doc, and the pair guard
+        # (correctly) refuses the quadratic join.  Interleave the
+        # stopwords with the doc's own tokens so every shingle stays
+        # doc-specific.
+        toks = F.split(F.col("text"), " ")
+        text = F.concat(
+            F.lit("the "), F.element_at(toks, 1),
+            F.lit(" and "), F.element_at(toks, 2),
+            F.lit(" with "), F.element_at(toks, 3),
+            F.lit(" of "), F.element_at(toks, 4),
+            F.lit(" to "),
+            F.array_join(F.slice(toks, 5, 1_000_000), " "),
+        )
         if fail_mod:
             # planted gate failure: every fail_mod-th doc truncated to
             # two gibberish words (fails word count AND stop words)
@@ -2362,5 +2407,7 @@ if __name__ == "__main__":
         smoke_knn()
     elif mode == "pipeline":
         smoke_pipeline()
+    elif mode == "bpe":
+        smoke_bpe()
     else:
         main()
