@@ -149,6 +149,7 @@ def ingest_pipeline_batch(
     shards: int = 4,
     capacity: int = 512,
     gate_cols: tuple[str, ...] | None = None,
+    max_join_pairs: int | None = 50_000_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The batch-mode composition the stream must reproduce:
     gate → winnow near-dup pairs → drop every doc that is the greater
@@ -183,7 +184,10 @@ def ingest_pipeline_batch(
         )
     )
     survivors = scored.where(gate).select("doc_id", "text")
-    pairs = winnow_neardup(survivors, k=k, w=w, threshold=threshold)
+    pairs = winnow_neardup(
+        survivors, k=k, w=w, threshold=threshold,
+        max_join_pairs=max_join_pairs,
+    )
     # the drop set can be corpus-scale on a duplicate-heavy crawl, so
     # the anti-join hash-shuffles instead of broadcasting or sorting
     # the survivor scan (the edit_verified_pairs precedent)
@@ -214,6 +218,10 @@ class IngestPipeline:
     threshold: float = 0.5
     shards: int = 4
     capacity: int = 512
+    #: posting-pair guard forwarded to the winnow stage; raise it
+    #: DELIBERATELY for corpora whose real dup-family volume exceeds
+    #: the default (the guard's own documented escape hatch)
+    max_join_pairs: int | None = 50_000_000
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -260,6 +268,7 @@ class IngestPipeline:
             survivors,
             index.select("doc_id", "h"),
             k=self.k, w=self.w, threshold=self.threshold,
+            max_join_pairs=self.max_join_pairs,
         )
         pairs = pairs.localCheckpoint(eager=True)  # pairs sink + drop set
         pairs.write.mode("overwrite").parquet(dests["pairs"])

@@ -1903,6 +1903,10 @@ def smoke_pipeline() -> None:
         min_words=50,
         k=4, w=4, threshold=0.5,
         shards=32, capacity=2048,
+        # the synthetic corpus's planted dup families produce ~104M
+        # real posting pairs at 1.5M docs — raise the guard
+        # deliberately (its documented escape hatch) for this corpus
+        max_join_pairs=500_000_000,
         compact_every=2,
     )
     corpus = _with_gate_cols(
