@@ -1980,6 +1980,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus: every token
+    becomes its subword symbol sequence — (doc_id, pos, word, sym_pos,
+    sym), the id-ization input that replaces whitespace tokens with
+    real subwords.  The merge table is model state (BPE_MERGE_BUDGET
+    literal replaces chained into one projection over the token
+    generator), so segmentation is a zero-shuffle codegen pass; the
+    oracle replays induction AND application round-for-round."""
+    from datayours_spark.functions.text import bpe_merges, bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=BPE_MERGE_BUDGET)
+    return bpe_segment(docs, merges)
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL frequency over the corpus — the domain-blocklist /
     overrepresentation screen of a pre-training pipeline.  URLs are
@@ -3624,11 +3639,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries added in round 8 (winnow spans/dedup, chunk-BM25, hybrid
     # RRF, mix weights, ppl buckets, knn labels, source quality, TPC-H
     # Q6/Q10/Q14/Q18, embed projection, rp recall, tokenize ids,
-    # prototype prune, drop reasons, novelty, lang confusion — all
-    # selfcheck-green, never driver-checked).  With these nineteen
-    # green, EVERY oracle-backed query in the registry has earned a
-    # driver CORRECTNESS row in some round (145/145 — full closure of
-    # the driver contract).  The other 31 slots keep one-or-more
+    # prototype prune, drop reasons, novelty, lang confusion) PLUS the
+    # four added in round 9 itself (ANN-routed kNN, BPE merges +
+    # segmentation, the composed ingest pipeline) — all selfcheck-green.
+    # With these green, EVERY oracle-backed query in the registry has
+    # earned a driver CORRECTNESS row in some round (149/149 — full
+    # closure of the driver contract).  The remaining slots keep
     # representatives of every SURVEY §2 family whose only coverage
     # would otherwise age past the 2-round staleness bound
     # (q_span_mask re-enters for span_dedup, last green r7; the §2-core
@@ -3657,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rp_recall": q_rp_recall,
         "q_tokenize_ids": q_tokenize_ids,
         "q_bpe_merges": q_bpe_merges,
+        "q_bpe_segment": q_bpe_segment,
         "q_prototype_prune": q_prototype_prune,
         "q_drop_reasons": q_drop_reasons,
         "q_novelty": q_novelty,
@@ -3689,10 +3706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_dedup_report": q_dedup_report,
         "q_dedup_embed_banded": q_dedup_embed_banded,
-        "q_semdedup_incremental": q_semdedup_incremental,
-        "q_bpe_merges": q_bpe_merges,
         "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_semdedup_incremental": q_semdedup_incremental,
         "q_sample_stratified": q_sample_stratified,
         "q_pack_sequences": q_pack_sequences,
         "q_oov_rate": q_oov_rate,
@@ -5010,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_label_routed": _knn_routed_oracle_sql(),
         "q_ingest_pipeline": _pipeline_oracle_sql(),
         "q_bpe_merges": _bpe_oracle_sql(),
+        "q_bpe_segment": _bpe_segment_oracle_sql(),
         "q_source_quality": """
             WITH m AS (
               SELECT source, text,
@@ -6508,6 +6525,46 @@ def _bpe_oracle_sql(k: int = None) -> str:
         for i in range(1, k + 1)
     )
     sqls.append(f"\n        SELECT * FROM ({unions})")
+    return ",".join(sqls[:-1]) + sqls[-1]
+
+
+def _bpe_segment_oracle_sql(k: int = None) -> str:
+    """DuckDB replay of bpe_segment: re-run the induction rounds of
+    :func:`_bpe_oracle_sql`, then chain the k winning replaces over the
+    per-token spaced strings and explode the symbol sequences."""
+    if k is None:
+        k = BPE_MERGE_BUDGET
+    induction = _bpe_oracle_sql(k)
+    # reuse the induction CTE chain up to (but excluding) its terminal
+    # SELECT — everything through w{k} / m{k}
+    head, _tail = induction.rsplit("\n        SELECT * FROM (", 1)
+    sqls = [head]
+    sqls.append("""
+        toks AS MATERIALIZED (
+          SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                 unnest(t) AS word
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents)),
+        d0 AS MATERIALIZED (
+          SELECT doc_id, pos, word,
+                 ' ' || array_to_string(
+                   list_append([word[i:i] FOR i IN
+                                generate_series(1, length(word))],
+                               '</w>'), '  ') || ' ' AS s
+          FROM toks WHERE length(word) > 0)""")
+    for i in range(1, k + 1):
+        sqls.append(f"""
+        d{i} AS MATERIALIZED (
+          SELECT doc_id, pos, word,
+                 replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' ') AS s
+          FROM d{i - 1} CROSS JOIN m{i} m)""")
+    sqls.append(f"""
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
+               CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS sym_pos,
+               unnest(ss) AS sym
+        FROM (SELECT doc_id, pos, word, string_split(trim(s), '  ') AS ss
+              FROM d{k})""")
     return ",".join(sqls[:-1]) + sqls[-1]
 
 
