@@ -1995,6 +1995,39 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs, merges)
 
 
+def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete real-tokenizer id pipeline: BPE induction →
+    segmentation → symbol vocabulary (frequency-rank ids 1..V) →
+    id-ization, as (doc_id, pos, sym_pos, tid) — what `tokenize_ids`
+    does with whitespace tokens, done with learned subwords.  No OOV:
+    the vocabulary is every post-merge symbol of the same corpus.
+
+    Scale shape: segmentation is the zero-shuffle literal-replace
+    projection; the vocabulary is one map-side-combinable aggregate
+    whose OUTPUT is model-state sized (distinct chars + merge budget),
+    so its global rank window is bounded; ids come from a broadcast
+    join of that vocabulary back onto the segment stream."""
+    from datayours_spark.functions.text import bpe_merges, bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(docs, n_merges=BPE_MERGE_BUDGET)
+    seg = bpe_segment(docs, merges)
+    counts = seg.groupBy("sym").agg(F.count("*").alias("n"))
+    # the counts relation is vocab-sized (≤ distinct chars + merges):
+    # a global rank window over it is bounded model state, not a
+    # corpus sort
+    vocab = counts.select(
+        "sym",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "sym"))
+        .cast("long")
+        .alias("tid"),
+    )
+    return seg.join(F.broadcast(vocab), "sym").select(
+        "doc_id", "pos", "sym_pos", "tid"
+    )
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL frequency over the corpus — the domain-blocklist /
     overrepresentation screen of a pre-training pipeline.  URLs are
@@ -3674,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tokenize_ids": q_tokenize_ids,
         "q_bpe_merges": q_bpe_merges,
         "q_bpe_segment": q_bpe_segment,
+        "q_bpe_ids": q_bpe_ids,
         "q_prototype_prune": q_prototype_prune,
         "q_drop_reasons": q_drop_reasons,
         "q_novelty": q_novelty,
@@ -3705,9 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q1": q_tpch_q1,
         "q_gopher_rules": q_gopher_rules,
         "q_dedup_report": q_dedup_report,
-        "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_sample_stratified": q_sample_stratified,
         "q_pack_sequences": q_pack_sequences,
@@ -5027,6 +5061,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ingest_pipeline": _pipeline_oracle_sql(),
         "q_bpe_merges": _bpe_oracle_sql(),
         "q_bpe_segment": _bpe_segment_oracle_sql(),
+        "q_bpe_ids": _bpe_ids_oracle_sql(),
         "q_source_quality": """
             WITH m AS (
               SELECT source, text,
@@ -6566,6 +6601,21 @@ def _bpe_segment_oracle_sql(k: int = None) -> str:
         FROM (SELECT doc_id, pos, word, string_split(trim(s), '  ') AS ss
               FROM d{k})""")
     return ",".join(sqls[:-1]) + sqls[-1]
+
+
+def _bpe_ids_oracle_sql() -> str:
+    """DuckDB replay of q_bpe_ids: the segmentation replay wrapped with
+    the symbol-frequency vocabulary rank and the id join."""
+    return f"""
+        WITH seg AS MATERIALIZED ({_bpe_segment_oracle_sql()}),
+        counts AS (SELECT sym, count(*) AS n FROM seg GROUP BY sym),
+        vocab AS (
+          SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+                           AS BIGINT) AS tid
+          FROM counts)
+        SELECT seg.doc_id, seg.pos, seg.sym_pos, vocab.tid
+        FROM seg JOIN vocab USING (sym)
+    """
 
 
 def _pipeline_oracle_sql() -> str:
