@@ -3644,6 +3644,56 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
+def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED training sequences: every PACK_CAPACITY-token
+    context window as its ordered token-id array — the final artifact
+    of the id-ization → packing pipeline ((lang, shard, chunk, n_ids,
+    ids)); `q_pack_sequences` is the manifest, this is the payload.
+
+    Scale shape: the id stream joins the per-doc packing manifest on
+    doc_id (both sides hash-partition, no broadcast of anything
+    corpus-sized), then ONE (lang, shard, chunk)-keyed aggregate whose
+    group state is bounded by the chunk capacity; in-chunk order is
+    restored engine-portably by sorting the (global-offset, id) structs
+    inside each bounded group."""
+    from datayours_spark.functions.sampling import hash_bucket
+    from datayours_spark.functions.text import tokenize_ids, vocab_topv
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = tokenize_ids(docs, vocab_topv(docs, VOCAB_V))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        hash_bucket(F.col("doc_id"), "pack", PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    manifest = staged.select(
+        "doc_id",
+        "lang",
+        "shard",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset"),
+    )
+    tok = ids.join(manifest, "doc_id").select(
+        "lang",
+        "shard",
+        F.expr(f"(offset + pos) div {PACK_CAPACITY}").alias("chunk"),
+        (F.col("offset") + F.col("pos")).alias("goff"),
+        "tid",
+    )
+    return tok.groupBy("lang", "shard", "chunk").agg(
+        F.count("*").cast("long").alias("n_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("goff", "tid"))),
+            lambda s: s.getField("tid"),
+        ).alias("ids"),
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram frequency: top-K token trigrams per language — the
     contamination/boilerplate screening primitive.  One explode + two-key
@@ -3738,9 +3788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_segments": q_audio_segments,
         "q_tpch_q1": q_tpch_q1,
         "q_gopher_rules": q_gopher_rules,
-        "q_dedup_report": q_dedup_report,
+        "q_pack_ids": q_pack_ids,
         "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_dedup_report": q_dedup_report,
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_sample_stratified": q_sample_stratified,
@@ -5928,6 +5979,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.n_tokens, r.stratum,
                    ((o.off + r.rn) % {SHARD_N})::INT AS shard
             FROM ranked r JOIN offs o USING (stratum)
+        """,
+        "q_pack_ids": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            v AS (
+              SELECT tok, rk FROM (
+                SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+                FROM tok GROUP BY tok)
+              WHERE rk <= {VOCAB_V}),
+            p AS (
+              SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                     unnest(t) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)),
+            ids AS (
+              SELECT p.doc_id, p.pos, coalesce(v.rk, 0)::BIGINT AS tid
+              FROM p LEFT JOIN v USING (tok)),
+            staged AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {PACK_SHARDS} AS shard,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+            m AS (
+              SELECT doc_id, lang, shard,
+                     (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      - n_tokens)::BIGINT AS "offset"
+              FROM staged),
+            t AS (
+              SELECT m.lang, m.shard,
+                     (m."offset" + i.pos) // {PACK_CAPACITY} AS chunk,
+                     m."offset" + i.pos AS goff, i.tid
+              FROM ids i JOIN m USING (doc_id))
+            SELECT lang, shard, chunk, count(*)::BIGINT AS n_ids,
+                   list(tid ORDER BY goff) AS ids
+            FROM t GROUP BY 1, 2, 3
         """,
         "q_pack_sequences": f"""
             WITH staged AS (

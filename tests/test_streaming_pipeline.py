@@ -88,6 +88,37 @@ class TestIngestPipeline:
         assert "compacted-000000000001" in subs
         shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_real_stream_end_to_end(self, spark):
+        """The start() path — a genuine readStream over parquet drops
+        with checkpointing — must land the same tables the direct
+        _process calls do."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            **KW,
+        )
+        spark.createDataFrame(DOCS, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(TMP / "in"))
+        q = pipe.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        b_gates, _b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+        assert {tuple(r) for r in pipe.gates().collect()} == {
+            tuple(r) for r in b_gates.collect()
+        }
+        assert {tuple(r) for r in pipe.packed().collect()} == {
+            tuple(r) for r in b_packed.collect()
+        }
+        shutil.rmtree(TMP, ignore_errors=True)
+
     def test_cursors_resume_across_batches(self, spark):
         """A shard's offsets must be contiguous across batches: doc N+1
         starts exactly where doc N ended within its shard."""

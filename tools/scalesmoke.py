@@ -1831,6 +1831,14 @@ def smoke_bpe() -> None:
     t = time.perf_counter()
     merges = bpe_merges(docs, n_merges=n_merges)
     wall = time.perf_counter() - t
+
+    # application: the merge table is a literal replace chain — the
+    # segmentation must stream the corpus at projection speed
+    from datayours_spark.functions.text import bpe_segment
+
+    t = time.perf_counter()
+    n_syms = bpe_segment(docs, merges).count()
+    seg_wall = time.perf_counter() - t
     print(json.dumps({
         "metric": "bpe smoke",
         "docs": n_docs,
@@ -1838,6 +1846,11 @@ def smoke_bpe() -> None:
         "total_sec": round(wall, 1),
         "sec_per_round": round(wall / max(len(merges), 1), 2),
         "top_merge": list(merges[0]) if merges else None,
+        "segment": {
+            "sec": round(seg_wall, 1),
+            "symbols": n_syms,
+            "docs_per_sec": int(n_docs / seg_wall),
+        },
     }))
     spark.stop()
 
