@@ -606,6 +606,25 @@ def main() -> None:
         bool(re.search(r"windowspecdefinition\(shard", plan)),
     )
 
+    # BPE segmentation (r9): the learned merge table is a literal
+    # replace chain — applying it must be a pure generator projection
+    # over the token stream, ZERO exchanges (the induction loop runs
+    # its own bounded jobs before this plan exists).
+    plan = plan_of(registry["q_bpe_segment"](spark, SF_DIR))
+    check(
+        "bpe segmentation is a zero-exchange projection",
+        "Exchange" not in plan,
+    )
+    # packed training sequences (r9): id stream ⋈ manifest, then one
+    # chunk-keyed aggregate — exactly two data shuffles (the manifest
+    # window's (lang, shard) partitioning and the chunk groupBy); the
+    # vocab side enters via broadcast, never a corpus shuffle.
+    plan = plan_of(registry["q_pack_ids"](spark, SF_DIR))
+    check(
+        "pack_ids needs exactly two data shuffles",
+        len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 2,
+    )
+
     # ---- 7. sweep: no query in the gate degenerates to a cartesian -------
     registry = entrymod.queries()
     bad = []
