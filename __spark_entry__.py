@@ -739,6 +739,263 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _year_col(df: DataFrame, col: str) -> F.Column:
+    """UTC calendar year of a raw fixture timestamp column, robust to
+    both physical encodings (long nanos / TIMESTAMP[_NTZ]) — the
+    grouping companion of io.epoch_range_pred."""
+    from datayours_spark.io import epoch_us_col
+
+    return F.year(
+        F.timestamp_seconds(epoch_us_col(df, col) / F.lit(1_000_000))
+    ).cast("long")
+
+
+TPCH_Q7_N1 = "NATION_3"
+TPCH_Q7_N2 = "NATION_7"
+TPCH_Q7_START = 820_454_400   # 1996-01-01
+TPCH_Q7_END = 883_612_800     # 1998-01-01
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: revenue flowing between two
+    nations per year, keyed by (supplier nation, customer nation,
+    year) for either direction of the pair.
+
+    Plan shape: both dimension chains (supplier→nation, customer→
+    orders' nation) fold into KB-scale broadcasts BEFORE the fact
+    joins; the ship-date window pushes into the lineitem scan; the
+    nation-pair predicate is applied on the joined dims (4 rows of
+    model state drive it), and the single fact⋈fact shuffle is
+    lineitem ⋈ orders on orderkey.  Decimal-exact revenue."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = nation.where(F.col("n_name").isin(TPCH_Q7_N1, TPCH_Q7_N2))
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(pair.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(pair.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.where(
+        epoch_range_pred(li, "l_shipdate", TPCH_Q7_START, TPCH_Q7_END)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = (
+        li.select(
+            "l_orderkey", "l_suppkey",
+            rev.alias("volume"),
+            _year_col(li, "l_shipdate").alias("l_year"),
+        )
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("_rev"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+TPCH_Q8_TYPE = "PROMO"
+TPCH_Q8_REGION = "ASIA"
+TPCH_Q8_NATION = "NATION_2"
+TPCH_Q8_START = 820_454_400   # 1996-01-01
+TPCH_Q8_END = 883_612_800     # 1998-01-01
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the revenue a region's
+    customers spent on one part type per year, the fraction supplied by
+    one nation — the conditional-share aggregate over a 7-table join.
+
+    Plan shape: part (type-filtered) and the region's nation set fold
+    into broadcasts; customers semi-join the region dim before touching
+    orders; the supplier→nation broadcast carries the CASE nation name;
+    lineitem ⋈ orders is the one fact⋈fact shuffle.  Decimal-exact
+    sums; the share divides two decimals at the end."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == TPCH_Q8_REGION
+    )
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nr),
+        F.col("c_nationkey") == nr.n_nationkey,
+        "left_semi",
+    ).select("c_custkey")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == TPCH_Q8_TYPE
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    orders = load_table(spark, sf_dir, "orders")
+    orders = orders.where(
+        epoch_range_pred(orders, "o_orderdate", TPCH_Q8_START, TPCH_Q8_END)
+    )
+    o_year = _year_col(orders, "o_orderdate")
+    orders = orders.select(
+        "o_orderkey", "o_custkey", o_year.alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .select("o_year", rev.alias("volume"), "supp_nation")
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == TPCH_Q8_NATION, F.col("volume")
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).alias("_nat"),
+            F.sum("volume").alias("_tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+TPCH_Q15_START = 820_454_400   # 1996-01-01
+TPCH_Q15_END = 828_316_800     # 1996-04-01
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: each supplier's revenue over one
+    quarter, keeping the supplier(s) whose revenue equals the global
+    maximum.
+
+    Plan shape: the quarter window pushes into the lineitem scan; ONE
+    supplier-keyed aggregate builds the revenue relation
+    (suppliers-sized); the global max is a single-row broadcast joined
+    back by DECIMAL equality (exact — a double-sum max could tie-break
+    differently across engines); supplier names arrive by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li = li.where(
+        epoch_range_pred(li, "l_shipdate", TPCH_Q15_START, TPCH_Q15_END)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev).alias("total_rev")
+    )
+    mx = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("supplier_no").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N orders, INCLUDING the zero-order
+    customers a plain join would drop (the left-outer + two-level
+    aggregate shape; the fixture has no o_comment, so the comment
+    exclusion is omitted).
+
+    Plan shape: orders pre-aggregate to (custkey, count) BEFORE the
+    outer join — the join then moves one row per customer instead of
+    one per order (at 100 TB, ~10× less through the exchange);
+    zero-order customers enter via the left join's NULL→0."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count("*").alias("c_count"))
+    )
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("long"), F.col("custdist"))
+    )
+
+
+TPCH_Q17_BRAND = "Brand#1"
+TPCH_Q17_MAX_SIZE = 5
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: average yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    taken — the correlated-scalar-subquery shape, decorrelated into a
+    per-part aggregate joined back (the fixture has no p_container, so
+    the brand + small-size filter stands in).
+
+    Plan shape: the brand/size part filter folds into a broadcast that
+    prunes lineitem BEFORE the per-part average (both lineitem passes
+    touch only the filtered parts); the per-part avg relation is
+    parts-sized and joins back by partkey; decimal-exact sum."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == TPCH_Q17_BRAND)
+        & (F.col("p_size") <= TPCH_Q17_MAX_SIZE)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    small = li.join(avg_qty, "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_cut")
+    )
+    total = small.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("_s")
+    )
+    return total.select(
+        F.round(F.col("_s").cast("double") / 7.0, 4).alias("avg_yearly")
+    )
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast metadata-enrichment join customer→nation→region."""
     cust = load_table(spark, sf_dir, "customer")
@@ -3752,6 +4009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q10": q_tpch_q10,
         "q_tpch_q14": q_tpch_q14,
         "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q17": q_tpch_q17,
         "q_embed_project": q_embed_project,
         "q_rp_recall": q_rp_recall,
         "q_tokenize_ids": q_tokenize_ids,
@@ -3781,16 +4043,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_pii_scrub": q_pii_scrub,
-        "q_url_stats": q_url_stats,
         "q_multimodal_features": q_multimodal_features,
-        "q_frame_sample": q_frame_sample,
-        "q_resize_plan": q_resize_plan,
-        "q_audio_segments": q_audio_segments,
-        "q_tpch_q1": q_tpch_q1,
         "q_gopher_rules": q_gopher_rules,
         "q_pack_ids": q_pack_ids,
         "q_ingest_pipeline": q_ingest_pipeline,
         # --- past the window: green driver row in r1–r8 --------------
+        "q_frame_sample": q_frame_sample,
+        "q_tpch_q1": q_tpch_q1,
+        "q_url_stats": q_url_stats,
+        "q_resize_plan": q_resize_plan,
+        "q_audio_segments": q_audio_segments,
         "q_dedup_report": q_dedup_report,
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
@@ -5979,6 +6241,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.n_tokens, r.stratum,
                    ((o.off + r.rn) % {SHARD_N})::INT AS shard
             FROM ranked r JOIN offs o USING (stratum)
+        """,
+        "q_tpch_q7": f"""
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6)) AS volume,
+                     year(l_shipdate)::BIGINT AS l_year
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) // 1000000 >= {TPCH_Q7_START}
+                AND epoch_us(l_shipdate) // 1000000 < {TPCH_Q7_END}),
+            s AS (SELECT s_suppkey, n_name AS supp_nation
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  WHERE n_name IN ('{TPCH_Q7_N1}', '{TPCH_Q7_N2}')),
+            c AS (SELECT c_custkey, n_name AS cust_nation
+                  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  WHERE n_name IN ('{TPCH_Q7_N1}', '{TPCH_Q7_N2}')),
+            j AS (
+              SELECT supp_nation, cust_nation, l_year, volume
+              FROM li JOIN s ON li.l_suppkey = s.s_suppkey
+                      JOIN orders o ON li.l_orderkey = o.o_orderkey
+                      JOIN c ON o.o_custkey = c.c_custkey
+              WHERE supp_nation <> cust_nation)
+            SELECT supp_nation, cust_nation, l_year,
+                   round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+            FROM j GROUP BY 1, 2, 3
+        """,
+        "q_tpch_q8": f"""
+            WITH nr AS (
+              SELECT n_nationkey FROM nation
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = '{TPCH_Q8_REGION}'),
+            pt AS (SELECT p_partkey FROM part
+                   WHERE p_type = '{TPCH_Q8_TYPE}'),
+            s AS (SELECT s_suppkey, n_name AS supp_nation
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+            o AS (SELECT o_orderkey, o_custkey,
+                         year(o_orderdate)::BIGINT AS o_year
+                  FROM orders
+                  WHERE epoch_us(o_orderdate) // 1000000 >= {TPCH_Q8_START}
+                    AND epoch_us(o_orderdate) // 1000000 < {TPCH_Q8_END}),
+            j AS (
+              SELECT o.o_year,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6)) AS volume,
+                     s.supp_nation
+              FROM lineitem l
+              JOIN pt ON l.l_partkey = pt.p_partkey
+              JOIN s ON l.l_suppkey = s.s_suppkey
+              JOIN o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_nationkey IN (SELECT n_nationkey FROM nr)))
+            SELECT o_year,
+                   round(CAST(sum(CASE WHEN supp_nation = '{TPCH_Q8_NATION}'
+                                       THEN volume
+                                       ELSE CAST(0 AS DECIMAL(18,6)) END)
+                              AS DOUBLE)
+                         / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+            FROM j GROUP BY 1
+        """,
+        "q_tpch_q15": f"""
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) AS total_rev
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) // 1000000 >= {TPCH_Q15_START}
+                AND epoch_us(l_shipdate) // 1000000 < {TPCH_Q15_END}
+              GROUP BY 1),
+            mx AS (SELECT max(total_rev) AS m FROM rev)
+            SELECT CAST(supplier_no AS BIGINT) AS s_suppkey, s_name,
+                   round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+            FROM rev JOIN mx ON total_rev = m
+            JOIN supplier ON supplier_no = s_suppkey
+        """,
+        "q_tpch_q13": """
+            WITH pc AS (
+              SELECT o_custkey, count(*) AS c_count
+              FROM orders GROUP BY 1)
+            SELECT CAST(coalesce(pc.c_count, 0) AS BIGINT) AS c_count,
+                   count(*)::BIGINT AS custdist
+            FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+            GROUP BY 1
+        """,
+        "q_tpch_q17": f"""
+            WITH pt AS (
+              SELECT p_partkey FROM part
+              WHERE p_brand = '{TPCH_Q17_BRAND}'
+                AND p_size <= {TPCH_Q17_MAX_SIZE}),
+            li AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                   FROM lineitem l JOIN pt ON l.l_partkey = pt.p_partkey),
+            a AS (SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_cut
+                  FROM li GROUP BY 1)
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                              AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM li JOIN a USING (l_partkey)
+            WHERE l_quantity < qty_cut
         """,
         "q_pack_ids": f"""
             WITH tok AS (

@@ -84,8 +84,10 @@ BENCH_QUERIES = [
     # round 2 additions
     "q_rollup_routed",
     "q_render_mixed",
-    "q_simhash_guarded",
-    "q_minhash_guarded",
+    # (q_simhash_guarded and q_minhash_guarded retired from the stdout
+    # line in r9: the guard adds one tiny pre-join aggregate to the
+    # unguarded cousins' profile, which q_simhash_neardup and
+    # q_dedup_minhash keep on the line)
     "q_ann_ivf",
     "q_multireader",
     # (q_tfidf_terms retired from the stdout line in r9: covered by
@@ -172,6 +174,8 @@ BENCH_QUERIES = [
     "q_ingest_pipeline",
     "q_knn_label_routed",
     "q_bpe_merges",
+    "q_tpch_q7",
+    "q_tpch_q8",
 ]
 
 

@@ -62,7 +62,8 @@ FAMILIES = {
         "q_treemap_rollup", "q_tally_minmax",
     ],
     "tpch": ["q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6",
-             "q_tpch_q10", "q_tpch_q14", "q_tpch_q18"],
+             "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q13",
+             "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18"],
     "dedup_exact_lsh": [
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",
