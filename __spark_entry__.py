@@ -3873,30 +3873,38 @@ PIPE_GATE_COLS = (
 
 
 def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed corpus-build DAG in one shot: Gopher gate → winnow
-    near-dup drop (keep-lowest-id) → sequence-packing manifest — the
-    batch form of `streaming.pipeline.IngestPipeline`, whose stream is
+    """The composed corpus-build DAG in one shot: Gopher gate → eval
+    decontamination → winnow near-dup drop (keep-lowest-id) →
+    sequence-packing manifest — the batch form of
+    `streaming.pipeline.IngestPipeline`, whose stream is
     integration-tested equal to this composition.  Returns the packing
-    manifest of the gated, deduplicated corpus (doc_id, shard,
-    n_tokens, offset, first_chunk, n_chunks).
+    manifest of the gated, decontaminated, deduplicated corpus
+    (doc_id, shard, n_tokens, offset, first_chunk, n_chunks).
 
-    Scale shape: gate is a zero-shuffle projection; the near-dup stage
-    is the winnow posting equi-join (never all-pairs); packing is one
-    running-sum window per md5 shard — three pipelined stages, no
-    corpus-sized broadcast or collect anywhere."""
+    Scale shape: gate is a zero-shuffle projection; decontamination
+    broadcasts the (MB-scale) eval fingerprints into the batch posting
+    join; the near-dup stage is the winnow posting equi-join (never
+    all-pairs); packing is one running-sum window per md5 shard — four
+    pipelined stages, no corpus-sized broadcast or collect anywhere."""
     from datayours_spark.streaming.pipeline import ingest_pipeline_batch
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    all_docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
+    # the q_fuzzy_contamination eval split: every MOD-th doc plays the
+    # held-out eval set, the rest are the training corpus
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    docs = all_docs.where(~is_eval)
+    eval_docs = all_docs.where(is_eval).select("doc_id", "text")
     # the fixture corpus is synthetic non-English text: the stopword
     # rule (correctly) rejects ALL of it, so the gate here names the
     # rules that apply to such a corpus — word count, mean word length,
     # symbol ratio, alpha words — keeping the composition exercised
-    _gates, _pairs, packed = ingest_pipeline_batch(
+    _gates, _cont, _pairs, packed = ingest_pipeline_batch(
         docs, min_words=PIPE_MIN_WORDS, k=WINNOW_K, w=WINNOW_W,
         threshold=WINNOW_T, shards=PACK_SHARDS, capacity=PACK_CAPACITY,
-        gate_cols=PIPE_GATE_COLS,
+        gate_cols=PIPE_GATE_COLS, eval_docs=eval_docs,
+        decon_threshold=WINNOW_T,
     )
     return packed
 
@@ -7066,17 +7074,55 @@ def _bpe_ids_oracle_sql() -> str:
     """
 
 
+def _winnow_fps_cte(source: str, p: str) -> str:
+    """The winnowing fingerprint chain (tt→hh→subs→fps) over ``source``
+    with CTE names prefixed ``p`` — shared by the decontamination and
+    near-dup stages of the pipeline oracle."""
+    return f"""
+        {p}tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
+        {p}hh AS (
+          SELECT doc_id,
+            [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+             for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
+          FROM {p}tt),
+        {p}subs AS (
+          SELECT doc_id, j, h[j:least(j+{WINNOW_W - 1}, len(h))] AS sub
+          FROM {p}hh CROSS JOIN
+            unnest(generate_series(1, CASE WHEN len(h) >= 1
+                   THEN greatest(len(h) - {WINNOW_W - 1}, 1) ELSE 0 END)) AS u(j)),
+        {p}fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, list_min(sub) AS h FROM {p}subs)"""
+
+
 def _pipeline_oracle_sql() -> str:
-    """DuckDB replay of the composed ingest pipeline: Gopher pass_all
-    gate → winnow near-dup pairs over the survivors → drop every doc
+    """DuckDB replay of the composed ingest pipeline: Gopher pass gate
+    → winnow-fingerprint decontamination against the eval split →
+    winnow near-dup pairs over the clean survivors → drop every doc
     that is the greater id of a pair → per-shard running-sum packing —
     each stage the SAME replay its standalone oracle uses."""
     gate = " AND ".join(f"g.{c}" for c in PIPE_GATE_COLS)
     return f"""
-        WITH g AS ({_gopher_oracle_sql(min_words=PIPE_MIN_WORDS)}),
-        surv AS (
-          SELECT d.doc_id, d.text FROM documents d
+        WITH tr AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % {FUZZY_EVAL_MOD} != 0),
+        ev AS (SELECT doc_id, text FROM documents
+               WHERE doc_id % {FUZZY_EVAL_MOD} = 0),
+        g AS ({_gopher_oracle_sql("tr", min_words=PIPE_MIN_WORDS)}),
+        surv0 AS (
+          SELECT d.doc_id, d.text FROM tr d
           JOIN g ON d.doc_id = g.doc_id AND {gate}),
+        {_winnow_fps_cte("surv0", "d")},
+        {_winnow_fps_cte("ev", "e")},
+        dcnt AS (SELECT doc_id, count(*) AS n_fp FROM dfps GROUP BY doc_id),
+        cshare AS (
+          SELECT d.doc_id, e.doc_id AS eval_id, count(*) AS shared
+          FROM dfps d JOIN efps e ON d.h = e.h GROUP BY 1, 2),
+        cont AS (
+          SELECT DISTINCT cshare.doc_id
+          FROM cshare JOIN dcnt USING (doc_id)
+          WHERE round(shared * 1.0 / n_fp, 4) >= {WINNOW_T}),
+        surv AS (
+          SELECT s.doc_id, s.text FROM surv0 s
+          LEFT JOIN cont USING (doc_id) WHERE cont.doc_id IS NULL),
         sc AS ({_winnow_neardup_oracle_sql("surv")}),
         drops AS (SELECT DISTINCT id2 AS doc_id FROM sc),
         kept AS (
@@ -7103,7 +7149,6 @@ def _pipeline_oracle_sql() -> str:
                  - ("offset" // {PACK_CAPACITY}) + 1 AS n_chunks
         FROM packed
     """
-
 
 def _gopher_oracle_sql(
     source: str = "documents",

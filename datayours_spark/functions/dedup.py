@@ -1687,3 +1687,63 @@ def ngram_novelty(
             "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)
         )
     )
+
+
+def winnow_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Fingerprint-level decontamination: which training docs share at
+    least ``threshold`` of their winnowing fingerprints with some eval
+    doc — the sampled-fingerprint sibling of exact shingle containment
+    (`decontaminate`) and MinHash-LSH (`minhash_decontaminate`), robust
+    to edits BETWEEN the matched regions because winnowing guarantees a
+    fingerprint in every w-window.
+
+    Output: (doc_id, eval_id, shared, containment) with containment =
+    shared / the TRAINING doc's fingerprint count (the doc is the thing
+    being dropped; a long doc quoting a whole short eval doc is caught
+    by the eval set's own review, not this gate).
+
+    Scale shape: the eval side is model-state sized (eval sets are MBs
+    at 100 TB) and BROADCASTS into the posting join against the
+    training fingerprint generator; one doc-keyed count + one
+    (doc, eval)-keyed count, no corpus×corpus relation anywhere."""
+    doc_fp = (
+        winnow_fingerprints(docs, k=k, w=w, id_col=id_col,
+                            text_col=text_col)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    eval_fp = (
+        winnow_fingerprints(
+            eval_docs, k=k, w=w, id_col=eval_id_col,
+            text_col=eval_text_col,
+        )
+        .select(F.col("doc_id").alias("eval_id"), "h")
+        .distinct()
+    )
+    cnt = doc_fp.groupBy("doc_id").count().withColumnRenamed(
+        "count", "n_fp"
+    )
+    shared = (
+        doc_fp.join(F.broadcast(eval_fp), "h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(cnt, "doc_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.col("n_fp"), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_id", "eval_id", "shared", "containment")
+    )

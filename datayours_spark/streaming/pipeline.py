@@ -12,7 +12,9 @@ Every micro-batch of (doc_id, text, source):
 1. **GATE** — `gopher_rules` scores the batch (zero-shuffle projection);
    the per-rule booleans land in ``gates`` (the permanent record of
    which rule rejected each doc) and only ``pass_all`` survivors flow
-   on.
+   on.  When a static eval set is configured, survivors are then
+   DECONTAMINATED against it (`winnow_decontaminate`, eval fingerprints
+   broadcast); matches land in ``contamination`` and leave the flow.
 2. **DEDUP** — `winnow_incremental_indexed` pairs the survivors against
    the standing fingerprint index (last-writer-wins per doc, the
    WinnowStream discipline); pairs land in ``pairs``, the batch's
@@ -51,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import (
+    winnow_decontaminate,
     winnow_incremental_indexed,
     winnow_neardup,
 )
@@ -68,6 +71,9 @@ GATES_SCHEMA = (
 )
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
 INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint"
+CONTAM_SCHEMA = (
+    "doc_id bigint, eval_id bigint, shared bigint, containment double"
+)
 PACKED_SCHEMA = (
     "doc_id bigint, shard int, n_tokens bigint, offset bigint, "
     "first_chunk bigint, n_chunks bigint"
@@ -78,6 +84,7 @@ SCHEMAS = {
     "gates": GATES_SCHEMA,
     "pairs": PAIRS_SCHEMA,
     "index": INDEX_SCHEMA,
+    "contamination": CONTAM_SCHEMA,
     "packed": PACKED_SCHEMA,
     "cursors": CURSORS_SCHEMA,
 }
@@ -150,12 +157,16 @@ def ingest_pipeline_batch(
     capacity: int = 512,
     gate_cols: tuple[str, ...] | None = None,
     max_join_pairs: int | None = 50_000_000,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    eval_docs: DataFrame | None = None,
+    decon_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The batch-mode composition the stream must reproduce:
-    gate → winnow near-dup pairs → drop every doc that is the greater
-    id of a pair → pack the kept docs.  Returns (gates, pairs, packed).
-    This is the differential oracle for :class:`IngestPipeline` and a
-    one-shot corpus-build entry point in its own right.
+    gate → decontaminate (against ``eval_docs``, when given) → winnow
+    near-dup pairs → drop every doc that is the greater id of a pair →
+    pack the kept docs.  Returns (gates, contamination, pairs, packed);
+    ``contamination`` is empty when no eval set is supplied.  This is
+    the differential oracle for :class:`IngestPipeline` and a one-shot
+    corpus-build entry point in its own right.
 
     ``gate_cols`` selects which Gopher rule booleans must hold (default
     ``pass_all`` = every rule).  A corpus that is legitimately
@@ -184,6 +195,19 @@ def ingest_pipeline_batch(
         )
     )
     survivors = scored.where(gate).select("doc_id", "text")
+    if eval_docs is not None:
+        contamination = winnow_decontaminate(
+            survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
+        )
+        survivors = survivors.join(
+            contamination.select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    else:
+        contamination = docs.sparkSession.createDataFrame(
+            [], CONTAM_SCHEMA
+        )
     pairs = winnow_neardup(
         survivors, k=k, w=w, threshold=threshold,
         max_join_pairs=max_join_pairs,
@@ -199,7 +223,7 @@ def ingest_pipeline_batch(
         "left_anti",
     )
     packed = _pack_manifest(kept, shards, capacity)
-    return gates, pairs, packed
+    return gates, contamination, pairs, packed
 
 
 @dataclass
@@ -222,6 +246,12 @@ class IngestPipeline:
     #: DELIBERATELY for corpora whose real dup-family volume exceeds
     #: the default (the guard's own documented escape hatch)
     max_join_pairs: int | None = 50_000_000
+    #: optional STATIC eval set (doc_id, text) — when given, every
+    #: batch's gate survivors are decontaminated against it before the
+    #: dedup stage; matches land in the ``contamination`` table.  Eval
+    #: doc_ids must be disjoint from training doc_ids.
+    eval_docs: DataFrame | None = None
+    decon_threshold: float = 0.5
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -261,6 +291,24 @@ class IngestPipeline:
             "pass_all",
         ).write.mode("overwrite").parquet(dests["gates"])
         survivors = scored.where("pass_all").select("doc_id", "text")
+
+        # 1b. DECONTAMINATE — survivors vs the static eval set (its
+        # fingerprints broadcast into the batch's posting join)
+        if self.eval_docs is not None:
+            contamination = winnow_decontaminate(
+                survivors, self.eval_docs,
+                k=self.k, w=self.w, threshold=self.decon_threshold,
+            ).localCheckpoint(eager=True)  # sink + drop set
+            survivors = survivors.join(
+                contamination.select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            contamination = self.spark.createDataFrame([], CONTAM_SCHEMA)
+        contamination.write.mode("overwrite").parquet(
+            dests["contamination"]
+        )
 
         # 2. DEDUP — survivors vs the standing LWW index
         index = _index_lww(self._read_or_empty("index"))
@@ -326,6 +374,9 @@ class IngestPipeline:
 
     def pairs(self) -> DataFrame:
         return self._read_or_empty("pairs")
+
+    def contamination(self) -> DataFrame:
+        return self._read_or_empty("contamination")
 
     def packed(self) -> DataFrame:
         return self._read_or_empty("packed")

@@ -48,7 +48,7 @@ class TestIngestPipeline:
             pipe._process(spark.createDataFrame(rows, SCHEMA), i)
 
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _b_cont, b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
 
         # 1. gates: per-row scoring — identical by construction
         assert {tuple(r) for r in pipe.gates().collect()} == {
@@ -110,10 +110,49 @@ class TestIngestPipeline:
         finally:
             q.stop()
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, _b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _b_cont, _b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
         assert {tuple(r) for r in pipe.gates().collect()} == {
             tuple(r) for r in b_gates.collect()
         }
+        assert {tuple(r) for r in pipe.packed().collect()} == {
+            tuple(r) for r in b_packed.collect()
+        }
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_decontamination_stage(self, spark):
+        """With a static eval set configured, survivors sharing enough
+        fingerprints with an eval doc land in the contamination table
+        and never reach the dedup/pack stages — stream ≡ batch."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        # eval doc 1001 is a near-copy of training doc 11
+        eval_docs = spark.createDataFrame(
+            [(1001, GOOD + " epsilon zeta nu")], "doc_id bigint, text string"
+        )
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            eval_docs=eval_docs,
+            decon_threshold=0.3,
+            **KW,
+        )
+        batches = [DOCS[:3], DOCS[3:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+        got_cont = {tuple(r) for r in pipe.contamination().collect()}
+        contaminated = {r[0] for r in got_cont}
+        assert 11 in contaminated  # the planted eval leak
+        # contaminated docs reach neither pairs nor the pack
+        kept = {r.doc_id for r in pipe.packed().collect()}
+        assert not kept & contaminated
+        # stream ≡ batch with the same eval set
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        _g, b_cont, _p, b_packed = ingest_pipeline_batch(
+            all_docs, eval_docs=eval_docs, decon_threshold=0.3, **KW
+        )
+        assert got_cont == {tuple(r) for r in b_cont.collect()}
         assert {tuple(r) for r in pipe.packed().collect()} == {
             tuple(r) for r in b_packed.collect()
         }
