@@ -1908,6 +1908,18 @@ def smoke_pipeline() -> None:
     work = tempfile.mkdtemp(
         prefix="scalesmoke_pipe_", dir="/root/repo/spark-warehouse"
     )
+    # eval set: 1/1000th of the corpus copied verbatim under fresh ids
+    # — every eval doc must contaminate its corpus twin at containment
+    # 1.0, so the decon stage's hit count is a planted expectation
+    n_eval = max(n_docs // 1000, 10)
+    eval_docs = (
+        _with_gate_cols(synthetic_documents(spark, n_eval), None)
+        .select(
+            (F.col("doc_id") + n_docs * 10).alias("doc_id"),
+            "text",  # woven identically -> corpus twin containment 1.0
+        )
+        .localCheckpoint(eager=True)
+    )
     pipe = IngestPipeline(
         spark=spark,
         input_dir=f"{work}/in",
@@ -1920,6 +1932,8 @@ def smoke_pipeline() -> None:
         # real posting pairs at 1.5M docs — raise the guard
         # deliberately (its documented escape hatch) for this corpus
         max_join_pairs=500_000_000,
+        eval_docs=eval_docs,
+        decon_threshold=0.8,
         compact_every=2,
     )
     corpus = _with_gate_cols(
@@ -1933,6 +1947,9 @@ def smoke_pipeline() -> None:
         "docs": n_docs,
         "sec": round(time.perf_counter() - t, 1),
         "gated_out": pipe.gates().where("NOT pass_all").count(),
+        "contaminated": pipe.contamination()
+        .select("doc_id").distinct().count(),
+        "planted_eval_twins": n_eval,
         "dup_pairs": pipe.pairs().count(),
         "packed": pipe.packed().count(),
     }
