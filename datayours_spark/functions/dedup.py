@@ -1469,6 +1469,7 @@ def winnow_incremental_indexed(
     max_join_pairs: int | None = 50_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`winnow_incremental` plus the batch's own distinct
     (doc_id, h) fingerprint relation, already localCheckpointed.
@@ -1479,8 +1480,15 @@ def winnow_incremental_indexed(
     :func:`winnow_fingerprints` over the batch a second time — the same
     build-once contract ``cosine_neardup_incremental_indexed`` gives
     ``EmbedStream`` (ADVICE r7)."""
+    # ``fingerprints`` lets a composed caller (the ingest pipeline's
+    # decontamination stage shares one fingerprint pass) hand in the
+    # batch's distinct (doc_id, h) relation, already checkpointed
     new_fp = (
-        winnow_fingerprints(new_docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            new_docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
         .select("doc_id", "h")
         .distinct()
         .localCheckpoint(eager=True)
@@ -1699,6 +1707,7 @@ def winnow_decontaminate(
     text_col: str = "text",
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Fingerprint-level decontamination: which training docs share at
     least ``threshold`` of their winnowing fingerprints with some eval
@@ -1717,8 +1726,11 @@ def winnow_decontaminate(
     training fingerprint generator; one doc-keyed count + one
     (doc, eval)-keyed count, no corpus×corpus relation anywhere."""
     doc_fp = (
-        winnow_fingerprints(docs, k=k, w=w, id_col=id_col,
-                            text_col=text_col)
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
         .select("doc_id", "h")
         .distinct()
     )

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import (
     winnow_decontaminate,
+    winnow_fingerprints,
     winnow_incremental_indexed,
     winnow_neardup,
 )
@@ -195,22 +196,29 @@ def ingest_pipeline_batch(
         )
     )
     survivors = scored.where(gate).select("doc_id", "text")
+    # ONE fingerprint pass feeds both the decontamination and the
+    # near-dup stages (the naive fingerprint-per-stage formulation
+    # measured ~3x the ingest wall at the 1.5M smoke)
+    surv_fp = (
+        winnow_fingerprints(survivors, k=k, w=w)
+        .select("doc_id", "h")
+        .distinct()
+    )
     if eval_docs is not None:
         contamination = winnow_decontaminate(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
+            fingerprints=surv_fp,
         )
-        survivors = survivors.join(
-            contamination.select("doc_id").distinct(),
-            "doc_id",
-            "left_anti",
-        )
+        drops0 = contamination.select("doc_id").distinct()
+        survivors = survivors.join(drops0, "doc_id", "left_anti")
+        surv_fp = surv_fp.join(drops0, "doc_id", "left_anti")
     else:
         contamination = docs.sparkSession.createDataFrame(
             [], CONTAM_SCHEMA
         )
     pairs = winnow_neardup(
         survivors, k=k, w=w, threshold=threshold,
-        max_join_pairs=max_join_pairs,
+        max_join_pairs=max_join_pairs, fingerprints=surv_fp,
     )
     # the drop set can be corpus-scale on a duplicate-heavy crawl, so
     # the anti-join hash-shuffles instead of broadcasting or sorting
@@ -291,6 +299,14 @@ class IngestPipeline:
             "pass_all",
         ).write.mode("overwrite").parquet(dests["gates"])
         survivors = scored.where("pass_all").select("doc_id", "text")
+        # ONE fingerprint pass (checkpointed) feeds the decontamination
+        # stage, the dedup stage AND the index append
+        surv_fp = (
+            winnow_fingerprints(survivors, k=self.k, w=self.w)
+            .select("doc_id", "h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
         # 1b. DECONTAMINATE — survivors vs the static eval set (its
         # fingerprints broadcast into the batch's posting join)
@@ -298,12 +314,13 @@ class IngestPipeline:
             contamination = winnow_decontaminate(
                 survivors, self.eval_docs,
                 k=self.k, w=self.w, threshold=self.decon_threshold,
+                fingerprints=surv_fp,
             ).localCheckpoint(eager=True)  # sink + drop set
-            survivors = survivors.join(
-                contamination.select("doc_id").distinct(),
-                "doc_id",
-                "left_anti",
-            )
+            drops0 = contamination.select("doc_id").distinct()
+            survivors = survivors.join(drops0, "doc_id", "left_anti")
+            surv_fp = surv_fp.join(
+                drops0, "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
         else:
             contamination = self.spark.createDataFrame([], CONTAM_SCHEMA)
         contamination.write.mode("overwrite").parquet(
@@ -317,6 +334,7 @@ class IngestPipeline:
             index.select("doc_id", "h"),
             k=self.k, w=self.w, threshold=self.threshold,
             max_join_pairs=self.max_join_pairs,
+            fingerprints=surv_fp,
         )
         pairs = pairs.localCheckpoint(eager=True)  # pairs sink + drop set
         pairs.write.mode("overwrite").parquet(dests["pairs"])
