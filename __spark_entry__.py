@@ -7112,13 +7112,14 @@ def _pipeline_oracle_sql() -> str:
           JOIN g ON d.doc_id = g.doc_id AND {gate}),
         {_winnow_fps_cte("surv0", "d")},
         {_winnow_fps_cte("ev", "e")},
-        dcnt AS (SELECT doc_id, count(*) AS n_fp FROM dfps GROUP BY doc_id),
+        ecnt AS (SELECT doc_id AS eval_id, count(*) AS n_fp
+                 FROM efps GROUP BY 1),
         cshare AS (
           SELECT d.doc_id, e.doc_id AS eval_id, count(*) AS shared
           FROM dfps d JOIN efps e ON d.h = e.h GROUP BY 1, 2),
         cont AS (
           SELECT DISTINCT cshare.doc_id
-          FROM cshare JOIN dcnt USING (doc_id)
+          FROM cshare JOIN ecnt USING (eval_id)
           WHERE round(shared * 1.0 / n_fp, 4) >= {WINNOW_T}),
         surv AS (
           SELECT s.doc_id, s.text FROM surv0 s

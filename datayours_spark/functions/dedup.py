@@ -1708,23 +1708,33 @@ def winnow_decontaminate(
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
     fingerprints: DataFrame | None = None,
+    denom: str = "eval",
 ) -> DataFrame:
     """Fingerprint-level decontamination: which training docs share at
-    least ``threshold`` of their winnowing fingerprints with some eval
-    doc — the sampled-fingerprint sibling of exact shingle containment
+    least ``threshold`` of some eval doc's winnowing fingerprints — the
+    sampled-fingerprint sibling of exact shingle containment
     (`decontaminate`) and MinHash-LSH (`minhash_decontaminate`), robust
     to edits BETWEEN the matched regions because winnowing guarantees a
     fingerprint in every w-window.
 
-    Output: (doc_id, eval_id, shared, containment) with containment =
-    shared / the TRAINING doc's fingerprint count (the doc is the thing
-    being dropped; a long doc quoting a whole short eval doc is caught
-    by the eval set's own review, not this gate).
+    Output: (doc_id, eval_id, shared, containment).  ``denom`` picks the
+    containment denominator:
+
+    - ``"eval"`` (default): shared / the EVAL doc's fingerprint count —
+      the leak that matters is an eval doc living INSIDE a training doc,
+      and a long doc quoting a whole short eval doc scores 1.0 here
+      (the doc-side ratio would dilute it toward 0);
+    - ``"doc"``: shared / the training doc's count — flags training docs
+      that are MOSTLY eval material even when no single eval doc is
+      fully contained.
 
     Scale shape: the eval side is model-state sized (eval sets are MBs
     at 100 TB) and BROADCASTS into the posting join against the
-    training fingerprint generator; one doc-keyed count + one
-    (doc, eval)-keyed count, no corpus×corpus relation anywhere."""
+    training fingerprint generator; the eval-side denominator is a
+    broadcast-sized count, the doc-side one a doc-keyed combine — no
+    corpus×corpus relation anywhere."""
+    if denom not in ("eval", "doc"):
+        raise ValueError(f"denom must be 'eval' or 'doc', got {denom!r}")
     doc_fp = (
         fingerprints
         if fingerprints is not None
@@ -1742,17 +1752,23 @@ def winnow_decontaminate(
         .select(F.col("doc_id").alias("eval_id"), "h")
         .distinct()
     )
-    cnt = doc_fp.groupBy("doc_id").count().withColumnRenamed(
-        "count", "n_fp"
-    )
     shared = (
         doc_fp.join(F.broadcast(eval_fp), "h")
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("shared"))
     )
+    if denom == "eval":
+        cnt = eval_fp.groupBy("eval_id").count().withColumnRenamed(
+            "count", "n_fp"
+        )
+        scored = shared.join(F.broadcast(cnt), "eval_id")
+    else:
+        cnt = doc_fp.groupBy("doc_id").count().withColumnRenamed(
+            "count", "n_fp"
+        )
+        scored = shared.join(cnt, "doc_id")
     return (
-        shared.join(cnt, "doc_id")
-        .withColumn(
+        scored.withColumn(
             "containment",
             F.round(F.col("shared") / F.col("n_fp"), 4),
         )

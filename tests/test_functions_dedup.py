@@ -1042,3 +1042,45 @@ class TestNgramNovelty:
         out = ngram_novelty(docs, n=2).collect()[0]
         # distinct 2-shingles: {a b, b a} -> 2, both novel
         assert out.n_shingles == 2 and out.n_novel == 2
+
+
+class TestWinnowDecontaminate:
+    def test_eval_doc_inside_long_training_doc_is_caught(self, spark):
+        """The classic leak: a whole short eval doc quoted inside a long
+        training doc must flag at containment 1.0 under the default
+        eval-side denominator (the doc-side ratio would dilute it)."""
+        from datayours_spark.functions.dedup import winnow_decontaminate
+
+        eval_text = "alpha beta gamma delta epsilon zeta"
+        filler = " ".join(f"filler{i}" for i in range(60))
+        docs = spark.createDataFrame(
+            [
+                (1, filler + " " + eval_text + " tail words here"),
+                (2, "totally unrelated content with nothing shared ok"),
+            ],
+            "doc_id bigint, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, eval_text)], "doc_id bigint, text string"
+        )
+        hits = winnow_decontaminate(
+            docs, ev, k=3, w=3, threshold=0.9
+        ).collect()
+        assert {(r.doc_id, r.eval_id) for r in hits} == {(1, 100)}
+        assert hits[0].containment == 1.0
+        # the doc-side ratio on the same data stays far below threshold
+        doc_side = winnow_decontaminate(
+            docs, ev, k=3, w=3, threshold=0.9, denom="doc"
+        ).collect()
+        assert doc_side == []
+
+    def test_denominator_validation(self, spark):
+        import pytest as _pytest
+
+        from datayours_spark.functions.dedup import winnow_decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id bigint, text string"
+        )
+        with _pytest.raises(ValueError):
+            winnow_decontaminate(docs, docs, denom="nope")
