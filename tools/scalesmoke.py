@@ -1810,6 +1810,79 @@ def smoke_prototype() -> None:
     spark.stop()
 
 
+def smoke_packids() -> None:
+    """Isolated: materialized training sequences at SCALE_DOCS — the
+    q_pack_ids composition (id stream ⋈ packing manifest → chunk-keyed
+    aggregate with capacity-bounded collect) over a ~50-token/doc
+    corpus.  The claims under test: the whole materialization is two
+    data shuffles (plan-pinned at unit scale), chunk group state is
+    bounded by the capacity, and the emitted chunks cover exactly the
+    corpus's token count with every non-final chunk full."""
+    spark = get_spark(
+        "scalesmoke-packids",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from pyspark.sql import Window as W
+
+    from datayours_spark.functions.sampling import hash_bucket
+    from datayours_spark.functions.text import tokenize_ids, vocab_topv
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    shards = int(os.environ.get("SCALE_PACK_SHARDS", 64))
+    capacity = int(os.environ.get("SCALE_PACK_CAP", 2048))
+    docs = synthetic_documents(spark, n_docs).localCheckpoint(eager=True)
+
+    t = time.perf_counter()
+    ids = tokenize_ids(docs, vocab_topv(docs, 1000))
+    staged = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "pack", shards).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    manifest = staged.select(
+        "doc_id", "shard",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset"),
+    )
+    tok = ids.join(manifest, "doc_id").select(
+        "shard",
+        F.expr(f"(offset + pos) div {capacity}").alias("chunk"),
+        (F.col("offset") + F.col("pos")).alias("goff"),
+        "tid",
+    )
+    chunks = tok.groupBy("shard", "chunk").agg(
+        F.count("*").cast("long").alias("n_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("goff", "tid"))),
+            lambda s: s.getField("tid"),
+        ).alias("ids"),
+    ).localCheckpoint(eager=True)
+    stats = chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_ids").alias("total_ids"),
+        F.sum((F.col("n_ids") == capacity).cast("int")).alias("full"),
+    ).first()
+    wall = time.perf_counter() - t
+    print(json.dumps({
+        "metric": "pack ids smoke",
+        "docs": n_docs,
+        "shards": shards, "capacity": capacity,
+        "sec": round(wall, 1),
+        "tokens_per_sec": int(stats["total_ids"] / wall),
+        "chunks": stats["n_chunks"],
+        "total_ids": stats["total_ids"],
+        "full_chunks": stats["full"],
+        # every shard has at most one partial (tail) chunk
+        "partial_chunks_bounded_by_shards":
+            int(stats["n_chunks"] - stats["full"]) <= shards,
+    }))
+    spark.stop()
+
+
 def smoke_bpe() -> None:
     """Isolated: BPE merge induction at SCALE_DOCS — the claim under
     test is the standard BPE reduction: after ONE corpus-sized
@@ -2443,5 +2516,7 @@ if __name__ == "__main__":
         smoke_pipeline()
     elif mode == "bpe":
         smoke_bpe()
+    elif mode == "packids":
+        smoke_packids()
     else:
         main()
