@@ -3988,11 +3988,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # RRF, mix weights, ppl buckets, knn labels, source quality, TPC-H
     # Q6/Q10/Q14/Q18, embed projection, rp recall, tokenize ids,
     # prototype prune, drop reasons, novelty, lang confusion) PLUS the
-    # four added in round 9 itself (ANN-routed kNN, BPE merges +
-    # segmentation, the composed ingest pipeline) — all selfcheck-green.
-    # With these green, EVERY oracle-backed query in the registry has
-    # earned a driver CORRECTNESS row in some round (149/149 — full
-    # closure of the driver contract).  The remaining slots keep
+    # eleven added in round 9 itself (ANN-routed kNN, BPE
+    # merges/segment/ids, packed training sequences, the composed
+    # four-stage ingest pipeline, TPC-H Q7/Q8/Q13/Q15/Q17) — all
+    # selfcheck-green.  With these thirty green, EVERY oracle-backed
+    # query in the registry has earned a driver CORRECTNESS row in some
+    # round (156/156 — full closure of the driver contract).  The
+    # remaining twenty slots keep
     # representatives of every SURVEY §2 family whose only coverage
     # would otherwise age past the 2-round staleness bound
     # (q_span_mask re-enters for span_dedup, last green r7; the §2-core
