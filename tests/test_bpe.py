@@ -93,3 +93,37 @@ class TestBpeMerges:
         want, _ = _ref_bpe(Counter({"a": 2, "b": 1}), 10)
         assert got == want
         assert len(got) < 10  # ran out of pairs before the budget
+
+
+class TestBpeDifferentialFuzz:
+    def test_random_corpora_match_reference(self, spark):
+        """Differential fuzz in the repo's house style: random small
+        corpora over a tiny alphabet (maximal merge collisions and
+        ties) must reproduce the reference implementation exactly,
+        merges AND final segmentation."""
+        import random
+
+        rng = random.Random(0xB9E)
+        for trial in range(4):
+            words = [
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 25))
+            ]
+            freqs = Counter(words)
+            docs = spark.createDataFrame(
+                [(0, " ".join(words))], "doc_id bigint, text string"
+            )
+            k = rng.randint(1, 6)
+            got = bpe_merges(docs, n_merges=k)
+            want, ref_vocab = _ref_bpe(freqs, k)
+            assert got == want, (trial, words, k)
+            seg = {}
+            for r in bpe_segment(docs, got).collect():
+                seg.setdefault(r.word, {})[r.sym_pos] = r.sym
+            ref_by_word = {
+                "".join(syms).replace("</w>", ""): list(syms)
+                for syms in ref_vocab
+            }
+            for word, by_pos in seg.items():
+                syms = [by_pos[i] for i in sorted(by_pos)]
+                assert syms == ref_by_word[word], (trial, word, syms)

@@ -191,3 +191,40 @@ class TestIngestPipeline:
                 assert r.offset == off, (r, off)
                 off += r.n_tokens
         shutil.rmtree(TMP, ignore_errors=True)
+
+
+class TestPackManifestProperties:
+    def test_random_corpora_pack_invariants(self, spark):
+        """Property fuzz over random doc sets: per-shard offsets are a
+        contiguous running sum in doc_id order, chunk ranges cover
+        exactly [offset, offset + n_tokens), and totals conserve."""
+        import random
+
+        from datayours_spark.streaming.pipeline import _pack_manifest
+
+        rng = random.Random(0x9ACC)
+        for trial in range(3):
+            rows = [
+                (i, " ".join(f"w{i}x{j}" for j in range(rng.randint(1, 30))))
+                for i in rng.sample(range(1000), rng.randint(5, 40))
+            ]
+            docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+            cap = rng.choice([4, 16, 64])
+            out = _pack_manifest(docs, shards=3, capacity=cap).collect()
+            assert len(out) == len(rows)
+            by_shard = {}
+            for r in out:
+                by_shard.setdefault(r.shard, []).append(r)
+            total = 0
+            for shard_rows in by_shard.values():
+                shard_rows.sort(key=lambda r: r.doc_id)
+                off = 0
+                for r in shard_rows:
+                    assert r.offset == off, (trial, r)
+                    assert r.first_chunk == r.offset // cap
+                    last = (r.offset + max(r.n_tokens, 1) - 1) // cap
+                    assert r.n_chunks == last - r.first_chunk + 1
+                    off += r.n_tokens
+                    total += r.n_tokens
+            want_total = sum(len(t.split(" ")) for _i, t in rows)
+            assert total == want_total, trial
