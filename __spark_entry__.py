@@ -3920,7 +3920,9 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized), then ONE (lang, shard, chunk)-keyed aggregate whose
     group state is bounded by the chunk capacity; in-chunk order is
     restored engine-portably by sorting the (global-offset, id) structs
-    inside each bounded group."""
+    inside each bounded group.  The payload is emitted as a
+    comma-joined string (not array<bigint>) so the result is
+    canonicalizable by row-sorting consumers — semantics unchanged."""
     from datayours_spark.functions.sampling import hash_bucket
     from datayours_spark.functions.text import tokenize_ids, vocab_topv
 
@@ -3952,9 +3954,12 @@ def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tok.groupBy("lang", "shard", "chunk").agg(
         F.count("*").cast("long").alias("n_ids"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("goff", "tid"))),
-            lambda s: s.getField("tid"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("goff", "tid"))),
+                lambda s: s.getField("tid"),
+            ),
+            ",",
         ).alias("ids"),
     )
 
@@ -6384,7 +6389,7 @@ def oracle_sql() -> dict[str, str]:
                      m."offset" + i.pos AS goff, i.tid
               FROM ids i JOIN m USING (doc_id))
             SELECT lang, shard, chunk, count(*)::BIGINT AS n_ids,
-                   list(tid ORDER BY goff) AS ids
+                   array_to_string(list(tid ORDER BY goff), ',') AS ids
             FROM t GROUP BY 1, 2, 3
         """,
         "q_pack_sequences": f"""
