@@ -742,11 +742,18 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _year_col(df: DataFrame, col: str) -> F.Column:
     """UTC calendar year of a raw fixture timestamp column, robust to
     both physical encodings (long nanos / TIMESTAMP[_NTZ]) — the
-    grouping companion of io.epoch_range_pred."""
+    grouping companion of io.epoch_range_pred.  Derived by integer
+    day arithmetic on the epoch (``date_from_unix_date``), so the
+    result is the UTC year under ANY ``spark.sql.session.timeZone``
+    — no TIMESTAMP_LTZ rendering is involved."""
     from datayours_spark.io import epoch_us_col
 
     return F.year(
-        F.timestamp_seconds(epoch_us_col(df, col) / F.lit(1_000_000))
+        F.date_from_unix_date(
+            F.floor(
+                epoch_us_col(df, col) / F.lit(86_400_000_000)
+            ).cast("int")
+        )
     ).cast("long")
 
 
@@ -7014,9 +7021,12 @@ def _bpe_oracle_sql(k: int = None) -> str:
         m{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i}
                  ORDER BY cnt DESC, a, b LIMIT 1),
         w{i} AS MATERIALIZED (
-          SELECT freq, replace(s, ' ' || m.a || '  ' || m.b || ' ',
-                               ' ' || m.a || m.b || ' ') AS s
-          FROM {p} CROSS JOIN m{i} m)""")
+          -- LEFT JOIN ON TRUE: a pair-exhausted corpus leaves m{{i}}
+          -- empty; coalesce passes s through unchanged instead of a
+          -- CROSS JOIN wiping the whole relation (Spark breaks early)
+          SELECT freq, coalesce(replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' '), s) AS s
+          FROM {p} LEFT JOIN m{i} m ON TRUE)""")
     unions = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, "
         f"cnt AS pair_freq FROM m{i}"
@@ -7053,10 +7063,12 @@ def _bpe_segment_oracle_sql(k: int = None) -> str:
     for i in range(1, k + 1):
         sqls.append(f"""
         d{i} AS MATERIALIZED (
+          -- empty m{{i}} (pair-poor corpus) must not wipe the relation:
+          -- LEFT JOIN ON TRUE + coalesce keeps s as-is for that round
           SELECT doc_id, pos, word,
-                 replace(s, ' ' || m.a || '  ' || m.b || ' ',
-                         ' ' || m.a || m.b || ' ') AS s
-          FROM d{i - 1} CROSS JOIN m{i} m)""")
+                 coalesce(replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                         ' ' || m.a || m.b || ' '), s) AS s
+          FROM d{i - 1} LEFT JOIN m{i} m ON TRUE)""")
     sqls.append(f"""
         SELECT doc_id, CAST(pos AS BIGINT) AS pos, word,
                CAST(generate_subscripts(ss, 1) - 1 AS BIGINT) AS sym_pos,

@@ -1482,9 +1482,13 @@ def winnow_incremental_indexed(
     ``EmbedStream`` (ADVICE r7)."""
     # ``fingerprints`` lets a composed caller (the ingest pipeline's
     # decontamination stage shares one fingerprint pass) hand in the
-    # batch's distinct (doc_id, h) relation, already checkpointed
+    # batch's (doc_id, h) relation, already checkpointed.  The posting
+    # join and the appended index both require DISTINCT (doc_id, h) —
+    # normalize defensively so a positional winnow_fingerprints output
+    # can't multi-count shared hashes (idempotent when already
+    # distinct; the exchange is batch-sized).
     new_fp = (
-        fingerprints
+        fingerprints.select("doc_id", "h").distinct()
         if fingerprints is not None
         else winnow_fingerprints(
             new_docs, k=k, w=w, id_col=id_col, text_col=text_col
@@ -1735,8 +1739,13 @@ def winnow_decontaminate(
     corpus×corpus relation anywhere."""
     if denom not in ("eval", "doc"):
         raise ValueError(f"denom must be 'eval' or 'doc', got {denom!r}")
+    # Callers may hand in the positional winnow_fingerprints output;
+    # `shared` counts rows, so a non-distinct relation would multi-count
+    # hashes per position and inflate containment past 1.0 — normalize
+    # defensively (idempotent for already-distinct inputs, batch-sized
+    # exchange in the composed-pipeline path).
     doc_fp = (
-        fingerprints
+        fingerprints.select("doc_id", "h").distinct()
         if fingerprints is not None
         else winnow_fingerprints(
             docs, k=k, w=w, id_col=id_col, text_col=text_col

@@ -2662,6 +2662,41 @@ def random_projection_matrix(
     ]
 
 
+def _round_half_up(y, dp: int):
+    """Vectorized decimal HALF_UP rounding matching Spark's ``F.round``
+    on DOUBLE (BigDecimal HALF_UP over the value's shortest decimal
+    repr).  ``np.round`` is half-to-even over the BINARY value — the
+    two disagree exactly at .5 decimal boundaries, so the Arrow matmul
+    form must not use it if it is to agree with the literal fold.
+
+    Fast path: scale by 10^dp and IEEE nearest-int — exact except
+    within float error of a .5 boundary; those rare suspects re-round
+    through Python decimal on ``repr`` (the same shortest-repr string
+    BigDecimal.valueOf sees), so boundary values round away from zero
+    like the JVM side."""
+    import numpy as np
+
+    scale = 10.0 ** dp
+    scaled = y * scale
+    out = np.round(scaled) / scale
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    with np.errstate(invalid="ignore"):
+        sus = frac <= np.spacing(np.abs(scaled)) * 8.0
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-dp)
+        flat = out.reshape(-1)
+        yf = y.reshape(-1)
+        for i in np.nonzero(sus.reshape(-1))[0]:
+            flat[i] = float(
+                Decimal(repr(float(yf[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
 def project_embeddings(
     emb: DataFrame,
     in_dim: int,
@@ -2670,6 +2705,8 @@ def project_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_fold_entries: int = 4096,
+    force: str | None = None,
 ) -> DataFrame:
     """JL random projection of the embedding column to ``out_dim`` dims:
     y_j = Σ_i v_i · s(i,j) / √out_dim with the deterministic ±1 matrix
@@ -2686,15 +2723,35 @@ def project_embeddings(
     codec: interpreted-but-JVM-side, no exchange, no Python).  Rounding
     at ``round_dp`` pins the fixed-order float fold across engines.
 
-    DIMS CAP: this form is for SMALL matrices only (the oracle-exact
-    gate fixture runs 64→16 = 1,024 literals).  At production dims the
-    interpreted fold re-evaluates the literal matrix inside the lambda
-    per row — measured at 1024→64: ~92 s of Catalyst plan build on the
-    65,536 literals and ~4 rows/s execution, vs ~3.8k rows/s for
-    :func:`project_embeddings_arrow` (same output, equality at
-    ``round_dp`` differential-test-pinned).  Use the Arrow form whenever
-    in_dim × out_dim exceeds a few thousand entries."""
+    DISPATCH: the literal-fold form is for SMALL matrices only (the
+    oracle-exact gate fixture runs 64→16 = 1,024 literals).  At
+    production dims the interpreted fold re-evaluates the literal
+    matrix inside the lambda per row — measured at 1024→64: ~92 s of
+    Catalyst plan build on the 65,536 literals and ~4 rows/s execution,
+    vs ~51k rows/s for :func:`project_embeddings_arrow`.  This function
+    therefore AUTO-DISPATCHES on ``in_dim × out_dim``: at most
+    ``max_fold_entries`` literals it folds in-plan; above, it delegates
+    to the Arrow matmul form (decimal-HALF_UP rounding on both sides,
+    so no caller can hit the plan-build cliff).  ``force`` pins a form
+    explicitly (``"fold"`` / ``"arrow"``) for measurement harnesses.
+
+    The two forms share the matrix, scaling, rounding MODE, and output
+    schema; float ACCUMULATION order still differs (sequential fold vs
+    blocked dgemm), so a sum landing within one ulp of a round_dp
+    boundary can in principle still diverge — the byte-equality pin is
+    empirical at the differential-test fixtures and the scalesmoke
+    production-dims sample, not an algebraic guarantee."""
     import math
+
+    if force not in (None, "fold", "arrow"):
+        raise ValueError(f"force must be 'fold' or 'arrow', got {force!r}")
+    if force == "arrow" or (
+        force is None and in_dim * out_dim > max_fold_entries
+    ):
+        return project_embeddings_arrow(
+            emb, in_dim, out_dim, seed=seed, id_col=id_col,
+            vec_col=vec_col, round_dp=round_dp,
+        )
 
     mat = random_projection_matrix(in_dim, out_dim, seed)
     mat_col = F.array(
@@ -2727,7 +2784,10 @@ def project_embeddings_arrow(
 ) -> DataFrame:
     """Arrow-batched matmul form of :func:`project_embeddings` — same
     contract, same deterministic ±1 matrix, same (vec_id, p01..pNN)
-    output (equality at ``round_dp`` is differential-test-pinned).
+    output, same decimal-HALF_UP rounding (:func:`_round_half_up`
+    mirrors ``F.round``'s BigDecimal semantics; equality at
+    ``round_dp`` is differential-test-pinned empirically — see the
+    accumulation-order caveat in :func:`project_embeddings`).
 
     Use this form at production dims: the literal fold evaluates
     in_dim × out_dim interpreted expression steps PER ROW (a 1024→64
@@ -2761,7 +2821,7 @@ def project_embeddings_arrow(
             v = np.array(
                 [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
             )
-            y = np.round(v @ mat / scale, round_dp)
+            y = _round_half_up(v @ mat / scale, round_dp)
             out = pd.DataFrame({"vec_id": pdf["__id"].to_numpy()})
             for j, n in enumerate(names):
                 out[n] = y[:, j]

@@ -91,6 +91,21 @@ SCHEMAS = {
 }
 
 
+def _gate_expr(gate_cols: tuple[str, ...] | None) -> F.Column:
+    """The survivor predicate over a `gopher_rules` projection:
+    ``pass_all`` by default, else the conjunction of the named rule
+    booleans — shared by the batch composition and the stream so the
+    documented non-English/synthetic-corpus configuration (where the
+    stopword rule rejects everything) behaves identically in both."""
+    if gate_cols is None:
+        return F.col("pass_all")
+    return F.aggregate(
+        F.array(*[F.col(c) for c in gate_cols]),
+        F.lit(True),
+        lambda a, b: a & b,
+    )
+
+
 def _pack_manifest(
     docs: DataFrame,
     shards: int,
@@ -186,16 +201,7 @@ def ingest_pipeline_batch(
         "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
         "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "pass_all",
     )
-    gate = (
-        F.col("pass_all")
-        if gate_cols is None
-        else F.aggregate(
-            F.array(*[F.col(c) for c in gate_cols]),
-            F.lit(True),
-            lambda a, b: a & b,
-        )
-    )
-    survivors = scored.where(gate).select("doc_id", "text")
+    survivors = scored.where(_gate_expr(gate_cols)).select("doc_id", "text")
     # ONE fingerprint pass feeds both the decontamination and the
     # near-dup stages (the naive fingerprint-per-stage formulation
     # measured ~3x the ingest wall at the 1.5M smoke)
@@ -260,6 +266,12 @@ class IngestPipeline:
     #: doc_ids must be disjoint from training doc_ids.
     eval_docs: DataFrame | None = None
     decon_threshold: float = 0.5
+    #: which Gopher rule booleans must hold for a doc to survive the
+    #: gate (None = ``pass_all``) — mirrors ``ingest_pipeline_batch``'s
+    #: ``gate_cols`` so the stream ≡ batch contract covers the
+    #: documented non-English/synthetic configuration where the
+    #: stopword rule would otherwise reject every doc
+    gate_cols: tuple[str, ...] | None = None
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -298,7 +310,9 @@ class IngestPipeline:
             "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
             "pass_all",
         ).write.mode("overwrite").parquet(dests["gates"])
-        survivors = scored.where("pass_all").select("doc_id", "text")
+        survivors = scored.where(_gate_expr(self.gate_cols)).select(
+            "doc_id", "text"
+        )
         # ONE fingerprint pass (checkpointed) feeds the decontamination
         # stage, the dedup stage AND the index append
         surv_fp = (

@@ -1376,6 +1376,49 @@ class TestProjectEmbeddings:
         plan = b._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_auto_dispatch_on_matrix_size(self, spark):
+        """project_embeddings dispatches by in_dim × out_dim: under the
+        cap it folds literals in-plan (no Python), over the cap it
+        delegates to the Arrow matmul (MapInPandas) so no caller hits
+        the 65k-literal plan-build cliff; force= pins either form."""
+        import pytest as _pytest
+
+        from datayours_spark.functions.similarity import project_embeddings
+
+        emb = spark.createDataFrame(
+            [(0, [1.0] * 128)], "vec_id long, embedding array<double>"
+        )
+        small = project_embeddings(emb, 128, 16, max_fold_entries=4096)
+        assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+        big = project_embeddings(emb, 128, 64, max_fold_entries=4096)
+        assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+        forced = project_embeddings(emb, 128, 16, force="arrow")
+        assert "MapInPandas" in forced._jdf.queryExecution().executedPlan().toString()
+        assert small.columns == forced.columns
+        with _pytest.raises(ValueError):
+            project_embeddings(emb, 128, 16, force="blas")
+
+    def test_arrow_rounding_matches_spark_half_up(self, spark):
+        """_round_half_up must agree with Spark F.round (BigDecimal
+        HALF_UP over the shortest decimal repr) INCLUDING on .5
+        boundaries where np.round (half-to-even on the binary value)
+        diverges — e.g. 2.675 whose double is 2.67499…"""
+        import numpy as np
+
+        from datayours_spark.functions.similarity import _round_half_up
+
+        vals = [
+            2.675, -2.675, 2.665, -2.665, 0.1234565, -0.1234565,
+            0.0000005, -0.0000005, 1.0000015, 123456.1234555,
+        ] + [float(x) for x in np.random.RandomState(3).randn(200)]
+        for dp in (2, 6):
+            got = _round_half_up(np.array(vals, dtype=np.float64), dp)
+            df = spark.createDataFrame([(v,) for v in vals], "x double")
+            exp = [
+                r.y for r in df.select(F.round("x", dp).alias("y")).collect()
+            ]
+            assert list(got) == exp, f"dp={dp}"
+
 
 class TestPrototypePrune:
     def test_drops_most_prototypical_fraction(self, spark):

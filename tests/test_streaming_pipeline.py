@@ -158,6 +158,45 @@ class TestIngestPipeline:
         }
         shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_gate_cols_stream_equals_batch(self, spark):
+        """The documented non-English/synthetic configuration: a corpus
+        with no English stopwords packs NOTHING under pass_all, so the
+        stream must honor gate_cols exactly like ingest_pipeline_batch
+        (ADVICE r9: the field was batch-only, silently emptying the
+        streaming form)."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        # stopword-free docs: every one fails ok_stopwords but passes
+        # word count / mean word length / alpha-words
+        rows = [
+            (i, " ".join(f"walrus{i} zebra{i} quokka{i} lemur{i} "
+                         f"panda{i} otter{i}".split()), "syn")
+            for i in range(1, 7)
+        ]
+        gate_cols = ("ok_word_count", "ok_alpha_words")
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            gate_cols=gate_cols,
+            **KW,
+        )
+        pipe._process(spark.createDataFrame(rows[:3], SCHEMA), 0)
+        pipe._process(spark.createDataFrame(rows[3:], SCHEMA), 1)
+        all_docs = spark.createDataFrame(rows, SCHEMA)
+        _g, _c, _p, b_packed = ingest_pipeline_batch(
+            all_docs, gate_cols=gate_cols, **KW
+        )
+        got_packed = {tuple(r) for r in pipe.packed().collect()}
+        assert got_packed == {tuple(r) for r in b_packed.collect()}
+        assert len(got_packed) == len(rows)  # nothing silently dropped
+        # and with the default gate the same corpus packs nothing —
+        # the configuration is load-bearing, not cosmetic
+        _g2, _c2, _p2, strict_packed = ingest_pipeline_batch(all_docs, **KW)
+        assert strict_packed.count() == 0
+        shutil.rmtree(TMP, ignore_errors=True)
+
     def test_cursors_resume_across_batches(self, spark):
         """A shard's offsets must be contiguous across batches: doc N+1
         starts exactly where doc N ended within its shard."""

@@ -2281,7 +2281,7 @@ def smoke_rp() -> None:
     out: dict[str, dict] = {}
 
     t = time.perf_counter()
-    fold_df = project_embeddings(emb_slice, in_dim, out_dim)
+    fold_df = project_embeddings(emb_slice, in_dim, out_dim, force="fold")
     build_s = round(time.perf_counter() - t, 2)  # 65k-literal plan build
     t = time.perf_counter()
     fold_df.write.format("noop").mode("overwrite").save()
