@@ -1470,6 +1470,10 @@ def winnow_incremental_indexed(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprints: DataFrame | None = None,
+    fingerprints_distinct: bool = False,
+    index_counts: DataFrame | None = None,
+    broadcast_batch: bool | None = None,
+    broadcast_batch_rows: int = 4_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`winnow_incremental` plus the batch's own distinct
     (doc_id, h) fingerprint relation, already localCheckpointed.
@@ -1479,24 +1483,56 @@ def winnow_incremental_indexed(
     appends ``batch_fp`` to its standing index instead of re-running
     :func:`winnow_fingerprints` over the batch a second time — the same
     build-once contract ``cosine_neardup_incremental_indexed`` gives
-    ``EmbedStream`` (ADVICE r7)."""
+    ``EmbedStream`` (ADVICE r7).
+
+    **Batch-proportional mode** (r9 verdict): against a TB-scale
+    standing index, the per-batch path must never SHUFFLE the index —
+    only scan it.
+
+    - ``index_counts``: the standing per-doc DISTINCT fingerprint
+      counts (doc_id, n_fp), consistent with the ``index_fp`` view (a
+      streaming maintainer keeps them next to the index).  When given,
+      containment denominators come from it plus the batch's own
+      counts — skipping the full-index ``groupBy(doc_id)`` — and
+      ``index_fp`` may safely be pruned to the batch's hash buckets
+      (it then feeds only h-matching, never doc-level aggregates).
+    - ``broadcast_batch``: broadcast the batch's fingerprints into the
+      posting join (index side streams, no exchange) and pre-filter the
+      guard's posting-frequency aggregate to the batch's h set (the
+      inner join with ``nw`` discards every other h anyway).  Default
+      ``None`` auto-enables when the batch has at most
+      ``broadcast_batch_rows`` fingerprints — bulk loads fall back to
+      the shuffle join, whose cost the batch side itself dominates.
+
+    Pair output is IDENTICAL in every mode (the rewrites are exact:
+    semi-filtering the guard preserves its inner join, and the
+    denominators join only touches doc_ids present in the pair set)."""
     # ``fingerprints`` lets a composed caller (the ingest pipeline's
     # decontamination stage shares one fingerprint pass) hand in the
     # batch's (doc_id, h) relation, already checkpointed.  The posting
     # join and the appended index both require DISTINCT (doc_id, h) —
-    # normalize defensively so a positional winnow_fingerprints output
+    # normalized defensively so a positional winnow_fingerprints output
     # can't multi-count shared hashes (idempotent when already
-    # distinct; the exchange is batch-sized).
-    new_fp = (
-        fingerprints.select("doc_id", "h").distinct()
-        if fingerprints is not None
-        else winnow_fingerprints(
-            new_docs, k=k, w=w, id_col=id_col, text_col=text_col
-        )
-        .select("doc_id", "h")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # distinct).  ``fingerprints_distinct=True`` is the caller's PROMISE
+    # that the relation is already a materialized distinct (doc_id, h)
+    # — the composed hot paths build it `.distinct().localCheckpoint()`
+    # two lines up, and re-normalizing there costs an extra corpus
+    # shuffle + copy per bulk batch (measured ~2 full exchanges at the
+    # 1.5M smoke).  The normalized relation is checkpointed either way:
+    # new_fp feeds many consumers (guard, posting join, counts, index
+    # append), and an unmaterialized distinct would re-run per job.
+    if fingerprints is not None and fingerprints_distinct:
+        new_fp = fingerprints
+    else:
+        new_fp = (
+            fingerprints.select("doc_id", "h").distinct()
+            if fingerprints is not None
+            else winnow_fingerprints(
+                new_docs, k=k, w=w, id_col=id_col, text_col=text_col
+            )
+            .select("doc_id", "h")
+            .distinct()
+        ).localCheckpoint(eager=True)
     # Replacement semantics on re-ingest: drop index rows for batch
     # doc_ids (tiny broadcast side) before the union.
     new_ids = new_fp.select("doc_id").distinct()
@@ -1505,9 +1541,26 @@ def winnow_incremental_indexed(
         .join(F.broadcast(new_ids), "doc_id", "left_anti")
         .unionByName(new_fp)
     )
+    if broadcast_batch is None:
+        # the batch relation is checkpointed (or caller-materialized),
+        # so the count is a cheap metadata-ish job over batch-sized data
+        broadcast_batch = new_fp.count() <= broadcast_batch_rows
+    if broadcast_batch:
+        # ONE index scan per batch: materialize only the postings whose
+        # h appears in the batch — exactly the rows BOTH the guard's
+        # posting-frequency aggregate and the pair join consume (a row
+        # with h outside the batch's set can never match either).
+        # ``hits`` is pre-expansion (posting rows, not pairs), so
+        # materializing it is linear and safe to do before the guard.
+        hits = both.join(
+            F.broadcast(new_fp.select("h").distinct()), "h"
+        ).localCheckpoint(eager=True)
+        pair_src = hits
+    else:
+        pair_src = both
     if max_join_pairs is not None:
         nw = new_fp.groupBy("h").count().withColumnRenamed("count", "nc")
-        bw = both.groupBy("h").count().withColumnRenamed("count", "bc")
+        bw = pair_src.groupBy("h").count().withColumnRenamed("count", "bc")
         total = (
             nw.join(bw, "h")
             .agg(F.sum(F.col("nc") * F.col("bc")).alias("p"))
@@ -1520,9 +1573,10 @@ def winnow_incremental_indexed(
                 "span-dedup or collapse the boilerplate first, or raise "
                 "max_join_pairs deliberately"
             )
-    l, r = new_fp.alias("l"), both.alias("r")
+    l, r = new_fp.alias("l"), pair_src.alias("r")
+    lsrc = F.broadcast(l) if broadcast_batch else l
     shared = (
-        l.join(
+        lsrc.join(
             r,
             (F.col("l.h") == F.col("r.h"))
             & (F.col("l.doc_id") != F.col("r.doc_id")),
@@ -1535,19 +1589,32 @@ def winnow_incremental_indexed(
         .groupBy("id1", "id2")
         .agg(F.count_distinct("h").alias("shared"))
     )
-    cnt = both.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    if index_counts is not None:
+        # standing counts (docs-sized) + the batch's own, with the same
+        # replacement anti-join the index side got — no index groupBy
+        batch_cnt = new_fp.groupBy("doc_id").agg(
+            F.count("*").alias("n_fp")
+        )
+        cnt = (
+            index_counts.select("doc_id", "n_fp")
+            .join(F.broadcast(new_ids), "doc_id", "left_anti")
+            .unionByName(batch_cnt)
+        )
+    else:
+        cnt = both.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
     cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
-    pairs = (
-        shared.join(n1, "id1")
-        .join(n2, "id2")
-        .select(
-            "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
-            cont.alias("containment"),
-        )
-        .where(F.col("containment") >= threshold)
-    )
+    # in batch-proportional mode the pair set is guard-bounded and
+    # broadcasts into the docs-sized counts relation (which then only
+    # streams); bulk mode keeps the shuffle joins
+    sh1 = F.broadcast(shared) if broadcast_batch else shared
+    p1 = sh1.join(n1, "id1")
+    p2 = (F.broadcast(p1) if broadcast_batch else p1).join(n2, "id2")
+    pairs = p2.select(
+        "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
+        cont.alias("containment"),
+    ).where(F.col("containment") >= threshold)
     return pairs, new_fp
 
 
@@ -1712,6 +1779,8 @@ def winnow_decontaminate(
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
     fingerprints: DataFrame | None = None,
+    fingerprints_distinct: bool = False,
+    eval_fingerprints: DataFrame | None = None,
     denom: str = "eval",
 ) -> DataFrame:
     """Fingerprint-level decontamination: which training docs share at
@@ -1742,19 +1811,32 @@ def winnow_decontaminate(
     # Callers may hand in the positional winnow_fingerprints output;
     # `shared` counts rows, so a non-distinct relation would multi-count
     # hashes per position and inflate containment past 1.0 — normalize
-    # defensively (idempotent for already-distinct inputs, batch-sized
-    # exchange in the composed-pipeline path).
-    doc_fp = (
-        fingerprints.select("doc_id", "h").distinct()
-        if fingerprints is not None
-        else winnow_fingerprints(
-            docs, k=k, w=w, id_col=id_col, text_col=text_col
+    # defensively.  ``fingerprints_distinct=True`` is the caller's
+    # promise of an already-distinct (doc_id, h) relation (the composed
+    # pipeline builds it `.distinct().localCheckpoint()` itself; the
+    # redundant exchange is a full corpus shuffle on bulk batches).
+    if fingerprints is not None and fingerprints_distinct:
+        doc_fp = fingerprints
+    else:
+        doc_fp = (
+            fingerprints.select("doc_id", "h").distinct()
+            if fingerprints is not None
+            else winnow_fingerprints(
+                docs, k=k, w=w, id_col=id_col, text_col=text_col
+            )
+            .select("doc_id", "h")
+            .distinct()
         )
-        .select("doc_id", "h")
-        .distinct()
-    )
+    # ``eval_fingerprints`` lets a standing caller (the streaming
+    # pipeline decontaminating every batch against one static eval set)
+    # fingerprint the eval side ONCE instead of per call — the same
+    # build-once contract the ``fingerprints`` param gives the doc
+    # side.  Expected columns: (eval_id, h); normalized defensively
+    # like the doc side.
     eval_fp = (
-        winnow_fingerprints(
+        eval_fingerprints.select("eval_id", "h").distinct()
+        if eval_fingerprints is not None
+        else winnow_fingerprints(
             eval_docs, k=k, w=w, id_col=eval_id_col,
             text_col=eval_text_col,
         )

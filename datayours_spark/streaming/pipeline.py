@@ -39,10 +39,14 @@ via the BatchStore markers) and forced compaction.
 
 Scale shape per batch: gate is a projection; dedup is the WinnowStream
 posting equi-join (batch×index via fingerprint postings, never
-all-pairs); packing is one batch-sized window per shard plus a
-broadcast of the shards-sized cursor row set.  Nothing corpus-sized is
-rescanned per batch — the standing state enters via the fingerprint
-index (compacted LWW) and the cursor rows.
+all-pairs) run in its batch-proportional mode — the standing index is
+SCANNED once (hb-pruned when the batch's fingerprint buckets allow)
+but never shuffled: last-writer-wins resolves over the post-watermark
+tail only, containment denominators come from the docs-sized
+``counts`` table, and the batch's fingerprints broadcast into the
+posting join (winnowstream module docstring has the full argument);
+packing is one batch-sized window per shard plus a broadcast of the
+shards-sized cursor row set.
 """
 
 from __future__ import annotations
@@ -61,7 +65,13 @@ from datayours_spark.functions.dedup import (
 from datayours_spark.functions.sampling import hash_bucket
 from datayours_spark.functions.text import gopher_rules
 from datayours_spark.streaming.store import BatchStore
-from datayours_spark.streaming.winnowstream import _index_lww
+from datayours_spark.streaming.winnowstream import (
+    _index_lww,
+    standing_counts_view,
+    standing_index_view,
+    write_counts_batch,
+    write_index_batch,
+)
 
 DOC_SCHEMA = "doc_id bigint, text string, source string"
 GATES_SCHEMA = (
@@ -71,7 +81,8 @@ GATES_SCHEMA = (
     "ok_alpha_words boolean, ok_stopwords boolean, pass_all boolean"
 )
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
-INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint"
+INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint, hb int"
+COUNTS_SCHEMA = "doc_id bigint, n_fp bigint, batch bigint"
 CONTAM_SCHEMA = (
     "doc_id bigint, eval_id bigint, shared bigint, containment double"
 )
@@ -80,14 +91,24 @@ PACKED_SCHEMA = (
     "first_chunk bigint, n_chunks bigint"
 )
 CURSORS_SCHEMA = "shard int, end_offset bigint, batch bigint"
+# one row per (chunk, batch) SEGMENT of materialized token ids: a
+# capacity-sized training chunk whose docs span a batch boundary lands
+# as one segment per batch; ``goff`` (the segment's first global
+# offset) orders segments at merge time (``IngestPipeline.payload``)
+PAYLOAD_SCHEMA = (
+    "shard int, chunk bigint, goff bigint, n_ids bigint, ids string, "
+    "batch bigint"
+)
 
 SCHEMAS = {
     "gates": GATES_SCHEMA,
     "pairs": PAIRS_SCHEMA,
     "index": INDEX_SCHEMA,
+    "counts": COUNTS_SCHEMA,
     "contamination": CONTAM_SCHEMA,
     "packed": PACKED_SCHEMA,
     "cursors": CURSORS_SCHEMA,
+    "payload": PAYLOAD_SCHEMA,
 }
 
 
@@ -162,6 +183,62 @@ def _pack_manifest(
     )
 
 
+def _payload_segments(
+    kept: DataFrame,
+    manifest: DataFrame,
+    vocab: DataFrame,
+    capacity: int,
+) -> DataFrame:
+    """Materialized token-id segments for one batch's kept docs: the
+    id stream (`tokenize_ids`, broadcast vocab — model state) joins the
+    batch's packing manifest on doc_id, maps every id to its global
+    offset, and aggregates per (shard, chunk) — group state bounded by
+    the chunk capacity, in-chunk order restored by sorting the
+    (goff, tid) structs inside each bounded group (the q_pack_ids
+    shape, here batch-scoped so chunks spanning batches emit one
+    SEGMENT per batch)."""
+    from datayours_spark.functions.text import tokenize_ids
+
+    ids = tokenize_ids(kept, vocab)
+    tok = ids.join(
+        manifest.select("doc_id", "shard", "offset"), "doc_id"
+    ).select(
+        "shard",
+        F.expr(f"(offset + pos) div {capacity}").alias("chunk"),
+        (F.col("offset") + F.col("pos")).alias("goff"),
+        "tid",
+    )
+    return tok.groupBy("shard", "chunk").agg(
+        F.min("goff").alias("goff"),
+        F.count("*").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("goff", "tid"))),
+                lambda s: s.getField("tid"),
+            ),
+            ",",
+        ).alias("ids"),
+    )
+
+
+def merge_payload_segments(seg: DataFrame) -> DataFrame:
+    """Fold per-batch payload segments into complete chunks:
+    (shard, chunk, n_ids, ids) — segments concatenate in goff order
+    (offsets are contiguous per shard across batches, so segment order
+    IS id order).  Group state is capacity-bounded; this is the
+    terminal export view over the ``payload`` table."""
+    return seg.groupBy("shard", "chunk").agg(
+        F.sum("n_ids").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("goff", "ids"))),
+                lambda s: s.getField("ids"),
+            ),
+            ",",
+        ).alias("ids"),
+    )
+
+
 def ingest_pipeline_batch(
     docs: DataFrame,
     min_words: int = 50,
@@ -175,12 +252,18 @@ def ingest_pipeline_batch(
     max_join_pairs: int | None = 50_000_000,
     eval_docs: DataFrame | None = None,
     decon_threshold: float = 0.5,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    vocab: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """The batch-mode composition the stream must reproduce:
     gate → decontaminate (against ``eval_docs``, when given) → winnow
     near-dup pairs → drop every doc that is the greater id of a pair →
-    pack the kept docs.  Returns (gates, contamination, pairs, packed);
-    ``contamination`` is empty when no eval set is supplied.  This is
+    pack the kept docs → (optionally) materialize the packed token-id
+    payload.  Returns (gates, contamination, pairs, packed, payload);
+    ``contamination`` is empty when no eval set is supplied, ``payload``
+    is empty unless a ``vocab`` (tok, rk) relation is given — the
+    tokenizer is MODEL STATE fixed before ingest (a streaming build
+    cannot derive a corpus-global vocabulary mid-flight), so the
+    payload stage takes it as input rather than inducing it.  This is
     the differential oracle for :class:`IngestPipeline` and a one-shot
     corpus-build entry point in its own right.
 
@@ -213,7 +296,7 @@ def ingest_pipeline_batch(
     if eval_docs is not None:
         contamination = winnow_decontaminate(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
-            fingerprints=surv_fp,
+            fingerprints=surv_fp, fingerprints_distinct=True,
         )
         drops0 = contamination.select("doc_id").distinct()
         survivors = survivors.join(drops0, "doc_id", "left_anti")
@@ -237,7 +320,16 @@ def ingest_pipeline_batch(
         "left_anti",
     )
     packed = _pack_manifest(kept, shards, capacity)
-    return gates, contamination, pairs, packed
+    if vocab is not None:
+        payload = merge_payload_segments(
+            _payload_segments(kept, packed, vocab, capacity)
+            .withColumn("batch", F.lit(0))
+        )
+    else:
+        payload = docs.sparkSession.createDataFrame(
+            [], "shard int, chunk bigint, n_ids bigint, ids string"
+        )
+    return gates, contamination, pairs, packed, payload
 
 
 @dataclass
@@ -266,33 +358,74 @@ class IngestPipeline:
     #: doc_ids must be disjoint from training doc_ids.
     eval_docs: DataFrame | None = None
     decon_threshold: float = 0.5
+    #: optional FIXED tokenizer vocabulary (tok, rk) — model state,
+    #: broadcast; when given, every batch's kept docs are id-ized and
+    #: their capacity-sized chunk payload segments land in ``payload``
+    #: (chunks spanning batches emit one segment per batch; the
+    #: ``payload()`` reader merges them in goff order)
+    vocab: DataFrame | None = None
     #: which Gopher rule booleans must hold for a doc to survive the
     #: gate (None = ``pass_all``) — mirrors ``ingest_pipeline_batch``'s
     #: ``gate_cols`` so the stream ≡ batch contract covers the
     #: documented non-English/synthetic configuration where the
     #: stopword rule would otherwise reject every doc
     gate_cols: tuple[str, ...] | None = None
+    #: hash-range partition count for the stored fingerprint index
+    #: (dir layout + posting-join prune; winnowstream docstring)
+    index_buckets: int = 32
+    #: broadcast the batch's fingerprints into the posting join when
+    #: at most this many rows (winnow_incremental_indexed contract)
+    broadcast_fp_rows: int = 4_000_000
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
+    _eval_fp: DataFrame = field(default=None, repr=False)
 
     @property
     def store(self) -> BatchStore:
         if self._store is None:
             self._store = BatchStore(
-                self.spark, self.store_dir, compact_every=self.compact_every
+                self.spark,
+                self.store_dir,
+                compact_every=self.compact_every,
+                partition_cols={"index": ["hb"]},
             )
         return self._store
+
+    def _schemas(self) -> dict[str, str]:
+        """The store tables this pipeline instance maintains — the
+        payload table only exists when a vocabulary is configured (its
+        absence must not fail the exactly-once committed check)."""
+        if self.vocab is not None:
+            return SCHEMAS
+        return {k: v for k, v in SCHEMAS.items() if k != "payload"}
 
     def _read_or_empty(self, name: str) -> DataFrame:
         return self.store.read_or_empty(name, SCHEMAS[name])
 
+    @property
+    def eval_fp(self) -> DataFrame | None:
+        """The static eval set's (eval_id, h) fingerprints, computed
+        ONCE per pipeline (checkpointed) — the eval side never changes
+        between batches, so per-batch re-fingerprinting is pure waste."""
+        if self.eval_docs is None:
+            return None
+        if self._eval_fp is None:
+            self._eval_fp = (
+                winnow_fingerprints(self.eval_docs, k=self.k, w=self.w)
+                .select(F.col("doc_id").alias("eval_id"), "h")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        return self._eval_fp
+
     def _process(self, batch: DataFrame, batch_id: int) -> None:
+        schemas = self._schemas()
         dests = {
-            name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
+            name: self.store.batch_dest(name, batch_id) for name in schemas
         }
         if all(
-            self.store.batch_committed(name, batch_id) for name in SCHEMAS
+            self.store.batch_committed(name, batch_id) for name in schemas
         ):
             return
         docs = batch.select("doc_id", "text", "source")
@@ -329,6 +462,8 @@ class IngestPipeline:
                 survivors, self.eval_docs,
                 k=self.k, w=self.w, threshold=self.decon_threshold,
                 fingerprints=surv_fp,
+                fingerprints_distinct=True,
+                eval_fingerprints=self.eval_fp,
             ).localCheckpoint(eager=True)  # sink + drop set
             drops0 = contamination.select("doc_id").distinct()
             survivors = survivors.join(drops0, "doc_id", "left_anti")
@@ -341,20 +476,27 @@ class IngestPipeline:
             dests["contamination"]
         )
 
-        # 2. DEDUP — survivors vs the standing LWW index
-        index = _index_lww(self._read_or_empty("index"))
+        # 2. DEDUP — survivors vs the standing LWW index view
+        # (batch-proportional: tail-only LWW, hb-pruned pair path,
+        # counts-table denominators — winnowstream docstring)
+        index = standing_index_view(self.store, surv_fp, self.index_buckets)
+        counts = standing_counts_view(self.store)
         pairs, batch_fp = winnow_incremental_indexed(
             survivors,
             index.select("doc_id", "h"),
             k=self.k, w=self.w, threshold=self.threshold,
             max_join_pairs=self.max_join_pairs,
             fingerprints=surv_fp,
+            fingerprints_distinct=True,
+            index_counts=counts.select("doc_id", "n_fp"),
+            broadcast_batch_rows=self.broadcast_fp_rows,
         )
         pairs = pairs.localCheckpoint(eager=True)  # pairs sink + drop set
         pairs.write.mode("overwrite").parquet(dests["pairs"])
-        batch_fp.withColumn("batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(dests["index"])
+        write_index_batch(
+            batch_fp, batch_id, dests["index"], self.index_buckets
+        )
+        write_counts_batch(batch_fp, batch_id, dests["counts"])
         kept = survivors.join(
             pairs.select(F.col("id2").alias("doc_id")).distinct(),
             "doc_id",
@@ -385,8 +527,25 @@ class IngestPipeline:
             )
         )
         new_cursors.write.mode("overwrite").parquet(dests["cursors"])
+
+        # 4. PAYLOAD (optional) — materialize the kept docs' token-id
+        # chunk segments against the fixed vocabulary; the batch's
+        # manifest carries the global offsets, so chunk ids continue
+        # across batches and a spanning chunk simply gets one segment
+        # per batch (merged by the payload() reader)
+        if self.vocab is not None:
+            (
+                _payload_segments(
+                    kept, packed, self.vocab, self.capacity
+                )
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(dests["payload"])
+            )
         self.store.maybe_compact(
-            batch_id, SCHEMAS, folds={"index": _index_lww}
+            batch_id,
+            schemas,
+            folds={"index": _index_lww, "counts": _index_lww},
         )
 
     def start(self):
@@ -412,3 +571,9 @@ class IngestPipeline:
 
     def packed(self) -> DataFrame:
         return self._read_or_empty("packed")
+
+    def payload(self) -> DataFrame:
+        """Complete materialized chunks (shard, chunk, n_ids, ids) —
+        per-batch segments merged in goff order (capacity-bounded
+        group state; the terminal training-data export view)."""
+        return merge_payload_segments(self._read_or_empty("payload"))

@@ -69,6 +69,12 @@ class BatchStore:
     store_dir: str
     #: fold the per-batch dirs every N batches; None disables
     compact_every: int | None = 64
+    #: table name -> partition columns: compacted rewrites of that
+    #: table keep its hash-range directory layout (e.g. the winnow
+    #: index partitioned by a bucket of ``h`` so posting-join readers
+    #: can prune to a batch's fingerprint buckets).  Writers of the
+    #: per-batch dirs apply the same partitionBy themselves.
+    partition_cols: dict | None = None
     _fs: object = field(default=None, repr=False)
     _jpath: object = field(default=None, repr=False)
 
@@ -129,28 +135,72 @@ class BatchStore:
             return True
         return batch_id <= self.watermark(name)
 
-    def committed_dirs(self, name: str) -> list[str]:
-        """The reader view: latest compacted dir + newer batch dirs."""
+    def committed_dirs_split(
+        self, name: str
+    ) -> tuple[list[str], list[str]]:
+        """The reader view split at the compaction watermark:
+        ``(compacted_dirs, tail_batch_dirs)`` — the latest committed
+        ``compacted-<W>`` dir (0 or 1 entries) and the committed
+        ``batch-<id>`` dirs with id > W.  The split lets a
+        replacement-semantics reader treat the compacted side as
+        ALREADY FOLDED (the compaction fold ran over it) and restrict
+        per-batch last-writer-wins work to the tail, whose size is
+        bounded by ``compact_every`` batches — corpus-independent."""
         subs = self._listdir(name)
         w = -1
         for sub in subs:
             m = _COMPACTED_RE.match(sub)
             if m and self._has_success(name, sub):
                 w = max(w, int(m.group(1)))
-        out = []
+        compacted = []
         if w >= 0:
-            out.append("/".join([self.store_dir, name, f"compacted-{w:012d}"]))
+            compacted.append(
+                "/".join([self.store_dir, name, f"compacted-{w:012d}"])
+            )
+        tail = []
         for sub in subs:
             m = _BATCH_RE.match(sub)
             if m and int(m.group(1)) > w and self._has_success(name, sub):
-                out.append("/".join([self.store_dir, name, sub]))
-        return out
+                tail.append("/".join([self.store_dir, name, sub]))
+        return compacted, tail
 
-    def read_or_empty(self, name: str, schema: str) -> DataFrame:
-        dirs = self.committed_dirs(name)
+    def committed_dirs(self, name: str) -> list[str]:
+        """The reader view: latest compacted dir + newer batch dirs."""
+        compacted, tail = self.committed_dirs_split(name)
+        return compacted + tail
+
+    def _read_dirs(self, name: str, schema: str, dirs: list[str]) -> DataFrame:
         if not dirs:
             return self.spark.createDataFrame([], schema)
+        if (self.partition_cols or {}).get(name) and len(dirs) > 1:
+            # Hive-style partition discovery refuses multiple
+            # partitioned roots in one load (KD009) — load each root
+            # and union (Spark's own documented advice); dir count is
+            # bounded by compact_every + 1
+            parts = [
+                self.spark.read.schema(schema).parquet(d) for d in dirs
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         return self.spark.read.schema(schema).parquet(*dirs)
+
+    def read_or_empty(self, name: str, schema: str) -> DataFrame:
+        return self._read_dirs(name, schema, self.committed_dirs(name))
+
+    def read_split(
+        self, name: str, schema: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """:meth:`read_or_empty` split at the compaction watermark:
+        ``(compacted_df, tail_df)``, either possibly empty.  Their
+        union IS the reader view; see :meth:`committed_dirs_split` for
+        why a replacement-semantics reader wants the split."""
+        compacted, tail = self.committed_dirs_split(name)
+        return (
+            self._read_dirs(name, schema, compacted),
+            self._read_dirs(name, schema, tail),
+        )
 
     # ---------------------------------------------------------- compaction
     def compact(
@@ -182,16 +232,21 @@ class BatchStore:
                     "/".join([self.store_dir, name, f"compacted-{old_w:012d}"])
                 )
             srcs += ["/".join([self.store_dir, name, s]) for s in folds]
-            unioned = self.spark.read.schema(schema).parquet(*srcs)
+            unioned = self._read_dirs(name, schema, srcs)
             if fold is not None:
                 unioned = fold(unioned)
-            (
-                unioned
-                .write.mode("overwrite")
-                .parquet(
-                    "/".join(
-                        [self.store_dir, name, f"compacted-{upto_batch_id:012d}"]
-                    )
+            pcols = (self.partition_cols or {}).get(name)
+            if pcols:
+                # cluster by the partition cols first so each task
+                # writes only the dirs it holds (without this, write
+                # fan-out is tasks × dirs small files)
+                unioned = unioned.repartition(*pcols)
+            writer = unioned.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(
+                "/".join(
+                    [self.store_dir, name, f"compacted-{upto_batch_id:012d}"]
                 )
             )
         # GC everything the (possibly new) watermark supersedes — also

@@ -13,7 +13,8 @@ micro-batch
    via the posting equi-join, new×new within the batch),
 2. appends the verified pairs to the ``pairs`` table,
 3. appends the batch's own distinct fingerprints to the ``index`` table
-   — keeping it current for the next batch.
+   and its per-doc fingerprint counts to the ``counts`` table — keeping
+   both current for the next batch.
 
 Invariant (tested): the union of per-batch pair emissions equals the
 full recompute's pair set — WITH the caveat every containment metric
@@ -21,6 +22,31 @@ carries: a pair's containment denominator is min(n_fp) of the two docs,
 both fixed at fingerprinting time, so per-batch emission is exact (no
 later batch can change an earlier pair's score; unlike a global metric
 there is nothing corpus-dependent in the pair score).
+
+Per-batch cost is BATCH-PROPORTIONAL against the standing state
+(r9 verdict "what's wrong" #2 — the previous form ran two full-index
+shuffles per batch):
+
+- **LWW read**: the compacted side of the store is already folded to
+  last-writer-wins (the compaction fold), so the reader runs LWW only
+  over the post-watermark TAIL (≤ ``compact_every`` batches) and
+  anti-joins the tail's doc_ids (broadcast, tail-sized) out of the
+  compacted side — no corpus-sized groupBy, no corpus shuffle
+  (:func:`standing_index_view`).
+- **Denominators**: the standing ``counts`` table (docs-sized, one row
+  per live doc) feeds containment denominators, so the per-batch path
+  never re-aggregates the fingerprint index by doc_id.
+- **Posting join**: the batch fingerprints broadcast into the index
+  scan (`winnow_incremental_indexed(broadcast_batch=...)`), so the
+  index is SCANNED once per batch but never shuffled.
+- **Bucket prune**: compacted index dirs are hash-partitioned by
+  ``hb = pmod(h, index_buckets)``; a batch whose fingerprints hit only
+  some buckets (trickle ingest, targeted re-checks) reads only those —
+  PartitionFilters at the scan.  Uniform fingerprint hashes hit every
+  bucket once a batch carries more than ~``index_buckets``
+  fingerprints, so this prunes the long tail of tiny batches, not bulk
+  loads; the broadcast posting join is what keeps bulk batches
+  index-shuffle-free.
 
 Exactly-once + compaction: the same ``BatchStore`` discipline as every
 member of the family (batch-keyed dirs, `_SUCCESS` markers, watermark
@@ -35,7 +61,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datayours_spark.functions.dedup import winnow_incremental_indexed
+from datayours_spark.functions.dedup import (
+    winnow_fingerprints,
+    winnow_incremental_indexed,
+)
 from datayours_spark.streaming.store import BatchStore
 
 DOC_SCHEMA = "doc_id bigint, text string"
@@ -44,21 +73,125 @@ DOC_SCHEMA = "doc_id bigint, text string"
 # latest-batch fingerprints (last-writer-wins), so a doc re-ingested in
 # batch i never unions old+new rows when batch i+1 reads the index —
 # the n_fp containment denominator stays single-version (ADVICE r8).
-INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint"
+# ``hb`` is the hash-range partition bucket (pmod(h, index_buckets)).
+INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint, hb int"
+COUNTS_SCHEMA = "doc_id bigint, n_fp bigint, batch bigint"
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
 
-SCHEMAS = {"pairs": PAIRS_SCHEMA, "index": INDEX_SCHEMA}
+SCHEMAS = {
+    "pairs": PAIRS_SCHEMA,
+    "index": INDEX_SCHEMA,
+    "counts": COUNTS_SCHEMA,
+}
 
 
 def _index_lww(index: DataFrame) -> DataFrame:
-    """Last-writer-wins view of the stored index: per doc_id, keep only
-    the rows of its highest ingesting batch.
-
-    Scale shape: one map-side-combinable per-doc max (docs-sized output)
-    joined back on (doc_id, batch) — both sides hash-partition on
-    doc_id, no window, no broadcast of anything corpus-sized."""
+    """Last-writer-wins fold of the stored index: per doc_id, keep only
+    the rows of its highest ingesting batch.  Used at COMPACTION time
+    (amortized over ``compact_every`` batches), where the full groupBy
+    is the point — it physically drops superseded rows.  The per-batch
+    READ path must not pay this over the whole index; it uses
+    :func:`_index_lww_split` / :func:`standing_index_view`."""
     latest = index.groupBy("doc_id").agg(F.max("batch").alias("batch"))
     return index.join(latest, ["doc_id", "batch"])
+
+
+def _index_lww_split(compacted: DataFrame, tail: DataFrame) -> DataFrame:
+    """Batch-proportional last-writer-wins view over a store read split
+    at the compaction watermark (``BatchStore.read_split``).
+
+    The compacted side was written BY the LWW fold, so it is already
+    single-version per doc; every batch in the tail has a batch id
+    above the watermark, so a doc present in both sides is newest in
+    the tail.  Hence: LWW within the tail (tail-sized groupBy,
+    ≤ ``compact_every`` batches of rows), then anti-join the tail's
+    doc_ids (broadcast, tail-sized) out of the compacted side — the
+    corpus-sized side is scanned once, never shuffled."""
+    tail_latest = tail.groupBy("doc_id").agg(F.max("batch").alias("batch"))
+    tail_lww = tail.join(tail_latest, ["doc_id", "batch"])
+    base = compacted.join(
+        F.broadcast(tail.select("doc_id").distinct()),
+        "doc_id",
+        "left_anti",
+    )
+    return base.unionByName(tail_lww)
+
+
+def _with_hb(fp: DataFrame, buckets: int) -> DataFrame:
+    """Stamp the hash-range partition column on a (…, h, …) relation."""
+    return fp.withColumn(
+        "hb", F.pmod(F.col("h"), F.lit(buckets)).cast("int")
+    )
+
+
+def standing_index_view(
+    store: BatchStore, batch_fp: DataFrame, buckets: int
+) -> DataFrame:
+    """The LWW standing index view for one batch's pair computation,
+    hb-pruned to the batch's fingerprint buckets when that prunes
+    anything.  Safe for the PAIR path only: a standing row with hb
+    outside the batch's bucket set can never h-match a batch
+    fingerprint, and containment denominators come from the ``counts``
+    table, not from this relation.
+
+    The LWW bookkeeping (which batch is each doc's latest, which docs
+    live in the tail) is computed over the UNPRUNED tail — a doc
+    re-ingested with fingerprints entirely outside the batch's buckets
+    must still supersede its compacted rows INSIDE them; only the
+    surviving data rows are bucket-filtered (mutation-tested)."""
+    comp, tail = store.read_split("index", INDEX_SCHEMA)
+    tail_latest = tail.groupBy("doc_id").agg(
+        F.max("batch").alias("batch")
+    )
+    tail_ids = tail_latest.select("doc_id")
+    bks = [
+        r.hb
+        for r in _with_hb(batch_fp.select("h").distinct(), buckets)
+        .select("hb").distinct().collect()
+    ]
+    if len(bks) < buckets:
+        comp = comp.where(F.col("hb").isin(bks))
+        tail = tail.where(F.col("hb").isin(bks))
+    tail_lww = tail.join(tail_latest, ["doc_id", "batch"])
+    base = comp.join(F.broadcast(tail_ids), "doc_id", "left_anti")
+    return base.unionByName(tail_lww)
+
+
+def standing_counts_view(store: BatchStore) -> DataFrame:
+    """The LWW standing per-doc fingerprint-count view (docs-sized)."""
+    comp, tail = store.read_split("counts", COUNTS_SCHEMA)
+    return _index_lww_split(comp, tail)
+
+
+def write_index_batch(
+    batch_fp: DataFrame, batch_id: int, dest: str, buckets: int
+) -> None:
+    """Append one batch's fingerprints with ``hb`` as a DATA column —
+    batch dirs stay flat (a per-batch ``partitionBy`` would fan every
+    micro-batch out into ``buckets`` tiny files); the hb DIRECTORY
+    layout materializes at compaction, where the amortized rewrite
+    clusters by hb anyway (``BatchStore.partition_cols``).  Readers see
+    one uniform schema either way: hb rides in the files for tail
+    dirs and in the dir names for compacted ones, and the bucket prune
+    only pays on the compacted (corpus-sized) side."""
+    (
+        _with_hb(batch_fp.withColumn("batch", F.lit(batch_id)), buckets)
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+
+
+def write_counts_batch(
+    batch_fp: DataFrame, batch_id: int, dest: str
+) -> None:
+    """Append one batch's per-doc distinct-fingerprint counts."""
+    (
+        batch_fp.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"))
+        .withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
 
 
 @dataclass
@@ -67,11 +200,18 @@ class WinnowStream:
 
     spark: SparkSession
     input_dir: str       # streaming source: parquet drops of (doc_id, text)
-    store_dir: str       # holds index/, pairs/
+    store_dir: str       # holds index/, counts/, pairs/
     checkpoint_dir: str
     k: int = 4
     w: int = 4
     threshold: float = 0.5
+    #: hash-range partition count for the stored index (dir layout +
+    #: posting-join prune); fixed for the lifetime of a store
+    index_buckets: int = 32
+    #: broadcast the batch's fingerprints into the posting join when
+    #: they number at most this many rows (bulk loads above it fall
+    #: back to the shuffle join, whose cost the batch itself dominates)
+    broadcast_fp_rows: int = 4_000_000
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -80,7 +220,10 @@ class WinnowStream:
     def store(self) -> BatchStore:
         if self._store is None:
             self._store = BatchStore(
-                self.spark, self.store_dir, compact_every=self.compact_every
+                self.spark,
+                self.store_dir,
+                compact_every=self.compact_every,
+                partition_cols={"index": ["hb"]},
             )
         return self._store
 
@@ -96,32 +239,42 @@ class WinnowStream:
         ):
             return
         new = batch.select("doc_id", "text")
-        # Last-writer-wins read: superseded rows for docs re-ingested in
-        # EARLIER batches are dropped here (the compute-time anti-join
-        # inside winnow_incremental only covers THIS batch's doc_ids).
-        index = _index_lww(self._read_or_empty("index", INDEX_SCHEMA))
-        # _indexed returns the batch's checkpointed fingerprints so the
-        # index append reuses them instead of re-fingerprinting the
-        # batch (the EmbedStream build-once contract — ADVICE r7)
-        pairs, batch_fp = winnow_incremental_indexed(
+        # fingerprint the batch ONCE (checkpoint feeds the bucket-set
+        # collect, the posting join, the index append and the counts)
+        batch_fp = (
+            winnow_fingerprints(new, k=self.k, w=self.w)
+            .select("doc_id", "h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        index = standing_index_view(self.store, batch_fp, self.index_buckets)
+        counts = standing_counts_view(self.store)
+        pairs, _ = winnow_incremental_indexed(
             new,
             index.select("doc_id", "h"),
             k=self.k,
             w=self.w,
             threshold=self.threshold,
+            fingerprints=batch_fp,
+            fingerprints_distinct=True,
+            index_counts=counts.select("doc_id", "n_fp"),
+            broadcast_batch_rows=self.broadcast_fp_rows,
         )
         pairs.write.mode("overwrite").parquet(dests["pairs"])
-        # index rows land AFTER the pair emission so the batch never
-        # joins itself through the standing index (new×new is handled
-        # inside winnow_incremental)
-        batch_fp.withColumn("batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(dests["index"])
+        # index + counts rows land AFTER the pair emission so the batch
+        # never joins itself through the standing state (new×new is
+        # handled inside winnow_incremental)
+        write_index_batch(
+            batch_fp, batch_id, dests["index"], self.index_buckets
+        )
+        write_counts_batch(batch_fp, batch_id, dests["counts"])
         # compaction folds with the same LWW rule, so superseded rows
         # are physically dropped (storage stays bounded by live docs);
         # the fold is a no-op on the reader view, which filters anyway
         self.store.maybe_compact(
-            batch_id, SCHEMAS, folds={"index": _index_lww}
+            batch_id,
+            SCHEMAS,
+            folds={"index": _index_lww, "counts": _index_lww},
         )
 
     def start(self):

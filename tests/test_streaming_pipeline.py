@@ -48,7 +48,7 @@ class TestIngestPipeline:
             pipe._process(spark.createDataFrame(rows, SCHEMA), i)
 
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, _b_cont, b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _b_cont, b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
 
         # 1. gates: per-row scoring — identical by construction
         assert {tuple(r) for r in pipe.gates().collect()} == {
@@ -110,7 +110,7 @@ class TestIngestPipeline:
         finally:
             q.stop()
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, _b_cont, _b_pairs, b_packed = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _b_cont, _b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
         assert {tuple(r) for r in pipe.gates().collect()} == {
             tuple(r) for r in b_gates.collect()
         }
@@ -149,13 +149,71 @@ class TestIngestPipeline:
         assert not kept & contaminated
         # stream ≡ batch with the same eval set
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        _g, b_cont, _p, b_packed = ingest_pipeline_batch(
+        _g, b_cont, _p, b_packed, _pl = ingest_pipeline_batch(
             all_docs, eval_docs=eval_docs, decon_threshold=0.3, **KW
         )
         assert got_cont == {tuple(r) for r in b_cont.collect()}
         assert {tuple(r) for r in pipe.packed().collect()} == {
             tuple(r) for r in b_packed.collect()
         }
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_payload_stage_stream_equals_batch(self, spark):
+        """Optional 5th stage: with a FIXED vocabulary configured, the
+        stream materializes per-batch token-id chunk segments whose
+        merged view equals the batch composition's payload — including
+        chunks that SPAN batch boundaries (capacity 8 < doc length, so
+        every shard's chunk grid crosses docs and batches)."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        from datayours_spark.functions.text import vocab_topv
+
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        vocab = vocab_topv(
+            all_docs.select("doc_id", "text"), 50
+        ).localCheckpoint(eager=True)
+        # threshold 0.8: only the true near-dup family (1/3/20 share
+        # 12 of ~13 tokens) pairs; 11 and 21 SURVIVE — multiple kept
+        # docs across batches is what makes chunks span batches
+        kw = dict(KW, threshold=0.8)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            vocab=vocab,
+            compact_every=2,
+            **kw,
+        )
+        batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+        got = {tuple(r) for r in pipe.payload().collect()}
+        _g, _c, _p, b_packed, b_payload = ingest_pipeline_batch(
+            all_docs, vocab=vocab, **kw
+        )
+        assert {r.doc_id for r in b_packed.collect()} >= {1, 11, 21}
+        assert got == {tuple(r) for r in b_payload.collect()}
+        # id conservation: every kept token materialized exactly once
+        assert sum(r[2] for r in got) == sum(
+            r.n_tokens for r in b_packed.collect()
+        )
+        # at least one chunk really spans batches (else the merge path
+        # went untested): >1 segment rows for some (shard, chunk)
+        seg = pipe._read_or_empty("payload")
+        assert (
+            seg.groupBy("shard", "chunk").count().where("count > 1").count()
+            > 0
+        )
+        # ids parse back to n_ids many tokens of the vocab id range
+        for _shard, _chunk, n_ids, ids in got:
+            parts = ids.split(",")
+            assert len(parts) == n_ids
+            assert all(p.isdigit() for p in parts)
+        # replay of a folded batch is a no-op for the payload table too
+        n = pipe.payload().count()
+        pipe._process(spark.createDataFrame(batches[0], SCHEMA), 0)
+        assert pipe.payload().count() == n
         shutil.rmtree(TMP, ignore_errors=True)
 
     def test_gate_cols_stream_equals_batch(self, spark):
@@ -185,7 +243,7 @@ class TestIngestPipeline:
         pipe._process(spark.createDataFrame(rows[:3], SCHEMA), 0)
         pipe._process(spark.createDataFrame(rows[3:], SCHEMA), 1)
         all_docs = spark.createDataFrame(rows, SCHEMA)
-        _g, _c, _p, b_packed = ingest_pipeline_batch(
+        _g, _c, _p, b_packed, _pl = ingest_pipeline_batch(
             all_docs, gate_cols=gate_cols, **KW
         )
         got_packed = {tuple(r) for r in pipe.packed().collect()}
@@ -193,7 +251,7 @@ class TestIngestPipeline:
         assert len(got_packed) == len(rows)  # nothing silently dropped
         # and with the default gate the same corpus packs nothing —
         # the configuration is load-bearing, not cosmetic
-        _g2, _c2, _p2, strict_packed = ingest_pipeline_batch(all_docs, **KW)
+        _g2, _c2, _p2, strict_packed, _pl2 = ingest_pipeline_batch(all_docs, **KW)
         assert strict_packed.count() == 0
         shutil.rmtree(TMP, ignore_errors=True)
 

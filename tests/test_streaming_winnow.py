@@ -5,7 +5,11 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
-from datayours_spark.functions.dedup import winnow_neardup
+from datayours_spark.functions.dedup import (
+    winnow_fingerprints,
+    winnow_incremental_indexed,
+    winnow_neardup,
+)
 from datayours_spark.streaming.winnowstream import WinnowStream
 
 TMP = Path(__file__).resolve().parent / "_tmp" / "winnowstream"
@@ -133,3 +137,88 @@ class TestWinnowStream:
         }
         assert got == want and (1, 30) in got
         shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_pruned_view_supersedes_outside_bucket_reingestion(self, spark):
+        """The hb-prune trap: a doc re-ingested with fingerprints
+        ENTIRELY OUTSIDE a later batch's buckets must still supersede
+        its compacted rows INSIDE them — the LWW bookkeeping runs over
+        the unpruned tail, only the data rows are bucket-filtered.
+        With a buggy pruned-LWW, batch 2's probe would pair against
+        doc 1's STALE v1 fingerprints and emit a pair the full
+        recompute does not contain."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        ws = WinnowStream(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            k=3, w=3, threshold=0.3,
+            index_buckets=4096,   # tiny fp sets → real pruning
+            compact_every=None,   # compaction driven manually below
+        )
+        schema = "doc_id bigint, text string"
+        v1 = (1, BASE + " one two three")
+        v2 = (1, "rewritten body with completely new vocabulary all over")
+        # probe is a near-copy of V1 — against a correct index it finds
+        # nothing (v2 replaced v1); against stale v1 rows it pairs
+        probe = (30, BASE + " one two seven")
+        ws._process(spark.createDataFrame([v1], schema), 0)
+        # fold v1 into the compacted side; v2 then stays in the TAIL —
+        # the exact layout the pruned reader must supersede across
+        from datayours_spark.streaming.winnowstream import (
+            SCHEMAS, _index_lww,
+        )
+        for name, schema_str in SCHEMAS.items():
+            ws.store.compact(
+                name, schema_str, 0,
+                fold=_index_lww if name in ("index", "counts") else None,
+            )
+        ws._process(spark.createDataFrame([v2], schema), 1)   # tail
+        ws._process(spark.createDataFrame([probe], schema), 2)
+        got = {
+            (r.id1, r.id2) for r in ws.pairs().collect()
+            if 30 in (r.id1, r.id2)
+        }
+        want = {
+            (r.id1, r.id2)
+            for r in winnow_neardup(
+                spark.createDataFrame([v2, probe], schema),
+                k=3, w=3, threshold=0.3,
+            ).collect()
+            if 30 in (r.id1, r.id2)
+        }
+        assert got == want == set()
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
+class TestIncrementalModesAgree:
+    def test_broadcast_counts_modes_identical_pairs(self, spark):
+        """winnow_incremental_indexed must emit IDENTICAL pairs in
+        every mode: shuffle vs broadcast posting join, with vs without
+        the standing counts table (the batch-proportional rewrites are
+        exact, not approximations)."""
+        schema = "doc_id bigint, text string"
+        corpus = spark.createDataFrame(DOCS[:5], schema)
+        index_fp = (
+            winnow_fingerprints(corpus, k=3, w=3)
+            .select("doc_id", "h").distinct().localCheckpoint(eager=True)
+        )
+        counts = index_fp.groupBy("doc_id").agg(
+            F.count("*").alias("n_fp")
+        )
+        batch = spark.createDataFrame(
+            [DOCS[5], (21, BASE + " one two three")], schema
+        )
+        results = []
+        for kw in (
+            {"broadcast_batch": False},
+            {"broadcast_batch": True},
+            {"broadcast_batch": True, "index_counts": counts},
+            {"broadcast_batch": False, "index_counts": counts},
+        ):
+            pairs, _ = winnow_incremental_indexed(
+                batch, index_fp, k=3, w=3, threshold=0.3, **kw
+            )
+            results.append({tuple(r) for r in pairs.collect()})
+        assert results[0] and all(r == results[0] for r in results[1:])

@@ -2007,12 +2007,30 @@ def smoke_pipeline() -> None:
         max_join_pairs=500_000_000,
         eval_docs=eval_docs,
         decon_threshold=0.8,
-        compact_every=2,
+        index_buckets=256,
+        # compaction is amortized (every compact_every batches in
+        # production) — measured as its own op below instead of being
+        # billed into a single unlucky batch's wall
+        compact_every=None,
     )
     corpus = _with_gate_cols(
         synthetic_documents(spark, n_docs), fail_mod=97
     ).localCheckpoint(eager=True)
     out: dict[str, dict] = {}
+
+    from datayours_spark.streaming.pipeline import (
+        SCHEMAS as PIPE_SCHEMAS,
+    )
+    from datayours_spark.streaming.winnowstream import _index_lww
+
+    def _compact(upto: int) -> float:
+        t0 = time.perf_counter()
+        for name, schema in PIPE_SCHEMAS.items():
+            pipe.store.compact(
+                name, schema, upto,
+                fold=_index_lww if name in ("index", "counts") else None,
+            )
+        return round(time.perf_counter() - t0, 1)
 
     t = time.perf_counter()
     pipe._process(corpus, 0)
@@ -2026,6 +2044,10 @@ def smoke_pipeline() -> None:
         "dup_pairs": pipe.pairs().count(),
         "packed": pipe.packed().count(),
     }
+    # fold the bulk load into the compacted view (production does the
+    # same: batch-proportional follow-up cost requires the standing
+    # state to live on the compacted side, not in the tail)
+    out["compaction_after_bulk"] = {"sec": _compact(0)}
 
     b = n_docs // 100
     packed_before = out["standing_ingest"]["packed"]
@@ -2058,13 +2080,40 @@ def smoke_pipeline() -> None:
         ).localCheckpoint(eager=True)
         t = time.perf_counter()
         pipe._process(batch, i)
+        sec = round(time.perf_counter() - t, 1)
         packed_now = pipe.packed().count()
         out[f"batch_{i}_1pct"] = {
             "batch_docs": b,
-            "sec": round(time.perf_counter() - t, 1),
+            "sec": sec,
             "packed_delta": packed_now - packed_before,
         }
         packed_before = packed_now
+
+    # trickle probe: a targeted 3-doc re-check (copies of corpus docs
+    # — the "is this already in the corpus?" use-case).  Their few
+    # fingerprints hit a fraction of the index_buckets hash-range
+    # dirs, so the standing-index read prunes to those buckets
+    # (PartitionFilters at the scan) and the wall is near-constant
+    # overhead, not index-sized; all 3 must drop as dups.
+    trickle = (
+        _with_gate_cols(synthetic_documents(spark, 3), None)
+        .select(
+            (F.col("doc_id") + n_docs * 50).alias("doc_id"),
+            "text", "source",
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle, 4)
+    sec = round(time.perf_counter() - t, 1)
+    out["trickle_3docs"] = {
+        "sec": sec,
+        "packed_delta": pipe.packed().count() - packed_before,
+    }
+
+    # steady-state compaction, timed as its own amortized op (folds
+    # every table, LWW on index/counts)
+    out["compaction"] = {"sec": _compact(4)}
 
     # offsets stay contiguous per shard across the whole horizon
     from pyspark.sql import Window as W
