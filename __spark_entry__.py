@@ -1003,6 +1003,146 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TPCH_Q2_REGION = "EUROPE"
+TPCH_Q2_TYPE = "PROMO"
+TPCH_Q2_MAX_SIZE = 10
+TPCH_Q2_TOP = 50
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, region: str):
+    """Suppliers enriched to their nation, filtered to one region —
+    the shared supplier→nation→region broadcast spine of Q2/Q20."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == region
+    )
+    nat = nation.join(
+        F.broadcast(reg), nation.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier: for each qualifying part,
+    the region's suppliers achieving the part's MINIMUM supply cost —
+    the classic correlated `= (SELECT min(ps_supplycost) …)` subquery,
+    decorrelated into a parts-sized per-part min joined back on
+    (partkey, cost).  The fixture ships no partsupp table, so the
+    supply relation derives from lineitem: each (part, supplier)'s
+    minimum observed unit price (min l_extendedprice / l_quantity) —
+    same shape, same decorrelation.
+
+    Plan shape: part filter (type + size) and the region supplier
+    spine both BROADCAST into the lineitem scan, so the only
+    corpus-sized aggregate is the (part, supplier) group — map-side
+    combinable; the per-part min relation is parts-sized and joins
+    back; the final global top-N plans TakeOrderedAndProject (never a
+    single-task global sort).  The cost equality join compares doubles
+    each engine derived through the identical expression — no
+    accumulation-order hazard (min of exact divisions)."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == TPCH_Q2_TYPE)
+        & (F.col("p_size") <= TPCH_Q2_MAX_SIZE)
+    ).select("p_partkey", "p_brand")
+    rs = _region_suppliers(spark, sf_dir, TPCH_Q2_REGION)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(rs), li.l_suppkey == rs.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("cost")
+        )
+    )
+    min_cost = ps.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    best = ps.join(min_cost, "l_partkey").where(
+        F.col("cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(rs), best.l_suppkey == rs.s_suppkey)
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == part.p_partkey,
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            "p_brand",
+            F.round("cost", 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(TPCH_Q2_TOP)
+    )
+
+
+TPCH_Q20_PREFIX = "red "
+TPCH_Q20_REGION = "ASIA"
+TPCH_Q20_START = 852_076_800   # 1997-01-01
+TPCH_Q20_END = 883_612_800     # 1998-01-01
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-stock suppliers: which of a region's
+    suppliers hold MORE than half a year's demand of name-prefixed
+    parts — the classic nested semi-join chain (supplier IN (… partsupp
+    WHERE ps_availqty > (SELECT 0.5·sum(l_quantity) …))), decorrelated
+    into two differently-windowed per-(part, supplier) aggregates
+    joined on their group key.  The fixture ships no partsupp, so
+    availability derives from lineitem: quantity the pair shipped
+    BEFORE the demand year stands in for standing stock.
+
+    Plan shape: the name-prefix part filter broadcasts into BOTH
+    lineitem passes (each reads only prefixed parts; the demand pass
+    additionally pushes the shipdate window to the scan via
+    epoch_range_pred); the avail/demand relations are pair-sized and
+    join on their own key; the supplier chain is broadcast semi-joins
+    end to end — lineitem is never shuffled by anything wider than the
+    (part, supplier) aggregate key."""
+    pts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(TPCH_Q20_PREFIX)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(pts), li.l_partkey == pts.p_partkey)
+    avail = (
+        li_p.where(
+            epoch_range_pred(li, "l_shipdate", end_sec=TPCH_Q20_START)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("avail"))
+    )
+    demand = (
+        li_p.where(
+            epoch_range_pred(
+                li, "l_shipdate", TPCH_Q20_START, TPCH_Q20_END
+            )
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("need"))
+    )
+    excess = avail.join(demand, ["l_partkey", "l_suppkey"]).where(
+        F.col("avail") > 0.5 * F.col("need")
+    )
+    rs = _region_suppliers(spark, sf_dir, TPCH_Q20_REGION)
+    return (
+        rs.join(
+            excess.select(F.col("l_suppkey").alias("s_suppkey")).distinct(),
+            "s_suppkey",
+            "left_semi",
+        )
+        .select("s_name", "n_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast metadata-enrichment join customer→nation→region."""
     cust = load_table(spark, sf_dir, "customer")
@@ -3916,6 +4056,45 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed
 
 
+def q_pipeline_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline's FIFTH stage (new r10): gate →
+    decontaminate → dedup → pack → materialize the survivors' token-id
+    chunk payload against a fixed vocabulary — the terminal
+    training-data artifact (shard, chunk, n_ids, ids).  Batch form of
+    `IngestPipeline(vocab=…)`, whose streaming segments are
+    integration-tested to merge to exactly this output.
+
+    Scale shape: the four pipeline stages as in q_ingest_pipeline,
+    then one broadcast vocab join over the kept docs' token stream and
+    one capacity-bounded (shard, chunk) aggregate — ids ride as a
+    comma-joined string (canonicalizable artifact, the q_pack_ids
+    payload discipline)."""
+    from datayours_spark.functions.text import vocab_topv
+    from datayours_spark.streaming.pipeline import ingest_pipeline_batch
+
+    all_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    is_eval = F.col("doc_id") % FUZZY_EVAL_MOD == 0
+    docs = all_docs.where(~is_eval)
+    eval_docs = all_docs.where(is_eval).select("doc_id", "text")
+    # tokenizer vocabulary: MODEL STATE induced once from the training
+    # split (a streaming build fixes it before ingest)
+    vocab = vocab_topv(docs.select("doc_id", "text"), VOCAB_V)
+    _g, _c, _p, _packed, payload = ingest_pipeline_batch(
+        docs, min_words=PIPE_MIN_WORDS, k=WINNOW_K, w=WINNOW_W,
+        threshold=WINNOW_T, shards=PACK_SHARDS, capacity=PACK_CAPACITY,
+        gate_cols=PIPE_GATE_COLS, eval_docs=eval_docs,
+        decon_threshold=WINNOW_T, vocab=vocab,
+    )
+    return payload.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("chunk").cast("long").alias("chunk"),
+        "n_ids",
+        "ids",
+    )
+
+
 def q_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZED training sequences: every PACK_CAPACITY-token
     context window as its ordered token-id array — the final artifact
@@ -3994,30 +4173,73 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- registry
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Window policy: the driver oracle-checks the first 50 dict entries
-    # each round (dict-order prefix).  Round 9 rotates in the NINETEEN
-    # queries added in round 8 (winnow spans/dedup, chunk-BM25, hybrid
-    # RRF, mix weights, ppl buckets, knn labels, source quality, TPC-H
-    # Q6/Q10/Q14/Q18, embed projection, rp recall, tokenize ids,
-    # prototype prune, drop reasons, novelty, lang confusion) PLUS the
-    # eleven added in round 9 itself (ANN-routed kNN, BPE
-    # merges/segment/ids, packed training sequences, the composed
-    # four-stage ingest pipeline, TPC-H Q7/Q8/Q13/Q15/Q17) — all
-    # selfcheck-green.  With these thirty green, EVERY oracle-backed
-    # query in the registry has earned a driver CORRECTNESS row in some
-    # round (156/156 — full closure of the driver contract).  The
-    # remaining twenty slots keep
-    # representatives of every SURVEY §2 family whose only coverage
-    # would otherwise age past the 2-round staleness bound
-    # (q_span_mask re-enters for span_dedup, last green r7; the §2-core
-    # ingest/fetch/rollup/meta/render/datamine/align/per-record rows
-    # stay in so their families are r9-green and need no forced swap
-    # before r11).  The two `no_oracle` approx queries sit at the very
-    # end so no window slot is structurally un-greenable.  Every
-    # in-window entry has an oracle_sql() — asserted by
-    # tests/test_entry_contract.py.
     return {
-        # --- r9 window: the nineteen round-8 queries, first driver check
+        # Window policy: the driver oracle-checks the first 50 dict
+        # entries each round (dict-order prefix).  ROUND 10: with the r9
+        # window having closed the full registry (155/156 green; the
+        # only red cell was q_pack_ids' artifact form, fixed this
+        # round), the r10 window holds (a) the four r10 additions —
+        # q_pack_ids in its canonicalizable string form plus the new
+        # TPC-H Q2/Q20 decorrelation shapes and the pipeline payload
+        # stage — and (b) the 46 OLDEST-green rows (r1-r4 vintage:
+        # renders, rollups, null policies, catalog/metrics, early dedup
+        # family), refreshing cross-round coverage where it is most
+        # stale.  Every family keeps a green row at most 2 rounds old
+        # (tests/test_entry_contract.py); the two `no_oracle` approx
+        # queries sit last so no window slot is structurally
+        # un-greenable.
+        # --- r10 window: new queries + the 46 oldest-green rows ---
+        "q_pack_ids": q_pack_ids,
+        "q_tpch_q2": q_tpch_q2,
+        "q_tpch_q20": q_tpch_q20,
+        "q_pipeline_payload": q_pipeline_payload,
+        "q_time_range": q_time_range,
+        "q_render_csv": q_render_csv,
+        "q_render_json": q_render_json,
+        "q_ann_lsh": q_ann_lsh,
+        "q_text_profile": q_text_profile,
+        "q_metrics_expand": q_metrics_expand,
+        "q_brace_find": q_brace_find,
+        "q_rollup_avg": _q_rollup("average"),
+        "q_rollup_sum": _q_rollup("sum"),
+        "q_rollup_max": _q_rollup("max"),
+        "q_rollup_min": _q_rollup("min"),
+        "q_rollup_last": _q_rollup("last"),
+        "q_rollup_xff": q_rollup_xff,
+        "q_align_pivot": q_align_pivot,
+        "q_asof_resample": q_asof_resample,
+        "q_null_policy_zero": q_null_policy_zero,
+        "q_null_policy_hold": q_null_policy_hold,
+        "q_null_policy_connected": q_null_policy_connected,
+        "q_tally_minmax": q_tally_minmax,
+        "q_treemap_rollup": q_treemap_rollup,
+        "q_catalog_find": q_catalog_find,
+        "q_maxpoints": q_maxpoints,
+        "q_clamp_filter": q_clamp_filter,
+        "q_rewrite_rules": q_rewrite_rules,
+        "q_translation": q_translation,
+        "q_interval_algebra": q_interval_algebra,
+        "q_tpch_q3": q_tpch_q3,
+        "q_join_enrich": q_join_enrich,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_tokenset": q_dedup_tokenset,
+        "q_text_stats": q_text_stats,
+        "q_lang_quality": q_lang_quality,
+        "q_ann_cosine": q_ann_cosine,
+        "q_metrics_find": q_metrics_find,
+        "q_metrics_index": q_metrics_index,
+        "q_resolution_route": q_resolution_route,
+        "q_staircase": q_staircase,
+        "q_carbon_aggregator": q_carbon_aggregator,
+        "q_store_federation": q_store_federation,
+        "q_ingest_reject": q_ingest_reject,
+        "q_embed_centroid": q_embed_centroid,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dup_clusters": q_dup_clusters,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_simhash_neardup": q_simhash_neardup,
+        # --- past the window: green driver row in r5-r9 ----------
         "q_winnow_spans": q_winnow_spans,
         "q_winnow_dedup": q_winnow_dedup,
         "q_bm25_chunks": q_bm25_chunks,
@@ -4046,7 +4268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drop_reasons": q_drop_reasons,
         "q_novelty": q_novelty,
         "q_lang_confusion": q_lang_confusion,
-        # --- r9 window: family keepers (staleness bound + §2 cores) ---
         "q_span_mask": q_span_mask,
         "q_ingest_parse": q_ingest_parse,
         "q_fetch_grid": q_fetch_grid,
@@ -4067,9 +4288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_multimodal_features": q_multimodal_features,
         "q_gopher_rules": q_gopher_rules,
-        "q_pack_ids": q_pack_ids,
         "q_ingest_pipeline": q_ingest_pipeline,
-        # --- past the window: green driver row in r1–r8 --------------
         "q_frame_sample": q_frame_sample,
         "q_tpch_q1": q_tpch_q1,
         "q_url_stats": q_url_stats,
@@ -4126,57 +4345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_meta": q_rollup_meta,
         "q_sample_uniform_k": q_sample_uniform_k,
         "q_token_histogram": q_token_histogram,
-        "q_rollup_avg": _q_rollup("average"),
-        "q_rollup_sum": _q_rollup("sum"),
-        "q_rollup_max": _q_rollup("max"),
-        "q_rollup_min": _q_rollup("min"),
-        "q_rollup_last": _q_rollup("last"),
-        "q_rollup_xff": q_rollup_xff,
-        "q_align_pivot": q_align_pivot,
-        "q_asof_resample": q_asof_resample,
-        "q_null_policy_zero": q_null_policy_zero,
-        "q_null_policy_hold": q_null_policy_hold,
-        "q_null_policy_connected": q_null_policy_connected,
-        "q_tally_minmax": q_tally_minmax,
-        "q_treemap_rollup": q_treemap_rollup,
-        "q_catalog_find": q_catalog_find,
-        "q_maxpoints": q_maxpoints,
-        "q_clamp_filter": q_clamp_filter,
-        "q_rewrite_rules": q_rewrite_rules,
-        "q_translation": q_translation,
-        "q_interval_algebra": q_interval_algebra,
-        "q_tpch_q3": q_tpch_q3,
-        "q_join_enrich": q_join_enrich,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_tokenset": q_dedup_tokenset,
-        "q_text_stats": q_text_stats,
-        "q_lang_quality": q_lang_quality,
-        "q_ann_cosine": q_ann_cosine,
-        "q_metrics_find": q_metrics_find,
-        "q_metrics_index": q_metrics_index,
-        "q_resolution_route": q_resolution_route,
-        "q_staircase": q_staircase,
-        "q_carbon_aggregator": q_carbon_aggregator,
-        "q_store_federation": q_store_federation,
-        "q_ingest_reject": q_ingest_reject,
-        "q_embed_centroid": q_embed_centroid,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dup_clusters": q_dup_clusters,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_simhash_neardup": q_simhash_neardup,
         "q_simhash_guarded": q_simhash_guarded,
         "q_minhash_guarded": q_minhash_guarded,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_span_dedup": q_span_dedup,
-        "q_ann_lsh": q_ann_lsh,
-        "q_text_profile": q_text_profile,
-        "q_metrics_expand": q_metrics_expand,
-        "q_brace_find": q_brace_find,
-        "q_time_range": q_time_range,
-        "q_render_csv": q_render_csv,
-        "q_render_json": q_render_json,
-        # --- no-oracle approx queries last: rows-only driver check ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
     }
@@ -5394,6 +5566,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_knn_label_routed": _knn_routed_oracle_sql(),
         "q_ingest_pipeline": _pipeline_oracle_sql(),
+        "q_pipeline_payload": _pipeline_payload_oracle_sql(),
         "q_bpe_merges": _bpe_oracle_sql(),
         "q_bpe_segment": _bpe_segment_oracle_sql(),
         "q_bpe_ids": _bpe_ids_oracle_sql(),
@@ -6361,6 +6534,63 @@ def oracle_sql() -> dict[str, str]:
             FROM li JOIN a USING (l_partkey)
             WHERE l_quantity < qty_cut
         """,
+        "q_tpch_q2": f"""
+            WITH pt AS (
+              SELECT p_partkey, p_brand FROM part
+              WHERE p_type = '{TPCH_Q2_TYPE}'
+                AND p_size <= {TPCH_Q2_MAX_SIZE}),
+            rs AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = '{TPCH_Q2_REGION}'),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost
+              FROM lineitem
+              JOIN pt ON l_partkey = pt.p_partkey
+              JOIN rs ON l_suppkey = rs.s_suppkey
+              GROUP BY 1, 2),
+            mc AS (SELECT l_partkey, min(cost) AS min_cost
+                   FROM ps GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name,
+                   CAST(ps.l_partkey AS BIGINT) AS p_partkey, p_brand,
+                   round(cost, 4) AS supplycost
+            FROM ps
+            JOIN mc ON ps.l_partkey = mc.l_partkey AND cost = min_cost
+            JOIN rs ON ps.l_suppkey = rs.s_suppkey
+            JOIN pt ON ps.l_partkey = pt.p_partkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT {TPCH_Q2_TOP}
+        """,
+        "q_tpch_q20": f"""
+            WITH pt AS (
+              SELECT p_partkey FROM part
+              WHERE p_name LIKE '{TPCH_Q20_PREFIX}%'),
+            a AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail
+              FROM lineitem JOIN pt ON l_partkey = pt.p_partkey
+              WHERE epoch_us(l_shipdate) // 1000000 < {TPCH_Q20_START}
+              GROUP BY 1, 2),
+            d AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS need
+              FROM lineitem JOIN pt ON l_partkey = pt.p_partkey
+              WHERE epoch_us(l_shipdate) // 1000000 >= {TPCH_Q20_START}
+                AND epoch_us(l_shipdate) // 1000000 < {TPCH_Q20_END}
+              GROUP BY 1, 2),
+            x AS (
+              SELECT DISTINCT a.l_suppkey AS s_suppkey
+              FROM a JOIN d USING (l_partkey, l_suppkey)
+              WHERE avail > 0.5 * need)
+            SELECT s_name, n_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN x ON supplier.s_suppkey = x.s_suppkey
+            WHERE r_name = '{TPCH_Q20_REGION}'
+            ORDER BY s_name
+        """,
         "q_pack_ids": f"""
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -7169,6 +7399,42 @@ def _pipeline_oracle_sql() -> str:
                  - ("offset" // {PACK_CAPACITY}) + 1 AS n_chunks
         FROM packed
     """
+
+def _pipeline_payload_oracle_sql() -> str:
+    """DuckDB replay of the pipeline's payload stage: the four-stage
+    replay of :func:`_pipeline_oracle_sql` up to its packed manifest,
+    then the q_pack_ids id-ization applied to the kept docs — vocab
+    induced from the training split exactly as `vocab_topv` does,
+    per-shard global offsets from the manifest, ids comma-joined in
+    offset order."""
+    base = _pipeline_oracle_sql()
+    head, _tail = base.rsplit("\n        SELECT doc_id, shard,", 1)
+    return head + f""",
+        vtok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM tr),
+        v AS (
+          SELECT tok, rk FROM (
+            SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok)
+                     AS rk
+            FROM vtok GROUP BY tok)
+          WHERE rk <= {VOCAB_V}),
+        kp AS (
+          SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                 unnest(t) AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM kept)),
+        kids AS (
+          SELECT kp.doc_id, kp.pos, coalesce(v.rk, 0)::BIGINT AS tid
+          FROM kp LEFT JOIN v USING (tok)),
+        t2 AS (
+          SELECT packed.shard,
+                 (packed."offset" + kids.pos) // {PACK_CAPACITY} AS chunk,
+                 packed."offset" + kids.pos AS goff, kids.tid
+          FROM kids JOIN packed USING (doc_id))
+        SELECT CAST(shard AS INT) AS shard, CAST(chunk AS BIGINT) AS chunk,
+               count(*)::BIGINT AS n_ids,
+               array_to_string(list(tid ORDER BY goff), ',') AS ids
+        FROM t2 GROUP BY 1, 2
+    """
+
 
 def _gopher_oracle_sql(
     source: str = "documents",

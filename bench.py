@@ -30,14 +30,19 @@ BENCH_QUERIES = [
     "q_rollup_xff",
     "q_align_pivot",
     "q_asof_resample",
-    "q_tally_minmax",
-    "q_maxpoints",
+    # (q_tally_minmax retired from the stdout line in r10: a 0.3s
+    # two-key scan aggregate; q_carbon_aggregator keeps the tally
+    # profile)
+    # (q_maxpoints retired from the stdout line in r10: a 0.5s
+    # bucketed decimation; q_render_api keeps the render-path profile)
     "q_carbon_aggregator",
     "q_user_hook",
     "q_resolution_route",
     "q_tpch_q1",
     "q_tpch_q3",
-    "q_join_enrich",
+    # (q_join_enrich retired from the stdout line in r10: a 0.5s
+    # broadcast dim enrich; q_tpch_q3/q5 keep the broadcast-join
+    # profile)
     "q_dedup_exact",
     # (q_dedup_tokenset retired from the stdout line in r9 for
     # line-length headroom: a sub-second token-set hash groupBy whose
@@ -58,18 +63,24 @@ BENCH_QUERIES = [
     "q_render_api",
     "q_dedup_embed",
     "q_locf_chunked",
-    "q_sample_stratified",
+    # (q_sample_stratified retired from the stdout line in r10: a
+    # 0.13s per-stratum hash sample; q_sample_temperature keeps the
+    # sampling profile on the line)
     # (q_quota_topk retired from the stdout line in r9: a sub-second
     # per-stratum top-k covered by q_sample_stratified + q_maxpoints)
     "q_repetition_filter",
     # (q_token_histogram retired from the stdout line in r8 for
     # length headroom: a sub-second two-key scan aggregate whose cost
     # profile q_text_stats + q_quantile_profile cover)
-    "q_sliding_rate",
-    "q_pack_sequences",
+    # (q_sliding_rate retired from the stdout line in r10: a 0.5s
+    # windowed rate; q_sessionize keeps the window profile)
+    # (q_pack_sequences retired from the stdout line in r10:
+    # q_pack_ids supersedes it as the heavier packing representative —
+    # manifest window PLUS the materialized id aggregate)
     "q_top_ngrams",
     "q_simhash_neardup",
-    "q_quantile_profile",
+    # (q_quantile_profile retired from the stdout line in r10: a 0.3s
+    # sketch pass; q_ppl_buckets keeps the percentile profile)
     # (q_daily_active retired from the stdout line in r9: a sub-second
     # two-key scan aggregate; q_sliding_rate keeps the windowed-rate
     # profile on the line)
@@ -89,7 +100,8 @@ BENCH_QUERIES = [
     # unguarded cousins' profile, which q_simhash_neardup and
     # q_dedup_minhash keep on the line)
     "q_ann_ivf",
-    "q_multireader",
+    # (q_multireader retired from the stdout line in r10: a 0.4s
+    # two-store federation; q_render_mixed keeps that profile)
     # (q_tfidf_terms retired from the stdout line in r9: covered by
     # q_top_ngrams + q_bigram_logprob for the token-aggregate profile)
     "q_leakage_split",
@@ -134,7 +146,9 @@ BENCH_QUERIES = [
     "q_dedup_embed_banded",
     "q_semdedup_incremental",
     "q_neardup_verified",
-    "q_oov_rate",
+    # (q_oov_rate retired from the stdout line in r10: a 0.5s
+    # broadcast vocab join; q_bigram_logprob keeps the token-join
+    # profile)
     "q_dup_ngrams",
     # round 7 additions (q_gopher_rules is deliberately NOT benched: it
     # is a scan-speed codegen projection, and the driver-facing bench
@@ -176,6 +190,19 @@ BENCH_QUERIES = [
     "q_bpe_merges",
     "q_tpch_q7",
     "q_tpch_q8",
+    # round 10 additions — the r9 surface the verdict flagged unbenched
+    # (BPE segmentation/ids, the materialized pack payload, TPC-H
+    # Q13/Q15/Q17) plus the new r10 shapes (Q2/Q20 decorrelations, the
+    # five-stage pipeline payload)
+    "q_bpe_segment",
+    "q_bpe_ids",
+    "q_pack_ids",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_pipeline_payload",
 ]
 
 

@@ -325,6 +325,32 @@ def main() -> None:
         "partial_sum" in plan and "TakeOrderedAndProject" in plan
         and "Window" not in plan,
     )
+    # tpch q2 (r10): the part filter and the region supplier spine both
+    # broadcast into the lineitem scan (the (part, supplier) group is
+    # the only corpus-sized aggregate), the decorrelated per-part min
+    # joins back without any rank window, and the global top-50 plans
+    # TakeOrderedAndProject.
+    plan = plan_of(registry["q_tpch_q2"](spark, SF_DIR))
+    check(
+        "tpch q2 broadcasts part + region suppliers, min-join "
+        "decorrelated, top-k ordered",
+        plan.count("BroadcastHashJoin") >= 3
+        and "TakeOrderedAndProject" in plan
+        and "Window" not in plan
+        and "partial_min" in plan,
+    )
+    # tpch q20 (r10): both lineitem passes broadcast the name-prefixed
+    # part filter; the demand pass pushes its ship-date window into the
+    # scan; the supplier chain ends in a broadcast semi-join.
+    plan = plan_of(registry["q_tpch_q20"](spark, SF_DIR))
+    check(
+        "tpch q20 broadcasts parts, pushes demand window, semi-joins "
+        "suppliers",
+        "GreaterThanOrEqual(l_shipdate" in plan
+        and "LessThan(l_shipdate" in plan
+        and "LeftSemi" in plan
+        and plan.count("BroadcastHashJoin") >= 2,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
