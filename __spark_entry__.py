@@ -1143,6 +1143,118 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (brand, max_size, qty_lo, qty_hi) — the three disjunctive arms
+TPCH_Q19_ARMS = (
+    ("Brand#1", 5, 1.0, 11.0),
+    ("Brand#2", 10, 10.0, 20.0),
+    ("Brand#3", 15, 20.0, 30.0),
+)
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted revenue under a DISJUNCTION of
+    brand/size/quantity arms — the classic OR-of-conjunctions predicate
+    that a naive planner evaluates post-join; the point of the shape is
+    that the part-side conjuncts (brand, size) travel with the
+    broadcast part relation and the mixed conjuncts (quantity vs the
+    joined arm) evaluate inside the single broadcast hash join — no
+    second pass, no union-of-three-plans blowup, and the common
+    size floor (the OR's part-side hull) prunes the broadcast build.
+
+    Plan shape: lineitem scans once; part filters to the arms' hull
+    and broadcasts; the per-arm quantity window is ONE join-condition
+    disjunction; decimal-exact revenue sum."""
+    arms_hull = F.col("p_size") <= max(a[1] for a in TPCH_Q19_ARMS)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            F.col("p_brand").isin([a[0] for a in TPCH_Q19_ARMS])
+            & arms_hull
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    arm = None
+    for brand, max_size, qlo, qhi in TPCH_Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    joined = li.join(
+        F.broadcast(part), (li.l_partkey == part.p_partkey) & arm
+    )
+    rev = joined.agg(
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)")
+        ).alias("_r")
+    )
+    return rev.select(
+        F.round(F.col("_r").cast("double"), 4).alias("revenue")
+    )
+
+
+TPCH_Q22_NATIONS = (
+    "NATION_2", "NATION_5", "NATION_9", "NATION_13", "NATION_21",
+    "NATION_22", "NATION_24",
+)
+TPCH_Q22_SINCE = 946_684_800   # 2000-01-01 — "recent" order window
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global-sales-opportunity: wealthy customers of
+    selected nations with NO RECENT orders — the classic scalar
+    average subquery (acctbal above the selected nations' positive
+    mean) plus a NOT-EXISTS anti-join, grouped per nation.  Two
+    fixture adaptations, same shape: the nation dimension stands in
+    for the phone country-code substring (no phone column), and the
+    anti-join target is the RECENT slice of orders (every fixture
+    customer has ordered at least once, so the all-time variant is
+    vacuous — the lapsed-customer reading keeps the anti-join
+    selective AND adds a pushed date predicate).
+
+    Plan shape: the scalar mean is a ONE-ROW aggregate joined in as a
+    broadcast nested-loop (never a CartesianProduct of anything
+    wider); the no-recent-orders test is a key anti-join against the
+    date-pruned orders scan (epoch_range_pred pushes the cutoff;
+    orders never aggregates); nation broadcasts."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(list(TPCH_Q22_NATIONS))
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(
+        epoch_range_pred(orders, "o_orderdate", start_sec=TPCH_Q22_SINCE)
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                .cast("double"),
+                4,
+            ).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: broadcast metadata-enrichment join customer→nation→region."""
     cust = load_table(spark, sf_dir, "customer")
@@ -4192,6 +4304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_ids": q_pack_ids,
         "q_tpch_q2": q_tpch_q2,
         "q_tpch_q20": q_tpch_q20,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q22": q_tpch_q22,
         "q_pipeline_payload": q_pipeline_payload,
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
@@ -6590,6 +6704,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN x ON supplier.s_suppkey = x.s_suppkey
             WHERE r_name = '{TPCH_Q20_REGION}'
             ORDER BY s_name
+        """,
+        "q_tpch_q19": f"""
+            SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))) AS DOUBLE), 4)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE {" OR ".join(
+                f"(p_brand = '{b}' AND p_size <= {ms} "
+                f"AND l_quantity BETWEEN {ql} AND {qh})"
+                for b, ms, ql, qh in TPCH_Q19_ARMS)}
+        """,
+        "q_tpch_q22": f"""
+            WITH cust AS (
+              SELECT c_custkey, c_acctbal, n_name
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              WHERE n_name IN {TPCH_Q22_NATIONS!r}),
+            ab AS (SELECT avg(c_acctbal) AS avg_bal FROM cust
+                   WHERE c_acctbal > 0.0)
+            SELECT n_name, count(*)::BIGINT AS numcust,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                              AS DOUBLE), 4) AS totacctbal
+            FROM cust, ab
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND epoch_us(o_orderdate) // 1000000
+                                      >= {TPCH_Q22_SINCE})
+            GROUP BY 1
         """,
         "q_pack_ids": f"""
             WITH tok AS (

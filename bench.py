@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "q_tpch_q17",
     "q_tpch_q2",
     "q_tpch_q20",
+    "q_tpch_q19",
+    "q_tpch_q22",
     "q_pipeline_payload",
 ]
 

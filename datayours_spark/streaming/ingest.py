@@ -683,9 +683,12 @@ class IngestPipeline:
         """
         from datayours_spark.operators.fetch import lww_slots
 
-        self.spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        # dynamic partition overwrite is applied PER WRITER below (the
+        # rollup write), never session-wide: a lingering session-level
+        # "dynamic" makes every later partitioned overwrite in the
+        # session skip its _SUCCESS marker, which silently disables any
+        # marker-gated reader (BatchStore compaction found this the
+        # hard way — r10)
         if changed_dates is not None:
             for step in self.rollup_steps:
                 if 86_400 % step != 0:
@@ -739,6 +742,7 @@ class IngestPipeline:
             (
                 out.repartition("date")
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("date")
                 .parquet(f"{self.output_dir}/rollup_{step}")
             )

@@ -243,7 +243,14 @@ class BatchStore:
                 unioned = unioned.repartition(*pcols)
             writer = unioned.write.mode("overwrite")
             if pcols:
-                writer = writer.partitionBy(*pcols)
+                # pin STATIC overwrite for this write regardless of the
+                # session conf: under partitionOverwriteMode=dynamic a
+                # partitioned write skips the _SUCCESS marker, and the
+                # whole compaction protocol (watermark, GC, crash
+                # windows) is marker-gated
+                writer = writer.option(
+                    "partitionOverwriteMode", "static"
+                ).partitionBy(*pcols)
             writer.parquet(
                 "/".join(
                     [self.store_dir, name, f"compacted-{upto_batch_id:012d}"]

@@ -351,6 +351,28 @@ def main() -> None:
         and "LeftSemi" in plan
         and plan.count("BroadcastHashJoin") >= 2,
     )
+    # tpch q19 (r10): the OR-of-conjunctions evaluates inside ONE
+    # broadcast hash join (no union-of-three-plans blowup), part's hull
+    # filter prunes the build side, and the revenue sum is map-side
+    # partial.
+    plan = plan_of(registry["q_tpch_q19"](spark, SF_DIR))
+    check(
+        "tpch q19 single broadcast join carries the disjunction",
+        "BroadcastHashJoin" in plan
+        and "Union" not in plan
+        and "partial_sum" in plan,
+    )
+    # tpch q22 (r10): the scalar mean joins as a one-row broadcast
+    # nested loop (NOT a CartesianProduct — the sweep below also
+    # checks), the lapsed-customer test is a LeftAnti against the
+    # date-pruned orders scan.
+    plan = plan_of(registry["q_tpch_q22"](spark, SF_DIR))
+    check(
+        "tpch q22 scalar-avg broadcast + date-pruned anti-join",
+        "BroadcastNestedLoopJoin" in plan
+        and "LeftAnti" in plan
+        and "GreaterThanOrEqual(o_orderdate" in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
