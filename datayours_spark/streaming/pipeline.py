@@ -239,6 +239,28 @@ def merge_payload_segments(seg: DataFrame) -> DataFrame:
     )
 
 
+def _payload_fold(seg: DataFrame) -> DataFrame:
+    """Compaction fold for the ``payload`` table: physically
+    concatenate a chunk's accumulated segments into ONE segment row
+    (goff = the chunk's first offset, batch = the latest contributing
+    batch).  View-preserving: the ``payload()`` reader concatenates
+    segments in goff order anyway, so folding them eagerly changes
+    nothing downstream while keeping the stored table at one row per
+    chunk instead of one per (chunk × contributing batch)."""
+    return seg.groupBy("shard", "chunk").agg(
+        F.min("goff").alias("goff"),
+        F.sum("n_ids").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("goff", "ids"))),
+                lambda s: s.getField("ids"),
+            ),
+            ",",
+        ).alias("ids"),
+        F.max("batch").alias("batch"),
+    ).select("shard", "chunk", "goff", "n_ids", "ids", "batch")
+
+
 def ingest_pipeline_batch(
     docs: DataFrame,
     min_words: int = 50,
@@ -545,7 +567,11 @@ class IngestPipeline:
         self.store.maybe_compact(
             batch_id,
             schemas,
-            folds={"index": _index_lww, "counts": _index_lww},
+            folds={
+                "index": _index_lww,
+                "counts": _index_lww,
+                "payload": _payload_fold,
+            },
         )
 
     def start(self):

@@ -182,7 +182,7 @@ class TestIngestPipeline:
             store_dir=str(TMP / "store"),
             checkpoint_dir=str(TMP / "ckpt"),
             vocab=vocab,
-            compact_every=2,
+            compact_every=None,   # compaction forced explicitly below
             **kw,
         )
         batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
@@ -210,6 +210,28 @@ class TestIngestPipeline:
             parts = ids.split(",")
             assert len(parts) == n_ids
             assert all(p.isdigit() for p in parts)
+        # forced compaction: the payload fold physically merges each
+        # chunk's segments into one row — view-preserving (payload()
+        # unchanged), storage at one row per chunk
+        from datayours_spark.streaming.pipeline import (
+            SCHEMAS as PIPE_SCHEMAS,
+        )
+        from datayours_spark.streaming.pipeline import _payload_fold
+        from datayours_spark.streaming.winnowstream import _index_lww
+
+        folds = {
+            "index": _index_lww,
+            "counts": _index_lww,
+            "payload": _payload_fold,
+        }
+        for name, schema_str in PIPE_SCHEMAS.items():
+            pipe.store.compact(name, schema_str, 2, fold=folds.get(name))
+        assert {tuple(r) for r in pipe.payload().collect()} == got
+        seg_after = pipe._read_or_empty("payload")
+        assert (
+            seg_after.groupBy("shard", "chunk").count()
+            .where("count > 1").count() == 0
+        )
         # replay of a folded batch is a no-op for the payload table too
         n = pipe.payload().count()
         pipe._process(spark.createDataFrame(batches[0], SCHEMA), 0)
