@@ -2088,6 +2088,36 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
+QC_BUCKETS = 4096
+QC_SCALE = 1000
+QC_THRESHOLD = 0.5
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (new r10): the fastText/DCLM-style
+    hashed linear classifier over unigram + bigram features — the
+    standard stage AFTER the Gopher heuristic gate in LLM corpus
+    builds.  Deterministic fixed-point weight table stands in for a
+    trained model (same plumbing; swap the (bucket, w) relation).
+    Output: per-doc (n_feats, score, keep).
+
+    Scale shape: feature explode → md5 bucket hash → broadcast weight
+    join (model state) → one doc-keyed map-side-combinable aggregate →
+    in-plan sigmoid; integer-valued weights keep the sum exact under
+    any accumulation order (no decimal cast needed)."""
+    from datayours_spark.functions.text import (
+        hashed_weight_table,
+        quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = hashed_weight_table(spark, QC_BUCKETS, scale=QC_SCALE)
+    return quality_classifier(
+        docs, weights, QC_BUCKETS, w_scale=float(QC_SCALE),
+        threshold=QC_THRESHOLD,
+    )
+
+
 MIX_ALPHA = 0.5
 MIX_BUDGET = 1_000_000
 
@@ -4307,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q22": q_tpch_q22,
         "q_pipeline_payload": q_pipeline_payload,
+        "q_quality_classifier": q_quality_classifier,
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
@@ -5268,6 +5299,37 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "q_gopher_rules": _gopher_oracle_sql(),
+        "q_quality_classifier": f"""
+            WITH tt AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            feats AS (
+              SELECT doc_id, unnest(t) AS feat FROM tt
+              UNION ALL
+              SELECT doc_id, t[i] || ' ' || t[i + 1] AS feat
+              FROM tt CROSS JOIN
+                unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(feat), 1, 8))::BIGINT
+                       % {QC_BUCKETS} AS bucket
+              FROM feats),
+            w AS (
+              SELECT i::BIGINT AS bucket,
+                     ((('0x' || substr(md5('qc:' || i::VARCHAR), 1, 8))
+                        ::BIGINT % {2 * QC_SCALE + 1})
+                      - {QC_SCALE})::DOUBLE AS w
+              FROM generate_series(0, {QC_BUCKETS - 1}) AS g(i)),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_feats,
+                     sum(coalesce(w.w, 0)) AS s
+              FROM h LEFT JOIN w USING (bucket) GROUP BY 1)
+            SELECT doc_id, n_feats,
+                   round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
+                         6) AS score,
+                   round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
+                         6) >= {QC_THRESHOLD} AS keep
+            FROM agg
+        """,
         "q_source_overlap": f"""
             WITH pairs AS ({_minhash_oracle_sql()}),
             lab AS (

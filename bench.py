@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "q_tpch_q19",
     "q_tpch_q22",
     "q_pipeline_payload",
+    "q_quality_classifier",
 ]
 
 

@@ -821,6 +821,99 @@ def tokenize_ids(
     )
 
 
+def hashed_weight_table(
+    spark, buckets: int, seed: str = "qc", scale: int = 1000
+) -> DataFrame:
+    """Deterministic fixed-point weight table for
+    :func:`quality_classifier`: bucket i carries an integer-valued
+    weight in [-scale, scale] derived from md5(seed:i) — a
+    reproducible stand-in for TRAINED classifier weights (swap in any
+    (bucket, w) relation; the Spark-side plumbing is identical).
+    Integer-valued weights make the per-doc sum EXACT under any
+    accumulation order, so the classifier score is engine-portable
+    without decimal casts (the quantized-weight deployment shape)."""
+    from datayours_spark.functions.dedup import md5_int32
+
+    return spark.range(buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            F.pmod(
+                md5_int32(
+                    F.concat(F.lit(seed + ":"), F.col("id").cast("string"))
+                ),
+                F.lit(2 * scale + 1),
+            )
+            - scale
+        )
+        .cast("double")
+        .alias("w"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    buckets: int,
+    bias: float = 0.0,
+    w_scale: float = 1.0,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText/DCLM-style hashed linear quality classifier: score
+    every document with a bag-of-hashed-ngram linear model —
+    sigmoid(bias + Σ w[h(feat) mod buckets] / (w_scale · n_feats))
+    over unigram + bigram token features — the model-based quality
+    filter that sits after the Gopher-style heuristic gate in modern
+    LLM corpus pipelines (CCNet's LM filter, DCLM's fastText
+    classifier).  Output: (doc_id, n_feats, score, keep) with ``keep``
+    compared on the ROUNDED score so both engines decide identically.
+
+    ``weights`` is (bucket, w) MODEL STATE (broadcast); hash-missing
+    buckets weigh 0.  With integer-valued ``w`` (quantized weights,
+    :func:`hashed_weight_table`) the feature sum is exact under any
+    accumulation order — floating weights work but put scores within
+    one ulp of a rounding boundary at the mercy of partial-sum order.
+
+    Scale shape: one feature explode (unigrams + the shingle chain) →
+    md5-bucket hash → BROADCAST weight join (model state, MBs) → ONE
+    doc-keyed combine (map-side partial) → in-plan sigmoid.  No
+    corpus-sized shuffle other than the per-doc aggregate; no Python."""
+    from datayours_spark.functions.dedup import md5_int32, token_shingles
+
+    toks = F.split(F.col(text_col), " ")
+    feats = F.concat(toks, token_shingles(text_col, 2))
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(feats).alias("feat")
+    ).select(
+        "doc_id",
+        F.pmod(md5_int32(F.col("feat")), F.lit(buckets))
+        .cast("long")
+        .alias("bucket"),
+    )
+    w = F.broadcast(
+        weights.select(
+            F.col("bucket").cast("long").alias("bucket"), "w"
+        )
+    )
+    agg = (
+        hashed.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum(F.coalesce("w", F.lit(0.0))).alias("s"),
+        )
+    )
+    z = F.lit(bias) + F.col("s") / (F.lit(w_scale) * F.col("n_feats"))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return agg.select(
+        "doc_id",
+        "n_feats",
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------- BPE
 
 #: BPE end-of-word marker (Sennrich et al. 2016).  Symbols never

@@ -107,7 +107,7 @@ FAMILIES = {
         "q_dup_ngrams", "q_gopher_rules", "q_bm25", "q_bm25_chunks",
         "q_ppl_buckets", "q_source_quality", "q_tokenize_ids",
         "q_drop_reasons", "q_lang_confusion", "q_bpe_merges",
-        "q_bpe_segment", "q_bpe_ids",
+        "q_bpe_segment", "q_bpe_ids", "q_quality_classifier",
     ],
     "pii_url": ["q_pii_scrub", "q_url_stats"],
     "pipeline_compose": ["q_ingest_pipeline", "q_pipeline_payload"],

@@ -367,3 +367,85 @@ class TestTokenizeIds:
         # the only allowed exchange is the broadcast of the vocab
         assert "Exchange hashpartitioning" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestQualityClassifier:
+    def test_scores_and_keep_flag(self, spark):
+        import math
+
+        from datayours_spark.functions.text import (
+            hashed_weight_table,
+            quality_classifier,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "delta gamma beta alpha"),   # same unigrams, new bigrams
+                (3, ""),                          # single empty-string token
+            ],
+            "doc_id long, text string",
+        )
+        buckets = 512
+        w = hashed_weight_table(spark, buckets, scale=1000)
+        out = {
+            r.doc_id: r
+            for r in quality_classifier(
+                docs, w, buckets, w_scale=1000.0, threshold=0.5
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        # 4 unigrams + 3 bigrams
+        assert out[1].n_feats == 7 and out[2].n_feats == 7
+        assert out[3].n_feats == 1
+        # bigram features are load-bearing: reordering the same token
+        # set must change the score (unigram sums alone would tie)
+        assert out[1].score != out[2].score
+        # keep is decided on the rounded score
+        for r in out.values():
+            assert r.keep == (r.score >= 0.5)
+            assert 0.0 <= r.score <= 1.0
+        # cross-check doc 1 against a driver-side recompute
+        rows = w.collect()
+        wt = {r.bucket: r.w for r in rows}
+        import hashlib
+
+        def b(feat):
+            return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % buckets
+
+        feats = ["alpha", "beta", "gamma", "delta",
+                 "alpha beta", "beta gamma", "gamma delta"]
+        s = sum(wt.get(b(f), 0.0) for f in feats)
+        z = s / (1000.0 * len(feats))
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(out[1].score - score) < 1e-9
+
+    def test_missing_buckets_weigh_zero(self, spark):
+        from datayours_spark.functions.text import quality_classifier
+
+        docs = spark.createDataFrame(
+            [(1, "x y z")], "doc_id long, text string"
+        )
+        empty_w = spark.createDataFrame([], "bucket long, w double")
+        out = quality_classifier(docs, empty_w, 64).collect()[0]
+        assert out.score == 0.5 and out.keep  # sigmoid(0) at threshold
+
+    def test_single_doc_keyed_exchange(self, spark):
+        from datayours_spark.functions.text import (
+            hashed_weight_table,
+            quality_classifier,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        w = hashed_weight_table(spark, 64)
+        plan = (
+            quality_classifier(docs, w, 64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # weights broadcast; the only hash exchange is the per-doc agg
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
