@@ -4189,7 +4189,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rule (correctly) rejects ALL of it, so the gate here names the
     # rules that apply to such a corpus — word count, mean word length,
     # symbol ratio, alpha words — keeping the composition exercised
-    _gates, _cont, _pairs, packed, _payload = ingest_pipeline_batch(
+    _gates, _sc, _cont, _pairs, packed, _payload = ingest_pipeline_batch(
         docs, min_words=PIPE_MIN_WORDS, k=WINNOW_K, w=WINNOW_W,
         threshold=WINNOW_T, shards=PACK_SHARDS, capacity=PACK_CAPACITY,
         gate_cols=PIPE_GATE_COLS, eval_docs=eval_docs,
@@ -4223,7 +4223,7 @@ def q_pipeline_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer vocabulary: MODEL STATE induced once from the training
     # split (a streaming build fixes it before ingest)
     vocab = vocab_topv(docs.select("doc_id", "text"), VOCAB_V)
-    _g, _c, _p, _packed, payload = ingest_pipeline_batch(
+    _g, _sc, _c, _p, _packed, payload = ingest_pipeline_batch(
         docs, min_words=PIPE_MIN_WORDS, k=WINNOW_K, w=WINNOW_W,
         threshold=WINNOW_T, shards=PACK_SHARDS, capacity=PACK_CAPACITY,
         gate_cols=PIPE_GATE_COLS, eval_docs=eval_docs,

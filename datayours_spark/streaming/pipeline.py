@@ -12,9 +12,13 @@ Every micro-batch of (doc_id, text, source):
 1. **GATE** — `gopher_rules` scores the batch (zero-shuffle projection);
    the per-rule booleans land in ``gates`` (the permanent record of
    which rule rejected each doc) and only ``pass_all`` survivors flow
-   on.  When a static eval set is configured, survivors are then
-   DECONTAMINATED against it (`winnow_decontaminate`, eval fingerprints
-   broadcast); matches land in ``contamination`` and leave the flow.
+   on.  When classifier weights are configured, survivors are then
+   scored by the MODEL FILTER (`text.quality_classifier`, hashed
+   linear fastText/DCLM shape; per-doc scores land in ``scores`` and
+   only keep=true docs flow on).  When a static eval set is
+   configured, the remaining survivors are DECONTAMINATED against it
+   (`winnow_decontaminate`, eval fingerprints broadcast); matches land
+   in ``contamination`` and leave the flow.
 2. **DEDUP** — `winnow_incremental_indexed` pairs the survivors against
    the standing fingerprint index (last-writer-wins per doc, the
    WinnowStream discipline); pairs land in ``pairs``, the batch's
@@ -99,6 +103,10 @@ PAYLOAD_SCHEMA = (
     "shard int, chunk bigint, goff bigint, n_ids bigint, ids string, "
     "batch bigint"
 )
+# per-doc model-based quality score (the fastText/DCLM-style hashed
+# linear classifier), recorded for every GATE survivor whether kept or
+# not — the audit record of the model filter stage
+SCORES_SCHEMA = "doc_id bigint, n_feats bigint, score double, keep boolean"
 
 SCHEMAS = {
     "gates": GATES_SCHEMA,
@@ -109,6 +117,7 @@ SCHEMAS = {
     "packed": PACKED_SCHEMA,
     "cursors": CURSORS_SCHEMA,
     "payload": PAYLOAD_SCHEMA,
+    "scores": SCORES_SCHEMA,
 }
 
 
@@ -275,19 +284,28 @@ def ingest_pipeline_batch(
     eval_docs: DataFrame | None = None,
     decon_threshold: float = 0.5,
     vocab: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    clf_weights: DataFrame | None = None,
+    clf_buckets: int = 0,
+    clf_bias: float = 0.0,
+    clf_w_scale: float = 1.0,
+    clf_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """The batch-mode composition the stream must reproduce:
-    gate → decontaminate (against ``eval_docs``, when given) → winnow
-    near-dup pairs → drop every doc that is the greater id of a pair →
-    pack the kept docs → (optionally) materialize the packed token-id
-    payload.  Returns (gates, contamination, pairs, packed, payload);
-    ``contamination`` is empty when no eval set is supplied, ``payload``
-    is empty unless a ``vocab`` (tok, rk) relation is given — the
-    tokenizer is MODEL STATE fixed before ingest (a streaming build
-    cannot derive a corpus-global vocabulary mid-flight), so the
-    payload stage takes it as input rather than inducing it.  This is
-    the differential oracle for :class:`IngestPipeline` and a one-shot
-    corpus-build entry point in its own right.
+    gate → (optional) model-based quality filter → decontaminate
+    (against ``eval_docs``, when given) → winnow near-dup pairs → drop
+    every doc that is the greater id of a pair → pack the kept docs →
+    (optionally) materialize the packed token-id payload.  Returns
+    (gates, scores, contamination, pairs, packed, payload);
+    ``contamination`` is empty when no eval set is supplied, ``scores``
+    unless ``clf_weights`` (+ ``clf_buckets``) configures the hashed
+    linear classifier (`text.quality_classifier` — trained weights are
+    MODEL STATE like the vocab), ``payload`` unless a ``vocab``
+    (tok, rk) relation is given — the tokenizer is MODEL STATE fixed
+    before ingest (a streaming build cannot derive a corpus-global
+    vocabulary mid-flight), so the payload stage takes it as input
+    rather than inducing it.  This is the differential oracle for
+    :class:`IngestPipeline` and a one-shot corpus-build entry point in
+    its own right.
 
     ``gate_cols`` selects which Gopher rule booleans must hold (default
     ``pass_all`` = every rule).  A corpus that is legitimately
@@ -307,6 +325,25 @@ def ingest_pipeline_batch(
         "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords", "pass_all",
     )
     survivors = scored.where(_gate_expr(gate_cols)).select("doc_id", "text")
+    # 1a. MODEL FILTER — scores recorded for every gate survivor; the
+    # reject set leaves via the same shuffled-hash anti-join shape as
+    # the dedup drop (the reject side can be corpus-scale on a
+    # low-quality crawl, so neither broadcasting it nor sorting the
+    # survivor scan is safe)
+    if clf_weights is not None:
+        from datayours_spark.functions.text import quality_classifier
+
+        scores = quality_classifier(
+            survivors, clf_weights, clf_buckets, bias=clf_bias,
+            w_scale=clf_w_scale, threshold=clf_threshold,
+        )
+        survivors = survivors.join(
+            scores.where("NOT keep").select("doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left_anti",
+        )
+    else:
+        scores = docs.sparkSession.createDataFrame([], SCORES_SCHEMA)
     # ONE fingerprint pass feeds both the decontamination and the
     # near-dup stages (the naive fingerprint-per-stage formulation
     # measured ~3x the ingest wall at the 1.5M smoke)
@@ -351,7 +388,7 @@ def ingest_pipeline_batch(
         payload = docs.sparkSession.createDataFrame(
             [], "shard int, chunk bigint, n_ids bigint, ids string"
         )
-    return gates, contamination, pairs, packed, payload
+    return gates, scores, contamination, pairs, packed, payload
 
 
 @dataclass
@@ -380,6 +417,16 @@ class IngestPipeline:
     #: doc_ids must be disjoint from training doc_ids.
     eval_docs: DataFrame | None = None
     decon_threshold: float = 0.5
+    #: optional trained classifier weights (bucket, w) — model state,
+    #: broadcast; when given (with clf_buckets), every batch's gate
+    #: survivors are scored by the hashed linear quality classifier
+    #: (text.quality_classifier) and only keep=true docs flow on;
+    #: per-doc scores land in the ``scores`` table (audit record)
+    clf_weights: DataFrame | None = None
+    clf_buckets: int = 0
+    clf_bias: float = 0.0
+    clf_w_scale: float = 1.0
+    clf_threshold: float = 0.5
     #: optional FIXED tokenizer vocabulary (tok, rk) — model state,
     #: broadcast; when given, every batch's kept docs are id-ized and
     #: their capacity-sized chunk payload segments land in ``payload``
@@ -416,11 +463,15 @@ class IngestPipeline:
 
     def _schemas(self) -> dict[str, str]:
         """The store tables this pipeline instance maintains — the
-        payload table only exists when a vocabulary is configured (its
-        absence must not fail the exactly-once committed check)."""
-        if self.vocab is not None:
-            return SCHEMAS
-        return {k: v for k, v in SCHEMAS.items() if k != "payload"}
+        payload/scores tables only exist when their model state is
+        configured (their absence must not fail the exactly-once
+        committed check)."""
+        skip = set()
+        if self.vocab is None:
+            skip.add("payload")
+        if self.clf_weights is None:
+            skip.add("scores")
+        return {k: v for k, v in SCHEMAS.items() if k not in skip}
 
     def _read_or_empty(self, name: str) -> DataFrame:
         return self.store.read_or_empty(name, SCHEMAS[name])
@@ -468,6 +519,23 @@ class IngestPipeline:
         survivors = scored.where(_gate_expr(self.gate_cols)).select(
             "doc_id", "text"
         )
+        # 1a. MODEL FILTER — per-row scoring, so stream ≡ batch holds
+        # with no order dependence; the reject set leaves via the same
+        # anti-join shape as the batch form
+        if self.clf_weights is not None:
+            from datayours_spark.functions.text import quality_classifier
+
+            scores = quality_classifier(
+                survivors, self.clf_weights, self.clf_buckets,
+                bias=self.clf_bias, w_scale=self.clf_w_scale,
+                threshold=self.clf_threshold,
+            ).localCheckpoint(eager=True)  # scores sink + reject set
+            scores.write.mode("overwrite").parquet(dests["scores"])
+            survivors = survivors.join(
+                scores.where("NOT keep").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
         # ONE fingerprint pass (checkpointed) feeds the decontamination
         # stage, the dedup stage AND the index append
         surv_fp = (
@@ -597,6 +665,9 @@ class IngestPipeline:
 
     def packed(self) -> DataFrame:
         return self._read_or_empty("packed")
+
+    def scores(self) -> DataFrame:
+        return self._read_or_empty("scores")
 
     def payload(self) -> DataFrame:
         """Complete materialized chunks (shard, chunk, n_ids, ids) —

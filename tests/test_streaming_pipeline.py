@@ -48,7 +48,7 @@ class TestIngestPipeline:
             pipe._process(spark.createDataFrame(rows, SCHEMA), i)
 
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, _b_cont, b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _sc, _b_cont, b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
 
         # 1. gates: per-row scoring — identical by construction
         assert {tuple(r) for r in pipe.gates().collect()} == {
@@ -110,7 +110,7 @@ class TestIngestPipeline:
         finally:
             q.stop()
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        b_gates, _b_cont, _b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
+        b_gates, _sc, _b_cont, _b_pairs, b_packed, _pl = ingest_pipeline_batch(all_docs, **KW)
         assert {tuple(r) for r in pipe.gates().collect()} == {
             tuple(r) for r in b_gates.collect()
         }
@@ -149,13 +149,71 @@ class TestIngestPipeline:
         assert not kept & contaminated
         # stream ≡ batch with the same eval set
         all_docs = spark.createDataFrame(DOCS, SCHEMA)
-        _g, b_cont, _p, b_packed, _pl = ingest_pipeline_batch(
+        _g, _sc, b_cont, _p, b_packed, _pl = ingest_pipeline_batch(
             all_docs, eval_docs=eval_docs, decon_threshold=0.3, **KW
         )
         assert got_cont == {tuple(r) for r in b_cont.collect()}
         assert {tuple(r) for r in pipe.packed().collect()} == {
             tuple(r) for r in b_packed.collect()
         }
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_classifier_stage_stream_equals_batch(self, spark):
+        """Optional model-filter stage: a planted killer weight on the
+        'alpha' feature bucket must reject exactly the docs containing
+        that token (the near-dup family 1/3/20), with per-doc scores
+        recorded for EVERY gate survivor and stream ≡ batch across the
+        scores and packed tables."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        import hashlib
+
+        buckets = 512
+        alpha_bucket = (
+            int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % buckets
+        )
+        weights = spark.createDataFrame(
+            [(alpha_bucket, -1e6)], "bucket long, w double"
+        ).localCheckpoint(eager=True)
+        # threshold 0.8: 11 and 21 share only the GOOD prefix and must
+        # not pair — the kept set isolates the classifier's effect
+        kw = dict(KW, threshold=0.8, clf_weights=weights,
+                  clf_buckets=buckets, clf_threshold=0.5)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            **kw,
+        )
+        batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+        scores = {r.doc_id: r for r in pipe.scores().collect()}
+        # every gate survivor scored (2 and 10 fail the gate)
+        assert set(scores) == {1, 3, 11, 20, 21}
+        rejected = {d for d, r in scores.items() if not r.keep}
+        assert rejected == {1, 3, 20}
+        kept = {r.doc_id for r in pipe.packed().collect()}
+        assert kept == {11, 21}
+        # rejected docs never reach the dedup stage: the 1/3/20 family
+        # would otherwise pair
+        assert pipe.pairs().count() == 0
+        # stream ≡ batch
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        _g, b_sc, _c, _p, b_packed, _pl = ingest_pipeline_batch(
+            all_docs, **kw
+        )
+        assert {tuple(r) for r in pipe.scores().collect()} == {
+            tuple(r) for r in b_sc.collect()
+        }
+        assert {tuple(r) for r in pipe.packed().collect()} == {
+            tuple(r) for r in b_packed.collect()
+        }
+        # replay no-op covers the scores table too
+        n = pipe.scores().count()
+        pipe._process(spark.createDataFrame(batches[0], SCHEMA), 0)
+        assert pipe.scores().count() == n
         shutil.rmtree(TMP, ignore_errors=True)
 
     def test_payload_stage_stream_equals_batch(self, spark):
@@ -189,7 +247,7 @@ class TestIngestPipeline:
         for i, rows in enumerate(batches):
             pipe._process(spark.createDataFrame(rows, SCHEMA), i)
         got = {tuple(r) for r in pipe.payload().collect()}
-        _g, _c, _p, b_packed, b_payload = ingest_pipeline_batch(
+        _g, _sc, _c, _p, b_packed, b_payload = ingest_pipeline_batch(
             all_docs, vocab=vocab, **kw
         )
         assert {r.doc_id for r in b_packed.collect()} >= {1, 11, 21}
@@ -265,7 +323,7 @@ class TestIngestPipeline:
         pipe._process(spark.createDataFrame(rows[:3], SCHEMA), 0)
         pipe._process(spark.createDataFrame(rows[3:], SCHEMA), 1)
         all_docs = spark.createDataFrame(rows, SCHEMA)
-        _g, _c, _p, b_packed, _pl = ingest_pipeline_batch(
+        _g, _sc, _c, _p, b_packed, _pl = ingest_pipeline_batch(
             all_docs, gate_cols=gate_cols, **KW
         )
         got_packed = {tuple(r) for r in pipe.packed().collect()}
@@ -273,7 +331,7 @@ class TestIngestPipeline:
         assert len(got_packed) == len(rows)  # nothing silently dropped
         # and with the default gate the same corpus packs nothing —
         # the configuration is load-bearing, not cosmetic
-        _g2, _c2, _p2, strict_packed, _pl2 = ingest_pipeline_batch(all_docs, **KW)
+        _g2, _sc2, _c2, _p2, strict_packed, _pl2 = ingest_pipeline_batch(all_docs, **KW)
         assert strict_packed.count() == 0
         shutil.rmtree(TMP, ignore_errors=True)
 
