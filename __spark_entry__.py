@@ -1084,6 +1084,55 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TPCH_Q16_EXCL_BRAND = "Brand#4"
+TPCH_Q16_EXCL_TYPE = "PROMO"
+TPCH_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
+TPCH_Q16_TOP = 40
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-count-by-part-descriptor: how many
+    DISTINCT suppliers can supply each (brand, type, size) bucket,
+    excluding one brand, one type and a blacklist of suppliers — the
+    classic NOT-IN-subquery + count(distinct) shape.  The fixture
+    ships no partsupp or s_comment: the supply relation derives from
+    lineitem's observed (part, supplier) pairs, and suppliers with a
+    NEGATIVE account balance stand in for the complaints blacklist.
+
+    Plan shape: the part filter broadcasts into the lineitem scan; the
+    supplier blacklist is a broadcast ANTI-join (the decorrelated
+    NOT IN); the distinct-supplier count is the only two-phase
+    aggregate and its key space is parts-descriptor-sized; the global
+    top-N plans TakeOrderedAndProject."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != TPCH_Q16_EXCL_BRAND)
+        & (F.col("p_type") != TPCH_Q16_EXCL_TYPE)
+        & F.col("p_size").isin(list(TPCH_Q16_SIZES))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(TPCH_Q16_TOP)
+    )
+
+
 TPCH_Q20_PREFIX = "red "
 TPCH_Q20_REGION = "ASIA"
 TPCH_Q20_START = 852_076_800   # 1997-01-01
@@ -4336,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q20": q_tpch_q20,
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q22": q_tpch_q22,
+        "q_tpch_q16": q_tpch_q16,
         "q_pipeline_payload": q_pipeline_payload,
         "q_quality_classifier": q_quality_classifier,
         "q_time_range": q_time_range,
@@ -6739,6 +6789,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN pt ON ps.l_partkey = pt.p_partkey
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
             LIMIT {TPCH_Q2_TOP}
+        """,
+        "q_tpch_q16": f"""
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> '{TPCH_Q16_EXCL_BRAND}'
+              AND p_type <> '{TPCH_Q16_EXCL_TYPE}'
+              AND p_size IN {TPCH_Q16_SIZES!r}
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+            LIMIT {TPCH_Q16_TOP}
         """,
         "q_tpch_q20": f"""
             WITH pt AS (

@@ -170,7 +170,9 @@ BENCH_QUERIES = [
     "q_bm25_chunks",
     "q_hybrid_rrf",
     "q_ppl_buckets",
-    "q_knn_label",
+    # (q_knn_label retired from the stdout line in r10: the exact
+    # brute-force baseline; q_knn_label_routed keeps the heavier
+    # ANN-routed labeling profile on the line)
     "q_tpch_q6",
     "q_tpch_q10",
     "q_tpch_q14",
@@ -204,6 +206,7 @@ BENCH_QUERIES = [
     "q_tpch_q20",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_tpch_q16",
     "q_pipeline_payload",
     "q_quality_classifier",
 ]

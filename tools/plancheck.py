@@ -373,6 +373,17 @@ def main() -> None:
         and "LeftAnti" in plan
         and "GreaterThanOrEqual(o_orderdate" in plan,
     )
+    # tpch q16 (r10): part filter broadcasts, the supplier blacklist is
+    # a broadcast anti-join (decorrelated NOT IN), count(distinct) is
+    # two-phase on the descriptor key, top-N is TakeOrderedAndProject.
+    plan = plan_of(registry["q_tpch_q16"](spark, SF_DIR))
+    check(
+        "tpch q16 broadcast part + anti-join blacklist + ordered top-k",
+        "BroadcastHashJoin" in plan
+        and "LeftAnti" in plan
+        and "TakeOrderedAndProject" in plan
+        and "Window" not in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full

@@ -2135,6 +2135,51 @@ def smoke_pipeline() -> None:
     spark.stop()
 
 
+def smoke_qc() -> None:
+    """Isolated: the hashed linear quality classifier at SCALE_DOCS docs
+    with a production-sized 2^18-bucket weight table (the fastText
+    hashing-trick dimension) — the claim under test: scoring is one
+    feature explode + ONE broadcast weight join + one doc-keyed combine,
+    corpus-linear with the model entering as broadcast state, never a
+    literal fold or a per-row Python path."""
+    spark = get_spark(
+        "scalesmoke-qc",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.text import (
+        hashed_weight_table,
+        quality_classifier,
+    )
+
+    buckets = int(os.environ.get("SCALE_QC_BUCKETS", 1 << 18))
+    docs = synthetic_documents(spark, N_DOCS).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    w = hashed_weight_table(spark, buckets, scale=1000).localCheckpoint(
+        eager=True
+    )
+    t_w = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    out = quality_classifier(docs, w, buckets, w_scale=1000.0)
+    kept = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("k"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+    ).first()
+    sec = time.perf_counter() - t
+    print(json.dumps({
+        "metric": "quality classifier smoke",
+        "ops": {
+            "weights": {"buckets": buckets, "build_sec": t_w},
+            "score": {
+                "docs": N_DOCS, "sec": round(sec, 1),
+                "docs_per_sec": int(N_DOCS / sec),
+                "kept": int(kept["k"]), "mean_score": float(kept["mean_score"]),
+            },
+        },
+    }))
+    spark.stop()
+
+
 def smoke_knn() -> None:
     """Isolated: ANN-routed batch auto-labeling at SCALE_KNN_QUERIES
     (default 100k) queries against a SCALE_VECS clustered corpus — the
@@ -2567,5 +2612,7 @@ if __name__ == "__main__":
         smoke_bpe()
     elif mode == "packids":
         smoke_packids()
+    elif mode == "qc":
+        smoke_qc()
     else:
         main()
