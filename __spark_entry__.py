@@ -4203,6 +4203,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUF_OUT_SHARDS = 8
+SHUF_SEED = "epoch0"
+
+
+def q_chunk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic OFFLINE SHUFFLE of the packed chunk grid (new
+    r10): every (lang, shard, chunk) context window gets a
+    pseudo-random (out_shard, pos) — the last pass before a sharded
+    dataloader consumes the corpus, breaking the source adjacency that
+    packing preserves.  Pure function of (keys, seed): re-derivable
+    from the seed alone, like the stratified-sampling rates.
+
+    Scale shape: the chunk grid derives from ONE (lang, shard) token
+    sum (never an expansion of the manifest), the shuffle key and
+    out_shard are row-local md5 arithmetic, and position assignment is
+    one hash shuffle on out_shard + a per-shard window — no global
+    sort, no empty-partition window."""
+    from datayours_spark.functions.sampling import (
+        hash_bucket,
+        shuffle_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        hash_bucket(F.col("doc_id"), "pack", PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    totals = staged.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").alias("tot")
+    )
+    grid = totals.select(
+        "lang",
+        "shard",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT), "
+                f"(tot + {PACK_CAPACITY - 1}) div {PACK_CAPACITY} - 1)"
+            )
+        ).alias("chunk"),
+    )
+    return shuffle_chunks(
+        grid, ["lang", "shard", "chunk"], SHUF_OUT_SHARDS, seed=SHUF_SEED
+    )
+
+
 PIPE_MIN_WORDS = 20
 PIPE_GATE_COLS = (
     "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
@@ -4388,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q16": q_tpch_q16,
         "q_pipeline_payload": q_pipeline_payload,
         "q_quality_classifier": q_quality_classifier,
+        "q_chunk_shuffle": q_chunk_shuffle,
         "q_time_range": q_time_range,
         "q_render_csv": q_render_csv,
         "q_render_json": q_render_json,
@@ -6896,6 +6943,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, shard, chunk, count(*)::BIGINT AS n_ids,
                    array_to_string(list(tid ORDER BY goff), ',') AS ids
             FROM t GROUP BY 1, 2, 3
+        """,
+        "q_chunk_shuffle": f"""
+            WITH staged AS (
+              SELECT lang,
+                     CAST(('0x' || substr(md5('pack' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % {PACK_SHARDS} AS BIGINT) AS shard,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents),
+            tot AS (SELECT lang, shard, sum(n_tokens) AS tot
+                    FROM staged GROUP BY 1, 2),
+            grid AS (
+              SELECT lang, shard,
+                     unnest(generate_series(
+                       0::BIGINT,
+                       ((tot + {PACK_CAPACITY - 1}) // {PACK_CAPACITY}
+                        - 1)::BIGINT
+                     ))::BIGINT AS chunk
+              FROM tot),
+            k AS (
+              SELECT lang, shard, chunk,
+                     ('0x' || substr(md5('{SHUF_SEED}:' || lang || ':' ||
+                        shard::VARCHAR || ':' || chunk::VARCHAR), 1, 8)
+                     )::BIGINT AS skey
+              FROM grid)
+            SELECT lang, shard, chunk,
+                   CAST(skey % {SHUF_OUT_SHARDS} AS INT) AS out_shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY skey % {SHUF_OUT_SHARDS}
+                     ORDER BY skey, lang, shard, chunk) - 1
+                   AS BIGINT) AS pos
+            FROM k
         """,
         "q_pack_sequences": f"""
             WITH staged AS (

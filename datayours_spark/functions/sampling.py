@@ -363,3 +363,54 @@ def mixing_weights(
         "alloc_tokens",
         "epochs",
     )
+
+
+def shuffle_chunks(
+    chunks: DataFrame,
+    key_cols: list[str],
+    out_shards: int,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic OFFLINE SHUFFLE of training chunks — the last pass
+    before a dataloader consumes a packed corpus: every chunk gets a
+    pseudo-random position in one of ``out_shards`` output shards, so
+    adjacent source documents (which packing keeps adjacent) land far
+    apart at training time.  Shard-level permutation with intra-shard
+    order — exactly the layout sharded dataloaders consume (pick a
+    shard, read it sequentially).
+
+    Output: the input key columns plus (out_shard, pos) — pos is the
+    chunk's 0-based read position within its output shard, ordered by
+    the md5 shuffle key (ties impossible: the key feeds its own
+    tiebreak through the input keys).
+
+    Determinism is the contract: the permutation is a pure function of
+    (key_cols, seed) — reruns, cluster size, partitioning, and engine
+    all reproduce it, so a training run is re-derivable from the seed
+    alone (the stratified-sampling discipline applied to ordering).
+
+    Scale shape: one projection computes the shuffle key and output
+    shard row-locally, then ONE hash shuffle on out_shard with a
+    per-shard sort window assigns positions — state per task is one
+    shard's keys, never a GLOBAL sort or an empty-partition window
+    (the single-task trap the driver gates document).  With
+    out_shards sized so a shard's chunk keys fit a task (thousands of
+    shards at 100 TB), the whole pass is corpus-linear."""
+    skey = md5_int32(
+        F.concat_ws(
+            ":", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    staged = chunks.select(
+        *key_cols,
+        skey.alias("skey"),
+        F.pmod(skey, F.lit(out_shards)).cast("int").alias("out_shard"),
+    )
+    w = Window.partitionBy("out_shard").orderBy(
+        "skey", *[F.col(c) for c in key_cols]
+    )
+    return staged.select(
+        *key_cols,
+        "out_shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

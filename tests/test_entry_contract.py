@@ -97,7 +97,7 @@ FAMILIES = {
         "q_sample_stratified", "q_sample_temperature",
         "q_sample_uniform_k", "q_token_budget", "q_quota_topk",
         "q_shard_balance", "q_shard_manifest", "q_pack_sequences",
-        "q_pack_ids", "q_mix_weights",
+        "q_pack_ids", "q_mix_weights", "q_chunk_shuffle",
     ],
     "text_analysis": [
         "q_text_stats", "q_lang_quality", "q_text_profile",

@@ -352,3 +352,45 @@ class TestMixingWeights:
         # both strata hold exactly 3 real tokens -> identical n_tokens
         assert out["a"]["n_tokens"] == 3 and out["b"]["n_tokens"] == 3
         assert out["a"]["weight"] == out["b"]["weight"]
+
+
+class TestShuffleChunks:
+    def test_permutation_deterministic_and_complete(self, spark):
+        from datayours_spark.functions.sampling import shuffle_chunks
+
+        chunks = spark.createDataFrame(
+            [(s, c) for s in range(4) for c in range(50)],
+            "shard long, chunk long",
+        )
+        a = shuffle_chunks(chunks, ["shard", "chunk"], 8, seed="e0")
+        rows = a.collect()
+        # complete permutation: every input chunk exactly once
+        assert len(rows) == 200
+        assert {(r.shard, r.chunk) for r in rows} == {
+            (s, c) for s in range(4) for c in range(50)
+        }
+        # positions are 0..n-1 dense per output shard
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.out_shard, []).append(r.pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+        # deterministic: a rerun (different partitioning) is identical
+        b = shuffle_chunks(
+            chunks.repartition(7), ["shard", "chunk"], 8, seed="e0"
+        )
+        assert {tuple(r) for r in b.collect()} == {tuple(r) for r in rows}
+        # a different seed is a different permutation
+        c = shuffle_chunks(chunks, ["shard", "chunk"], 8, seed="e1")
+        assert {tuple(r) for r in c.collect()} != {tuple(r) for r in rows}
+        # the shuffle actually breaks adjacency: consecutive source
+        # chunks of one shard do not stay consecutive in one out_shard
+        pos_of = {(r.shard, r.chunk): (r.out_shard, r.pos) for r in rows}
+        adjacent_kept = sum(
+            1
+            for s in range(4)
+            for c in range(49)
+            if pos_of[(s, c)][0] == pos_of[(s, c + 1)][0]
+            and abs(pos_of[(s, c)][1] - pos_of[(s, c + 1)][1]) == 1
+        )
+        assert adjacent_kept < 20  # ~196/8/len expected by chance
