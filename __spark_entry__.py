@@ -4415,17 +4415,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries each round (dict-order prefix).  ROUND 10: with the r9
         # window having closed the full registry (155/156 green; the
         # only red cell was q_pack_ids' artifact form, fixed this
-        # round), the r10 window holds (a) the four r10 additions —
-        # q_pack_ids in its canonicalizable string form plus the new
-        # TPC-H Q2/Q20 decorrelation shapes and the pipeline payload
-        # stage — and (b) the 46 OLDEST-green rows (r1-r4 vintage:
-        # renders, rollups, null policies, catalog/metrics, early dedup
-        # family), refreshing cross-round coverage where it is most
-        # stale.  Every family keeps a green row at most 2 rounds old
-        # (tests/test_entry_contract.py); the two `no_oracle` approx
-        # queries sit last so no window slot is structurally
-        # un-greenable.
-        # --- r10 window: new queries + the 46 oldest-green rows ---
+        # round), the r10 window holds (a) the NINE r10 additions —
+        # q_pack_ids in its canonicalizable string form, the five new
+        # TPC-H shapes (Q2/Q20 decorrelations, Q19 disjunction, Q22
+        # scalar-subquery anti-join, Q16 NOT-IN distinct-count), the
+        # pipeline payload stage, the hashed quality classifier, and
+        # the offline chunk shuffle — and (b) the OLDEST-green rows
+        # (r1-r4 vintage: renders, rollups, null policies,
+        # catalog/metrics, early dedup family), refreshing cross-round
+        # coverage where it is most stale.  Every family keeps a green
+        # row at most 2 rounds old (tests/test_entry_contract.py); the
+        # two `no_oracle` approx queries sit last so no window slot is
+        # structurally un-greenable.
+        # --- r10 window: new queries + the oldest-green rows ---
         "q_pack_ids": q_pack_ids,
         "q_tpch_q2": q_tpch_q2,
         "q_tpch_q20": q_tpch_q20,
