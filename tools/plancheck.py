@@ -665,6 +665,36 @@ def main() -> None:
         bool(re.search(r"windowspecdefinition\(shard", plan)),
     )
 
+    # pipeline payload stage (r10): the id-ization joins the broadcast
+    # vocab (model state) into the kept docs' token stream, the chunk
+    # aggregate partitions by (shard, chunk) — capacity-bounded group
+    # state, never an empty-partitionSpec window or a corpus sort.
+    plan = plan_of(registry["q_pipeline_payload"](spark, SF_DIR))
+    check(
+        "pipeline payload broadcasts the vocab into the id stream",
+        "BroadcastHashJoin" in plan,
+    )
+    check(
+        "pipeline payload pack window partitions by shard",
+        bool(re.search(r"windowspecdefinition\(shard", plan))
+        and not re.search(r"windowspecdefinition\(\s*\)", plan),
+    )
+    # quality classifier (r10): the weight table broadcasts (model
+    # state), the doc-keyed combine is the only hash exchange.
+    plan = plan_of(registry["q_quality_classifier"](spark, SF_DIR))
+    check(
+        "quality classifier broadcasts weights, one doc-keyed exchange",
+        "BroadcastHashJoin" in plan
+        and len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
+    )
+    # offline chunk shuffle (r10): key arithmetic is row-local; the
+    # only window partitions by out_shard (never empty partitionSpec).
+    plan = plan_of(registry["q_chunk_shuffle"](spark, SF_DIR))
+    check(
+        "chunk shuffle windows by out_shard only",
+        bool(re.search(r"windowspecdefinition\(out_shard", plan)),
+    )
+
     # BPE segmentation (r9): the learned merge table is a literal
     # replace chain — applying it must be a pure generator projection
     # over the token stream, ZERO exchanges (the induction loop runs
