@@ -296,6 +296,99 @@ class TestIngestPipeline:
         assert pipe.payload().count() == n
         shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_all_stages_composed_stream_equals_batch(self, spark):
+        """Every optional stage at once — gate → model filter → eval
+        decontamination → dedup → pack → payload — across three
+        batches with replay: the stages must compose (a classifier
+        reject never reaches decon/dedup/pack; the payload covers
+        exactly the six-stage survivors) and every table must equal
+        the batch composition."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        import hashlib
+
+        from datayours_spark.functions.text import vocab_topv
+
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        vocab = vocab_topv(
+            all_docs.select("doc_id", "text"), 50
+        ).localCheckpoint(eager=True)
+        buckets = 512
+        # classifier kills docs containing 'iota' (doc 21)
+        iota_bucket = (
+            int(hashlib.md5(b"iota").hexdigest()[:8], 16) % buckets
+        )
+        weights = spark.createDataFrame(
+            [(iota_bucket, -1e6)], "bucket long, w double"
+        ).localCheckpoint(eager=True)
+        # eval doc: near-copy of 11 → decon drops 11
+        eval_docs = spark.createDataFrame(
+            [(1001, GOOD + " epsilon zeta nu")],
+            "doc_id bigint, text string",
+        )
+        # decon at 0.9: only the near-copy (11, containment 1.0) trips
+        # — the GOOD-prefix cousins sit at 0.75 (probed)
+        kw = dict(KW, threshold=0.3,
+                  clf_weights=weights, clf_buckets=buckets,
+                  eval_docs=eval_docs, decon_threshold=0.9, vocab=vocab)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            compact_every=2,
+            **kw,
+        )
+        batches = [DOCS[:3], DOCS[3:5], DOCS[5:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+        # stage ledger: 2/10 gated; 21 classifier-rejected; 11
+        # decontaminated; 3/20 dedup-dropped (family of 1) → kept {1}
+        assert {
+            r.doc_id
+            for r in pipe.gates().where("NOT pass_all").collect()
+        } == {2, 10}
+        assert {
+            r.doc_id for r in pipe.scores().where("NOT keep").collect()
+        } == {21}
+        assert {
+            r.doc_id for r in pipe.contamination().collect()
+        } == {11}
+        assert {r.doc_id for r in pipe.packed().collect()} == {1}
+        # classifier rejects and decon drops never reach later stages
+        ids_in_pairs = {
+            i for r in pipe.pairs().collect() for i in (r.id1, r.id2)
+        }
+        assert not ids_in_pairs & {2, 10, 11, 21}
+        # payload covers exactly the kept doc's tokens
+        pl = pipe.payload().collect()
+        assert sum(r.n_ids for r in pl) == len(DOCS[0][1].split(" "))
+        # the whole six-stage composition equals the batch form
+        b_g, b_sc, b_c, b_p, b_pk, b_pl = ingest_pipeline_batch(
+            all_docs, **kw
+        )
+        for got_df, want_df in (
+            (pipe.gates(), b_g), (pipe.scores(), b_sc),
+            (pipe.contamination(), b_c), (pipe.pairs(), b_p),
+            (pipe.packed(), b_pk), (pipe.payload(), b_pl),
+        ):
+            assert {tuple(r) for r in got_df.collect()} == {
+                tuple(r) for r in want_df.collect()
+            }
+        # replay of a folded batch is a no-op across ALL tables
+        counts = [
+            pipe.gates().count(), pipe.scores().count(),
+            pipe.pairs().count(), pipe.packed().count(),
+            pipe.payload().count(),
+        ]
+        pipe._process(spark.createDataFrame(batches[0], SCHEMA), 0)
+        assert counts == [
+            pipe.gates().count(), pipe.scores().count(),
+            pipe.pairs().count(), pipe.packed().count(),
+            pipe.payload().count(),
+        ]
+        shutil.rmtree(TMP, ignore_errors=True)
+
     def test_gate_cols_stream_equals_batch(self, spark):
         """The documented non-English/synthetic configuration: a corpus
         with no English stopwords packs NOTHING under pass_all, so the
