@@ -1084,6 +1084,107 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TPCH_Q9_NOUN = "gear"
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit: net profit of one product
+    family per (nation, year) — the classic six-table join whose cost
+    side comes from partsupp.  The fixture ships no partsupp, so the
+    supply-cost relation derives from lineitem exactly as in
+    :func:`q_tpch_q2` (each (part, supplier)'s minimum observed unit
+    price): profit = revenue − supplycost · quantity.
+
+    Plan shape: the name-filtered part broadcasts into BOTH lineitem
+    passes (the cost derivation and the fact scan), supplier→nation
+    broadcasts, and the one non-broadcast join is fact-to-derived on
+    the (part, supplier) composite key — the aggregated-subquery join
+    Q9 is known for; year extraction via the session-tz-independent
+    `_year_col`; decimal-exact profit accumulation (the Q10 boundary
+    lesson)."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(TPCH_Q9_NOUN)
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ps = li_p.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("cost") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li_p.join(ps, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .select(
+            "n_name",
+            _year_col(li, "l_shipdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.round(F.sum("amount").cast("double"), 4).alias("sum_profit")
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+TPCH_Q11_NATION = "NATION_7"
+TPCH_Q11_FRAC = 0.0015
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock identification: parts whose
+    supply value held by ONE nation's suppliers exceeds a fraction of
+    that nation's total — the classic GROUP BY with a scalar-subquery
+    HAVING.  The fixture ships no partsupp: supply value derives from
+    lineitem as (min observed unit price) × (total quantity the pair
+    shipped), per (part, supplier) of the nation.
+
+    Plan shape: the nation's suppliers broadcast into the lineitem
+    scan (everything downstream is that nation's slice); the scalar
+    total is a ONE-ROW aggregate joined back as a broadcast nested
+    loop (never a CartesianProduct); parts-sized aggregates
+    throughout; decimal-exact value sums so the threshold compare is
+    engine-stable."""
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == TPCH_Q11_NATION
+    )
+    sn = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_n = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    ps = li_n.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice") / F.col("l_quantity")
+        ).alias("cost"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    pv = ps.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("cost") * F.col("qty")).cast("decimal(18,6)")
+        ).alias("value")
+    )
+    total = pv.agg(F.sum("value").alias("tot"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("value") > F.lit(TPCH_Q11_FRAC) * F.col("tot"))
+        .select(
+            F.col("l_partkey").cast("long").alias("p_partkey"),
+            F.round(F.col("value").cast("double"), 4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
 TPCH_Q16_EXCL_BRAND = "Brand#4"
 TPCH_Q16_EXCL_TYPE = "PROMO"
 TPCH_Q16_SIZES = (1, 4, 9, 14, 19, 23, 36, 45)
@@ -4434,6 +4535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19": q_tpch_q19,
         "q_tpch_q22": q_tpch_q22,
         "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q9": q_tpch_q9,
+        "q_tpch_q11": q_tpch_q11,
         "q_pipeline_payload": q_pipeline_payload,
         "q_quality_classifier": q_quality_classifier,
         "q_chunk_shuffle": q_chunk_shuffle,
@@ -6838,6 +6941,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN pt ON ps.l_partkey = pt.p_partkey
             ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
             LIMIT {TPCH_Q2_TOP}
+        """,
+        "q_tpch_q9": f"""
+            WITH pt AS (
+              SELECT p_partkey FROM part
+              WHERE p_name LIKE '%{TPCH_Q9_NOUN}%'),
+            li AS (
+              SELECT l.* FROM lineitem l JOIN pt ON l_partkey = p_partkey),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost
+              FROM li GROUP BY 1, 2),
+            sn AS (
+              SELECT s_suppkey, n_name FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey)
+            SELECT n_name,
+                   CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   round(CAST(sum(CAST(
+                     l_extendedprice * (1 - l_discount) - cost * l_quantity
+                     AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_profit
+            FROM li
+            JOIN ps USING (l_partkey, l_suppkey)
+            JOIN sn ON li.l_suppkey = sn.s_suppkey
+            GROUP BY 1, 2
+            ORDER BY n_name, o_year DESC
+        """,
+        "q_tpch_q11": f"""
+            WITH sn AS (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = '{TPCH_Q11_NATION}'),
+            li AS (
+              SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity
+              FROM lineitem JOIN sn ON l_suppkey = s_suppkey),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(l_extendedprice / l_quantity) AS cost,
+                     sum(l_quantity) AS qty
+              FROM li GROUP BY 1, 2),
+            pv AS (
+              SELECT l_partkey,
+                     sum(CAST(cost * qty AS DECIMAL(18,6))) AS value
+              FROM ps GROUP BY 1),
+            tot AS (SELECT sum(value) AS tot FROM pv)
+            SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                   round(CAST(value AS DOUBLE), 4) AS value
+            FROM pv, tot
+            WHERE value > {TPCH_Q11_FRAC} * tot
+            ORDER BY value DESC, p_partkey
         """,
         "q_tpch_q16": f"""
             SELECT p_brand, p_type, p_size,

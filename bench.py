@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "q_tpch_q19",
     "q_tpch_q22",
     "q_tpch_q16",
+    # (q_tpch_q9 and q_tpch_q11 are deliberately NOT benched: the
+    # derived-supply variants share their scan/join profile with the
+    # twelve TPC-H rows already on the line, and the driver line must
+    # stay inside the 2000-char stdout tail window)
     "q_pipeline_payload",
     "q_quality_classifier",
 ]

@@ -63,7 +63,7 @@ FAMILIES = {
     ],
     "tpch": ["q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q5",
              "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
-             "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+             "q_tpch_q9", "q_tpch_q11", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
              "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q16",
              "q_tpch_q22"],
     "dedup_exact_lsh": [

@@ -384,6 +384,21 @@ def main() -> None:
         and "TakeOrderedAndProject" in plan
         and "Window" not in plan,
     )
+    # tpch q9 (r10): part + supplier-nation broadcast; the one
+    # non-broadcast join is fact-to-derived on the (part, supplier)
+    # composite key; no rank window anywhere.
+    plan = plan_of(registry["q_tpch_q9"](spark, SF_DIR))
+    check(
+        "tpch q9 broadcasts dims, fact-to-derived composite join",
+        plan.count("BroadcastHashJoin") >= 2 and "Window" not in plan,
+    )
+    # tpch q11 (r10): the scalar total joins back as a one-row
+    # broadcast nested loop; parts-sized aggregates; no window.
+    plan = plan_of(registry["q_tpch_q11"](spark, SF_DIR))
+    check(
+        "tpch q11 scalar-total broadcast + parts-sized aggregates",
+        "BroadcastNestedLoopJoin" in plan and "Window" not in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
