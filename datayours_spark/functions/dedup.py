@@ -1496,6 +1496,18 @@ def winnow_incremental_indexed(
       counts — skipping the full-index ``groupBy(doc_id)`` — and
       ``index_fp`` may safely be pruned to the batch's hash buckets
       (it then feeds only h-matching, never doc-level aggregates).
+      CONSISTENCY CONTRACT (ADVICE r10): ``index_counts`` must cover
+      every doc_id in ``index_fp`` — the denominator lookups are inner
+      joins, so a pair whose index doc is missing from counts is
+      silently dropped, not raised.  A left join + null-assert would
+      surface it, but preserving the small pair side of a LEFT join
+      defeats the broadcast build (Spark builds right for LeftOuter),
+      forcing a per-batch shuffle of the corpus-sized counts — the
+      exact cost this mode exists to avoid.  An index store populated
+      BEFORE its counts table existed must be rebuilt (or counts
+      backfilled with ``index.groupBy(doc_id).count()``) before using
+      this argument; the streaming maintainers write both tables from
+      the same batch fingerprints, so they cannot drift.
     - ``broadcast_batch``: broadcast the batch's fingerprints into the
       posting join (index side streams, no exchange) and pre-filter the
       guard's posting-frequency aggregate to the batch's h set (the

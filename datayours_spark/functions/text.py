@@ -867,7 +867,10 @@ def quality_classifier(
     filter that sits after the Gopher-style heuristic gate in modern
     LLM corpus pipelines (CCNet's LM filter, DCLM's fastText
     classifier).  Output: (doc_id, n_feats, score, keep) with ``keep``
-    compared on the ROUNDED score so both engines decide identically.
+    compared on the ROUNDED score so both engines decide identically;
+    EVERY input doc gets a row — a featureless doc (null text) scores
+    (n_feats=0, score null, keep false) instead of silently bypassing
+    the filter and the audit record (ADVICE r10).
 
     ``weights`` is (bucket, w) MODEL STATE (broadcast); hash-missing
     buckets weigh 0.  With integer-valued ``w`` (quantized weights,
@@ -883,8 +886,14 @@ def quality_classifier(
 
     toks = F.split(F.col(text_col), " ")
     feats = F.concat(toks, token_shingles(text_col, 2))
+    # explode_OUTER keeps featureless docs (null text → null feature
+    # array) in the stream as one null-feature row, so every input doc
+    # reaches the aggregate — same plan, zero extra shuffles (a
+    # join-back to the input ids would add one); the null feature
+    # hashes to a null bucket, matches no weight, and is excluded from
+    # the n_feats count below
     hashed = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(feats).alias("feat")
+        F.col(id_col).alias("doc_id"), F.explode_outer(feats).alias("feat")
     ).select(
         "doc_id",
         F.pmod(md5_int32(F.col("feat")), F.lit(buckets))
@@ -900,17 +909,22 @@ def quality_classifier(
         hashed.join(w, "bucket", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_feats"),
+            # count("bucket") skips the null-feature sentinel rows, so
+            # a featureless doc aggregates to n_feats=0
+            F.count("bucket").cast("long").alias("n_feats"),
             F.sum(F.coalesce("w", F.lit(0.0))).alias("s"),
         )
     )
     z = F.lit(bias) + F.col("s") / (F.lit(w_scale) * F.col("n_feats"))
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    score = F.when(
+        F.col("n_feats") > 0,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6),
+    )
     return agg.select(
         "doc_id",
         "n_feats",
         score.alias("score"),
-        (score >= F.lit(threshold)).alias("keep"),
+        F.coalesce(score >= F.lit(threshold), F.lit(False)).alias("keep"),
     )
 
 

@@ -208,7 +208,15 @@ def _payload_segments(
     SEGMENT per batch)."""
     from datayours_spark.functions.text import tokenize_ids
 
-    ids = tokenize_ids(kept, vocab)
+    # docs the manifest counted as n_tokens=0 (null/empty text) must
+    # contribute NO ids: tokenize_ids' posexplode of split('', ' ')
+    # would emit one phantom unk row whose goff collides with the next
+    # doc's first token (ADVICE r10) — reachable when gate_cols omits
+    # ok_word_count, the documented non-English configuration
+    ids = tokenize_ids(
+        kept.where(F.col("text").isNotNull() & (F.length("text") > 0)),
+        vocab,
+    )
     tok = ids.join(
         manifest.select("doc_id", "shard", "offset"), "doc_id"
     ).select(
@@ -594,8 +602,15 @@ class IngestPipeline:
         )
 
         # 3. PACK — continue each shard's running offset from the
-        # cursors table (batches × shards rows, never the packed corpus)
-        cursors = self._read_or_empty("cursors")
+        # cursors table (batches × shards rows, never the packed corpus).
+        # The batch's OWN row is excluded defensively: on a replay after
+        # a crash that committed cursors but not a later table, reading
+        # it back would double-advance every shard's start offset and
+        # shift the whole batch's pack/payload rows (ADVICE r10 high) —
+        # the filter restores the exact pre-batch cursor state.
+        cursors = self._read_or_empty("cursors").where(
+            F.col("batch") != F.lit(batch_id)
+        )
         starts = cursors.groupBy("shard").agg(
             F.max("end_offset").alias("start_offset")
         )
@@ -616,13 +631,15 @@ class IngestPipeline:
                 F.lit(batch_id).alias("batch"),
             )
         )
-        new_cursors.write.mode("overwrite").parquet(dests["cursors"])
-
         # 4. PAYLOAD (optional) — materialize the kept docs' token-id
         # chunk segments against the fixed vocabulary; the batch's
         # manifest carries the global offsets, so chunk ids continue
         # across batches and a spanning chunk simply gets one segment
-        # per batch (merged by the payload() reader)
+        # per batch (merged by the payload() reader).  Written BEFORE
+        # cursors so cursors stays the LAST per-batch write: every
+        # earlier table is replay-idempotent, so keeping the only
+        # accumulator-semantics table final closes the crash window the
+        # read-side filter above also defends against (ADVICE r10 high).
         if self.vocab is not None:
             (
                 _payload_segments(
@@ -632,6 +649,7 @@ class IngestPipeline:
                 .write.mode("overwrite")
                 .parquet(dests["payload"])
             )
+        new_cursors.write.mode("overwrite").parquet(dests["cursors"])
         self.store.maybe_compact(
             batch_id,
             schemas,

@@ -420,6 +420,30 @@ class TestQualityClassifier:
         score = round(1.0 / (1.0 + math.exp(-z)), 6)
         assert abs(out[1].score - score) < 1e-9
 
+    def test_featureless_doc_gets_audit_row(self, spark):
+        """A null-text doc explodes to zero features; it must still get
+        a scores row (n_feats=0, score null, keep FALSE) instead of
+        silently bypassing the keep-filter and the audit record
+        (ADVICE r10)."""
+        from datayours_spark.functions.text import (
+            hashed_weight_table,
+            quality_classifier,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, None)],
+            "doc_id long, text string",
+        )
+        w = hashed_weight_table(spark, 64)
+        out = {
+            r.doc_id: r for r in quality_classifier(docs, w, 64).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[2].n_feats == 0
+        assert out[2].score is None
+        assert out[2].keep is False
+        assert out[1].n_feats == 5 and out[1].score is not None
+
     def test_missing_buckets_weigh_zero(self, spark):
         from datayours_spark.functions.text import quality_classifier
 

@@ -296,6 +296,84 @@ class TestIngestPipeline:
         assert pipe.payload().count() == n
         shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_replay_after_partial_commit_keeps_offsets(self, spark):
+        """Crash window (ADVICE r10 high): a batch that committed its
+        cursors row but lost a later table write is replayed; the pack
+        stage must NOT read the batch's own cursors back (that would
+        double-advance every shard's start offset, leaving permanent
+        holes in the offset space).  Simulated by deleting the payload
+        batch dir after a full _process, then replaying."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        from datayours_spark.functions.text import vocab_topv
+
+        all_docs = spark.createDataFrame(DOCS, SCHEMA)
+        vocab = vocab_topv(
+            all_docs.select("doc_id", "text"), 50
+        ).localCheckpoint(eager=True)
+        kw = dict(KW, threshold=0.8)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            vocab=vocab,
+            compact_every=None,
+            **kw,
+        )
+        batches = [DOCS[:3], DOCS[3:]]
+        for i, rows in enumerate(batches):
+            pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+        want_packed = {tuple(r) for r in pipe.packed().collect()}
+        want_payload = {tuple(r) for r in pipe.payload().collect()}
+        want_cursors = {
+            tuple(r) for r in pipe._read_or_empty("cursors").collect()
+        }
+        # crash: batch 1's payload write is lost, its cursors survive
+        shutil.rmtree(TMP / "store" / "payload" / "batch-000000000001")
+        pipe._process(spark.createDataFrame(batches[1], SCHEMA), 1)
+        assert {tuple(r) for r in pipe.packed().collect()} == want_packed
+        assert {tuple(r) for r in pipe.payload().collect()} == want_payload
+        assert {
+            tuple(r) for r in pipe._read_or_empty("cursors").collect()
+        } == want_cursors
+        # offset space is hole-free: per shard, offsets tile exactly
+        rows = pipe.packed().orderBy("shard", "offset").collect()
+        nxt = {}
+        for r in rows:
+            assert r.offset == nxt.get(r.shard, 0)
+            nxt[r.shard] = r.offset + r.n_tokens
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_empty_text_doc_contributes_no_payload_ids(self, spark):
+        """A doc the manifest counts as n_tokens=0 (empty text) must
+        contribute no token ids: posexplode of split('', ' ') emits one
+        phantom unk row whose goff would collide with the next doc's
+        first token (ADVICE r10)."""
+        from datayours_spark.functions.text import vocab_topv
+        from datayours_spark.streaming.pipeline import (
+            _pack_manifest,
+            _payload_segments,
+            merge_payload_segments,
+        )
+
+        kept = spark.createDataFrame(
+            [(1, "a b c d"), (2, ""), (3, None), (4, "e f g h")],
+            "doc_id bigint, text string",
+        )
+        vocab = vocab_topv(kept.where("text is not null"), 50)
+        manifest = _pack_manifest(kept, shards=1, capacity=4)
+        m = {r.doc_id: r for r in manifest.collect()}
+        assert m[2].n_tokens == 0 and m[3].n_tokens == 0
+        seg = _payload_segments(kept, manifest, vocab, 4).withColumn(
+            "batch", F.lit(0)
+        )
+        out = merge_payload_segments(seg).collect()
+        # exactly the 8 real tokens, no phantom, no duplicated goff
+        assert sum(r.n_ids for r in out) == 8
+        for r in out:
+            assert len(r.ids.split(",")) == r.n_ids
+
     def test_all_stages_composed_stream_equals_batch(self, spark):
         """Every optional stage at once — gate → model filter → eval
         decontamination → dedup → pack → payload — across three
