@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     # (q_join_enrich retired from the stdout line in r10: a 0.5s
     # broadcast dim enrich; q_tpch_q3/q5 keep the broadcast-join
     # profile)
-    "q_dedup_exact",
+    # (q_dedup_exact retired from the stdout line in r11: a 0.24s
+    # hash groupBy; q_dedup_minhash + q_dedup_incremental keep the
+    # dedup profile)
     # (q_dedup_tokenset retired from the stdout line in r9 for
     # line-length headroom: a sub-second token-set hash groupBy whose
     # cost profile q_dedup_exact + q_dedup_minhash cover)
@@ -107,7 +109,9 @@ BENCH_QUERIES = [
     "q_leakage_split",
     # round 3 additions
     "q_ann_ivf_probe2",
-    "q_sample_temperature",
+    # (q_sample_temperature retired from the stdout line in r11: a
+    # 0.34s weighted sample; q_chunk_shuffle — added this round —
+    # keeps the heavier sampling-family shuffle profile on the line)
     # round 4 additions (q_span_removed retired from the stdout line in
     # r8 for line-length headroom: q_span_dedup + q_span_incremental
     # cover the span family's cost profile)
@@ -175,7 +179,9 @@ BENCH_QUERIES = [
     # ANN-routed labeling profile on the line)
     "q_tpch_q6",
     "q_tpch_q10",
-    "q_tpch_q14",
+    # (q_tpch_q14 retired from the stdout line in r11: a 0.31s
+    # broadcast-part + pushed-date join; q_tpch_q19/q20 keep that
+    # exact profile)
     "q_tpch_q18",
     # round 9 additions — the join/aggregate-heavy r8 operators the
     # verdict flagged unbenched (q_source_quality, q_lang_confusion,
@@ -183,9 +189,13 @@ BENCH_QUERIES = [
     # scan-bound passes; timings still land in BENCH_LOCAL_FULL.json)
     "q_winnow_dedup",
     "q_novelty",
-    "q_prototype_prune",
+    # (q_prototype_prune retired from the stdout line in r11: a 0.52s
+    # centroid-distance prune; q_semdedup + q_dedup_embed keep the
+    # embedding-prune profile)
     "q_drop_reasons",
-    "q_mix_weights",
+    # (q_mix_weights retired from the stdout line in r11: a 0.42s
+    # single broadcast-threshold aggregate; q_ppl_buckets keeps the
+    # percentile-bucket profile)
     "q_rp_recall",
     "q_ingest_pipeline",
     "q_knn_label_routed",
@@ -207,12 +217,18 @@ BENCH_QUERIES = [
     "q_tpch_q19",
     "q_tpch_q22",
     "q_tpch_q16",
-    # (q_tpch_q9 and q_tpch_q11 are deliberately NOT benched: the
-    # derived-supply variants share their scan/join profile with the
-    # twelve TPC-H rows already on the line, and the driver line must
-    # stay inside the 2000-char stdout tail window)
     "q_pipeline_payload",
     "q_quality_classifier",
+    # round 11 additions — the three r10 rows the verdict flagged
+    # unbenched (Q9/Q11 derived-supply joins, the offline chunk
+    # shuffle) and the three new r11 TPC-H shapes (Q4 semi-join
+    # EXISTS, Q12 conditional fact join, Q21 semi+anti decorrelation)
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_chunk_shuffle",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q21",
 ]
 
 

@@ -61,11 +61,12 @@ FAMILIES = {
         "q_datamine_asof", "q_dash_report", "q_dm_timeline",
         "q_treemap_rollup", "q_tally_minmax",
     ],
-    "tpch": ["q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q5",
-             "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q10",
-             "q_tpch_q9", "q_tpch_q11", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-             "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q16",
-             "q_tpch_q22"],
+    "tpch": ["q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4",
+             "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+             "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
+             "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+             "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+             "q_tpch_q21", "q_tpch_q22"],
     "dedup_exact_lsh": [
         "q_dedup_exact", "q_dedup_tokenset", "q_dedup_minhash",
         "q_dedup_simhash", "q_dup_clusters", "q_dedup_incremental",

@@ -399,6 +399,40 @@ def main() -> None:
         "tpch q11 scalar-total broadcast + parts-sized aggregates",
         "BroadcastNestedLoopJoin" in plan and "Window" not in plan,
     )
+    # tpch q4 (r11): the correlated EXISTS decorrelates to exactly ONE
+    # left-semi join on orderkey (never inner+distinct), and the
+    # order-date quarter pushes into the orders scan.
+    plan = plan_of(registry["q_tpch_q4"](spark, SF_DIR))
+    check(
+        "tpch q4 single semi-join EXISTS + pushed order-date quarter",
+        plan.count("Join type: LeftSemi") == 1
+        and plan.count("Join type:") == 1
+        and "GreaterThanOrEqual(o_orderdate" in plan
+        and "LessThan(o_orderdate" in plan,
+    )
+    # tpch q12 (r11): all line predicates (mode IN, the derived date
+    # comparisons, the receipt window) filter lineitem BEFORE the one
+    # orders join; two-group CASE sums aggregate map-side.
+    plan = plan_of(registry["q_tpch_q12"](spark, SF_DIR))
+    check(
+        "tpch q12 filters lines below the single join, map-side CASE",
+        plan.count("Join type:") == 1
+        and "partial_sum" in plan
+        and "Window" not in plan,
+    )
+    # tpch q21 (r11): the double-correlated EXISTS / NOT-EXISTS
+    # decorrelates to a semi- + anti-join PAIR on orderkey, each with
+    # the supplier-differs residual; the nation's suppliers broadcast
+    # below them; no CartesianProduct (global sweep also checks) and
+    # the top-100 is TakeOrderedAndProject.
+    plan = plan_of(registry["q_tpch_q21"](spark, SF_DIR))
+    check(
+        "tpch q21 semi+anti decorrelation pair + ordered top-k",
+        plan.count("Join type: LeftSemi") == 2  # EXISTS + F-order filter
+        and plan.count("Join type: LeftAnti") == 1
+        and "TakeOrderedAndProject" in plan
+        and "Window" not in plan,
+    )
     # bm25: the query-term filter must sit BELOW the tf aggregate — the
     # broadcast LeftSemi join consumes the raw token explode (Generate)
     # directly, so only matched posting lists ever shuffle; the full
