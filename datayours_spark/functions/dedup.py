@@ -1564,9 +1564,12 @@ def winnow_incremental_indexed(
         # with h outside the batch's set can never match either).
         # ``hits`` is pre-expansion (posting rows, not pairs), so
         # materializing it is linear and safe to do before the guard.
+        # The checkpoint is LAZY: the guard's own aggregate job (the
+        # very next action) materializes it — one job where the eager
+        # form ran two (r10 verdict #1, the per-trigger floor).
         hits = both.join(
             F.broadcast(new_fp.select("h").distinct()), "h"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         pair_src = hits
     else:
         pair_src = both

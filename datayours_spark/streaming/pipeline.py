@@ -71,8 +71,11 @@ from datayours_spark.functions.text import gopher_rules
 from datayours_spark.streaming.store import BatchStore
 from datayours_spark.streaming.winnowstream import (
     _index_lww,
+    _with_hb,
+    rebuild_index_summary,
     standing_counts_view,
     standing_index_view,
+    summary_hit_buckets,
     write_counts_batch,
     write_index_batch,
 )
@@ -453,6 +456,12 @@ class IngestPipeline:
     #: broadcast the batch's fingerprints into the posting join when
     #: at most this many rows (winnow_incremental_indexed contract)
     broadcast_fp_rows: int = 4_000_000
+    #: maintain the compacted index's bloom summary and skip compacted
+    #: buckets that provably contain no batch h-match — the BULK-batch
+    #: prune (winnowstream module header has the full argument).  Wins
+    #: on mostly-fresh traffic; degrades to the unpruned scan when
+    #: batches re-hit existing content.
+    summary_prune: bool = False
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -484,6 +493,25 @@ class IngestPipeline:
     def _read_or_empty(self, name: str) -> DataFrame:
         return self.store.read_or_empty(name, SCHEMAS[name])
 
+    def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> bool:
+        """Write one table's batch dir; an EMPTY relation commits as a
+        bare ``_SUCCESS`` marker instead of a Spark write job (readers
+        load with an explicit schema, so a data-file-less committed dir
+        is zero rows).  Returns True when the relation was empty.
+        ``df`` must be (lazily) checkpointed: ``isEmpty`` materializes
+        the partitions it probes into the same cache the write then
+        reads, so nothing is computed twice.  Part of the fixed
+        per-trigger floor cut (r10 verdict #1) — a trickle batch whose
+        dedup drops everything skips the packed/payload/pairs write
+        jobs entirely."""
+        if df.isEmpty():
+            self.store.write_empty_marker(name, batch_id)
+            return True
+        df.write.mode("overwrite").parquet(
+            self.store.batch_dest(name, batch_id)
+        )
+        return False
+
     @property
     def eval_fp(self) -> DataFrame | None:
         """The static eval set's (eval_id, h) fingerprints, computed
@@ -514,10 +542,16 @@ class IngestPipeline:
         # 1. GATE — score once (checkpoint), feed the gates sink and the
         # survivor filter without re-projecting; text rides through the
         # projection so no join back to docs is needed
+        # checkpoints are LAZY (eager=False) throughout: each stage's
+        # first consumer — usually its own table write — materializes
+        # the cache as part of a job it was running anyway, instead of
+        # a separate eager-checkpoint job per stage.  At the 1.5M smoke
+        # this halves the fixed ~15-action per-trigger floor (r10
+        # verdict #1) with byte-identical outputs.
         scored = gopher_rules(
             docs, min_words=self.min_words, max_words=self.max_words,
             carry_cols=("source", "text"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         scored.select(
             "doc_id", "n_words", "source", "ok_word_count",
             "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
@@ -537,7 +571,7 @@ class IngestPipeline:
                 survivors, self.clf_weights, self.clf_buckets,
                 bias=self.clf_bias, w_scale=self.clf_w_scale,
                 threshold=self.clf_threshold,
-            ).localCheckpoint(eager=True)  # scores sink + reject set
+            ).localCheckpoint(eager=False)  # scores sink + reject set
             scores.write.mode("overwrite").parquet(dests["scores"])
             survivors = survivors.join(
                 scores.where("NOT keep").select("doc_id"),
@@ -550,7 +584,7 @@ class IngestPipeline:
             winnow_fingerprints(survivors, k=self.k, w=self.w)
             .select("doc_id", "h")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         # 1b. DECONTAMINATE — survivors vs the static eval set (its
@@ -562,22 +596,39 @@ class IngestPipeline:
                 fingerprints=surv_fp,
                 fingerprints_distinct=True,
                 eval_fingerprints=self.eval_fp,
-            ).localCheckpoint(eager=True)  # sink + drop set
+            ).localCheckpoint(eager=False)  # sink + drop set
             drops0 = contamination.select("doc_id").distinct()
             survivors = survivors.join(drops0, "doc_id", "left_anti")
             surv_fp = surv_fp.join(
                 drops0, "doc_id", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         else:
             contamination = self.spark.createDataFrame([], CONTAM_SCHEMA)
-        contamination.write.mode("overwrite").parquet(
-            dests["contamination"]
-        )
+        self._write_batch(contamination, "contamination", batch_id)
 
         # 2. DEDUP — survivors vs the standing LWW index view
         # (batch-proportional: tail-only LWW, hb-pruned pair path,
-        # counts-table denominators — winnowstream docstring)
-        index = standing_index_view(self.store, surv_fp, self.index_buckets)
+        # counts-table denominators — winnowstream docstring).  ONE
+        # collect serves three decisions: the hb bucket set (scan
+        # prune), the fingerprint count (broadcast-vs-shuffle posting
+        # join), and the lazy surv_fp checkpoint's materialization.
+        hb_counts = {
+            r["hb"]: r["n"]
+            for r in _with_hb(surv_fp, self.index_buckets)
+            .groupBy("hb")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_fp = sum(hb_counts.values())
+        hit_bks = None
+        if self.summary_prune and len(hb_counts) == self.index_buckets:
+            hit_bks = summary_hit_buckets(
+                self.store, surv_fp, self.index_buckets
+            )
+        index = standing_index_view(
+            self.store, surv_fp, self.index_buckets,
+            bks=sorted(hb_counts), hit_bks=hit_bks,
+        )
         counts = standing_counts_view(self.store)
         pairs, batch_fp = winnow_incremental_indexed(
             survivors,
@@ -587,10 +638,10 @@ class IngestPipeline:
             fingerprints=surv_fp,
             fingerprints_distinct=True,
             index_counts=counts.select("doc_id", "n_fp"),
-            broadcast_batch_rows=self.broadcast_fp_rows,
+            broadcast_batch=(n_fp <= self.broadcast_fp_rows),
         )
-        pairs = pairs.localCheckpoint(eager=True)  # pairs sink + drop set
-        pairs.write.mode("overwrite").parquet(dests["pairs"])
+        pairs = pairs.localCheckpoint(eager=False)  # pairs sink + drop set
+        self._write_batch(pairs, "pairs", batch_id)
         write_index_batch(
             batch_fp, batch_id, dests["index"], self.index_buckets
         )
@@ -608,29 +659,45 @@ class IngestPipeline:
         # it back would double-advance every shard's start offset and
         # shift the whole batch's pack/payload rows (ADVICE r10 high) —
         # the filter restores the exact pre-batch cursor state.
-        cursors = self._read_or_empty("cursors").where(
-            F.col("batch") != F.lit(batch_id)
-        )
-        starts = cursors.groupBy("shard").agg(
-            F.max("end_offset").alias("start_offset")
+        # The per-shard offsets are SHARDS-BOUNDED, so they fold on the
+        # DRIVER: the start offsets enter the manifest join as a local
+        # relation (broadcast without a sub-job) and the new cursors
+        # write as a plain local write — the previous full-outer join
+        # of two 32-row relations cost a sort-merge shuffle's worth of
+        # AQE stages per trigger (r10 verdict #1).
+        starts_map = {
+            int(r["shard"]): int(r["start_offset"])
+            for r in self._read_or_empty("cursors")
+            .where(F.col("batch") != F.lit(batch_id))
+            .groupBy("shard")
+            .agg(F.max("end_offset").alias("start_offset"))
+            .collect()
+        }
+        starts = (
+            self.spark.createDataFrame(
+                sorted(starts_map.items()), "shard int, start_offset bigint"
+            )
+            if starts_map
+            else None
         )
         packed = _pack_manifest(
             kept, self.shards, self.capacity, starts=starts
-        ).localCheckpoint(eager=True)  # packed sink + cursor fold
-        packed.write.mode("overwrite").parquet(dests["packed"])
-        new_cursors = (
-            packed.groupBy("shard")
-            .agg(F.max(F.col("offset") + F.col("n_tokens")).alias("end"))
-            .join(F.broadcast(starts), "shard", "outer")
-            .select(
-                F.col("shard").cast("int").alias("shard"),
-                F.greatest(
-                    F.coalesce(F.col("end"), F.lit(0)),
-                    F.coalesce(F.col("start_offset"), F.lit(0)),
-                ).alias("end_offset"),
-                F.lit(batch_id).alias("batch"),
-            )
+        ).localCheckpoint(eager=False)  # packed sink + cursor fold
+        packed_empty = self._write_batch(packed, "packed", batch_id)
+        ends_map = (
+            {}
+            if packed_empty
+            else {
+                int(r["shard"]): int(r["end"])
+                for r in packed.groupBy("shard")
+                .agg(F.max(F.col("offset") + F.col("n_tokens")).alias("end"))
+                .collect()
+            }
         )
+        cursor_rows = [
+            (s, max(ends_map.get(s, 0), starts_map.get(s, 0)), batch_id)
+            for s in sorted(set(ends_map) | set(starts_map))
+        ]
         # 4. PAYLOAD (optional) — materialize the kept docs' token-id
         # chunk segments against the fixed vocabulary; the batch's
         # manifest carries the global offsets, so chunk ids continue
@@ -641,16 +708,26 @@ class IngestPipeline:
         # accumulator-semantics table final closes the crash window the
         # read-side filter above also defends against (ADVICE r10 high).
         if self.vocab is not None:
-            (
-                _payload_segments(
-                    kept, packed, self.vocab, self.capacity
+            if packed_empty:
+                # no kept docs ⇒ no token ids; commit the empty dir by
+                # marker without computing the payload plan at all
+                self.store.write_empty_marker("payload", batch_id)
+            else:
+                (
+                    _payload_segments(
+                        kept, packed, self.vocab, self.capacity
+                    )
+                    .withColumn("batch", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .parquet(dests["payload"])
                 )
-                .withColumn("batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .parquet(dests["payload"])
-            )
-        new_cursors.write.mode("overwrite").parquet(dests["cursors"])
-        self.store.maybe_compact(
+        if cursor_rows:
+            self.spark.createDataFrame(
+                cursor_rows, CURSORS_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(dests["cursors"])
+        else:
+            self.store.write_empty_marker("cursors", batch_id)
+        fired = self.store.maybe_compact(
             batch_id,
             schemas,
             folds={
@@ -659,6 +736,8 @@ class IngestPipeline:
                 "payload": _payload_fold,
             },
         )
+        if fired and self.summary_prune:
+            rebuild_index_summary(self.store, self.index_buckets)
 
     def start(self):
         docs = (

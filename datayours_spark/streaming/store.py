@@ -77,9 +77,21 @@ class BatchStore:
     partition_cols: dict | None = None
     _fs: object = field(default=None, repr=False)
     _jpath: object = field(default=None, repr=False)
+    #: (name, schema, dirs-tuple) -> DataFrame.  Committed dirs are
+    #: IMMUTABLE (a batch dir is written once; a compacted dir never
+    #: mutates — compaction writes a NEW watermark dir), so a reader
+    #: DataFrame stays valid for as long as its dir set is the current
+    #: view.  Re-using it skips the per-read file/partition discovery
+    #: job — for a 256-bucket hb-partitioned index that listing alone
+    #: was a 256-task job on EVERY micro-batch (r10 verdict #1, the
+    #: fixed per-trigger floor).  Entries for superseded views go stale
+    #: harmlessly (their key is never requested again); the dict is
+    #: bounded by a wholesale clear when it outgrows its cap.
+    _df_cache: dict = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         self.store_dir = self.store_dir.rstrip("/")
+        self._df_cache = {}
 
     # ------------------------------------------------------------ hadoop fs
     def _path(self, *parts: str):
@@ -117,6 +129,20 @@ class BatchStore:
 
     def batch_dest(self, name: str, batch_id: int) -> str:
         return "/".join([self.store_dir, name, self.batch_sub(batch_id)])
+
+    def write_empty_marker(self, name: str, batch_id: int) -> None:
+        """Commit an EMPTY batch dir without running a Spark write job:
+        create the dir and touch its ``_SUCCESS`` marker through the
+        FileSystem API.  Readers load batch dirs with an explicit
+        schema, so a committed dir with no data files reads as zero
+        rows; ``batch_committed`` sees the marker like any other.  Part
+        of the fixed per-trigger floor cut (r10 verdict #1): a trickle
+        batch whose stage produced nothing skips that stage's write job
+        entirely."""
+        fs = self._filesystem()
+        sub = self.batch_sub(batch_id)
+        fs.mkdirs(self._path(name, sub))
+        fs.create(self._path(name, sub, "_SUCCESS"), True).close()
 
     def watermark(self, name: str) -> int:
         """Highest committed compaction watermark for a table (-1: none)."""
@@ -169,7 +195,40 @@ class BatchStore:
         compacted, tail = self.committed_dirs_split(name)
         return compacted + tail
 
+    def _success_mtime(self, d: str) -> int:
+        """Modification time of a dir's ``_SUCCESS`` marker (0 when
+        absent).  The marker is rewritten by every write that replaces
+        the dir — including a foreachBatch replay overwriting a crashed
+        batch's committed dirs in place — so it versions the dir's
+        contents on every FileSystem (dir mtimes are unreliable on
+        object stores; the marker file's own mtime is not)."""
+        fs = self._filesystem()  # also initializes the Path class
+        try:
+            return int(
+                fs.getFileStatus(self._jpath(d + "/_SUCCESS"))
+                .getModificationTime()
+            )
+        except Exception:
+            return 0
+
     def _read_dirs(self, name: str, schema: str, dirs: list[str]) -> DataFrame:
+        key = (
+            name,
+            schema,
+            tuple((d, self._success_mtime(d)) for d in dirs),
+        )
+        cached = self._df_cache.get(key)
+        if cached is not None:
+            return cached
+        df = self._read_dirs_uncached(name, schema, dirs)
+        if len(self._df_cache) >= 256:
+            self._df_cache.clear()
+        self._df_cache[key] = df
+        return df
+
+    def _read_dirs_uncached(
+        self, name: str, schema: str, dirs: list[str]
+    ) -> DataFrame:
         if not dirs:
             return self.spark.createDataFrame([], schema)
         if (self.partition_cols or {}).get(name) and len(dirs) > 1:
@@ -273,16 +332,19 @@ class BatchStore:
 
     def maybe_compact(
         self, batch_id: int, schemas: dict[str, str], folds: dict | None = None
-    ) -> None:
+    ) -> bool:
         """Compact every table when the cadence fires (call from inside
         the foreachBatch callback, AFTER the batch's own writes).
         ``folds`` optionally maps table name -> fold callable (see
-        :meth:`compact`)."""
+        :meth:`compact`).  Returns True when the cadence fired — a
+        maintainer that keeps derived views of the compacted state
+        (e.g. the winnow index's bloom summary) rebuilds them then."""
         if self.compact_every is None or self.compact_every <= 0:
-            return
+            return False
         if (batch_id + 1) % self.compact_every != 0:
-            return
+            return False
         for name, schema in schemas.items():
             self.compact(
                 name, schema, batch_id, (folds or {}).get(name)
             )
+        return True

@@ -124,8 +124,148 @@ def _with_hb(fp: DataFrame, buckets: int) -> DataFrame:
     )
 
 
+# --- per-bucket bloom summary (r10 verdict #5) -----------------------
+#
+# The hb hash-range prune only helps batches whose fingerprints touch a
+# strict subset of the buckets — uniform hashes touch ALL of them once
+# a batch carries more than ~buckets fingerprints.  The summary lets a
+# BULK batch of mostly-fresh content skip compacted buckets too: at
+# compaction time each hb bucket's distinct h values are folded into a
+# PARTITIONED BLOOM (n_hashes independent planes of m_p bits each,
+# stored as 64-bit bitmap words — engine-native rows, no driver-side
+# bloom object), and the per-batch probe joins the batch's h values
+# against the words: a bucket none of whose batch probes hit all
+# planes provably contains no h-match (blooms have no false
+# negatives), so the pair path's compacted scan skips it.  False
+# positives only cost extra reads.  With the default 24 bits/element ×
+# 8 planes the per-element fpp is ~4e-5, so a fresh 1%-of-corpus batch
+# skips ~90% of the compacted bytes; a batch of mostly already-ingested
+# text hits every bucket and degrades to the unpruned scan.
+SUMMARY_SCHEMA = "hb int, word bigint, bits bigint, m bigint, wm bigint"
+SUMMARY_BITS_PER_FP = 24
+SUMMARY_PLANES = 8
+
+
+def _summary_path(store: BatchStore) -> str:
+    return store.store_dir + "/index_summary"
+
+
+def _plane_positions(m_p: int, planes: int):
+    """Per-plane bit positions of ``h``: plane i owns bits
+    [i·m_p, (i+1)·m_p); one position per plane, so a probe h emits
+    exactly ``planes`` DISTINCT positions (the all-planes-hit check
+    counts matched rows — separate planes make double-landing
+    impossible)."""
+    return F.array(*[
+        (
+            F.lit(i * m_p)
+            + F.pmod(F.xxhash64(F.col("h"), F.lit(i)), F.lit(m_p))
+        )
+        for i in range(planes)
+    ])
+
+
+def rebuild_index_summary(
+    store: BatchStore,
+    buckets: int,
+    bits_per_fp: int = SUMMARY_BITS_PER_FP,
+    planes: int = SUMMARY_PLANES,
+) -> int:
+    """(Re)build the bloom summary of the COMPACTED index side — call
+    right after compaction (the summary is stamped with the index
+    watermark; readers ignore it the moment the watermark moves, so a
+    stale or crashed rebuild degrades to no pruning, never to a wrong
+    answer).  Returns the per-plane bit width (0 = no summary)."""
+    comp, _tail = store.read_split("index", INDEX_SCHEMA)
+    wm = store.watermark("index")
+    spark = store.spark
+    fs = store._filesystem()
+    path = _summary_path(store)
+    n = comp.select("h").distinct().count()
+    if wm < 0 or n == 0:
+        fs.delete(store._path("index_summary"), True)
+        return 0
+    m_p = max(64, -(-n * bits_per_fp // (buckets * planes) // 64) * 64)
+    words = (
+        _with_hb(comp.select("h").distinct(), buckets)
+        .select("hb", F.explode(_plane_positions(m_p, planes)).alias("p"))
+        .select(
+            "hb",
+            F.expr("p div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("hb", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .select(
+            "hb", "word", "bits",
+            F.lit(m_p).cast("long").alias("m"),
+            F.lit(wm).cast("long").alias("wm"),
+        )
+    )
+    words.coalesce(8).write.mode("overwrite").parquet(path)
+    return m_p
+
+
+def summary_hit_buckets(
+    store: BatchStore,
+    batch_fp: DataFrame,
+    buckets: int,
+    planes: int = SUMMARY_PLANES,
+) -> list[int] | None:
+    """The hb buckets of the compacted index that MIGHT contain an
+    h-match for this batch, per the bloom summary — or None when no
+    summary matches the current index watermark (reader then falls
+    back to the unpruned scan).  Never loses a match: a bucket is
+    skipped only when every batch h misses at least one bloom plane,
+    which proves the h is absent from that bucket."""
+    fs = store._filesystem()
+    if not fs.exists(store._path("index_summary", "_SUCCESS")):
+        return None
+    s = store.spark.read.schema(SUMMARY_SCHEMA).parquet(
+        _summary_path(store)
+    )
+    head = s.select("m", "wm").first()
+    if head is None or head["wm"] != store.watermark("index"):
+        return None
+    m_p = int(head["m"])
+    probe = (
+        _with_hb(batch_fp.select("h").distinct(), buckets)
+        .select(
+            "h", "hb",
+            F.explode(_plane_positions(m_p, planes)).alias("p"),
+        )
+        .select(
+            "h", "hb",
+            F.expr("p div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
+            ).alias("bit"),
+        )
+    )
+    # batch probes broadcast into ONE summary scan; a probe row joins
+    # iff its word exists, survives iff its bit is set — a probe h
+    # "might be present" in its bucket iff all `planes` rows survive
+    hit = (
+        F.broadcast(probe)
+        .join(s.select("hb", "word", "bits"), ["hb", "word"])
+        .where(F.expr("(bits & bit) != 0"))
+        .groupBy("hb", "h")
+        .agg(F.count("*").alias("k"))
+        .where(F.col("k") == planes)
+        .select("hb")
+        .distinct()
+    )
+    return sorted(r["hb"] for r in hit.collect())
+
+
 def standing_index_view(
-    store: BatchStore, batch_fp: DataFrame, buckets: int
+    store: BatchStore,
+    batch_fp: DataFrame,
+    buckets: int,
+    bks: list[int] | None = None,
+    hit_bks: list[int] | None = None,
 ) -> DataFrame:
     """The LWW standing index view for one batch's pair computation,
     hb-pruned to the batch's fingerprint buckets when that prunes
@@ -138,19 +278,34 @@ def standing_index_view(
     live in the tail) is computed over the UNPRUNED tail — a doc
     re-ingested with fingerprints entirely outside the batch's buckets
     must still supersede its compacted rows INSIDE them; only the
-    surviving data rows are bucket-filtered (mutation-tested)."""
+    surviving data rows are bucket-filtered (mutation-tested).
+
+    ``bks`` optionally hands in the batch's precomputed hb bucket set —
+    a maintainer that already aggregated the batch's fingerprints per
+    bucket (the one-collect-per-batch discipline, r10 verdict #1)
+    skips this function's own collect job.
+
+    ``hit_bks`` optionally hands in the bloom-summary verdict
+    (:func:`summary_hit_buckets`): the compacted side is then pruned to
+    those buckets even when the batch's own hb set covers everything —
+    the bulk-batch prune the hb layout alone cannot provide.  Applies
+    to the COMPACTED data rows only (the summary describes exactly the
+    compacted side at its watermark); the tail keeps the hb prune."""
     comp, tail = store.read_split("index", INDEX_SCHEMA)
     tail_latest = tail.groupBy("doc_id").agg(
         F.max("batch").alias("batch")
     )
     tail_ids = tail_latest.select("doc_id")
-    bks = [
-        r.hb
-        for r in _with_hb(batch_fp.select("h").distinct(), buckets)
-        .select("hb").distinct().collect()
-    ]
+    if bks is None:
+        bks = [
+            r.hb
+            for r in _with_hb(batch_fp.select("h").distinct(), buckets)
+            .select("hb").distinct().collect()
+        ]
+    comp_bks = bks if hit_bks is None else sorted(set(bks) & set(hit_bks))
+    if len(comp_bks) < buckets:
+        comp = comp.where(F.col("hb").isin(comp_bks))
     if len(bks) < buckets:
-        comp = comp.where(F.col("hb").isin(bks))
         tail = tail.where(F.col("hb").isin(bks))
     tail_lww = tail.join(tail_latest, ["doc_id", "batch"])
     base = comp.join(F.broadcast(tail_ids), "doc_id", "left_anti")
@@ -214,6 +369,14 @@ class WinnowStream:
     broadcast_fp_rows: int = 4_000_000
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
+    #: maintain the compacted index's bloom summary and use it to skip
+    #: compacted buckets that provably contain no batch h-match — the
+    #: BULK-batch prune (the hb layout already prunes trickle batches).
+    #: Pays one summary-probe job per bulk batch and a summary rebuild
+    #: per compaction; wins when batches are mostly FRESH text (most
+    #: probes miss), degrades to the unpruned scan when batches re-hit
+    #: existing content.  Module header has the full argument.
+    summary_prune: bool = False
     _store: BatchStore = field(default=None, repr=False)
 
     @property
@@ -241,13 +404,35 @@ class WinnowStream:
         new = batch.select("doc_id", "text")
         # fingerprint the batch ONCE (checkpoint feeds the bucket-set
         # collect, the posting join, the index append and the counts)
+        # lazy checkpoint: the bucket-set collect inside
+        # standing_index_view is the first action and materializes it
+        # (one job instead of an eager-checkpoint job plus the collect)
         batch_fp = (
             winnow_fingerprints(new, k=self.k, w=self.w)
             .select("doc_id", "h")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        index = standing_index_view(self.store, batch_fp, self.index_buckets)
+        # ONE collect serves the hb bucket set, the broadcast decision,
+        # and the lazy batch_fp checkpoint's materialization
+        hb_counts = {
+            r["hb"]: r["n"]
+            for r in _with_hb(batch_fp, self.index_buckets)
+            .groupBy("hb")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        hit_bks = None
+        if self.summary_prune and len(hb_counts) == self.index_buckets:
+            # the batch touches every bucket (bulk) — ask the bloom
+            # summary which compacted buckets can actually match
+            hit_bks = summary_hit_buckets(
+                self.store, batch_fp, self.index_buckets
+            )
+        index = standing_index_view(
+            self.store, batch_fp, self.index_buckets,
+            bks=sorted(hb_counts), hit_bks=hit_bks,
+        )
         counts = standing_counts_view(self.store)
         pairs, _ = winnow_incremental_indexed(
             new,
@@ -258,7 +443,9 @@ class WinnowStream:
             fingerprints=batch_fp,
             fingerprints_distinct=True,
             index_counts=counts.select("doc_id", "n_fp"),
-            broadcast_batch_rows=self.broadcast_fp_rows,
+            broadcast_batch=(
+                sum(hb_counts.values()) <= self.broadcast_fp_rows
+            ),
         )
         pairs.write.mode("overwrite").parquet(dests["pairs"])
         # index + counts rows land AFTER the pair emission so the batch
@@ -271,11 +458,13 @@ class WinnowStream:
         # compaction folds with the same LWW rule, so superseded rows
         # are physically dropped (storage stays bounded by live docs);
         # the fold is a no-op on the reader view, which filters anyway
-        self.store.maybe_compact(
+        fired = self.store.maybe_compact(
             batch_id,
             SCHEMAS,
             folds={"index": _index_lww, "counts": _index_lww},
         )
+        if fired and self.summary_prune:
+            rebuild_index_summary(self.store, self.index_buckets)
 
     def start(self):
         docs = (

@@ -216,6 +216,125 @@ class TestIngestPipeline:
         assert pipe.scores().count() == n
         shutil.rmtree(TMP, ignore_errors=True)
 
+    def test_trained_weights_fixture_end_to_end(self, spark):
+        """The classifier's "swap in trained weights" claim (r10
+        verdict #7): TRAIN a real hashed linear model (numpy logistic
+        regression over the same unigram+bigram md5-bucket features the
+        engine computes), QUANTIZE the weights to integers (the
+        documented order-exact contract), write them to a parquet
+        fixture, and run them through ``IngestPipeline(clf_weights=…)``
+        — planted quality docs must pass the calibrated threshold,
+        planted junk must be rejected, and the scores must equal a
+        driver-side recompute from the trained weights exactly."""
+        import hashlib
+        import math
+
+        import numpy as np
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        buckets = 512
+        rng = np.random.default_rng(7)
+
+        def feats(text):
+            toks = text.split(" ")
+            fs = toks + [
+                " ".join(toks[i:i + 2]) for i in range(len(toks) - 1)
+            ]
+            return [
+                int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % buckets
+                for f in fs
+            ]
+
+        # labeled training corpus, DISJOINT from the pipeline docs:
+        # positives read like prose (stopword-heavy), negatives like
+        # spam (repeated promo tokens) — both pass the Gopher gate used
+        # below, so only the trained model separates them
+        prose = ("the quick brown fox and that lazy dog with grace "
+                 "over rivers and beneath quiet summer skies").split()
+        spam = ("buy cheap deals now click here winner prize "
+                "free offer sale discount").split()
+        train = []
+        for i in range(60):
+            n_tok = 12
+            good = " ".join(rng.choice(prose, n_tok))
+            bad = " ".join(rng.choice(spam, n_tok))
+            train.append((good, 1.0))
+            train.append((bad, 0.0))
+        # full-batch logistic regression on mean-bucket features —
+        # z = bias + mean(w[b]) exactly matches quality_classifier's
+        # z = bias + Σw / (w_scale · n_feats) at w_scale=1
+        w = np.zeros(buckets)
+        bias = 0.0
+        for _ in range(400):
+            gw = np.zeros(buckets)
+            gb = 0.0
+            for text, y in train:
+                bs = feats(text)
+                z = bias + w[bs].sum() / len(bs)
+                p = 1.0 / (1.0 + math.exp(-z))
+                err = p - y
+                gb += err
+                for b in bs:
+                    gw[b] += err / len(bs)
+            w -= 2.0 * gw / len(train)
+            bias -= 2.0 * gb / len(train)
+        # QUANTIZE (the deployment contract): integer-valued weights
+        # make the per-doc sum order-exact in both engines
+        scale = 1000
+        wq = np.rint(w * scale)
+        fixture = TMP / "trained_weights"
+        spark.createDataFrame(
+            [(int(b), float(wq[b])) for b in np.nonzero(wq)[0]],
+            "bucket long, w double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(fixture))
+        weights = spark.read.parquet(str(fixture))
+
+        # pipeline docs: planted prose (keep) and spam (reject), all
+        # long enough to pass the gate rules in KW
+        def doc(words, i):
+            return " ".join(rng.choice(words, 14))
+
+        docs = (
+            [(i, GOOD + " " + doc(prose, i), "web") for i in range(1, 5)]
+            + [(10 + i, GOOD + " " + doc(spam, i), "web") for i in range(5)]
+        )
+        kw = dict(KW, threshold=0.95, clf_weights=weights,
+                  clf_buckets=buckets, clf_bias=bias,
+                  clf_w_scale=float(scale), clf_threshold=0.5)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            **kw,
+        )
+        pipe._process(spark.createDataFrame(docs, SCHEMA), 0)
+        scores = {r.doc_id: r for r in pipe.scores().collect()}
+        assert set(scores) == {d for d, _t, _s in docs}
+        kept = {d for d, r in scores.items() if r.keep}
+        assert kept == {1, 2, 3, 4}, f"trained model mis-kept: {kept}"
+        # scores equal a driver-side recompute from the trained model
+        wq_map = {int(b): float(wq[b]) for b in np.nonzero(wq)[0]}
+        for d, text, _src in docs:
+            bs = feats(text)
+            z = bias + sum(wq_map.get(b, 0.0) for b in bs) / (
+                scale * len(bs)
+            )
+            want = round(1.0 / (1.0 + math.exp(-z)), 6)
+            assert abs(scores[d].score - want) < 1e-9, (d, want)
+        # stream ≡ batch with the trained fixture
+        _g, b_sc, _c, _p, b_packed, _pl = ingest_pipeline_batch(
+            spark.createDataFrame(docs, SCHEMA), **kw
+        )
+        assert {tuple(r) for r in pipe.scores().collect()} == {
+            tuple(r) for r in b_sc.collect()
+        }
+        assert {r.doc_id for r in pipe.packed().collect()} == {
+            r.doc_id for r in b_packed.collect()
+        }
+        shutil.rmtree(TMP, ignore_errors=True)
+
     def test_payload_stage_stream_equals_batch(self, spark):
         """Optional 5th stage: with a FIXED vocabulary configured, the
         stream materializes per-batch token-id chunk segments whose

@@ -736,12 +736,20 @@ def main() -> None:
         "BroadcastHashJoin" in plan
         and len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1,
     )
-    # offline chunk shuffle (r10): key arithmetic is row-local; the
-    # only window partitions by out_shard (never empty partitionSpec).
+    # offline chunk shuffle (r10; exchange pin r11): key arithmetic is
+    # row-local; the only window partitions by out_shard (never empty
+    # partitionSpec), and the whole pass is exactly TWO hash exchanges
+    # — the (lang, shard) token sum that derives the grid and the ONE
+    # out_shard shuffle the position window consumes (task state = one
+    # output shard's keys; the scale smoke measures it at the 1.5M
+    # grid).
     plan = plan_of(registry["q_chunk_shuffle"](spark, SF_DIR))
     check(
-        "chunk shuffle windows by out_shard only",
-        bool(re.search(r"windowspecdefinition\(out_shard", plan)),
+        "chunk shuffle windows by out_shard, one out_shard exchange",
+        bool(re.search(r"windowspecdefinition\(out_shard", plan))
+        and len(re.findall(r"Arguments: hashpartitioning\(out_shard", plan))
+        == 1
+        and len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 2,
     )
 
     # BPE segmentation (r9): the learned merge table is a literal

@@ -1883,6 +1883,96 @@ def smoke_packids() -> None:
     spark.stop()
 
 
+def smoke_shuffle() -> None:
+    """Isolated: the deterministic offline chunk shuffle
+    (`sampling.shuffle_chunks`) at the SCALE_DOCS chunk grid — the
+    last pass before a sharded dataloader (r10 verdict #6).  Claims
+    under test: (1) the plan is ONE hash exchange on out_shard plus a
+    per-shard position window — task state is one output shard's keys,
+    never a single-task global sort; (2) positions are an exact
+    permutation 0..n-1 within every output shard; (3) the layout is a
+    pure function of (keys, seed): a same-seed rerun is byte-identical
+    (order-insensitive row checksum), a different seed reorders."""
+    import re as _re
+
+    spark = get_spark(
+        "scalesmoke-shuffle",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.sampling import shuffle_chunks
+
+    n_chunks = int(os.environ.get("SCALE_DOCS", 200_000))
+    out_shards = int(os.environ.get("SCALE_OUT_SHARDS", 1024))
+    # the chunk grid a packed corpus of this size would carry
+    chunks = (
+        spark.range(n_chunks)
+        .select(
+            F.pmod(F.col("id"), F.lit(64)).cast("int").alias("shard"),
+            (F.col("id") / 64).cast("long").alias("chunk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run(seed):
+        return shuffle_chunks(chunks, ["shard", "chunk"], out_shards, seed)
+
+    def checksum(df) -> int:
+        # order-insensitive, overflow-free row digest
+        return df.agg(
+            F.expr("bit_xor(xxhash64(shard, chunk, out_shard, pos))")
+        ).first()[0]
+
+    t = time.perf_counter()
+    out = run("s1").localCheckpoint(eager=True)
+    wall = time.perf_counter() - t
+    per = out.groupBy("out_shard").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("pos").alias("nd"),
+        F.max("pos").alias("mx"),
+        F.min("pos").alias("mn"),
+    ).localCheckpoint(eager=True)
+    bad = per.where(
+        (F.col("nd") != F.col("n"))
+        | (F.col("mx") != F.col("n") - 1)
+        | (F.col("mn") != 0)
+    ).count()
+    stats = per.agg(
+        F.count("*").alias("shards"),
+        F.max("n").alias("max_shard_rows"),
+        F.sum("n").alias("rows"),
+    ).first()
+    c1 = checksum(out)
+    c2 = checksum(run("s1"))       # full recompute, same seed
+    c3 = checksum(run("s2"))
+    plan_buf = []
+    import contextlib
+    import io as _io
+
+    b = _io.StringIO()
+    with contextlib.redirect_stdout(b):
+        run("s1").explain("formatted")
+    plan = b.getvalue()
+    n_exch = len(_re.findall(r"Arguments: hashpartitioning\(out_shard", plan))
+    n_exch_all = len(_re.findall(r"Arguments: hashpartitioning\(", plan))
+    print(json.dumps({
+        "metric": "chunk shuffle smoke",
+        "chunks": n_chunks,
+        "out_shards": out_shards,
+        "sec": round(wall, 1),
+        "chunks_per_sec": int(n_chunks / wall),
+        # task state = one output shard's keys (thousands of shards at
+        # 100 TB keeps this constant as the corpus grows)
+        "max_shard_rows": int(stats["max_shard_rows"]),
+        "bad_permutation_shards": bad,
+        "out_shards_used": int(stats["shards"]),
+        "same_seed_identical": c1 == c2,
+        "diff_seed_differs": c1 != c3,
+        "single_out_shard_exchange":
+            n_exch == 1 and n_exch_all == 1,
+    }))
+    spark.stop()
+
+
 def smoke_bpe() -> None:
     """Isolated: BPE merge induction at SCALE_DOCS — the claim under
     test is the standard BPE reduction: after ONE corpus-sized
@@ -2612,6 +2702,8 @@ if __name__ == "__main__":
         smoke_bpe()
     elif mode == "packids":
         smoke_packids()
+    elif mode == "shuffle":
+        smoke_shuffle()
     elif mode == "qc":
         smoke_qc()
     else:
