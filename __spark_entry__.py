@@ -5646,7 +5646,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), hh AS (
               SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
                  for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
               FROM tt
             ), subs AS (
@@ -5905,7 +5905,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), hh AS (
               SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
                  for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
               FROM tt
             ), subs AS (
@@ -8087,7 +8087,7 @@ def _winnow_fps_cte(source: str, p: str) -> str:
         {p}tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
         {p}hh AS (
           SELECT doc_id,
-            [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+            [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
              for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
           FROM {p}tt),
         {p}subs AS (
@@ -8268,7 +8268,7 @@ def _winnow_neardup_oracle_sql(source: str = "documents") -> str:
               SELECT doc_id, string_split(text, ' ') AS t FROM {source}
             ), hh AS (
               SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
                  for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
               FROM tt
             ), subs AS (
@@ -8432,7 +8432,7 @@ def _winnow_matches_oracle_sql() -> str:
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), hh AS (
               SELECT doc_id,
-                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT
+                [('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
                  for i in generate_series(1, greatest(len(t) - {WINNOW_K - 1}, 0))] AS h
               FROM tt
             ), subs AS (

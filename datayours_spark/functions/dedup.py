@@ -1262,8 +1262,17 @@ def winnow_fingerprints(
     gram_idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
         F.array().cast("array<int>")
     )
+    # 60-bit k-gram hashes (was 32-bit until r11): at 100 TB the
+    # 32-bit space itself became the noise floor — ~10^12 corpus
+    # fingerprints × 10^9 batch fingerprints / 2^32 ≈ 10^11 accidental
+    # exact-h collisions, which both inflated posting joins and made
+    # the compacted index's bloom bucket prune vacuous (every bucket
+    # ends up carrying a colliding h for any bulk batch).  At 2^60 the
+    # same product is ~10^2.  Winnowing itself is hash-width-agnostic
+    # (rightmost-min selection); the DuckDB oracles mirror the width
+    # (substr(md5, 1, 15)).
     hashes = F.transform(
-        gram_idx, lambda i: md5_int32(F.concat_ws(" ", F.slice(t, i, k)))
+        gram_idx, lambda i: md5_int60(F.concat_ws(" ", F.slice(t, i, k)))
     )
     d = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
     mh = F.size("_h")

@@ -623,7 +623,8 @@ class IngestPipeline:
         hit_bks = None
         if self.summary_prune and len(hb_counts) == self.index_buckets:
             hit_bks = summary_hit_buckets(
-                self.store, surv_fp, self.index_buckets
+                self.store, surv_fp, self.index_buckets,
+                probe_rows=n_fp,
             )
         index = standing_index_view(
             self.store, surv_fp, self.index_buckets,

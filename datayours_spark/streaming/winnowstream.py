@@ -52,6 +52,13 @@ Exactly-once + compaction: the same ``BatchStore`` discipline as every
 member of the family (batch-keyed dirs, `_SUCCESS` markers, watermark
 compaction every ``compact_every`` batches — crash analysis in
 store.py).
+
+Hash width: winnow fingerprints are 60-bit as of r11 (the 32-bit space
+was the collision noise floor at 100 TB — rationale at the hashing
+site, ``functions/dedup.py::winnow_fingerprints``).  A standing index
+persisted by an OLDER build carries 32-bit h values and will simply
+never match 60-bit batch probes — re-ingest (or re-fingerprint) such a
+store before resuming its stream.
 """
 
 from __future__ import annotations
@@ -213,6 +220,7 @@ def summary_hit_buckets(
     batch_fp: DataFrame,
     buckets: int,
     planes: int = SUMMARY_PLANES,
+    probe_rows: int | None = None,
 ) -> list[int] | None:
     """The hb buckets of the compacted index that MIGHT contain an
     h-match for this batch, per the bloom summary — or None when no
@@ -244,11 +252,19 @@ def summary_hit_buckets(
             ).alias("bit"),
         )
     )
-    # batch probes broadcast into ONE summary scan; a probe row joins
-    # iff its word exists, survives iff its bit is set — a probe h
-    # "might be present" in its bucket iff all `planes` rows survive
+    # batch probes join ONE summary scan; a probe row joins iff its
+    # word exists, survives iff its bit is set — a probe h "might be
+    # present" in its bucket iff all `planes` rows survive.  Small
+    # batches broadcast the probe side (summary streams, no exchange);
+    # bulk batches (``probe_rows`` above the broadcast budget — the
+    # caller knows its fingerprint count) hash-shuffle both sides
+    # instead of building a multi-GB broadcast.
+    if probe_rows is not None and probe_rows * planes > 4_000_000:
+        probe_src = probe.hint("shuffle_hash")
+    else:
+        probe_src = F.broadcast(probe)
     hit = (
-        F.broadcast(probe)
+        probe_src
         .join(s.select("hb", "word", "bits"), ["hb", "word"])
         .where(F.expr("(bits & bit) != 0"))
         .groupBy("hb", "h")
@@ -360,6 +376,11 @@ class WinnowStream:
     k: int = 4
     w: int = 4
     threshold: float = 0.5
+    #: posting-pair guard forwarded to the winnow stage; raise it
+    #: DELIBERATELY for corpora whose real dup-family volume exceeds
+    #: the default (the guard's documented escape hatch — parity with
+    #: IngestPipeline.max_join_pairs)
+    max_join_pairs: int | None = 50_000_000
     #: hash-range partition count for the stored index (dir layout +
     #: posting-join prune); fixed for the lifetime of a store
     index_buckets: int = 32
@@ -427,7 +448,8 @@ class WinnowStream:
             # the batch touches every bucket (bulk) — ask the bloom
             # summary which compacted buckets can actually match
             hit_bks = summary_hit_buckets(
-                self.store, batch_fp, self.index_buckets
+                self.store, batch_fp, self.index_buckets,
+                probe_rows=sum(hb_counts.values()),
             )
         index = standing_index_view(
             self.store, batch_fp, self.index_buckets,
@@ -440,6 +462,7 @@ class WinnowStream:
             k=self.k,
             w=self.w,
             threshold=self.threshold,
+            max_join_pairs=self.max_join_pairs,
             fingerprints=batch_fp,
             fingerprints_distinct=True,
             index_counts=counts.select("doc_id", "n_fp"),

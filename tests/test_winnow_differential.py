@@ -16,8 +16,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-def _md5_int32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+def _md5_int60(s: str) -> int:
+    # the engine's winnow k-gram hash width (r11: 32 -> 60 bits; the
+    # 32-bit space was the collision noise floor at 100 TB)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def brute_winnow(toks: list[str], k: int, w: int) -> set[tuple[int, int]]:
@@ -27,7 +29,7 @@ def brute_winnow(toks: list[str], k: int, w: int) -> set[tuple[int, int]]:
     if m < 1:
         return set()
     hs = [
-        _md5_int32(" ".join(toks[i : i + k])) for i in range(m)
+        _md5_int60(" ".join(toks[i : i + k])) for i in range(m)
     ]
     out = set()
     for j in range(max(m - w + 1, 1)):

@@ -1973,6 +1973,165 @@ def smoke_shuffle() -> None:
     spark.stop()
 
 
+def smoke_summary() -> None:
+    """Isolated: the compacted winnow index's bloom bucket prune
+    (r10 verdict #5) at SCALE_DOCS — a standing index is built,
+    compacted and summarized; a 10%-of-corpus batch of FRESH text
+    (plus planted copies, which must keep pairing) is then probed
+    with and without the summary.  Claims under test: pair outputs
+    are byte-identical, the pruned pair path reads measurably fewer
+    compacted index bytes (PartitionFilters at the scan), and the
+    probe's own cost is a small fraction of the scan it saves."""
+    import contextlib
+    import io as _io
+    import re as _re
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-summary",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.functions.dedup import (
+        winnow_fingerprints,
+        winnow_incremental_indexed,
+    )
+    from datayours_spark.streaming.winnowstream import (
+        WinnowStream,
+        standing_counts_view,
+        standing_index_view,
+        summary_hit_buckets,
+    )
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 200_000))
+    buckets = 256
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_summary_", dir="/root/repo/spark-warehouse"
+    )
+    ws = WinnowStream(
+        spark=spark,
+        input_dir=f"{work}/in",
+        store_dir=f"{work}/store",
+        checkpoint_dir=f"{work}/ckpt",
+        k=4, w=4, threshold=0.5,
+        # the synthetic corpus's planted dup families exceed the
+        # default guard at the 1.5M grid — raised deliberately (the
+        # documented escape hatch, same as the pipeline smoke)
+        max_join_pairs=500_000_000,
+        index_buckets=buckets,
+        compact_every=1,          # compaction + summary after batch 0
+        summary_prune=True,
+    )
+    corpus = synthetic_documents(spark, n_docs).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    ws._process(corpus, 0)
+    standing_sec = round(time.perf_counter() - t, 1)
+
+    # 10% batch: genuinely fresh docs + 20 planted copies.  The
+    # synthetic token formula is periodic mod 1,000,003, so HIGH SEEDS
+    # alias back onto corpus texts (the documented saturation
+    # artifact) — re-prefixing the tokens ('w…' → 'f…') keeps the
+    # 4-gram structure while guaranteeing zero true fingerprint
+    # overlap, the fresh-crawl shape the bloom prune is for.
+    b = n_docs // 10
+    fresh = (
+        synthetic_documents(spark, b)
+        .select(
+            (F.col("doc_id") + n_docs * 20).alias("doc_id"),
+            F.regexp_replace("text", "w", "f").alias("text"),
+        )
+    )
+    copies = (
+        synthetic_documents(spark, 20)
+        .select((F.col("doc_id") + n_docs * 30).alias("doc_id"), "text")
+    )
+    batch = fresh.unionByName(copies).localCheckpoint(eager=True)
+    fp = (
+        winnow_fingerprints(batch, k=4, w=4)
+        .select("doc_id", "h").distinct().localCheckpoint(eager=True)
+    )
+    n_fp = fp.count()
+    t = time.perf_counter()
+    hit = summary_hit_buckets(ws.store, fp, buckets, probe_rows=n_fp)
+    probe_sec = round(time.perf_counter() - t, 2)
+    # the copies' PRESENT fingerprints legitimately mark most buckets
+    # readable (true positives, spread uniformly); probe the fresh-only
+    # slice too — the clean-crawl case the prune exists for
+    fresh_fp = (
+        winnow_fingerprints(fresh, k=4, w=4)
+        .select("doc_id", "h").distinct()
+    )
+    hit_fresh = summary_hit_buckets(ws.store, fresh_fp, buckets)
+
+    # compacted index bytes: all buckets vs the bloom-hit buckets
+    comp_root = None
+    for sub in sorted(os.listdir(f"{work}/store/index")):
+        if sub.startswith("compacted-"):
+            comp_root = f"{work}/store/index/{sub}"
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(d) for f in files
+        )
+    total_bytes = dir_bytes(comp_root)
+    hit_bytes = sum(
+        dir_bytes(f"{comp_root}/hb={hb}") for hb in (hit or [])
+        if os.path.isdir(f"{comp_root}/hb={hb}")
+    )
+
+    counts = standing_counts_view(ws.store)
+    out_pairs = {}
+    walls = {}
+    for label, hb in (("full", None), ("pruned", hit)):
+        iv = standing_index_view(
+            ws.store, fp, buckets, bks=list(range(buckets)), hit_bks=hb
+        )
+        t = time.perf_counter()
+        pairs, _ = winnow_incremental_indexed(
+            batch, iv.select("doc_id", "h"), k=4, w=4, threshold=0.5,
+            max_join_pairs=500_000_000,
+            fingerprints=fp, fingerprints_distinct=True,
+            index_counts=counts.select("doc_id", "n_fp"),
+        )
+        rows = {tuple(r) for r in pairs.collect()}
+        walls[label] = round(time.perf_counter() - t, 1)
+        out_pairs[label] = rows
+    # the pruned comp scan carries PartitionFilters on hb
+    buf = _io.StringIO()
+    iv = standing_index_view(
+        ws.store, fp, buckets, bks=list(range(buckets)), hit_bks=hit
+    )
+    with contextlib.redirect_stdout(buf):
+        iv.explain("formatted")
+    pf = bool(_re.search(r"PartitionFilters: \[[^\]]*hb", buf.getvalue()))
+    copy_pairs = sum(
+        1 for a, b2, *_ in out_pairs["pruned"]
+        if a < n_docs and b2 >= n_docs * 30
+    )
+    print(json.dumps({
+        "metric": "bloom summary smoke",
+        "docs": n_docs,
+        "batch_docs": b + 20,
+        "standing_ingest_sec": standing_sec,
+        "probe_sec": probe_sec,
+        "buckets_hit": len(hit) if hit is not None else buckets,
+        "buckets_hit_fresh_only": (
+            len(hit_fresh) if hit_fresh is not None else buckets
+        ),
+        "buckets_total": buckets,
+        "index_bytes_total": total_bytes,
+        "index_bytes_read_pruned": hit_bytes,
+        "bytes_saved_pct": round(100 * (1 - hit_bytes / total_bytes), 1),
+        "pairs_identical": out_pairs["full"] == out_pairs["pruned"],
+        "planted_copy_pairs_found": copy_pairs,
+        "pair_wall_full_sec": walls["full"],
+        "pair_wall_pruned_sec": walls["pruned"],
+        "partition_filters_pinned": pf,
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
 def smoke_bpe() -> None:
     """Isolated: BPE merge induction at SCALE_DOCS — the claim under
     test is the standard BPE reduction: after ONE corpus-sized
@@ -2704,6 +2863,8 @@ if __name__ == "__main__":
         smoke_packids()
     elif mode == "shuffle":
         smoke_shuffle()
+    elif mode == "summary":
+        smoke_summary()
     elif mode == "qc":
         smoke_qc()
     else:
