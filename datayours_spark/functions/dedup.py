@@ -1506,17 +1506,19 @@ def winnow_incremental_indexed(
       ``index_fp`` may safely be pruned to the batch's hash buckets
       (it then feeds only h-matching, never doc-level aggregates).
       CONSISTENCY CONTRACT (ADVICE r10): ``index_counts`` must cover
-      every doc_id in ``index_fp`` — the denominator lookups are inner
-      joins, so a pair whose index doc is missing from counts is
-      silently dropped, not raised.  A left join + null-assert would
-      surface it, but preserving the small pair side of a LEFT join
-      defeats the broadcast build (Spark builds right for LeftOuter),
-      forcing a per-batch shuffle of the corpus-sized counts — the
-      exact cost this mode exists to avoid.  An index store populated
-      BEFORE its counts table existed must be rebuilt (or counts
-      backfilled with ``index.groupBy(doc_id).count()``) before using
-      this argument; the streaming maintainers write both tables from
-      the same batch fingerprints, so they cannot drift.
+      every doc_id in ``index_fp``.  In batch-proportional (broadcast)
+      mode the denominators resolve through a pair-ids-sized slice of
+      counts (ONE semi-filtered scan) via null-checked left joins, so
+      an index doc missing from counts RAISES
+      (``assert_true``) instead of silently suppressing its pairs.  In
+      bulk mode the lookups remain inner joins against the full counts
+      relation (preserving the small side of a LEFT join would defeat
+      the build-side choice and shuffle the corpus-sized counts), so a
+      missing row silently drops the pair there — an index store
+      populated BEFORE its counts table existed must be rebuilt (or
+      counts backfilled with ``index.groupBy(doc_id).count()``) before
+      using this argument.  The streaming maintainers write both
+      tables from the same batch fingerprints, so they cannot drift.
     - ``broadcast_batch``: broadcast the batch's fingerprints into the
       posting join (index side streams, no exchange) and pre-filter the
       guard's posting-frequency aggregate to the batch's h set (the
@@ -1626,16 +1628,57 @@ def winnow_incremental_indexed(
         )
     else:
         cnt = both.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    if broadcast_batch:
+        # batch-proportional mode: the pair set is guard-bounded, so
+        # semi-filter the docs-sized counts relation ONCE with the
+        # broadcast pair-id set (it previously streamed TWICE, once per
+        # denominator side — ~2 corpus-sized scans per micro-batch at
+        # the 1.5M smoke), then resolve both denominators from the
+        # pair-ids-sized slice via broadcast lookups.  The left joins +
+        # per-row assert also close the silent-drop window the inner
+        # joins had (ADVICE r10): an index doc missing from a
+        # caller-supplied counts relation now RAISES instead of
+        # silently suppressing its pairs.
+        shared = shared.localCheckpoint(eager=False)
+        pids = (
+            shared.select(F.col("id1").alias("doc_id"))
+            .unionByName(shared.select(F.col("id2").alias("doc_id")))
+            .distinct()
+        )
+        cnt_small = cnt.join(F.broadcast(pids), "doc_id", "left_semi")
+        n1 = cnt_small.select(
+            F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1")
+        )
+        n2 = cnt_small.select(
+            F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2")
+        )
+        p2 = shared.join(F.broadcast(n1), "id1", "left").join(
+            F.broadcast(n2), "id2", "left"
+        )
+        checked = F.when(
+            F.assert_true(
+                F.col("n1").isNotNull() & F.col("n2").isNotNull(),
+                F.lit(
+                    "winnow index/counts inconsistency: a pair doc has "
+                    "no fingerprint-count row — rebuild or backfill the "
+                    "counts table (winnow_incremental_indexed docstring)"
+                ),
+            ).isNull(),
+            F.round(F.col("shared") / F.least("n1", "n2"), 4),
+        )
+        pairs = p2.select(
+            "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
+            checked.alias("containment"),
+        ).where(F.col("containment") >= threshold)
+        return pairs, new_fp
+    # bulk mode: the pair set itself may be huge — keep the shuffle
+    # joins against the full counts relation (inner: a missing counts
+    # row drops the pair silently here; the docstring documents the
+    # consistency contract)
     n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
     cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
-    # in batch-proportional mode the pair set is guard-bounded and
-    # broadcasts into the docs-sized counts relation (which then only
-    # streams); bulk mode keeps the shuffle joins
-    sh1 = F.broadcast(shared) if broadcast_batch else shared
-    p1 = sh1.join(n1, "id1")
-    p2 = (F.broadcast(p1) if broadcast_batch else p1).join(n2, "id2")
-    pairs = p2.select(
+    pairs = shared.join(n1, "id1").join(n2, "id2").select(
         "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
         cont.alias("containment"),
     ).where(F.col("containment") >= threshold)

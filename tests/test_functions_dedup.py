@@ -820,6 +820,42 @@ class TestWinnowing:
             assert r.pos1 - r.pos2 == 3
             assert toks1[r.pos1 - 1 : r.pos1 + 2] == toks2[r.pos2 - 1 : r.pos2 + 2]
 
+    def test_counts_inconsistency_raises_in_broadcast_mode(self, spark):
+        """An index doc missing from a caller-supplied counts relation
+        must RAISE in batch-proportional mode (ADVICE r10) — the
+        null-checked denominator lookups surface the index/counts
+        drift instead of silently suppressing the doc's pairs."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental_indexed,
+        )
+
+        schema = "doc_id bigint, text string"
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+            schema,
+        )
+        idx = (
+            winnow_fingerprints(corpus, k=3, w=3)
+            .select("doc_id", "h").distinct().localCheckpoint(eager=True)
+        )
+        # counts MISSING doc 1 — the probe near-dups doc 1, so its
+        # denominator lookup hits the hole
+        counts = idx.where("doc_id != 1").groupBy("doc_id").agg(
+            F.count("*").alias("n_fp")
+        )
+        batch = spark.createDataFrame(
+            [(9, "a b c d e f g h i x")], schema
+        )
+        pairs, _ = winnow_incremental_indexed(
+            batch, idx, k=3, w=3, threshold=0.3,
+            index_counts=counts, broadcast_batch=True,
+        )
+        with pytest.raises(Exception, match="inconsistency"):
+            pairs.collect()
+
     def test_incremental_equals_full_restricted_to_batch(self, spark):
         """The incremental-family invariant for winnowing: pairs from a
         batch vs the standing index == the full recompute's pairs that
