@@ -4511,6 +4511,73 @@ SHUF_OUT_SHARDS = 8
 SHUF_SEED = "epoch0"
 
 
+# bloom bucket-prune geometry for q_index_summary — PINNED so the
+# replay needs no data-dependent sizing pass (production sizes via
+# winnowstream.summary_m_p; the formula is unit-tested there)
+SUMQ_BUCKETS = 16
+SUMQ_PLANES = 8
+SUMQ_M_P = 2_079   # 33 × 63-bit words per plane
+
+
+def q_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom bucket pruning of a compacted fingerprint index (new r11),
+    replayed end-to-end: the 'standing' slice of the documents corpus
+    (doc_id % 5 != 0) folds its winnow fingerprints into the per-bucket
+    PARTITIONED BLOOM (8 md5-derived planes stored as 63-bit bitmap
+    words — engine-native rows, no driver-side bloom object), and the
+    'batch' slice (doc_id % 5 == 0) probes it.  Output per hb bucket:
+    bitmap word count, total set bits, probe fingerprints, and how many
+    of them the bloom says MIGHT be present — family twins
+    (doc_id % 10 == 0 probes vs their % 10 == 1 standing siblings)
+    guarantee genuine hits, the unique probes measure the false-positive
+    tail.  A bucket none of whose probes hit all planes is provably
+    h-match-free, which is what lets the streaming dedup maintainers
+    skip its compacted dirs (winnowstream module header).
+
+    Scale shape: build = one explode + (hb, word)-keyed bit_or over the
+    standing fingerprints (corpus-linear, compaction-amortized in the
+    streaming form); probe = the batch positions broadcast into ONE
+    summary scan + a probe-keyed combine — never an all-pairs relation;
+    the bitmap is rows, so it shuffles/partitions like any table."""
+    from datayours_spark.streaming.winnowstream import (
+        _with_hb,
+        summary_probe,
+        summary_words,
+    )
+
+    fp = _winnow_fp(spark, sf_dir).select("doc_id", "h")
+    standing_h = fp.where("doc_id % 5 != 0").select("h").distinct()
+    batch_h = fp.where("doc_id % 5 = 0").select("h").distinct()
+    words = summary_words(standing_h, SUMQ_BUCKETS, SUMQ_M_P, SUMQ_PLANES)
+    per_bucket = words.groupBy("hb").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.expr("bit_count(bits)")).cast("long").alias("set_bits"),
+    )
+    n_probe = (
+        _with_hb(batch_h, SUMQ_BUCKETS)
+        .groupBy("hb")
+        .agg(F.count("*").cast("long").alias("n_probe"))
+    )
+    n_might = (
+        summary_probe(words, batch_h, SUMQ_BUCKETS, SUMQ_M_P, SUMQ_PLANES)
+        .where(F.col("k") == SUMQ_PLANES)
+        .groupBy("hb")
+        .agg(F.count("*").cast("long").alias("n_might"))
+    )
+    return (
+        per_bucket.join(n_probe, "hb", "left")
+        .join(n_might, "hb", "left")
+        .select(
+            "hb",
+            "n_words",
+            "set_bits",
+            F.coalesce("n_probe", F.lit(0)).cast("long").alias("n_probe"),
+            F.coalesce("n_might", F.lit(0)).cast("long").alias("n_might"),
+        )
+        .orderBy("hb")
+    )
+
+
 def q_chunk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic OFFLINE SHUFFLE of the packed chunk grid (new
     r10): every (lang, shard, chunk) context window gets a
@@ -4719,22 +4786,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries each round (dict-order prefix).  ROUND 11: with the
         # registry fully closed (every oracle-backed query has a green
         # driver row in some round), the window is pure rotation by
-        # VINTAGE — (a) the THREE r11 additions (the last classic
-        # TPC-H shapes over derived date/shipmode pseudo-columns:
+        # VINTAGE — (a) the FOUR r11 additions (the last classic
+        # TPC-H shapes over derived date/shipmode pseudo-columns —
         # Q4 semi-join EXISTS, Q12 CASE-conditional fact join, Q21
-        # semi+anti double-decorrelation), then (b) the 47 OLDEST-green
-        # rows, ascending: all 11 r4-vintage, all of r5 (5), r6 (10),
-        # r7 (10), and 11 of the 31 r8-vintage rows chosen to refresh
-        # the families whose newest green would age out soonest
-        # (multimodal, pii_url, contamination, sampling, the two
-        # non-family rows).  Every family keeps a green row at most 2
-        # rounds old (tests/test_entry_contract.py); the two
-        # `no_oracle` approx queries sit last so no window slot is
-        # structurally un-greenable.
-        # --- r11 window: 3 new + the 47 oldest-green rows ---
+        # semi+anti double-decorrelation — plus the compacted-index
+        # bloom summary build/probe replay), then (b) the 46
+        # OLDEST-green rows, ascending: all 11 r4-vintage, all of r5
+        # (5), r6 (10), r7 (10), and 10 of the 31 r8-vintage rows
+        # chosen to refresh the families whose newest green would age
+        # out soonest (multimodal, pii_url, contamination, sampling,
+        # the two non-family rows; q_adaptive_quality yielded its slot
+        # to the bloom query and leads the past-window r8 section).
+        # Every family keeps a green row at most 2 rounds old
+        # (tests/test_entry_contract.py); the two `no_oracle` approx
+        # queries sit last so no window slot is structurally
+        # un-greenable.
+        # --- r11 window: 4 new + the 46 oldest-green rows ---
         "q_tpch_q4": q_tpch_q4,
         "q_tpch_q12": q_tpch_q12,
         "q_tpch_q21": q_tpch_q21,
+        "q_index_summary": q_index_summary,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
@@ -4781,8 +4852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embed_banded": q_dedup_embed_banded,
         "q_semdedup_incremental": q_semdedup_incremental,
         "q_bm25": q_bm25,
-        "q_adaptive_quality": q_adaptive_quality,
         # --- past the window: r8-vintage greens ---
+        "q_adaptive_quality": q_adaptive_quality,
         "q_chunk_docs": q_chunk_docs,
         "q_dedup_report": q_dedup_report,
         "q_dedup_embed_incremental": q_dedup_embed_incremental,
@@ -7352,6 +7423,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, shard, chunk, count(*)::BIGINT AS n_ids,
                    array_to_string(list(tid ORDER BY goff), ',') AS ids
             FROM t GROUP BY 1, 2, 3
+        """,
+        "q_index_summary": f"""
+            WITH {_winnow_fps_cte("documents", "a")},
+            st AS (SELECT DISTINCT h FROM afps WHERE doc_id % 5 <> 0),
+            bt AS (SELECT DISTINCT h FROM afps WHERE doc_id % 5 = 0),
+            spos AS (
+              SELECT (h % {SUMQ_BUCKETS})::INTEGER AS hb,
+                     i * {SUMQ_M_P}
+                       + ('0x' || substr(md5(h::VARCHAR || ':' ||
+                            i::VARCHAR), 1, 8))::BIGINT % {SUMQ_M_P} AS p
+              FROM st CROSS JOIN
+                unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
+            words AS (
+              SELECT hb, p // 63 AS word,
+                     bit_or(1::BIGINT << (p % 63)::INTEGER) AS bits
+              FROM spos GROUP BY 1, 2),
+            pw AS (
+              SELECT hb, count(*)::BIGINT AS n_words,
+                     sum(bit_count(bits))::BIGINT AS set_bits
+              FROM words GROUP BY 1),
+            bpos AS (
+              SELECT h, (h % {SUMQ_BUCKETS})::INTEGER AS hb,
+                     i * {SUMQ_M_P}
+                       + ('0x' || substr(md5(h::VARCHAR || ':' ||
+                            i::VARCHAR), 1, 8))::BIGINT % {SUMQ_M_P} AS p
+              FROM bt CROSS JOIN
+                unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
+            hits AS (
+              SELECT b.hb, b.h, count(*) AS k
+              FROM (SELECT h, hb, p // 63 AS word,
+                           1::BIGINT << (p % 63)::INTEGER AS bit
+                    FROM bpos) b
+              JOIN words w ON b.hb = w.hb AND b.word = w.word
+              WHERE (w.bits & b.bit) <> 0
+              GROUP BY 1, 2),
+            nm AS (SELECT hb, count(*)::BIGINT AS n_might
+                   FROM hits WHERE k = {SUMQ_PLANES} GROUP BY 1),
+            np AS (SELECT (h % {SUMQ_BUCKETS})::INTEGER AS hb,
+                          count(*)::BIGINT AS n_probe
+                   FROM bt GROUP BY 1)
+            SELECT pw.hb, n_words, set_bits,
+                   coalesce(n_probe, 0)::BIGINT AS n_probe,
+                   coalesce(n_might, 0)::BIGINT AS n_might
+            FROM pw LEFT JOIN np USING (hb) LEFT JOIN nm USING (hb)
+            ORDER BY pw.hb
         """,
         "q_chunk_shuffle": f"""
             WITH staged AS (

@@ -210,7 +210,9 @@ BENCH_QUERIES = [
     "q_bpe_ids",
     "q_pack_ids",
     "q_tpch_q13",
-    "q_tpch_q15",
+    # (q_tpch_q15 retired from the stdout line in r11: a 0.41s
+    # max-revenue scalar join; q_tpch_q11 keeps the one-row scalar
+    # broadcast profile)
     "q_tpch_q17",
     "q_tpch_q2",
     "q_tpch_q20",
@@ -229,6 +231,7 @@ BENCH_QUERIES = [
     "q_tpch_q4",
     "q_tpch_q12",
     "q_tpch_q21",
+    "q_index_summary",
 ]
 
 

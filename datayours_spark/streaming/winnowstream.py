@@ -157,19 +157,96 @@ def _summary_path(store: BatchStore) -> str:
     return store.store_dir + "/index_summary"
 
 
+def summary_m_p(n: int, buckets: int, bits_per_fp: int, planes: int) -> int:
+    """Per-plane bit width for ``n`` distinct fingerprints — a pure
+    function of the inputs so both engines (and the DuckDB oracle)
+    derive the identical bloom geometry."""
+    return max(63, -(-n * bits_per_fp // (buckets * planes) // 63) * 63)
+
+
 def _plane_positions(m_p: int, planes: int):
     """Per-plane bit positions of ``h``: plane i owns bits
     [i·m_p, (i+1)·m_p); one position per plane, so a probe h emits
     exactly ``planes`` DISTINCT positions (the all-planes-hit check
     counts matched rows — separate planes make double-landing
-    impossible)."""
+    impossible).  Plane hashes are md5-derived from the DECIMAL string
+    of h (not xxhash64) so the DuckDB oracle can replay the bitmap
+    bit-for-bit; words are 63-bit (shift ≤ 62) so the sign bit never
+    enters and both engines' BIGINT shifts agree."""
+    from datayours_spark.functions.dedup import md5_int32
+
     return F.array(*[
         (
             F.lit(i * m_p)
-            + F.pmod(F.xxhash64(F.col("h"), F.lit(i)), F.lit(m_p))
+            + F.pmod(
+                md5_int32(
+                    F.concat(
+                        F.col("h").cast("string"), F.lit(f":{i}")
+                    )
+                ),
+                F.lit(m_p),
+            )
         )
         for i in range(planes)
     ])
+
+
+def summary_words(fp: DataFrame, buckets: int, m_p: int, planes: int) -> DataFrame:
+    """The bloom bitmap of a distinct (…, h) relation: one row per
+    (hb, word) with the OR of the 63-bit word's set bits — the pure
+    build step shared by :func:`rebuild_index_summary` and the
+    oracle-backed registry query."""
+    return (
+        _with_hb(fp.select("h").distinct(), buckets)
+        .select("hb", F.explode(_plane_positions(m_p, planes)).alias("p"))
+        .select(
+            "hb",
+            F.expr("p div 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("hb", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def summary_probe(
+    words: DataFrame,
+    fp: DataFrame,
+    buckets: int,
+    m_p: int,
+    planes: int,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Per-probe-h bloom verdicts against a summary's (hb, word, bits)
+    bitmap: (hb, h, k) where ``k`` counts the probe's plane positions
+    whose bit is set — ``k == planes`` means the bucket MIGHT contain
+    h (no false negatives; separate planes make double-landing
+    impossible, so the count is exact)."""
+    probe = (
+        _with_hb(fp.select("h").distinct(), buckets)
+        .select(
+            "h", "hb",
+            F.explode(_plane_positions(m_p, planes)).alias("p"),
+        )
+        .select(
+            "h", "hb",
+            F.expr("p div 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))"
+            ).alias("bit"),
+        )
+    )
+    probe_src = F.broadcast(probe) if broadcast_probe else probe.hint(
+        "shuffle_hash"
+    )
+    return (
+        probe_src.join(words.select("hb", "word", "bits"), ["hb", "word"])
+        .where(F.expr("(bits & bit) != 0"))
+        .groupBy("hb", "h")
+        .agg(F.count("*").alias("k"))
+    )
 
 
 def rebuild_index_summary(
@@ -192,24 +269,11 @@ def rebuild_index_summary(
     if wm < 0 or n == 0:
         fs.delete(store._path("index_summary"), True)
         return 0
-    m_p = max(64, -(-n * bits_per_fp // (buckets * planes) // 64) * 64)
-    words = (
-        _with_hb(comp.select("h").distinct(), buckets)
-        .select("hb", F.explode(_plane_positions(m_p, planes)).alias("p"))
-        .select(
-            "hb",
-            F.expr("p div 64").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("hb", "word")
-        .agg(F.expr("bit_or(bit)").alias("bits"))
-        .select(
-            "hb", "word", "bits",
-            F.lit(m_p).cast("long").alias("m"),
-            F.lit(wm).cast("long").alias("wm"),
-        )
+    m_p = summary_m_p(n, buckets, bits_per_fp, planes)
+    words = summary_words(comp, buckets, m_p, planes).select(
+        "hb", "word", "bits",
+        F.lit(m_p).cast("long").alias("m"),
+        F.lit(wm).cast("long").alias("wm"),
     )
     words.coalesce(8).write.mode("overwrite").parquet(path)
     return m_p
@@ -238,20 +302,6 @@ def summary_hit_buckets(
     if head is None or head["wm"] != store.watermark("index"):
         return None
     m_p = int(head["m"])
-    probe = (
-        _with_hb(batch_fp.select("h").distinct(), buckets)
-        .select(
-            "h", "hb",
-            F.explode(_plane_positions(m_p, planes)).alias("p"),
-        )
-        .select(
-            "h", "hb",
-            F.expr("p div 64").alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))"
-            ).alias("bit"),
-        )
-    )
     # batch probes join ONE summary scan; a probe row joins iff its
     # word exists, survives iff its bit is set — a probe h "might be
     # present" in its bucket iff all `planes` rows survive.  Small
@@ -259,16 +309,9 @@ def summary_hit_buckets(
     # bulk batches (``probe_rows`` above the broadcast budget — the
     # caller knows its fingerprint count) hash-shuffle both sides
     # instead of building a multi-GB broadcast.
-    if probe_rows is not None and probe_rows * planes > 4_000_000:
-        probe_src = probe.hint("shuffle_hash")
-    else:
-        probe_src = F.broadcast(probe)
+    bc = not (probe_rows is not None and probe_rows * planes > 4_000_000)
     hit = (
-        probe_src
-        .join(s.select("hb", "word", "bits"), ["hb", "word"])
-        .where(F.expr("(bits & bit) != 0"))
-        .groupBy("hb", "h")
-        .agg(F.count("*").alias("k"))
+        summary_probe(s, batch_fp, buckets, m_p, planes, broadcast_probe=bc)
         .where(F.col("k") == planes)
         .select("hb")
         .distinct()

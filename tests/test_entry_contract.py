@@ -74,7 +74,7 @@ FAMILIES = {
         "q_ngram_jaccard", "q_dedup_report", "q_neardup_verified",
         "q_winnow_fingerprints", "q_winnow_neardup", "q_source_overlap",
         "q_winnow_matches", "q_winnow_incremental", "q_winnow_spans",
-        "q_winnow_dedup", "q_novelty",
+        "q_winnow_dedup", "q_novelty", "q_index_summary",
     ],
     "span_dedup": [
         "q_span_mask", "q_span_removed", "q_span_incremental",
