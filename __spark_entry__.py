@@ -5805,12 +5805,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, count(*)::BIGINT AS n_feats,
                      sum(coalesce(w.w, 0)) AS s
               FROM h LEFT JOIN w USING (bucket) GROUP BY 1)
-            SELECT doc_id, n_feats,
-                   round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
-                         6) AS score,
-                   round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
-                         6) >= {QC_THRESHOLD} AS keep
-            FROM agg
+            -- every input doc gets a row (featureless null-text docs
+            -- score n_feats=0 / null / keep=false — the engine's
+            -- explode_outer contract); the fixture has no null texts,
+            -- so this is semantic-parity insurance, not a value change
+            SELECT d.doc_id,
+                   coalesce(n_feats, 0)::BIGINT AS n_feats,
+                   CASE WHEN n_feats > 0 THEN
+                     round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
+                           6) END AS score,
+                   coalesce(
+                     CASE WHEN n_feats > 0 THEN
+                       round(1.0 / (1.0 + exp(-(s / ({QC_SCALE}.0 * n_feats)))),
+                             6) >= {QC_THRESHOLD} END,
+                     false) AS keep
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "q_source_overlap": f"""
             WITH pairs AS ({_minhash_oracle_sql()}),
