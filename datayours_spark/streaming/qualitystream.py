@@ -82,7 +82,9 @@ class QualityStream:
             min_words=self.min_words,
             max_words=self.max_words,
             carry_cols=("source",),
-        ).localCheckpoint(eager=True)  # score once, feed both sinks
+        ).localCheckpoint(eager=False)  # score once, feed both sinks
+        # (lazy: the gates write below is the materializing action —
+        # one job instead of an eager-checkpoint job plus the write)
         gates.write.mode("overwrite").parquet(dests["gates"])
         tally = gates.groupBy("source").agg(
             F.count("*").alias("n_docs"),
