@@ -752,6 +752,15 @@ def main() -> None:
         and len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 2,
     )
 
+    # index bloom summary (r11): the probe side broadcasts into ONE
+    # summary scan (small-probe regime at this SF) and the bitmap
+    # build is the (hb, word)-keyed bit_or aggregate — never an
+    # all-pairs relation.
+    plan = plan_of(registry["q_index_summary"](spark, SF_DIR))
+    check(
+        "index summary broadcasts probes, bit_or bitmap build",
+        "BroadcastHashJoin" in plan and "bit_or" in plan,
+    )
     # BPE segmentation (r9): the learned merge table is a literal
     # replace chain — applying it must be a pure generator projection
     # over the token stream, ZERO exchanges (the induction loop runs
