@@ -7441,7 +7441,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT (h % {SUMQ_BUCKETS})::INTEGER AS hb,
                      i * {SUMQ_M_P}
                        + ('0x' || substr(md5(h::VARCHAR || ':' ||
-                            i::VARCHAR), 1, 8))::BIGINT % {SUMQ_M_P} AS p
+                            i::VARCHAR), 1, 15))::BIGINT % {SUMQ_M_P} AS p
               FROM st CROSS JOIN
                 unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
             words AS (
@@ -7456,7 +7456,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT h, (h % {SUMQ_BUCKETS})::INTEGER AS hb,
                      i * {SUMQ_M_P}
                        + ('0x' || substr(md5(h::VARCHAR || ':' ||
-                            i::VARCHAR), 1, 8))::BIGINT % {SUMQ_M_P} AS p
+                            i::VARCHAR), 1, 15))::BIGINT % {SUMQ_M_P} AS p
               FROM bt CROSS JOIN
                 unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
             hits AS (

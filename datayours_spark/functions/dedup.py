@@ -1505,20 +1505,18 @@ def winnow_incremental_indexed(
       counts — skipping the full-index ``groupBy(doc_id)`` — and
       ``index_fp`` may safely be pruned to the batch's hash buckets
       (it then feeds only h-matching, never doc-level aggregates).
-      CONSISTENCY CONTRACT (ADVICE r10): ``index_counts`` must cover
-      every doc_id in ``index_fp``.  In batch-proportional (broadcast)
-      mode the denominators resolve through a pair-ids-sized slice of
-      counts (ONE semi-filtered scan) via null-checked left joins, so
-      an index doc missing from counts RAISES
-      (``assert_true``) instead of silently suppressing its pairs.  In
-      bulk mode the lookups remain inner joins against the full counts
-      relation (preserving the small side of a LEFT join would defeat
-      the build-side choice and shuffle the corpus-sized counts), so a
-      missing row silently drops the pair there — an index store
-      populated BEFORE its counts table existed must be rebuilt (or
-      counts backfilled with ``index.groupBy(doc_id).count()``) before
-      using this argument.  The streaming maintainers write both
-      tables from the same batch fingerprints, so they cannot drift.
+      CONSISTENCY CONTRACT (ADVICE r10/r11): ``index_counts`` must
+      cover every doc_id in ``index_fp``, and a violation RAISES in
+      BOTH modes (``assert_true`` on null-checked left joins) — in
+      broadcast mode through the pair-ids-sized counts slice (ONE
+      semi-filtered scan), in bulk mode through the full shuffle
+      joins, so the failure behavior never flips from loud to silent
+      when a pipeline crosses ``broadcast_batch_rows`` (ADVICE r11).
+      An index store populated BEFORE its counts table existed must be
+      rebuilt (or counts backfilled with
+      ``index.groupBy(doc_id).count()``) before using this argument.
+      The streaming maintainers write both tables from the same batch
+      fingerprints, so they cannot drift.
     - ``broadcast_batch``: broadcast the batch's fingerprints into the
       posting join (index side streams, no exchange) and pre-filter the
       guard's posting-frequency aggregate to the batch's h set (the
@@ -1671,16 +1669,30 @@ def winnow_incremental_indexed(
             checked.alias("containment"),
         ).where(F.col("containment") >= threshold)
         return pairs, new_fp
-    # bulk mode: the pair set itself may be huge — keep the shuffle
-    # joins against the full counts relation (inner: a missing counts
-    # row drops the pair silently here; the docstring documents the
-    # consistency contract)
+    # bulk mode: the pair set itself may be huge — shuffle joins
+    # against the full counts relation, but LEFT + per-row assert so an
+    # index/counts drift RAISES here exactly as it does in broadcast
+    # mode (ADVICE r11: the failure behavior must not silently flip
+    # from loud to quiet when a pipeline crosses broadcast_fp_rows).
+    # A left SMJ shuffles the same bytes as the inner join did; only
+    # the shuffled-hash build-side freedom is given up, negligible
+    # against a bulk batch's own cost.
     n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
-    cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
-    pairs = shared.join(n1, "id1").join(n2, "id2").select(
+    checked_bulk = F.when(
+        F.assert_true(
+            F.col("n1").isNotNull() & F.col("n2").isNotNull(),
+            F.lit(
+                "winnow index/counts inconsistency: a pair doc has "
+                "no fingerprint-count row — rebuild or backfill the "
+                "counts table (winnow_incremental_indexed docstring)"
+            ),
+        ).isNull(),
+        F.round(F.col("shared") / F.least("n1", "n2"), 4),
+    )
+    pairs = shared.join(n1, "id1", "left").join(n2, "id2", "left").select(
         "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
-        cont.alias("containment"),
+        checked_bulk.alias("containment"),
     ).where(F.col("containment") >= threshold)
     return pairs, new_fp
 

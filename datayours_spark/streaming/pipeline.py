@@ -72,6 +72,7 @@ from datayours_spark.streaming.store import BatchStore
 from datayours_spark.streaming.winnowstream import (
     _index_lww,
     _with_hb,
+    ensure_hash_format,
     rebuild_index_summary,
     standing_counts_view,
     standing_index_view,
@@ -466,6 +467,7 @@ class IngestPipeline:
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
     _eval_fp: DataFrame = field(default=None, repr=False)
+    _fmt_checked: bool = field(default=False, repr=False)
 
     @property
     def store(self) -> BatchStore:
@@ -529,6 +531,12 @@ class IngestPipeline:
         return self._eval_fp
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
+        if not self._fmt_checked:
+            # refuse to attach to a store persisted with a different
+            # fingerprint width (silent-zero-pairs otherwise, ADVICE
+            # r11); stamps new stores on their first batch
+            ensure_hash_format(self.store)
+            self._fmt_checked = True
         schemas = self._schemas()
         dests = {
             name: self.store.batch_dest(name, batch_id) for name in schemas

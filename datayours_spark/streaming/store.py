@@ -88,10 +88,26 @@ class BatchStore:
     #: harmlessly (their key is never requested again); the dict is
     #: bounded by a wholesale clear when it outgrows its cap.
     _df_cache: dict = field(default=None, repr=False)
+    #: dir path -> in-process write-intent counter.  The cache key's
+    #: per-dir freshness signal is the _SUCCESS marker's mtime, whose
+    #: granularity is 1 s on several stores (S3 Last-Modified, some
+    #: local filesystems): a same-process replay that REWRITES a
+    #: committed batch dir within the same tick would otherwise hit a
+    #: cached DataFrame holding the old random part-file names —
+    #: FileNotFound or stale rows (ADVICE r11).  Every in-process write
+    #: path resolves its destination through :meth:`batch_dest` (or
+    #: commits through :meth:`write_empty_marker`), so bumping the
+    #: counter there versions exactly the dirs this process may have
+    #: rewritten, at zero I/O cost — and only those: caches of
+    #: untouched views (e.g. the compacted side read every batch) keep
+    #: hitting, which is the whole point of the cache (r10 verdict #1).
+    #: Cross-process rewrites imply a restart and a fresh cache.
+    _dir_epoch: dict = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         self.store_dir = self.store_dir.rstrip("/")
         self._df_cache = {}
+        self._dir_epoch = {}
 
     # ------------------------------------------------------------ hadoop fs
     def _path(self, *parts: str):
@@ -128,7 +144,12 @@ class BatchStore:
         return f"batch-{batch_id:012d}"
 
     def batch_dest(self, name: str, batch_id: int) -> str:
-        return "/".join([self.store_dir, name, self.batch_sub(batch_id)])
+        dest = "/".join([self.store_dir, name, self.batch_sub(batch_id)])
+        # resolving a write destination signals write intent — version
+        # the dir so cached readers of any view containing it miss
+        # (sub-second-rewrite defense; see _dir_epoch)
+        self._dir_epoch[dest] = self._dir_epoch.get(dest, 0) + 1
+        return dest
 
     def write_empty_marker(self, name: str, batch_id: int) -> None:
         """Commit an EMPTY batch dir without running a Spark write job:
@@ -141,6 +162,8 @@ class BatchStore:
         entirely."""
         fs = self._filesystem()
         sub = self.batch_sub(batch_id)
+        dest = "/".join([self.store_dir, name, sub])
+        self._dir_epoch[dest] = self._dir_epoch.get(dest, 0) + 1
         fs.mkdirs(self._path(name, sub))
         fs.create(self._path(name, sub, "_SUCCESS"), True).close()
 
@@ -215,7 +238,10 @@ class BatchStore:
         key = (
             name,
             schema,
-            tuple((d, self._success_mtime(d)) for d in dirs),
+            tuple(
+                (d, self._success_mtime(d), self._dir_epoch.get(d, 0))
+                for d in dirs
+            ),
         )
         cached = self._df_cache.get(key)
         if cached is not None:

@@ -58,7 +58,12 @@ was the collision noise floor at 100 TB — rationale at the hashing
 site, ``functions/dedup.py::winnow_fingerprints``).  A standing index
 persisted by an OLDER build carries 32-bit h values and will simply
 never match 60-bit batch probes — re-ingest (or re-fingerprint) such a
-store before resuming its stream.
+store before resuming its stream.  As of r12 this is ENFORCED, not a
+docstring warning: every maintainer stamps a ``_HASH_FORMAT`` marker
+in the index table on first write and raises
+:class:`WinnowHashFormatError` when reattaching to a store whose
+marker is absent (pre-r11 build) or different (ADVICE r11 — the
+silent-zero-pairs resume is now impossible).
 """
 
 from __future__ import annotations
@@ -90,6 +95,76 @@ SCHEMAS = {
     "index": INDEX_SCHEMA,
     "counts": COUNTS_SCHEMA,
 }
+
+# --- on-disk hash-format versioning (ADVICE r11) ---------------------
+#
+# The r11 32→60-bit fingerprint widening is an on-disk format break: a
+# standing index persisted by a pre-r11 build carries 32-bit h values
+# that simply never match 60-bit batch probes, so a resumed stream
+# would emit ZERO near-dup pairs with no error.  Every maintainer that
+# appends to an index table therefore stamps a format marker on first
+# write and REFUSES to attach to a store whose marker is absent
+# (pre-marker build) or different (future width change) — turning the
+# silent-zero-pairs failure into a loud one at stream start.
+WINNOW_HASH_FORMAT = "winnow-h60-v1"
+_FORMAT_MARKER = "_HASH_FORMAT"
+
+
+class WinnowHashFormatError(RuntimeError):
+    """The store's persisted fingerprint format does not match this
+    build — resuming would silently emit no pairs (module docstring)."""
+
+
+def ensure_hash_format(
+    store: BatchStore, expected: str = WINNOW_HASH_FORMAT
+) -> None:
+    """Stamp or verify the fingerprint-format marker of a store's
+    ``index`` table.  Idempotent; call before the first index write of
+    a process (the stream maintainers do, memoized per instance).
+
+    - marker present and equal: no-op.
+    - marker present and different: raise (width/format mismatch).
+    - marker absent, index empty: stamp it (first write of a new store).
+    - marker absent, index has committed data: raise — the store
+      predates format stamping (pre-r11, 32-bit h); it must be rebuilt
+      (re-ingested) before a 60-bit stream may reattach.
+
+    The marker is a plain file inside ``index/`` — compaction GC
+    ignores non-``batch-``/``compacted-`` entries, so it survives every
+    fold."""
+    fs = store._filesystem()
+    marker = store._path("index", _FORMAT_MARKER)
+    if fs.exists(marker):
+        jvm = store.spark._jvm
+        stream = fs.open(marker)
+        try:
+            found = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            ).strip()
+        finally:
+            stream.close()
+        if found != expected:
+            raise WinnowHashFormatError(
+                f"standing winnow index at {store.store_dir}/index was "
+                f"written with fingerprint format {found!r}; this build "
+                f"expects {expected!r} — its probes would never match. "
+                "Rebuild (re-ingest) the store before resuming."
+            )
+        return
+    if store.committed_dirs("index"):
+        raise WinnowHashFormatError(
+            f"standing winnow index at {store.store_dir}/index has "
+            "committed data but no _HASH_FORMAT marker: it predates "
+            "format stamping (pre-r11 32-bit fingerprints) and would "
+            "silently match nothing against this build's 60-bit probes. "
+            "Rebuild (re-ingest) the store before resuming."
+        )
+    fs.mkdirs(store._path("index"))
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(expected.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _index_lww(index: DataFrame) -> DataFrame:
@@ -172,14 +247,23 @@ def _plane_positions(m_p: int, planes: int):
     impossible).  Plane hashes are md5-derived from the DECIMAL string
     of h (not xxhash64) so the DuckDB oracle can replay the bitmap
     bit-for-bit; words are 63-bit (shift ≤ 62) so the sign bit never
-    enters and both engines' BIGINT shifts agree."""
-    from datayours_spark.functions.dedup import md5_int32
+    enters and both engines' BIGINT shifts agree.
+
+    The plane hash is 60-bit (md5_int60), not 32-bit (ADVICE r11): at
+    100 TB scale ``summary_m_p`` exceeds 2^32 (~10^12 fingerprints /
+    256 buckets × 24 bits), and a 32-bit hash could never address the
+    upper plane bits — no false negatives (build and probe share the
+    hash) but per-plane load saturates and the documented ~4e-5 fpp
+    silently degrades to percent-level, voiding the prune exactly at
+    the scale it targets.  A 60-bit hash addresses planes up to 2^60
+    bits and keeps ``pmod(h60, m_p)`` bias negligible (≤ m_p/2^60)."""
+    from datayours_spark.functions.dedup import md5_int60
 
     return F.array(*[
         (
             F.lit(i * m_p)
             + F.pmod(
-                md5_int32(
+                md5_int60(
                     F.concat(
                         F.col("h").cast("string"), F.lit(f":{i}")
                     )
@@ -442,6 +526,7 @@ class WinnowStream:
     #: existing content.  Module header has the full argument.
     summary_prune: bool = False
     _store: BatchStore = field(default=None, repr=False)
+    _fmt_checked: bool = field(default=False, repr=False)
 
     @property
     def store(self) -> BatchStore:
@@ -458,6 +543,12 @@ class WinnowStream:
         return self.store.read_or_empty(name, schema)
 
     def _process(self, batch: DataFrame, batch_id: int) -> None:
+        if not self._fmt_checked:
+            # refuse to attach to a store persisted with a different
+            # fingerprint width (silent-zero-pairs otherwise, ADVICE
+            # r11); stamps new stores on their first batch
+            ensure_hash_format(self.store)
+            self._fmt_checked = True
         dests = {
             name: self.store.batch_dest(name, batch_id) for name in SCHEMAS
         }

@@ -856,6 +856,78 @@ class TestWinnowing:
         with pytest.raises(Exception, match="inconsistency"):
             pairs.collect()
 
+    def test_counts_inconsistency_raises_in_bulk_mode(self, spark):
+        """Same drift, BULK mode (broadcast_batch=False): the failure
+        behavior must not flip from loud to silent when a pipeline
+        crosses broadcast_fp_rows (ADVICE r11) — the shuffle-join
+        denominators are null-checked left joins with the same per-row
+        assert as broadcast mode."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental_indexed,
+        )
+
+        schema = "doc_id bigint, text string"
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+            schema,
+        )
+        idx = (
+            winnow_fingerprints(corpus, k=3, w=3)
+            .select("doc_id", "h").distinct().localCheckpoint(eager=True)
+        )
+        counts = idx.where("doc_id != 1").groupBy("doc_id").agg(
+            F.count("*").alias("n_fp")
+        )
+        batch = spark.createDataFrame(
+            [(9, "a b c d e f g h i x")], schema
+        )
+        pairs, _ = winnow_incremental_indexed(
+            batch, idx, k=3, w=3, threshold=0.3,
+            index_counts=counts, broadcast_batch=False,
+        )
+        with pytest.raises(Exception, match="inconsistency"):
+            pairs.collect()
+
+    def test_bulk_and_broadcast_pairs_identical_when_consistent(self, spark):
+        """The r12 bulk-mode left-join rewrite is exact: with a
+        consistent counts relation both modes emit the identical pair
+        set (the containment expression only fires on non-null
+        denominators, which consistency guarantees)."""
+        from pyspark.sql import functions as F
+
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprints, winnow_incremental_indexed,
+        )
+
+        schema = "doc_id bigint, text string"
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame(
+            [(1, base + " one"), (2, base + " two"),
+             (3, "totally different island of words here now")],
+            schema,
+        )
+        idx = (
+            winnow_fingerprints(corpus, k=3, w=3)
+            .select("doc_id", "h").distinct().localCheckpoint(eager=True)
+        )
+        counts = idx.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+        batch = spark.createDataFrame([(9, base + " nine")], schema)
+        out = {}
+        for mode in (True, False):
+            pairs, _ = winnow_incremental_indexed(
+                batch, idx, k=3, w=3, threshold=0.2,
+                index_counts=counts, broadcast_batch=mode,
+            )
+            out[mode] = sorted(
+                (r.id1, r.id2, r.shared, r.containment)
+                for r in pairs.collect()
+            )
+        assert out[True] == out[False]
+        assert out[True]  # non-degenerate: the batch does pair
+
     def test_incremental_equals_full_restricted_to_batch(self, spark):
         """The incremental-family invariant for winnowing: pairs from a
         batch vs the standing index == the full recompute's pairs that

@@ -123,6 +123,47 @@ class TestBatchStore:
             "compacted-000000000005"
         ]
 
+    def test_same_tick_rewrite_invalidates_reader_cache(self, spark):
+        """_df_cache keys dirs by the _SUCCESS marker's mtime, whose
+        granularity is 1 s on several stores (S3 Last-Modified, some
+        local filesystems): a same-process rewrite of a committed batch
+        dir within the same tick must STILL invalidate cached readers
+        (ADVICE r11) — the in-process write-intent epoch, bumped by
+        batch_dest, versions the dir at zero I/O cost.  The test forces
+        mtime equality with os.utime, so only the epoch can save it."""
+        store = self._fresh(spark, "tick")
+        schema = "doc_id bigint, text string"
+        _write_batch(spark, store, "corpus", 0, [DOCS[0]], schema)
+        first = store.read_or_empty("corpus", schema)
+        assert [r.doc_id for r in first.collect()] == [DOCS[0][0]]
+        success = TMP / "tick" / "corpus" / "batch-000000000000" / "_SUCCESS"
+        frozen = success.stat().st_mtime
+        # replay rewrites the committed dir with DIFFERENT rows and new
+        # random part-file names, then lands on the identical mtime
+        _write_batch(spark, store, "corpus", 0, [DOCS[1]], schema)
+        os.utime(success, (frozen, frozen))
+        again = store.read_or_empty("corpus", schema)
+        # stale cache would hold the old part-file names: FileNotFound
+        # or the old row — the epoch-keyed cache must see the rewrite
+        assert [r.doc_id for r in again.collect()] == [DOCS[1][0]]
+
+    def test_untouched_view_cache_still_hits_across_batches(self, spark):
+        """The epoch must invalidate ONLY dirs this process resolved
+        for writing — the compacted-side reader (re-read every batch)
+        keeps hitting its cache, which is the r10 floor cut's whole
+        point.  Same-object identity proves the cache hit."""
+        store = self._fresh(spark, "hit")
+        schema = "doc_id bigint, text string"
+        _write_batch(spark, store, "corpus", 0, [DOCS[0]], schema)
+        store.compact("corpus", schema, upto_batch_id=0)
+        comp1, _ = store.read_split("corpus", schema)
+        # a later batch write (new dir) must not evict the compacted
+        # side's cached reader
+        _write_batch(spark, store, "corpus", 1, [DOCS[1]], schema)
+        comp2, tail2 = store.read_split("corpus", schema)
+        assert comp2 is comp1
+        assert sorted(r.doc_id for r in tail2.collect()) == [DOCS[1][0]]
+
 
 class TestStreamWithCompaction:
     def test_dedupstream_invariant_with_compaction_forced(self, spark):

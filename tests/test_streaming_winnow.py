@@ -61,7 +61,10 @@ class TestWinnowStream:
         import os
 
         for name in ("pairs", "index"):
-            subs = sorted(os.listdir(TMP / "store" / name))
+            subs = sorted(
+                s for s in os.listdir(TMP / "store" / name)
+                if s.startswith(("batch-", "compacted-"))
+            )  # the index dir also holds the _HASH_FORMAT marker
             assert subs == ["compacted-000000000001"], (name, subs)
 
         # replay of a folded batch is a no-op (watermark path)
@@ -222,7 +225,10 @@ class TestCompactionUnderDynamicOverwrite:
             import os
 
             for name in ("pairs", "index", "counts"):
-                subs = sorted(os.listdir(TMP / "store" / name))
+                subs = sorted(
+                    s for s in os.listdir(TMP / "store" / name)
+                    if s.startswith(("batch-", "compacted-"))
+                )  # the index dir also holds the _HASH_FORMAT marker
                 assert subs == ["compacted-000000000001"], (name, subs)
         finally:
             spark.conf.set(
@@ -391,6 +397,57 @@ class TestBloomSummaryPrune:
         for prune in (False, True):
             shutil.rmtree(TMP / f"bloom{prune}", ignore_errors=True)
         shutil.rmtree(TMP / "bloomprobe", ignore_errors=True)
+
+    def test_hash_format_marker_lifecycle(self, spark):
+        """The on-disk fingerprint-format marker (ADVICE r11): a fresh
+        store is stamped on its first batch; a store persisted under a
+        DIFFERENT format (or a pre-marker build with committed data)
+        refuses to reattach instead of silently emitting zero pairs.
+        The marker must survive compaction GC (it is a foreign entry
+        in the index dir)."""
+        import pytest
+
+        from datayours_spark.streaming.winnowstream import (
+            _FORMAT_MARKER,
+            WINNOW_HASH_FORMAT,
+            WinnowHashFormatError,
+            ensure_hash_format,
+        )
+
+        schema = "doc_id bigint, text string"
+        ws = self._stream(spark, False, "fmt")
+        ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+        marker = TMP / "fmt" / "store" / "index" / _FORMAT_MARKER
+        assert marker.read_text() == WINNOW_HASH_FORMAT
+        # compaction ran (compact_every=1) and left the marker alone;
+        # a fresh maintainer instance reattaches cleanly
+        ws_re = WinnowStream(
+            spark=spark,
+            input_dir=str(TMP / "fmt" / "in"),
+            store_dir=str(TMP / "fmt" / "store"),
+            checkpoint_dir=str(TMP / "fmt" / "ckpt"),
+            k=3, w=3, threshold=0.3, index_buckets=2, compact_every=1,
+        )
+        ws_re._process(spark.createDataFrame(DOCS[3:5], schema), 1)
+        # width change: rewrite the marker as a foreign format (drop
+        # the checksum sidecar — the POSIX rewrite stales it; a real
+        # old build writes through the Hadoop FS with a valid crc)
+        marker.write_text("winnow-h32-v0")
+        (marker.parent / f".{marker.name}.crc").unlink(missing_ok=True)
+        ws_bad = WinnowStream(
+            spark=spark,
+            input_dir=str(TMP / "fmt" / "in"),
+            store_dir=str(TMP / "fmt" / "store"),
+            checkpoint_dir=str(TMP / "fmt" / "ckpt"),
+            k=3, w=3, threshold=0.3, index_buckets=2,
+        )
+        with pytest.raises(WinnowHashFormatError, match="winnow-h32-v0"):
+            ws_bad._process(spark.createDataFrame(DOCS[5:6], schema), 2)
+        # pre-marker store: committed index data, no marker at all
+        marker.unlink()
+        with pytest.raises(WinnowHashFormatError, match="predates"):
+            ensure_hash_format(ws_bad.store)
+        shutil.rmtree(TMP / "fmt", ignore_errors=True)
 
     def test_supersede_through_pruned_compacted_side(self, spark):
         """The summary prune must compose with LWW replacement: stale
