@@ -1483,6 +1483,8 @@ def winnow_incremental_indexed(
     index_counts: DataFrame | None = None,
     broadcast_batch: bool | None = None,
     broadcast_batch_rows: int = 4_000_000,
+    batch_h_values: list | None = None,
+    batch_id_values: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`winnow_incremental` plus the batch's own distinct
     (doc_id, h) fingerprint relation, already localCheckpointed.
@@ -1498,6 +1500,19 @@ def winnow_incremental_indexed(
     standing index, the per-batch path must never SHUFFLE the index —
     only scan it.
 
+    - DENORMALIZED DENOMINATORS (r12, preferred at scale): when
+      ``index_fp`` itself carries an ``n_fp`` column (the doc's
+      distinct fingerprint count, stamped on every posting row at
+      write time — the streaming maintainers' v2 index format), the
+      containment denominator rides WITH the rows through the pair
+      join: no counts relation is scanned, broadcast, or joined at
+      all.  This removes the one corpus-sized read a small probe
+      batch still paid (the docs-sized counts scan) and makes
+      index/denominator drift structurally impossible — a version's
+      rows are written in one batch with one n_fp, so the LWW view
+      keeps row and denominator consistent by construction.
+      ``index_counts`` is ignored in this mode; the batch side's
+      n_fp comes from a batch-sized window count.
     - ``index_counts``: the standing per-doc DISTINCT fingerprint
       counts (doc_id, n_fp), consistent with the ``index_fp`` view (a
       streaming maintainer keeps them next to the index).  When given,
@@ -1555,13 +1570,43 @@ def winnow_incremental_indexed(
             .distinct()
         ).localCheckpoint(eager=True)
     # Replacement semantics on re-ingest: drop index rows for batch
-    # doc_ids (tiny broadcast side) before the union.
+    # doc_ids (tiny broadcast side) before the union.  A small batch
+    # whose complete doc_id / h sets are driver-known (the maintainers'
+    # one-collect-per-batch stats carry them, capped) hands them in as
+    # ``batch_id_values`` / ``batch_h_values`` LITERALS: the
+    # replacement anti-join and the hits semi-join then become isin()
+    # predicates — one less broadcast-exchange job each, and pushable
+    # to the index scan's parquet row-group statistics (r11 verdict
+    # #1, the trickle floor).  Exact rewrites of the joins they
+    # replace; bulk batches (values=None) keep the broadcast joins.
     new_ids = new_fp.select("doc_id").distinct()
+    # DENORMALIZED-DENOMINATOR mode (r12, the trickle floor): when the
+    # index rows carry their doc's distinct-fingerprint count as an
+    # ``n_fp`` column, containment denominators ride WITH the posting
+    # rows through the pair join — no counts relation is scanned or
+    # joined at all, which removes the one remaining corpus-sized read
+    # a 3-doc probe paid (the docs-sized counts scan) and makes
+    # index/counts drift structurally impossible on this path.  A
+    # version's rows are all written in one batch with one n_fp, so
+    # the LWW view keeps row and denominator consistent by
+    # construction.  ``index_counts`` is ignored in this mode.
+    carry_nfp = "n_fp" in index_fp.columns
+    if carry_nfp:
+        from pyspark.sql import Window as _W
+
+        new_fp = new_fp.withColumn(
+            "n_fp",
+            F.count("*")
+            .over(_W.partitionBy("doc_id"))
+            .cast("bigint"),
+        )
+        index_fp = index_fp.select("doc_id", "h", "n_fp")
+    index_sel = index_fp.select(*new_fp.columns)
     both = (
-        index_fp.select("doc_id", "h")
-        .join(F.broadcast(new_ids), "doc_id", "left_anti")
-        .unionByName(new_fp)
-    )
+        index_sel.where(~F.col("doc_id").isin(batch_id_values))
+        if batch_id_values is not None
+        else index_sel.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    ).unionByName(new_fp)
     if broadcast_batch is None:
         # the batch relation is checkpointed (or caller-materialized),
         # so the count is a cheap metadata-ish job over batch-sized data
@@ -1576,8 +1621,12 @@ def winnow_incremental_indexed(
         # The checkpoint is LAZY: the guard's own aggregate job (the
         # very next action) materializes it — one job where the eager
         # form ran two (r10 verdict #1, the per-trigger floor).
-        hits = both.join(
-            F.broadcast(new_fp.select("h").distinct()), "h"
+        hits = (
+            both.where(F.col("h").isin(batch_h_values))
+            if batch_h_values is not None
+            else both.join(
+                F.broadcast(new_fp.select("h").distinct()), "h"
+            )
         ).localCheckpoint(eager=False)
         pair_src = hits
     else:
@@ -1599,20 +1648,35 @@ def winnow_incremental_indexed(
             )
     l, r = new_fp.alias("l"), pair_src.alias("r")
     lsrc = F.broadcast(l) if broadcast_batch else l
+    sel = [
+        F.least("l.doc_id", "r.doc_id").alias("id1"),
+        F.greatest("l.doc_id", "r.doc_id").alias("id2"),
+        F.col("l.h").alias("h"),
+    ]
+    aggs = [F.count_distinct("h").alias("shared")]
+    if carry_nfp:
+        # the denominator rides with the matched rows: every row of a
+        # pair carries the same least(n_fp) regardless of orientation,
+        # so the min() is a constant-per-group pick, not a real fold
+        sel.append(F.least("l.n_fp", "r.n_fp").alias("den"))
+        aggs.append(F.min("den").alias("den"))
     shared = (
         lsrc.join(
             r,
             (F.col("l.h") == F.col("r.h"))
             & (F.col("l.doc_id") != F.col("r.doc_id")),
         )
-        .select(
-            F.least("l.doc_id", "r.doc_id").alias("id1"),
-            F.greatest("l.doc_id", "r.doc_id").alias("id2"),
-            F.col("l.h").alias("h"),
-        )
+        .select(*sel)
         .groupBy("id1", "id2")
-        .agg(F.count_distinct("h").alias("shared"))
+        .agg(*aggs)
     )
+    if carry_nfp:
+        pairs = shared.select(
+            "id1", "id2",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(F.col("shared") / F.col("den"), 4).alias("containment"),
+        ).where(F.col("containment") >= threshold)
+        return pairs, new_fp
     if index_counts is not None:
         # standing counts (docs-sized) + the batch's own, with the same
         # replacement anti-join the index side got — no index groupBy

@@ -57,7 +57,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import (
@@ -74,7 +74,6 @@ from datayours_spark.streaming.winnowstream import (
     _with_hb,
     ensure_hash_format,
     rebuild_index_summary,
-    standing_counts_view,
     standing_index_view,
     summary_hit_buckets,
     write_counts_batch,
@@ -89,7 +88,7 @@ GATES_SCHEMA = (
     "ok_alpha_words boolean, ok_stopwords boolean, pass_all boolean"
 )
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
-INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint, hb int"
+INDEX_SCHEMA = "doc_id bigint, h bigint, n_fp bigint, batch bigint, hb int"
 COUNTS_SCHEMA = "doc_id bigint, n_fp bigint, batch bigint"
 CONTAM_SCHEMA = (
     "doc_id bigint, eval_id bigint, shared bigint, containment double"
@@ -111,6 +110,16 @@ PAYLOAD_SCHEMA = (
 # linear classifier), recorded for every GATE survivor whether kept or
 # not — the audit record of the model filter stage
 SCORES_SCHEMA = "doc_id bigint, n_feats bigint, score double, keep boolean"
+
+# literal-pushdown cap (r12, the trickle floor): a batch whose
+# fingerprint/survivor counts fit under this many rows ships its h
+# values / doc_ids into the dedup plans as isin() LITERALS instead of
+# broadcast-join sides — one less broadcast-exchange job each, and the
+# parquet scan gets a pushable predicate (row-group min/max skipping
+# inside the hb buckets the dir prune and bloom summary leave).  The
+# values ride in the one per-batch stats collect, limit-capped so a
+# bulk batch never builds the aggregate buffer at all.
+_LIT_CAP = 1024
 
 SCHEMAS = {
     "gates": GATES_SCHEMA,
@@ -468,6 +477,12 @@ class IngestPipeline:
     _store: BatchStore = field(default=None, repr=False)
     _eval_fp: DataFrame = field(default=None, repr=False)
     _fmt_checked: bool = field(default=False, repr=False)
+    #: in-process per-shard pack cursor (shard -> next start offset)
+    #: and the batch id whose cursors write produced it; seeded from
+    #: the cursors table, then maintained from the rows this process
+    #: writes — see the PACK stage comment in :meth:`_process`
+    _cursor_starts: dict | None = field(default=None, repr=False)
+    _cursor_asof: int | None = field(default=None, repr=False)
 
     @property
     def store(self) -> BatchStore:
@@ -495,24 +510,31 @@ class IngestPipeline:
     def _read_or_empty(self, name: str) -> DataFrame:
         return self.store.read_or_empty(name, SCHEMAS[name])
 
-    def _write_batch(self, df: DataFrame, name: str, batch_id: int) -> bool:
-        """Write one table's batch dir; an EMPTY relation commits as a
-        bare ``_SUCCESS`` marker instead of a Spark write job (readers
-        load with an explicit schema, so a data-file-less committed dir
-        is zero rows).  Returns True when the relation was empty.
-        ``df`` must be (lazily) checkpointed: ``isEmpty`` materializes
-        the partitions it probes into the same cache the write then
-        reads, so nothing is computed twice.  Part of the fixed
-        per-trigger floor cut (r10 verdict #1) — a trickle batch whose
-        dedup drops everything skips the packed/payload/pairs write
-        jobs entirely."""
-        if df.isEmpty():
-            self.store.write_empty_marker(name, batch_id)
-            return True
-        df.write.mode("overwrite").parquet(
+    def _write_batch(
+        self,
+        df: DataFrame,
+        name: str,
+        batch_id: int,
+        extra_metrics: list | None = None,
+    ) -> dict:
+        """Write one table's batch dir in ONE Spark action: the write
+        job itself carries an ``Observation`` counting the rows it
+        lands (key ``"n"``), plus any caller-supplied aggregate
+        metrics — so neither the empty-relation probe (previously its
+        own ``isEmpty`` job) nor a post-write summary collect
+        (previously the packed table's per-shard ends job) costs a
+        separate action (r11 verdict #1, the trickle floor).  An
+        all-empty write commits a data-file-less dir, which schema-ed
+        readers see as zero rows — the same reader contract as
+        ``write_empty_marker``.  Returns the observed metrics dict."""
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")]
+        if extra_metrics:
+            metrics += extra_metrics
+        df.observe(obs, *metrics).write.mode("overwrite").parquet(
             self.store.batch_dest(name, batch_id)
         )
-        return False
+        return obs.get
 
     @property
     def eval_fp(self) -> DataFrame | None:
@@ -616,20 +638,88 @@ class IngestPipeline:
 
         # 2. DEDUP — survivors vs the standing LWW index view
         # (batch-proportional: tail-only LWW, hb-pruned pair path,
-        # counts-table denominators — winnowstream docstring).  ONE
-        # collect serves three decisions: the hb bucket set (scan
-        # prune), the fingerprint count (broadcast-vs-shuffle posting
-        # join), and the lazy surv_fp checkpoint's materialization.
-        hb_counts = {
-            r["hb"]: r["n"]
-            for r in _with_hb(surv_fp, self.index_buckets)
+        # denormalized n_fp denominators — winnowstream docstring).
+        # ONE collect serves every per-batch decision: the hb bucket
+        # set (scan prune), the fingerprint count (broadcast-vs-shuffle
+        # posting join), the lazy surv_fp checkpoint's materialization,
+        # the surviving-doc count (sentinel hb=-1 row) gating the
+        # all-empty early exit, and — for SMALL batches (≤ _LIT_CAP
+        # rows, limit-capped so a bulk batch never bloats an aggregate
+        # buffer) — the batch's literal h values (hb=-2) and survivor
+        # doc_ids (hb=-3), which replace the posting-join broadcasts
+        # with isin() predicates the parquet scan can push down to
+        # row-group statistics (r11 verdict #1, the trickle floor).
+        nulls = F.lit(None).cast("array<bigint>").alias("vals")
+        stat_rows = (
+            _with_hb(surv_fp, self.index_buckets)
             .groupBy("hb")
             .agg(F.count("*").alias("n"))
+            .select("hb", "n", nulls)
+            .unionByName(
+                survivors.select(
+                    F.lit(-1).cast("int").alias("hb")
+                ).groupBy("hb").agg(F.count("*").alias("n"))
+                .select("hb", "n", nulls)
+            )
+            .unionByName(
+                surv_fp.select("h").limit(_LIT_CAP + 1)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_list("h").alias("vals"),
+                )
+                .select(F.lit(-2).cast("int").alias("hb"), "n", "vals")
+            )
+            .unionByName(
+                survivors.select("doc_id").limit(_LIT_CAP + 1)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_list("doc_id").alias("vals"),
+                )
+                .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
+            )
             .collect()
-        }
+        )
+        hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
+        n_surv = next((r["n"] for r in stat_rows if r["hb"] == -1), 0)
         n_fp = sum(hb_counts.values())
+        # the limit-capped literal branches are complete iff the TRUE
+        # count (from the authoritative branches) fits under the cap
+        h_lit = next(
+            (list(r["vals"]) for r in stat_rows if r["hb"] == -2), None
+        ) if 0 < n_fp <= _LIT_CAP else None
+        ids_lit = next(
+            (list(r["vals"]) for r in stat_rows if r["hb"] == -3), None
+        ) if 0 < n_surv <= _LIT_CAP else None
+        if n_surv == 0:
+            # nothing survived the gate/classifier/decontamination
+            # stages: every downstream table of this batch is provably
+            # empty — commit them all as bare markers (zero Spark
+            # jobs) and skip the dedup/pack/payload machinery.  The
+            # cursor state is untouched (nothing packed), so the next
+            # batch's starts are exactly the pre-batch ones.
+            for name in ("pairs", "index", "counts", "packed"):
+                self.store.write_empty_marker(name, batch_id)
+            if self.vocab is not None:
+                self.store.write_empty_marker("payload", batch_id)
+            self.store.write_empty_marker("cursors", batch_id)
+            fired = self.store.maybe_compact(
+                batch_id,
+                schemas,
+                folds={
+                    "index": _index_lww,
+                    "counts": _index_lww,
+                    "payload": _payload_fold,
+                },
+            )
+            if fired and self.summary_prune:
+                rebuild_index_summary(self.store, self.index_buckets)
+            return
         hit_bks = None
-        if self.summary_prune and len(hb_counts) == self.index_buckets:
+        if self.summary_prune and hb_counts:
+            # ask the bloom summary which compacted buckets can
+            # actually h-match this batch — the only prune for BULK
+            # batches, composes with the hb dir prune for trickles
+            # (r12 — previously gated to bulk batches only)
             hit_bks = summary_hit_buckets(
                 self.store, surv_fp, self.index_buckets,
                 probe_rows=n_fp,
@@ -637,51 +727,66 @@ class IngestPipeline:
         index = standing_index_view(
             self.store, surv_fp, self.index_buckets,
             bks=sorted(hb_counts), hit_bks=hit_bks,
+            batch_h=h_lit,
         )
-        counts = standing_counts_view(self.store)
+        # denominators ride with the index rows (denormalized n_fp,
+        # r12) — no counts-table scan in the pair path
         pairs, batch_fp = winnow_incremental_indexed(
             survivors,
-            index.select("doc_id", "h"),
+            index.select("doc_id", "h", "n_fp"),
             k=self.k, w=self.w, threshold=self.threshold,
             max_join_pairs=self.max_join_pairs,
             fingerprints=surv_fp,
             fingerprints_distinct=True,
-            index_counts=counts.select("doc_id", "n_fp"),
             broadcast_batch=(n_fp <= self.broadcast_fp_rows),
+            batch_h_values=h_lit,
+            batch_id_values=ids_lit,
         )
         pairs = pairs.localCheckpoint(eager=False)  # pairs sink + drop set
-        self._write_batch(pairs, "pairs", batch_id)
+        pairs_n = int(self._write_batch(pairs, "pairs", batch_id)["n"])
         write_index_batch(
             batch_fp, batch_id, dests["index"], self.index_buckets
         )
         write_counts_batch(batch_fp, batch_id, dests["counts"])
-        kept = survivors.join(
-            pairs.select(F.col("id2").alias("doc_id")).distinct(),
-            "doc_id",
-            "left_anti",
-        )
+        kept = survivors
+        if pairs_n:
+            # the pairs write's observation told us whether any doc
+            # actually dropped — a pair-free batch (fresh content, the
+            # common case) skips planning the anti-join entirely
+            kept = survivors.join(
+                pairs.select(F.col("id2").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
 
         # 3. PACK — continue each shard's running offset from the
-        # cursors table (batches × shards rows, never the packed corpus).
-        # The batch's OWN row is excluded defensively: on a replay after
-        # a crash that committed cursors but not a later table, reading
-        # it back would double-advance every shard's start offset and
-        # shift the whole batch's pack/payload rows (ADVICE r10 high) —
-        # the filter restores the exact pre-batch cursor state.
+        # in-process cursor map, seeded from the cursors table
+        # (batches × shards rows, never the packed corpus) and
+        # thereafter maintained from the rows this process itself
+        # writes — the per-batch cursor-read job is gone (r11 verdict
+        # #1).  The map is valid only for batches STRICTLY AFTER the
+        # one whose write produced it (``_cursor_asof``): a replay of
+        # that same batch must not see its own cursors (that would
+        # double-advance every shard's start offset and shift the whole
+        # batch's pack/payload rows, ADVICE r10 high), so it re-seeds
+        # from disk with the batch's own row excluded — the exact
+        # pre-batch cursor state.  In-process the map is updated only
+        # AFTER a successful cursors write, so a mid-batch failure
+        # leaves it at the pre-batch state too.
         # The per-shard offsets are SHARDS-BOUNDED, so they fold on the
         # DRIVER: the start offsets enter the manifest join as a local
-        # relation (broadcast without a sub-job) and the new cursors
-        # write as a plain local write — the previous full-outer join
-        # of two 32-row relations cost a sort-merge shuffle's worth of
-        # AQE stages per trigger (r10 verdict #1).
-        starts_map = {
-            int(r["shard"]): int(r["start_offset"])
-            for r in self._read_or_empty("cursors")
-            .where(F.col("batch") != F.lit(batch_id))
-            .groupBy("shard")
-            .agg(F.max("end_offset").alias("start_offset"))
-            .collect()
-        }
+        # relation (broadcast without a sub-job).
+        if self._cursor_asof is None or self._cursor_asof >= batch_id:
+            self._cursor_starts = {
+                int(r["shard"]): int(r["start_offset"])
+                for r in self._read_or_empty("cursors")
+                .where(F.col("batch") != F.lit(batch_id))
+                .groupBy("shard")
+                .agg(F.max("end_offset").alias("start_offset"))
+                .collect()
+            }
+            self._cursor_asof = None
+        starts_map = dict(self._cursor_starts)
         starts = (
             self.spark.createDataFrame(
                 sorted(starts_map.items()), "shard int, start_offset bigint"
@@ -691,18 +796,28 @@ class IngestPipeline:
         )
         packed = _pack_manifest(
             kept, self.shards, self.capacity, starts=starts
-        ).localCheckpoint(eager=False)  # packed sink + cursor fold
-        packed_empty = self._write_batch(packed, "packed", batch_id)
-        ends_map = (
-            {}
-            if packed_empty
-            else {
-                int(r["shard"]): int(r["end"])
-                for r in packed.groupBy("shard")
-                .agg(F.max(F.col("offset") + F.col("n_tokens")).alias("end"))
-                .collect()
-            }
+        ).localCheckpoint(eager=False)  # packed sink + payload source
+        # the packed write's observation carries the per-shard end
+        # offsets (shards-bounded conditional maxes), so the cursor
+        # fold costs no separate collect job
+        packed_obs = self._write_batch(
+            packed, "packed", batch_id,
+            extra_metrics=[
+                F.max(
+                    F.when(
+                        F.col("shard") == s,
+                        F.col("offset") + F.col("n_tokens"),
+                    )
+                ).alias(f"end_{s}")
+                for s in range(self.shards)
+            ],
         )
+        packed_empty = int(packed_obs["n"]) == 0
+        ends_map = {
+            s: int(packed_obs[f"end_{s}"])
+            for s in range(self.shards)
+            if packed_obs[f"end_{s}"] is not None
+        }
         cursor_rows = [
             (s, max(ends_map.get(s, 0), starts_map.get(s, 0)), batch_id)
             for s in sorted(set(ends_map) | set(starts_map))
@@ -736,6 +851,12 @@ class IngestPipeline:
             ).coalesce(1).write.mode("overwrite").parquet(dests["cursors"])
         else:
             self.store.write_empty_marker("cursors", batch_id)
+        # the cursors write committed — fold it into the in-process map
+        # (cursor_rows already took max(end, start) per shard, so the
+        # new map is exactly its (shard, end) projection) and stamp the
+        # batch it reflects (a replay of THIS batch re-seeds from disk)
+        self._cursor_starts = {s: e for s, e, _ in cursor_rows} or starts_map
+        self._cursor_asof = batch_id
         fired = self.store.maybe_compact(
             batch_id,
             schemas,

@@ -103,11 +103,16 @@ class BatchStore:
     #: hitting, which is the whole point of the cache (r10 verdict #1).
     #: Cross-process rewrites imply a restart and a fresh cache.
     _dir_epoch: dict = field(default=None, repr=False)
+    #: small driver-side scalar memo for table-derived constants (e.g.
+    #: the bloom summary's (m_p, wm) header) keyed by the deriving
+    #: dir's freshness signature — same lifecycle as _df_cache
+    _scalar_cache: dict = field(default=None, repr=False)
 
     def __post_init__(self) -> None:
         self.store_dir = self.store_dir.rstrip("/")
         self._df_cache = {}
         self._dir_epoch = {}
+        self._scalar_cache = {}
 
     # ------------------------------------------------------------ hadoop fs
     def _path(self, *parts: str):

@@ -86,7 +86,13 @@ DOC_SCHEMA = "doc_id bigint, text string"
 # batch i never unions old+new rows when batch i+1 reads the index —
 # the n_fp containment denominator stays single-version (ADVICE r8).
 # ``hb`` is the hash-range partition bucket (pmod(h, index_buckets)).
-INDEX_SCHEMA = "doc_id bigint, h bigint, batch bigint, hb int"
+# ``n_fp`` is the doc's DISTINCT fingerprint count, DENORMALIZED onto
+# every posting row (r12): containment denominators ride with the rows
+# through the pair join, so the per-batch pair path never scans or
+# joins the counts table — the one remaining corpus-sized read a
+# trickle batch paid — and index/denominator drift is structurally
+# impossible (a version's rows are written in one batch with one n_fp).
+INDEX_SCHEMA = "doc_id bigint, h bigint, n_fp bigint, batch bigint, hb int"
 COUNTS_SCHEMA = "doc_id bigint, n_fp bigint, batch bigint"
 PAIRS_SCHEMA = "id1 bigint, id2 bigint, shared bigint, containment double"
 
@@ -106,7 +112,10 @@ SCHEMAS = {
 # write and REFUSES to attach to a store whose marker is absent
 # (pre-marker build) or different (future width change) — turning the
 # silent-zero-pairs failure into a loud one at stream start.
-WINNOW_HASH_FORMAT = "winnow-h60-v1"
+# v2 (r12): index rows additionally carry the denormalized ``n_fp``
+# denominator column — a v1 store's rows lack it, so v1 streams must
+# rebuild too (the marker check makes that loud)
+WINNOW_HASH_FORMAT = "winnow-h60nfp-v2"
 _FORMAT_MARKER = "_HASH_FORMAT"
 
 
@@ -382,10 +391,21 @@ def summary_hit_buckets(
     s = store.spark.read.schema(SUMMARY_SCHEMA).parquet(
         _summary_path(store)
     )
-    head = s.select("m", "wm").first()
-    if head is None or head["wm"] != store.watermark("index"):
+    # the (m_p, wm) header is constant per summary build — memo it on
+    # the marker's freshness signature so steady-state batches skip
+    # the per-trigger header job (r11 verdict #1, the trickle floor)
+    spath = _summary_path(store)
+    skey = ("summary_head", store._success_mtime(spath))
+    head = store._scalar_cache.get(skey)
+    if head is None:
+        row = s.select("m", "wm").first()
+        if row is None:
+            return None
+        head = (int(row["m"]), int(row["wm"]))
+        store._scalar_cache[skey] = head
+    m_p, wm = head
+    if wm != store.watermark("index"):
         return None
-    m_p = int(head["m"])
     # batch probes join ONE summary scan; a probe row joins iff its
     # word exists, survives iff its bit is set — a probe h "might be
     # present" in its bucket iff all `planes` rows survive.  Small
@@ -409,6 +429,7 @@ def standing_index_view(
     buckets: int,
     bks: list[int] | None = None,
     hit_bks: list[int] | None = None,
+    batch_h: list[int] | None = None,
 ) -> DataFrame:
     """The LWW standing index view for one batch's pair computation,
     hb-pruned to the batch's fingerprint buckets when that prunes
@@ -433,7 +454,17 @@ def standing_index_view(
     those buckets even when the batch's own hb set covers everything —
     the bulk-batch prune the hb layout alone cannot provide.  Applies
     to the COMPACTED data rows only (the summary describes exactly the
-    compacted side at its watermark); the tail keeps the hb prune."""
+    compacted side at its watermark); the tail keeps the hb prune.
+
+    ``batch_h`` optionally hands in the batch's complete literal h set
+    (small batches only — the maintainers cap it): data rows are then
+    additionally filtered ``h IN (...)``, a predicate the parquet scan
+    pushes down to row-group min/max statistics — the point-probe
+    prune INSIDE the buckets the hb/bloom prunes leave.  Same safety
+    argument as the hb prune: a standing row whose h is outside the
+    batch's set can never h-match a batch fingerprint, and the LWW
+    bookkeeping (tail_latest/tail_ids) is computed over the UNPRUNED
+    tail, so replacement semantics are untouched."""
     comp, tail = store.read_split("index", INDEX_SCHEMA)
     tail_latest = tail.groupBy("doc_id").agg(
         F.max("batch").alias("batch")
@@ -450,6 +481,9 @@ def standing_index_view(
         comp = comp.where(F.col("hb").isin(comp_bks))
     if len(bks) < buckets:
         tail = tail.where(F.col("hb").isin(bks))
+    if batch_h is not None:
+        comp = comp.where(F.col("h").isin(batch_h))
+        tail = tail.where(F.col("h").isin(batch_h))
     tail_lww = tail.join(tail_latest, ["doc_id", "batch"])
     base = comp.join(F.broadcast(tail_ids), "doc_id", "left_anti")
     return base.unionByName(tail_lww)
@@ -464,7 +498,9 @@ def standing_counts_view(store: BatchStore) -> DataFrame:
 def write_index_batch(
     batch_fp: DataFrame, batch_id: int, dest: str, buckets: int
 ) -> None:
-    """Append one batch's fingerprints with ``hb`` as a DATA column —
+    """Append one batch's fingerprints (computing the denormalized
+    ``n_fp`` denominator column when the caller's relation doesn't
+    already carry it) with ``hb`` as a DATA column —
     batch dirs stay flat (a per-batch ``partitionBy`` would fan every
     micro-batch out into ``buckets`` tiny files); the hb DIRECTORY
     layout materializes at compaction, where the amortized rewrite
@@ -472,8 +508,16 @@ def write_index_batch(
     one uniform schema either way: hb rides in the files for tail
     dirs and in the dir names for compacted ones, and the bucket prune
     only pays on the compacted (corpus-sized) side."""
+    if "n_fp" not in batch_fp.columns:
+        from pyspark.sql import Window as _W
+
+        batch_fp = batch_fp.withColumn(
+            "n_fp",
+            F.count("*").over(_W.partitionBy("doc_id")).cast("bigint"),
+        )
     (
         _with_hb(batch_fp.withColumn("batch", F.lit(batch_id)), buckets)
+        .select("doc_id", "h", "n_fp", "batch", "hb")
         .write.mode("overwrite")
         .parquet(dest)
     )
@@ -569,18 +613,55 @@ class WinnowStream:
             .localCheckpoint(eager=False)
         )
         # ONE collect serves the hb bucket set, the broadcast decision,
-        # and the lazy batch_fp checkpoint's materialization
-        hb_counts = {
-            r["hb"]: r["n"]
-            for r in _with_hb(batch_fp, self.index_buckets)
+        # the lazy batch_fp checkpoint's materialization, and — for
+        # small batches (limit-capped) — the literal h / doc_id sets
+        # that replace the posting-join broadcasts with pushable
+        # isin() predicates (r11 verdict #1, the trickle floor)
+        cap = 1024
+        nulls = F.lit(None).cast("array<bigint>").alias("vals")
+        stat_rows = (
+            _with_hb(batch_fp, self.index_buckets)
             .groupBy("hb")
             .agg(F.count("*").alias("n"))
+            .select("hb", "n", nulls)
+            .unionByName(
+                batch_fp.select("h").limit(cap + 1)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_list("h").alias("vals"),
+                )
+                .select(F.lit(-2).cast("int").alias("hb"), "n", "vals")
+            )
+            .unionByName(
+                batch_fp.select("doc_id").distinct().limit(cap + 1)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.collect_list("doc_id").alias("vals"),
+                )
+                .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
+            )
             .collect()
-        }
+        )
+        hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
+        # a limit-capped branch is complete iff it returned ≤ cap rows
+        h_lit = next(
+            (list(r["vals"]) for r in stat_rows
+             if r["hb"] == -2 and 0 < r["n"] <= cap),
+            None,
+        )
+        ids_lit = next(
+            (list(r["vals"]) for r in stat_rows
+             if r["hb"] == -3 and 0 < r["n"] <= cap),
+            None,
+        )
         hit_bks = None
-        if self.summary_prune and len(hb_counts) == self.index_buckets:
-            # the batch touches every bucket (bulk) — ask the bloom
-            # summary which compacted buckets can actually match
+        if self.summary_prune and hb_counts:
+            # ask the bloom summary which compacted buckets can
+            # actually h-match this batch — for a BULK batch (touches
+            # every hb bucket) this is the only prune there is; for a
+            # trickle it composes with the hb dir prune, and a
+            # fresh-content probe can skip the compacted side entirely
+            # (r12 — previously gated to bulk batches only)
             hit_bks = summary_hit_buckets(
                 self.store, batch_fp, self.index_buckets,
                 probe_rows=sum(hb_counts.values()),
@@ -588,28 +669,31 @@ class WinnowStream:
         index = standing_index_view(
             self.store, batch_fp, self.index_buckets,
             bks=sorted(hb_counts), hit_bks=hit_bks,
+            batch_h=h_lit,
         )
-        counts = standing_counts_view(self.store)
-        pairs, _ = winnow_incremental_indexed(
+        # denominators ride with the index rows (denormalized n_fp,
+        # r12) — no counts-table scan in the pair path
+        pairs, batch_fp_n = winnow_incremental_indexed(
             new,
-            index.select("doc_id", "h"),
+            index.select("doc_id", "h", "n_fp"),
             k=self.k,
             w=self.w,
             threshold=self.threshold,
             max_join_pairs=self.max_join_pairs,
             fingerprints=batch_fp,
             fingerprints_distinct=True,
-            index_counts=counts.select("doc_id", "n_fp"),
             broadcast_batch=(
                 sum(hb_counts.values()) <= self.broadcast_fp_rows
             ),
+            batch_h_values=h_lit,
+            batch_id_values=ids_lit,
         )
         pairs.write.mode("overwrite").parquet(dests["pairs"])
         # index + counts rows land AFTER the pair emission so the batch
         # never joins itself through the standing state (new×new is
         # handled inside winnow_incremental)
         write_index_batch(
-            batch_fp, batch_id, dests["index"], self.index_buckets
+            batch_fp_n, batch_id, dests["index"], self.index_buckets
         )
         write_counts_batch(batch_fp, batch_id, dests["counts"])
         # compaction folds with the same LWW rule, so superseded rows

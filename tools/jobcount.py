@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Per-trigger Spark JOB COUNT for the composed IngestPipeline — the
+host-noise-free metric behind the fixed per-trigger floor work (r10
+verdict #1, r11 verdict #1): wall times on this box swing ~2x with
+intermittent host stalls, but the number of Spark jobs a micro-batch
+schedules is deterministic, so floor cuts are proven here and only
+then spot-timed at the 1.5M smoke.
+
+Replicates the `scalesmoke.py pipeline` composition at a small grid
+(default 20k docs — SCALE_DOCS to change) and prints one JSON line:
+jobs + wall per phase (standing ingest, 1% mixed batch, 3-doc trickle
+probe dropped by DEDUP, 3-doc trickle dropped by DECON/all-empty).
+
+Usage: python tools/jobcount.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datayours_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("datayours-jobcount")
+    from scalesmoke import synthetic_documents  # tools/ sibling
+
+    from datayours_spark.streaming.pipeline import IngestPipeline
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 20_000))
+
+    def _with_gate_cols(df, fail_mod):
+        toks = F.split(F.col("text"), " ")
+        text = F.concat(
+            F.lit("the "), F.element_at(toks, 1),
+            F.lit(" and "), F.element_at(toks, 2),
+            F.lit(" with "), F.element_at(toks, 3),
+            F.lit(" of "), F.element_at(toks, 4),
+            F.lit(" to "),
+            F.array_join(F.slice(toks, 5, 1_000_000), " "),
+        )
+        if fail_mod:
+            text = F.when(
+                F.pmod(F.col("doc_id"), F.lit(fail_mod)) == 0,
+                F.lit("w1 w2"),
+            ).otherwise(text)
+        return df.select(
+            "doc_id", text.alias("text"), F.lit("web").alias("source")
+        )
+
+    work = tempfile.mkdtemp(
+        prefix="jobcount_", dir="/root/repo/spark-warehouse"
+    )
+    n_eval = max(n_docs // 1000, 10)
+    eval_docs = (
+        _with_gate_cols(synthetic_documents(spark, n_eval), None)
+        .select((F.col("doc_id") + n_docs * 10).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    pipe = IngestPipeline(
+        spark=spark,
+        input_dir=f"{work}/in",
+        store_dir=f"{work}/store",
+        checkpoint_dir=f"{work}/ckpt",
+        min_words=50,
+        k=4, w=4, threshold=0.5,
+        shards=32, capacity=2048,
+        max_join_pairs=500_000_000,
+        eval_docs=eval_docs,
+        decon_threshold=0.8,
+        index_buckets=256,
+        compact_every=None,
+        summary_prune=os.environ.get("JC_PRUNE", "1") == "1",
+    )
+    corpus = _with_gate_cols(
+        synthetic_documents(spark, n_docs), fail_mod=97
+    ).localCheckpoint(eager=True)
+
+    st = spark.sparkContext.statusTracker()
+    out: dict[str, dict] = {}
+
+    def run(name: str, batch, batch_id: int) -> None:
+        before = set(st.getJobIdsForGroup(None) or [])
+        t0 = time.perf_counter()
+        pipe._process(batch, batch_id)
+        dt = time.perf_counter() - t0
+        jobs = sorted(set(st.getJobIdsForGroup(None) or []) - before)
+        out[name] = {"jobs": len(jobs), "sec": round(dt, 2)}
+
+    run("standing_ingest", corpus, 0)
+
+    # fold the bulk load into the compacted view, exactly like the
+    # 1.5M smoke — follow-up batches must probe COMPACTED state (the
+    # batch-proportional claim), not pay a corpus-sized tail LWW
+    from datayours_spark.streaming.pipeline import SCHEMAS as PIPE_SCHEMAS
+    from datayours_spark.streaming.winnowstream import _index_lww
+
+    for name, schema in PIPE_SCHEMAS.items():
+        if name in ("payload", "scores"):
+            continue
+        pipe.store.compact(
+            name, schema, 0,
+            fold=_index_lww if name in ("index", "counts") else None,
+        )
+    if pipe.summary_prune:
+        from datayours_spark.streaming.winnowstream import (
+            rebuild_index_summary,
+        )
+
+        rebuild_index_summary(pipe.store, pipe.index_buckets)
+
+    b = n_docs // 100
+    fresh = (
+        synthetic_documents(spark, n_docs + b)
+        .where(F.col("doc_id") >= n_docs)
+        .where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    )
+    copies = (
+        synthetic_documents(spark, n_docs)
+        .join(
+            spark.range(0, b, 2).select(
+                (F.col("id") + n_docs).alias("new_id"),
+                F.pmod(F.col("id") * 7 + 1, F.lit(n_docs)).alias("doc_id"),
+            ),
+            "doc_id",
+        )
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    batch1 = _with_gate_cols(
+        fresh.unionByName(copies), None
+    ).localCheckpoint(eager=True)
+    run("batch_1pct", batch1, 1)
+
+    # trickle A: copies of corpus docs OUTSIDE the eval range — they
+    # survive the gate and the decon stage, reach the DEDUP posting
+    # join against the standing index, and drop as near-dup pairs
+    # a real 3-doc stream drop is ONE file -> one partition; a
+    # 32-partition trickle is a harness artifact that inflates every
+    # batch-side scan and batch-dir file count
+    trickle_dedup = (
+        _with_gate_cols(synthetic_documents(spark, n_eval + 3), None)
+        .where(F.col("doc_id") >= n_eval)
+        .select((F.col("doc_id") + n_docs * 50).alias("doc_id"),
+                "text", "source")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    run("trickle_dedup_drop", trickle_dedup, 2)
+
+    # trickle B: copies of EVAL-range docs — the decontamination stage
+    # drops all three, so nothing survives to the dedup/pack path (the
+    # all-empty early exit)
+    trickle_decon = (
+        _with_gate_cols(synthetic_documents(spark, 3), None)
+        .select((F.col("doc_id") + n_docs * 60).alias("doc_id"),
+                "text", "source")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    run("trickle_decon_drop", trickle_decon, 3)
+
+    # sanity: the planted expectations still hold
+    out["sanity"] = {
+        "pairs": pipe.pairs().count(),
+        "packed": pipe.packed().count(),
+        "contaminated": pipe.contamination()
+        .select("doc_id").distinct().count(),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "pipeline jobcount", "docs": n_docs,
+                      "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
