@@ -4783,80 +4783,22 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Window policy: the driver oracle-checks the first 50 dict
-        # entries each round (dict-order prefix).  ROUND 11: with the
-        # registry fully closed (every oracle-backed query has a green
-        # driver row in some round), the window is pure rotation by
-        # VINTAGE — (a) the FOUR r11 additions (the last classic
-        # TPC-H shapes over derived date/shipmode pseudo-columns —
-        # Q4 semi-join EXISTS, Q12 CASE-conditional fact join, Q21
-        # semi+anti double-decorrelation — plus the compacted-index
-        # bloom summary build/probe replay), then (b) the 46
-        # OLDEST-green rows, ascending: all 11 r4-vintage, all of r5
-        # (5), r6 (10), r7 (10), and 10 of the 31 r8-vintage rows
-        # chosen to refresh the families whose newest green would age
-        # out soonest (multimodal, pii_url, contamination, sampling,
-        # the two non-family rows; q_adaptive_quality yielded its slot
-        # to the bloom query and leads the past-window r8 section).
-        # Every family keeps a green row at most 2 rounds old
+        # entries each round (dict-order prefix).  ROUND 12: the
+        # registry remains fully closed (every oracle-backed query has
+        # a green driver row in some round) and no new queries were
+        # added, so the window is PURE rotation by vintage — the 50
+        # OLDEST-green rows, ascending: the entire 21-row r8-vintage
+        # block (whose age hit the staleness bound this round) plus
+        # the 29 alphabetically-first r9-vintage rows.  Every family
+        # keeps a green row at most 2 rounds old
         # (tests/test_entry_contract.py); the two `no_oracle` approx
         # queries sit last so no window slot is structurally
         # un-greenable.
-        # --- r11 window: 4 new + the 46 oldest-green rows ---
-        "q_tpch_q4": q_tpch_q4,
-        "q_tpch_q12": q_tpch_q12,
-        "q_tpch_q21": q_tpch_q21,
-        "q_index_summary": q_index_summary,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dup_clusters": q_dup_clusters,
-        "q_embed_centroid": q_embed_centroid,
-        "q_ingest_reject": q_ingest_reject,
-        "q_minhash_guarded": q_minhash_guarded,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_simhash_guarded": q_simhash_guarded,
-        "q_simhash_neardup": q_simhash_neardup,
-        "q_span_dedup": q_span_dedup,
-        "q_rollup_meta": q_rollup_meta,
-        "q_rollup_routed": q_rollup_routed,
-        "q_sample_uniform_k": q_sample_uniform_k,
-        "q_span_removed": q_span_removed,
-        "q_token_histogram": q_token_histogram,
-        "q_ann_ivf_probe2": q_ann_ivf_probe2,
-        "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
-        "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
-        "q_ann_recall": q_ann_recall,
-        "q_bigram_logprob": q_bigram_logprob,
-        "q_daily_active": q_daily_active,
-        "q_quota_topk": q_quota_topk,
-        "q_sample_temperature": q_sample_temperature,
-        "q_top_ngrams": q_top_ngrams,
-        "q_unigram_logprob": q_unigram_logprob,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_ivfpq": q_ann_ivfpq,
-        "q_ann_ivfpq_res": q_ann_ivfpq_res,
-        "q_cluster_topics": q_cluster_topics,
-        "q_corpus_clean": q_corpus_clean,
-        "q_dedup_embed": q_dedup_embed,
-        "q_render_mixed": q_render_mixed,
-        "q_semdedup": q_semdedup,
-        "q_span_incremental": q_span_incremental,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_audio_segments": q_audio_segments,
-        "q_frame_sample": q_frame_sample,
-        "q_resize_plan": q_resize_plan,
-        "q_url_stats": q_url_stats,
-        "q_leakage_split": q_leakage_split,
-        "q_pack_sequences": q_pack_sequences,
-        "q_sample_stratified": q_sample_stratified,
-        "q_dedup_embed_banded": q_dedup_embed_banded,
-        "q_semdedup_incremental": q_semdedup_incremental,
-        "q_bm25": q_bm25,
-        # --- past the window: r8-vintage greens ---
+        # --- r12 window: the 50 oldest-green rows (all r8 + 29 r9) ---
         "q_adaptive_quality": q_adaptive_quality,
         "q_chunk_docs": q_chunk_docs,
-        "q_dedup_report": q_dedup_report,
         "q_dedup_embed_incremental": q_dedup_embed_incremental,
+        "q_dedup_report": q_dedup_report,
         "q_dup_ngrams": q_dup_ngrams,
         "q_multimodal_neardup": q_multimodal_neardup,
         "q_neardup_verified": q_neardup_verified,
@@ -4874,7 +4816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_incremental": q_winnow_incremental,
         "q_winnow_matches": q_winnow_matches,
         "q_winnow_neardup": q_winnow_neardup,
-        # --- past the window: r9-vintage greens ---
         "q_ann_ivfsq": q_ann_ivfsq,
         "q_ann_sq": q_ann_sq,
         "q_bm25_chunks": q_bm25_chunks,
@@ -4904,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_ppl_buckets": q_ppl_buckets,
         "q_prototype_prune": q_prototype_prune,
+        # --- past the window: remaining r9-vintage greens ---
         "q_render_api": q_render_api,
         "q_rp_recall": q_rp_recall,
         "q_series_meta": q_series_meta,
@@ -4975,6 +4917,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q9": q_tpch_q9,
         "q_translation": q_translation,
         "q_treemap_rollup": q_treemap_rollup,
+        # --- past the window: r11-vintage greens ---
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_probe2": q_ann_ivf_probe2,
+        "q_ann_ivfpq": q_ann_ivfpq,
+        "q_ann_ivfpq_probe2": q_ann_ivfpq_probe2,
+        "q_ann_ivfpq_rerank": q_ann_ivfpq_rerank,
+        "q_ann_ivfpq_res": q_ann_ivfpq_res,
+        "q_ann_recall": q_ann_recall,
+        "q_audio_segments": q_audio_segments,
+        "q_bigram_logprob": q_bigram_logprob,
+        "q_bm25": q_bm25,
+        "q_cluster_topics": q_cluster_topics,
+        "q_corpus_clean": q_corpus_clean,
+        "q_daily_active": q_daily_active,
+        "q_dedup_embed": q_dedup_embed,
+        "q_dedup_embed_banded": q_dedup_embed_banded,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dup_clusters": q_dup_clusters,
+        "q_embed_centroid": q_embed_centroid,
+        "q_frame_sample": q_frame_sample,
+        "q_index_summary": q_index_summary,
+        "q_ingest_reject": q_ingest_reject,
+        "q_leakage_split": q_leakage_split,
+        "q_minhash_guarded": q_minhash_guarded,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_pack_sequences": q_pack_sequences,
+        "q_quota_topk": q_quota_topk,
+        "q_render_mixed": q_render_mixed,
+        "q_resize_plan": q_resize_plan,
+        "q_rollup_meta": q_rollup_meta,
+        "q_rollup_routed": q_rollup_routed,
+        "q_sample_stratified": q_sample_stratified,
+        "q_sample_temperature": q_sample_temperature,
+        "q_sample_uniform_k": q_sample_uniform_k,
+        "q_semdedup": q_semdedup,
+        "q_semdedup_incremental": q_semdedup_incremental,
+        "q_simhash_guarded": q_simhash_guarded,
+        "q_simhash_neardup": q_simhash_neardup,
+        "q_span_dedup": q_span_dedup,
+        "q_span_incremental": q_span_incremental,
+        "q_span_removed": q_span_removed,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_token_histogram": q_token_histogram,
+        "q_top_ngrams": q_top_ngrams,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q21": q_tpch_q21,
+        "q_tpch_q4": q_tpch_q4,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_url_stats": q_url_stats,
         # --- no_oracle approx entries: always last ---
         "q_quantile_profile_approx": q_quantile_profile_approx,
         "q_daily_active_approx": q_daily_active_approx,
