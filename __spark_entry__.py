@@ -7434,7 +7434,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT (h % {SUMQ_BUCKETS})::INTEGER AS hb,
                      i * {SUMQ_M_P}
                        + ('0x' || substr(md5(h::VARCHAR || ':' ||
-                            i::VARCHAR), 1, 15))::BIGINT % {SUMQ_M_P} AS p
+                            (i // 2)::VARCHAR),
+                            1 + 15 * (i % 2), 15))::BIGINT
+                         % {SUMQ_M_P} AS p
               FROM st CROSS JOIN
                 unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
             words AS (
@@ -7449,7 +7451,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT h, (h % {SUMQ_BUCKETS})::INTEGER AS hb,
                      i * {SUMQ_M_P}
                        + ('0x' || substr(md5(h::VARCHAR || ':' ||
-                            i::VARCHAR), 1, 15))::BIGINT % {SUMQ_M_P} AS p
+                            (i // 2)::VARCHAR),
+                            1 + 15 * (i % 2), 15))::BIGINT
+                         % {SUMQ_M_P} AS p
               FROM bt CROSS JOIN
                 unnest(generate_series(0, {SUMQ_PLANES - 1})) AS u(i)),
             hits AS (

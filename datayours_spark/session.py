@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # push large IN lists to the parquet reader as real in-filters
+        # (row-group min/max checked per value) instead of the default
+        # >10-values fallback to a single [min,max] range, which is
+        # vacuous for hash-valued probe sets spanning the key space —
+        # the dedup maintainers' literal h probes (<=1024 values, h-
+        # sorted compacted files) skip almost every row group this way
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
     )
     if driver_memory:
         # only effective when this call launches the JVM (local mode: the
@@ -58,4 +65,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions",
         os.environ.get("DATAYOURS_SHUFFLE_PARTITIONS", "32"),
     )
+    # real in-filter pushdown for large literal IN probes (rationale at
+    # the get_spark twin of this conf); runtime-mutable
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
     return spark

@@ -492,6 +492,7 @@ class IngestPipeline:
                 self.store_dir,
                 compact_every=self.compact_every,
                 partition_cols={"index": ["hb"]},
+                sort_within={"index": ["h"]},
             )
         return self._store
 

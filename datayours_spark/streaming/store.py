@@ -75,6 +75,15 @@ class BatchStore:
     #: can prune to a batch's fingerprint buckets).  Writers of the
     #: per-batch dirs apply the same partitionBy themselves.
     partition_cols: dict | None = None
+    #: table name -> sort columns applied WITHIN each compacted
+    #: partition (``sortWithinPartitions`` before the write): rows
+    #: cluster by the sort key inside every file, so parquet row-group
+    #: min/max statistics become tight ranges and a point probe with a
+    #: pushable predicate (e.g. the dedup maintainers' literal
+    #: ``h IN (...)``) skips almost every row group of the buckets it
+    #: must open.  Costs a per-partition sort inside the amortized
+    #: compaction job; the reader view is order-insensitive.
+    sort_within: dict | None = None
     _fs: object = field(default=None, repr=False)
     _jpath: object = field(default=None, repr=False)
     #: (name, schema, dirs-tuple) -> DataFrame.  Committed dirs are
@@ -326,11 +335,14 @@ class BatchStore:
             if fold is not None:
                 unioned = fold(unioned)
             pcols = (self.partition_cols or {}).get(name)
+            scols = (self.sort_within or {}).get(name)
             if pcols:
                 # cluster by the partition cols first so each task
                 # writes only the dirs it holds (without this, write
                 # fan-out is tasks × dirs small files)
                 unioned = unioned.repartition(*pcols)
+            if scols:
+                unioned = unioned.sortWithinPartitions(*scols)
             writer = unioned.write.mode("overwrite")
             if pcols:
                 # pin STATIC overwrite for this write regardless of the

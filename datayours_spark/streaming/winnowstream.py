@@ -232,6 +232,15 @@ def _with_hb(fp: DataFrame, buckets: int) -> DataFrame:
 # 8 planes the per-element fpp is ~4e-5, so a fresh 1%-of-corpus batch
 # skips ~90% of the compacted bytes; a batch of mostly already-ingested
 # text hits every bucket and degrades to the unpruned scan.
+#
+# Young-store coverage (r11 verdict #3): a store before its FIRST
+# compaction has no summary — and needs none.  The bloom describes
+# only the COMPACTED side; pre-compaction there is no compacted side
+# to skip, so the "unpruned window" is exactly the tail, whose size is
+# already bounded by ``compact_every`` batches by construction.  The
+# moment the first compaction lands, ``rebuild_index_summary`` runs in
+# the same maybe_compact hook and coverage begins; a crashed or stale
+# rebuild degrades to no pruning, never to a wrong answer (wm check).
 SUMMARY_SCHEMA = "hb int, word bigint, bits bigint, m bigint, wm bigint"
 SUMMARY_BITS_PER_FP = 24
 SUMMARY_PLANES = 8
@@ -258,25 +267,38 @@ def _plane_positions(m_p: int, planes: int):
     bit-for-bit; words are 63-bit (shift ≤ 62) so the sign bit never
     enters and both engines' BIGINT shifts agree.
 
-    The plane hash is 60-bit (md5_int60), not 32-bit (ADVICE r11): at
-    100 TB scale ``summary_m_p`` exceeds 2^32 (~10^12 fingerprints /
-    256 buckets × 24 bits), and a 32-bit hash could never address the
-    upper plane bits — no false negatives (build and probe share the
-    hash) but per-plane load saturates and the documented ~4e-5 fpp
-    silently degrades to percent-level, voiding the prune exactly at
-    the scale it targets.  A 60-bit hash addresses planes up to 2^60
-    bits and keeps ``pmod(h60, m_p)`` bias negligible (≤ m_p/2^60)."""
-    from datayours_spark.functions.dedup import md5_int60
+    The plane hash is 60-bit, not 32-bit (ADVICE r11): at 100 TB scale
+    ``summary_m_p`` exceeds 2^32 (~10^12 fingerprints / 256 buckets ×
+    24 bits), and a 32-bit hash could never address the upper plane
+    bits — no false negatives (build and probe share the hash) but
+    per-plane load saturates and the documented ~4e-5 fpp silently
+    degrades to percent-level, voiding the prune exactly at the scale
+    it targets.  A 60-bit hash addresses planes up to 2^60 bits and
+    keeps ``pmod(h60, m_p)`` bias negligible (≤ m_p/2^60).
 
+    md5 is the dominant build/probe cost (it runs planes× per
+    element), so each md5 feeds TWO planes: planes 2j and 2j+1 take
+    hex chars [1,15] and [16,30] of ``md5(h ":" j)`` — disjoint 60-bit
+    slices of one digest (independent as hash bits), halving the md5
+    count.  Whole-stage codegen's common-subexpression elimination
+    computes each digest once per row."""
     return F.array(*[
         (
             F.lit(i * m_p)
             + F.pmod(
-                md5_int60(
-                    F.concat(
-                        F.col("h").cast("string"), F.lit(f":{i}")
-                    )
-                ),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("h").cast("string"),
+                                F.lit(f":{i // 2}"),
+                            )
+                        ),
+                        1 + 15 * (i % 2),
+                        15,
+                    ),
+                    16, 10,
+                ).cast("bigint"),
                 F.lit(m_p),
             )
         )
@@ -580,6 +602,7 @@ class WinnowStream:
                 self.store_dir,
                 compact_every=self.compact_every,
                 partition_cols={"index": ["hb"]},
+                sort_within={"index": ["h"]},
             )
         return self._store
 

@@ -2261,6 +2261,10 @@ def smoke_pipeline() -> None:
         # production) — measured as its own op below instead of being
         # billed into a single unlucky batch's wall
         compact_every=None,
+        # bloom bucket pruning of the compacted index (SMOKE_PRUNE=0
+        # to measure the unpruned baseline); the summary rebuild runs
+        # inside the compaction wall and is timed separately below
+        summary_prune=os.environ.get("SMOKE_PRUNE", "1") == "1",
     )
     corpus = _with_gate_cols(
         synthetic_documents(spark, n_docs), fail_mod=97
@@ -2270,16 +2274,35 @@ def smoke_pipeline() -> None:
     from datayours_spark.streaming.pipeline import (
         SCHEMAS as PIPE_SCHEMAS,
     )
-    from datayours_spark.streaming.winnowstream import _index_lww
+    from datayours_spark.streaming.winnowstream import (
+        _index_lww,
+        rebuild_index_summary,
+    )
 
-    def _compact(upto: int) -> float:
+    def _compact(upto: int) -> dict:
+        """Compaction wall, with the bloom summary rebuild (which
+        production runs inside the same maybe_compact hook) timed as
+        its OWN line — r11 verdict #3.  A store before its FIRST
+        compaction has no summary, and needs none: the bloom describes
+        only the COMPACTED side, and pre-compaction there is no
+        compacted side to skip — the unpruned window is exactly the
+        tail, already bounded by compact_every batches."""
         t0 = time.perf_counter()
         for name, schema in PIPE_SCHEMAS.items():
             pipe.store.compact(
                 name, schema, upto,
                 fold=_index_lww if name in ("index", "counts") else None,
             )
-        return round(time.perf_counter() - t0, 1)
+        fold_sec = round(time.perf_counter() - t0, 1)
+        out = {"sec": fold_sec}
+        if pipe.summary_prune:
+            t1 = time.perf_counter()
+            m_p = rebuild_index_summary(pipe.store, pipe.index_buckets)
+            out["summary_rebuild_sec"] = round(time.perf_counter() - t1, 1)
+            out["summary_m_p"] = m_p
+            out["sec"] = round(fold_sec + out["summary_rebuild_sec"], 1)
+            out["fold_sec"] = fold_sec
+        return out
 
     t = time.perf_counter()
     pipe._process(corpus, 0)
@@ -2296,7 +2319,7 @@ def smoke_pipeline() -> None:
     # fold the bulk load into the compacted view (production does the
     # same: batch-proportional follow-up cost requires the standing
     # state to live on the compacted side, not in the tail)
-    out["compaction_after_bulk"] = {"sec": _compact(0)}
+    out["compaction_after_bulk"] = _compact(0)
 
     b = n_docs // 100
     packed_before = out["standing_ingest"]["packed"]
@@ -2338,18 +2361,19 @@ def smoke_pipeline() -> None:
         }
         packed_before = packed_now
 
-    # trickle probe: a targeted 3-doc re-check (copies of corpus docs
-    # — the "is this already in the corpus?" use-case).  Their few
-    # fingerprints hit a fraction of the index_buckets hash-range
-    # dirs, so the standing-index read prunes to those buckets
-    # (PartitionFilters at the scan) and the wall is near-constant
-    # overhead, not index-sized; all 3 must drop as dups.
+    # trickle probe A: a targeted 3-doc re-check of docs 0-2 (copies
+    # of corpus docs that are ALSO eval twins — the decontamination
+    # stage drops all three, so the batch keeps nothing and takes the
+    # all-empty early exit: gates + decon + one stats collect, then
+    # marker-only commits).  Trickles arrive as ONE file → one
+    # partition (a 32-partition 3-doc relation is a harness artifact).
     trickle = (
         _with_gate_cols(synthetic_documents(spark, 3), None)
         .select(
             (F.col("doc_id") + n_docs * 50).alias("doc_id"),
             "text", "source",
         )
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     t = time.perf_counter()
@@ -2360,9 +2384,37 @@ def smoke_pipeline() -> None:
         "packed_delta": pipe.packed().count() - packed_before,
     }
 
+    # trickle probe B: 3-doc copies of corpus docs OUTSIDE the eval
+    # range — they survive gate + decon and reach the DEDUP posting
+    # join against the standing index ("is this already in the
+    # corpus?").  Their few fingerprints prune the compacted scan to
+    # their hb buckets (PartitionFilters), ride as isin() literals
+    # into the row-group statistics, and (prune on) the bloom summary
+    # skips every provably h-match-free bucket; all 3 must drop as
+    # near-dups at containment 1.0.
+    trickle_dd = (
+        _with_gate_cols(synthetic_documents(spark, n_eval + 3), None)
+        .where(F.col("doc_id") >= n_eval)
+        .select(
+            (F.col("doc_id") + n_docs * 60).alias("doc_id"),
+            "text", "source",
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle_dd, 5)
+    sec = round(time.perf_counter() - t, 1)
+    out["trickle_3docs_dedup"] = {
+        "sec": sec,
+        "packed_delta": pipe.packed().count()
+        - packed_before
+        - out["trickle_3docs"]["packed_delta"],
+    }
+
     # steady-state compaction, timed as its own amortized op (folds
     # every table, LWW on index/counts)
-    out["compaction"] = {"sec": _compact(4)}
+    out["compaction"] = _compact(5)
 
     # offsets stay contiguous per shard across the whole horizon
     from pyspark.sql import Window as W
@@ -2381,6 +2433,270 @@ def smoke_pipeline() -> None:
     out["pack_contiguity"] = {"offset_gaps": gaps}
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "pipeline smoke", "ops": out}))
+    spark.stop()
+
+
+def smoke_pipeline_scale() -> None:
+    """Isolated: the composed IngestPipeline a DECADE past the 1.5M
+    smoke — SCALE_DOCS (default 15M) standing docs — to validate the
+    batch-proportionality claim with measurements (r11 verdict #4):
+    once the standing state is compacted, a probe batch's wall must
+    follow the BATCH, not the corpus.  Two follow-up batches make the
+    claim testable: a 15k-doc batch (the SAME absolute size as the
+    1.5M smoke's 1% batch — its wall should be in the same band, not
+    10x) and a 150k-doc batch (1% of this corpus).
+
+    Fixture alias trap: the synthetic token formula is periodic mod
+    1,000,003, so 15M raw seeds alias onto each other and would
+    manufacture unplanned dup families.  The corpus is therefore built
+    as SCALE_SLICES disjoint 1/N-slices, each re-prefixed to its own
+    token alphabet ('w…' → '<letter>…', the summary smoke's
+    precedent): within-slice structure matches the 1.5M fixture
+    exactly (planted families, gate failures), across slices there is
+    ZERO true fingerprint overlap.  Planted follow-up copies draw from
+    the sliced corpus verbatim; fresh docs use yet another prefix."""
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        "scalesmoke-pipeline-scale",
+        driver_memory=os.environ.get("SCALE_DRIVER_MEM", "48g"),
+    )
+    from datayours_spark.streaming.pipeline import (
+        SCHEMAS as PIPE_SCHEMAS,
+        IngestPipeline,
+    )
+    from datayours_spark.streaming.winnowstream import (
+        _index_lww,
+        rebuild_index_summary,
+    )
+
+    n_docs = int(os.environ.get("SCALE_DOCS", 15_000_000))
+    slices = int(os.environ.get("SCALE_SLICES", 10))
+    per = n_docs // slices
+
+    def _with_gate_cols(df, fail_mod):
+        toks = F.split(F.col("text"), " ")
+        text = F.concat(
+            F.lit("the "), F.element_at(toks, 1),
+            F.lit(" and "), F.element_at(toks, 2),
+            F.lit(" with "), F.element_at(toks, 3),
+            F.lit(" of "), F.element_at(toks, 4),
+            F.lit(" to "),
+            F.array_join(F.slice(toks, 5, 1_000_000), " "),
+        )
+        if fail_mod:
+            text = F.when(
+                F.pmod(F.col("doc_id"), F.lit(fail_mod)) == 0,
+                F.lit("w1 w2"),
+            ).otherwise(text)
+        return df.select(
+            "doc_id", text.alias("text"), F.lit("web").alias("source")
+        )
+
+    def sliced_corpus(fail_mod):
+        """SCALE_SLICES alias-free 1/N slices under disjoint ids and
+        token alphabets — lazily unioned, never collected."""
+        parts = []
+        for i in range(slices):
+            pref = chr(ord("a") + i)
+            parts.append(
+                synthetic_documents(spark, per).select(
+                    (F.col("doc_id") + i * per).alias("doc_id"),
+                    F.regexp_replace("text", "w", pref).alias("text"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _with_gate_cols(out, fail_mod)
+
+    def slice_copies(n, id_base, off0=0, stride=1):
+        """n verbatim copies of corpus docs spread across ALL slices
+        (copy j draws slice j%slices, in-slice offset
+        (off0 + j·stride) % per), under fresh ids — planted new×old
+        near-dups at containment 1.0 (copies of gate-failed or
+        eval-twin source docs drop at their own earlier stage, which
+        is equally a drop)."""
+        src = spark.range(n).select(
+            (
+                F.pmod(F.col("id"), F.lit(slices)) * per
+                + F.pmod(
+                    F.lit(off0) + F.floor(F.col("id") / slices) * stride,
+                    F.lit(per),
+                )
+            ).cast("bigint").alias("doc_id"),
+            (F.col("id") + id_base).cast("bigint").alias("new_id"),
+        )
+        return sliced_corpus(97).join(src, "doc_id").select(
+            F.col("new_id").alias("doc_id"), "text", "source"
+        )
+
+    work = tempfile.mkdtemp(
+        prefix="scalesmoke_pscale_", dir="/root/repo/spark-warehouse"
+    )
+    n_eval = max(n_docs // 1000, 10)
+    # eval set: copies of slice-0 docs 0..n_eval-1 (the decon twins)
+    eval_docs = (
+        _with_gate_cols(
+            synthetic_documents(spark, n_eval).select(
+                "doc_id", F.regexp_replace("text", "w", "a").alias("text")
+            ),
+            None,
+        )
+        .select((F.col("doc_id") + n_docs * 10).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    pipe = IngestPipeline(
+        spark=spark,
+        input_dir=f"{work}/in",
+        store_dir=f"{work}/store",
+        checkpoint_dir=f"{work}/ckpt",
+        min_words=50,
+        k=4, w=4, threshold=0.5,
+        shards=32, capacity=2048,
+        # ~104M real posting pairs per 1.5M slice (planted families)
+        # x SCALE_SLICES — raise the guard deliberately for this
+        # corpus (the documented escape hatch)
+        max_join_pairs=6_000_000_000,
+        eval_docs=eval_docs,
+        decon_threshold=0.8,
+        index_buckets=256,
+        compact_every=None,
+        summary_prune=os.environ.get("SMOKE_PRUNE", "1") == "1",
+    )
+    out: dict[str, dict] = {}
+
+    def _compact(upto: int) -> dict:
+        t0 = time.perf_counter()
+        for name, schema in PIPE_SCHEMAS.items():
+            if name in ("payload", "scores"):
+                continue
+            pipe.store.compact(
+                name, schema, upto,
+                fold=_index_lww if name in ("index", "counts") else None,
+            )
+        fold_sec = round(time.perf_counter() - t0, 1)
+        res = {"sec": fold_sec}
+        if pipe.summary_prune:
+            t1 = time.perf_counter()
+            m_p = rebuild_index_summary(pipe.store, pipe.index_buckets)
+            res["summary_rebuild_sec"] = round(time.perf_counter() - t1, 1)
+            res["summary_m_p"] = m_p
+            res["fold_sec"] = fold_sec
+            res["sec"] = round(fold_sec + res["summary_rebuild_sec"], 1)
+        return res
+
+    corpus = sliced_corpus(fail_mod=97).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    pipe._process(corpus, 0)
+    out["standing_ingest"] = {
+        "docs": n_docs,
+        "sec": round(time.perf_counter() - t, 1),
+        "gated_out": pipe.gates().where("NOT pass_all").count(),
+        "contaminated": pipe.contamination()
+        .select("doc_id").distinct().count(),
+        "planted_eval_twins": n_eval,
+        "dup_pairs": pipe.pairs().count(),
+        "packed": pipe.packed().count(),
+    }
+    out["compaction_after_bulk"] = _compact(0)
+
+    packed_before = out["standing_ingest"]["packed"]
+    fresh_seed = 0
+    for bid, bsize, label in ((1, 15_000, "batch_15k"),
+                              (2, 150_000, "batch_150k_1pct")):
+        # half fresh (disjoint 'x' alphabet AND per-batch disjoint
+        # seed ranges — zero true overlap with the corpus or earlier
+        # batches), half verbatim copies spread across every slice
+        # (must all drop)
+        fresh = (
+            _with_gate_cols(
+                synthetic_documents(spark, fresh_seed + bsize // 2)
+                .where(F.col("doc_id") >= fresh_seed)
+                .select(
+                    "doc_id",
+                    F.regexp_replace("text", "w", "x").alias("text"),
+                ),
+                None,
+            )
+            .select(
+                (F.col("doc_id") + n_docs * (20 + bid) + bsize).alias(
+                    "doc_id"
+                ),
+                "text", "source",
+            )
+        )
+        fresh_seed += bsize // 2
+        copies = slice_copies(
+            bsize // 2, id_base=n_docs * (20 + bid),
+            off0=n_eval + 11 + bid * 997, stride=7,
+        )
+        batch = fresh.unionByName(copies).localCheckpoint(eager=True)
+        t = time.perf_counter()
+        pipe._process(batch, bid)
+        sec = round(time.perf_counter() - t, 1)
+        packed_now = pipe.packed().count()
+        out[label] = {
+            "batch_docs": bsize,
+            "sec": sec,
+            "packed_delta": packed_now - packed_before,
+        }
+        packed_before = packed_now
+
+    # trickle A: 3 eval twins (decon drops everything, early exit)
+    trickle = (
+        _with_gate_cols(
+            synthetic_documents(spark, 3).select(
+                "doc_id", F.regexp_replace("text", "w", "a").alias("text")
+            ),
+            None,
+        )
+        .select((F.col("doc_id") + n_docs * 50).alias("doc_id"),
+                "text", "source")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle, 3)
+    out["trickle_3docs"] = {
+        "sec": round(time.perf_counter() - t, 1),
+        "packed_delta": pipe.packed().count() - packed_before,
+    }
+    # trickle B: 3 copies of non-eval corpus docs — the dedup path
+    trickle_dd = (
+        slice_copies(3, id_base=n_docs * 60, off0=n_eval + 5)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle_dd, 4)
+    out["trickle_3docs_dedup"] = {
+        "sec": round(time.perf_counter() - t, 1),
+        "packed_delta": pipe.packed().count()
+        - packed_before
+        - out["trickle_3docs"]["packed_delta"],
+    }
+
+    out["compaction"] = _compact(4)
+
+    from pyspark.sql import Window as W
+
+    packed = pipe.packed()
+    lagged = packed.withColumn(
+        "prev_end",
+        F.lag(F.col("offset") + F.col("n_tokens")).over(
+            W.partitionBy("shard").orderBy("offset")
+        ),
+    )
+    gaps = lagged.where(
+        F.col("prev_end").isNotNull()
+        & (F.col("offset") != F.col("prev_end"))
+    ).count()
+    out["pack_contiguity"] = {"offset_gaps": gaps}
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"metric": "pipeline scale smoke", "slices": slices,
+                      "ops": out}))
     spark.stop()
 
 
@@ -2857,6 +3173,8 @@ if __name__ == "__main__":
         smoke_knn()
     elif mode == "pipeline":
         smoke_pipeline()
+    elif mode == "pipeline_scale":
+        smoke_pipeline_scale()
     elif mode == "bpe":
         smoke_bpe()
     elif mode == "packids":
