@@ -1270,7 +1270,11 @@ def winnow_fingerprints(
     # ends up carrying a colliding h for any bulk batch).  At 2^60 the
     # same product is ~10^2.  Winnowing itself is hash-width-agnostic
     # (rightmost-min selection); the DuckDB oracles mirror the width
-    # (substr(md5, 1, 15)).
+    # (substr(md5, 1, 15)).  The width is part of the streaming
+    # stores' ON-DISK FORMAT: the maintainers stamp it (winnowstream
+    # WINNOW_HASH_FORMAT marker) and refuse to reattach across a
+    # mismatch, so a width change can never silently zero a resumed
+    # stream's pair emissions (ADVICE r11).
     hashes = F.transform(
         gram_idx, lambda i: md5_int60(F.concat_ws(" ", F.slice(t, i, k)))
     )
