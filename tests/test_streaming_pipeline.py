@@ -660,6 +660,65 @@ class TestIngestPipeline:
         shutil.rmtree(TMP, ignore_errors=True)
 
 
+    def test_all_dropped_batch_early_exit_contract(self, spark):
+        """A batch whose gate keeps NOTHING takes the all-empty early
+        exit (r11 verdict #1): every downstream table is committed as
+        a bare marker (zero rows, batch_committed true — the replay
+        no-op contract holds), the cursor state is untouched, and a
+        later real batch packs exactly as if the empty batch never
+        happened."""
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            **KW,
+        )
+        rows = [
+            (i, f"the and with alpha{i} bravo{i} carbon{i} delta{i} "
+                f"echo{i} fox{i}", "web")
+            for i in range(1, 9)
+        ]
+        pipe._process(spark.createDataFrame(rows[:4], SCHEMA), 0)
+        cursors_before = {
+            tuple(r) for r in pipe._read_or_empty("cursors").collect()
+        }
+        # batch 1: every doc fails the word-count gate
+        junk = [(100 + i, "xx yy", "web") for i in range(3)]
+        pipe._process(spark.createDataFrame(junk, SCHEMA), 1)
+        for name in ("pairs", "index", "counts", "packed", "cursors"):
+            assert pipe.store.batch_committed(name, 1), name
+        # the empty batch added no rows anywhere downstream
+        assert pipe.packed().count() == 4
+        assert {
+            tuple(r) for r in pipe._read_or_empty("cursors").collect()
+        } == cursors_before
+        # replay of the empty batch is a no-op (committed check)
+        pipe._process(spark.createDataFrame(junk, SCHEMA), 1)
+        assert pipe.packed().count() == 4
+        # a later real batch continues each shard's offsets exactly
+        pipe._process(spark.createDataFrame(rows[4:], SCHEMA), 2)
+        packed = pipe.packed().orderBy("shard", "offset").collect()
+        assert len(packed) == 8
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard_rows in by_shard.values():
+            off = 0
+            for r in shard_rows:
+                assert r.offset == off, (r, off)
+                off += r.n_tokens
+        # the gates audit row set covers the dropped docs (the record
+        # of WHY the batch emptied is never skipped)
+        gated = {
+            r.doc_id for r in pipe.gates().where("NOT pass_all").collect()
+        }
+        assert {100, 101, 102} <= gated
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
 class TestPackManifestProperties:
     def test_random_corpora_pack_invariants(self, spark):
         """Property fuzz over random doc sets: per-shard offsets are a
