@@ -671,7 +671,13 @@ class IngestPipeline:
                 .select(F.lit(-2).cast("int").alias("hb"), "n", "vals")
             )
             .unionByName(
-                survivors.select("doc_id").limit(_LIT_CAP + 1)
+                # fingerprint-BEARING doc_ids only (surv_fp, not
+                # survivors): the join path this literal replaces
+                # anti-joins the standing index on new_fp doc_ids, so a
+                # zero-fingerprint survivor (min_words < k) must NOT
+                # enter the literal — its old index rows stay visible to
+                # the batch's pair view in both modes (ADVICE r12)
+                surv_fp.select("doc_id").distinct().limit(_LIT_CAP + 1)
                 .agg(
                     F.count("*").alias("n"),
                     F.collect_list("doc_id").alias("vals"),
@@ -688,9 +694,15 @@ class IngestPipeline:
         h_lit = next(
             (list(r["vals"]) for r in stat_rows if r["hb"] == -2), None
         ) if 0 < n_fp <= _LIT_CAP else None
+        # the -3 branch is complete iff it returned ≤ cap DISTINCT ids
+        # (its own limit-capped count is the gate — n_surv counts ALL
+        # survivors including zero-fingerprint ones, which don't belong
+        # in this literal)
         ids_lit = next(
-            (list(r["vals"]) for r in stat_rows if r["hb"] == -3), None
-        ) if 0 < n_surv <= _LIT_CAP else None
+            (list(r["vals"]) for r in stat_rows
+             if r["hb"] == -3 and 0 < r["n"] <= _LIT_CAP),
+            None,
+        )
         if n_surv == 0:
             # nothing survived the gate/classifier/decontamination
             # stages: every downstream table of this batch is provably

@@ -380,6 +380,11 @@ def rebuild_index_summary(
     spark = store.spark
     fs = store._filesystem()
     path = _summary_path(store)
+    # write intent: version the summary dir so in-process scalar/df
+    # memos keyed on it cannot survive a same-tick rewrite (_SUCCESS
+    # mtime is 1s-granular — the same staleness class _dir_epoch
+    # defends _df_cache against; ADVICE r12)
+    store._dir_epoch[path] = store._dir_epoch.get(path, 0) + 1
     # size the bloom from an HLL sketch, not an exact distinct-h pass:
     # approx_count_distinct scans the h column ONCE with no exchange
     # (partial sketches merge at the driver), where the previous
@@ -429,9 +434,20 @@ def summary_hit_buckets(
     )
     # the (m_p, wm) header is constant per summary build — memo it on
     # the marker's freshness signature so steady-state batches skip
-    # the per-trigger header job (r11 verdict #1, the trickle floor)
+    # the per-trigger header job (r11 verdict #1, the trickle floor).
+    # The key folds in the dir's write-intent epoch AND the current
+    # index watermark alongside the 1s-granular _SUCCESS mtime, so a
+    # same-tick same-process summary rewrite self-invalidates the memo
+    # (a stale m_p under a matching wm would mis-position probe bits
+    # and silently skip buckets with real matches; ADVICE r12)
     spath = _summary_path(store)
-    skey = ("summary_head", store._success_mtime(spath))
+    idx_wm = store.watermark("index")
+    skey = (
+        "summary_head",
+        store._success_mtime(spath),
+        store._dir_epoch.get(spath, 0),
+        idx_wm,
+    )
     head = store._scalar_cache.get(skey)
     if head is None:
         row = s.select("m", "wm").first()
@@ -440,7 +456,7 @@ def summary_hit_buckets(
         head = (int(row["m"]), int(row["wm"]))
         store._scalar_cache[skey] = head
     m_p, wm = head
-    if wm != store.watermark("index"):
+    if wm != idx_wm:
         return None
     # batch probes join ONE summary scan; a probe row joins iff its
     # word exists, survives iff its bit is set — a probe h "might be
@@ -471,8 +487,11 @@ def standing_index_view(
     hb-pruned to the batch's fingerprint buckets when that prunes
     anything.  Safe for the PAIR path only: a standing row with hb
     outside the batch's bucket set can never h-match a batch
-    fingerprint, and containment denominators come from the ``counts``
-    table, not from this relation.
+    fingerprint, and containment denominators ride DENORMALIZED on the
+    rows themselves (each row carries its doc's distinct-fingerprint
+    count as ``n_fp``, stamped at write time, r12) — a per-row constant
+    that no hb/bloom/h prune can alter, so pruning rows never skews a
+    surviving pair's denominator.
 
     The LWW bookkeeping (which batch is each doc's latest, which docs
     live in the tail) is computed over the UNPRUNED tail — a doc

@@ -719,6 +719,64 @@ class TestIngestPipeline:
         shutil.rmtree(TMP, ignore_errors=True)
 
 
+class TestZeroFingerprintReingest:
+    def test_zero_fp_reingest_literal_equals_join_mode(self, spark):
+        """ADVICE r12 (pipeline.py ids_lit): a RE-INGESTED survivor with
+        zero fingerprints (gate-passing but shorter than k tokens) must
+        leave its old standing-index rows visible to the batch's pair
+        view in literal mode exactly as in join mode — the replacement
+        anti-join operates on fingerprint-BEARING doc_ids (new_fp), so
+        the isin() literal must be derived from surv_fp, not survivors.
+        Run the same two batches through both modes (default _LIT_CAP
+        vs forced join mode) and require identical pairs AND packed
+        tables, including the pair the old bug dropped."""
+        import datayours_spark.streaming.pipeline as pipe_mod
+
+        long_text = GOOD + " alpha beta gamma"       # 13 words, 6 k-grams
+        short_text = "the quick brown fox and that"  # 6 words < k=8: 0 fp
+        kw = dict(min_words=6, max_words=100, k=8, w=3, threshold=0.3,
+                  shards=2, capacity=8)
+        batches = [
+            [(100, long_text, "web")],
+            # doc 100 re-ingested SHORT (zero fingerprints); doc 101
+            # duplicates 100's OLD text, so the pair (100, 101) exists
+            # iff 100's standing rows stayed visible
+            [(100, short_text, "web"), (101, long_text, "web")],
+        ]
+
+        def run(tag):
+            root = TMP / tag
+            shutil.rmtree(root, ignore_errors=True)
+            (root / "in").mkdir(parents=True)
+            pipe = IngestPipeline(
+                spark=spark,
+                input_dir=str(root / "in"),
+                store_dir=str(root / "store"),
+                checkpoint_dir=str(root / "ckpt"),
+                **kw,
+            )
+            for i, rows in enumerate(batches):
+                pipe._process(spark.createDataFrame(rows, SCHEMA), i)
+            return (
+                {tuple(r) for r in pipe.pairs().collect()},
+                {tuple(r) for r in pipe.packed().collect()},
+            )
+
+        lit_pairs, lit_packed = run("litmode")
+        saved_cap = pipe_mod._LIT_CAP
+        try:
+            pipe_mod._LIT_CAP = 0  # force the broadcast-join path
+            join_pairs, join_packed = run("joinmode")
+        finally:
+            pipe_mod._LIT_CAP = saved_cap
+        assert lit_pairs == join_pairs
+        assert lit_packed == join_packed
+        # and the pair is actually THERE (guards against both modes
+        # being identically wrong)
+        assert {(p[0], p[1]) for p in lit_pairs} == {(100, 101)}
+        shutil.rmtree(TMP, ignore_errors=True)
+
+
 class TestPackManifestProperties:
     def test_random_corpora_pack_invariants(self, spark):
         """Property fuzz over random doc sets: per-shard offsets are a

@@ -398,6 +398,47 @@ class TestBloomSummaryPrune:
             shutil.rmtree(TMP / f"bloom{prune}", ignore_errors=True)
         shutil.rmtree(TMP / "bloomprobe", ignore_errors=True)
 
+    def test_summary_header_memo_survives_same_tick_rewrite(self, spark):
+        """ADVICE r12: the (m_p, wm) header memo is keyed on the summary
+        dir's _SUCCESS mtime, which is 1-second-granular — a same-tick
+        same-process rewrite must still invalidate it (a stale m_p under
+        a matching watermark would mis-position probe bits and silently
+        skip buckets holding real matches).  Simulate the tick collision
+        by rewinding the _SUCCESS mtime after a rebuild: the write-intent
+        epoch folded into the key must force a fresh header read."""
+        import os
+
+        from datayours_spark.streaming.winnowstream import (
+            _summary_path,
+            rebuild_index_summary,
+            summary_hit_buckets,
+        )
+
+        schema = "doc_id bigint, text string"
+        ws = self._stream(spark, True, "bloomepoch")
+        ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+        present = winnow_fingerprints(
+            spark.createDataFrame([DOCS[0]], schema), k=3, w=3
+        ).select("doc_id", "h").distinct().localCheckpoint()
+        hit1 = summary_hit_buckets(ws.store, present, 2)
+        assert hit1 is not None
+        spath = _summary_path(ws.store)
+        success = os.path.join(spath, "_SUCCESS")
+        t = os.stat(success).st_mtime
+        # poison every cached header (what a stale memo would serve)
+        for key in list(ws.store._scalar_cache):
+            if key[0] == "summary_head":
+                ws.store._scalar_cache[key] = (
+                    12345, ws.store.watermark("index")
+                )
+        epoch_before = ws.store._dir_epoch.get(spath, 0)
+        rebuild_index_summary(ws.store, 2)
+        assert ws.store._dir_epoch.get(spath, 0) > epoch_before
+        os.utime(success, (t, t))  # same-tick rewrite
+        hit2 = summary_hit_buckets(ws.store, present, 2)
+        assert hit2 == hit1
+        shutil.rmtree(TMP / "bloomepoch", ignore_errors=True)
+
     def test_hash_format_marker_lifecycle(self, spark):
         """The on-disk fingerprint-format marker (ADVICE r11): a fresh
         store is stamped on its first batch; a store persisted under a
