@@ -76,6 +76,7 @@ from datayours_spark.streaming.winnowstream import (
     rebuild_index_summary,
     standing_index_view,
     summary_hit_buckets,
+    summary_verdict_literal,
     write_counts_batch,
     write_index_batch,
 )
@@ -467,10 +468,13 @@ class IngestPipeline:
     #: at most this many rows (winnow_incremental_indexed contract)
     broadcast_fp_rows: int = 4_000_000
     #: maintain the compacted index's bloom summary and skip compacted
-    #: buckets that provably contain no batch h-match — the BULK-batch
-    #: prune (winnowstream module header has the full argument).  Wins
-    #: on mostly-fresh traffic; degrades to the unpruned scan when
-    #: batches re-hit existing content.
+    #: state that provably contains no batch h-match: bulk batches via
+    #: the distributed probe join, SMALL (literal-mode) batches via the
+    #: driver-side point probe (`summary_verdict_literal` — a
+    #: fully-fresh trickle drops the compacted posting scan from its
+    #: pair plan entirely, r12 verdict #3).  Wins on mostly-fresh
+    #: traffic; degrades to the unpruned scan when batches re-hit
+    #: existing content.  Winnowstream module header has the argument.
     summary_prune: bool = False
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
@@ -728,19 +732,31 @@ class IngestPipeline:
                 rebuild_index_summary(self.store, self.index_buckets)
             return
         hit_bks = None
+        comp_h = None
         if self.summary_prune and hb_counts:
-            # ask the bloom summary which compacted buckets can
-            # actually h-match this batch — the only prune for BULK
-            # batches, composes with the hb dir prune for trickles
-            # (r12 — previously gated to bulk batches only)
-            hit_bks = summary_hit_buckets(
-                self.store, surv_fp, self.index_buckets,
-                probe_rows=n_fp,
-            )
+            if h_lit is not None:
+                # SMALL batch (literal mode): the bloom point probe —
+                # positions md5'd driver-side, bitmap words fetched in
+                # one pushdown-pruned summary scan, per-h verdicts
+                # (r12 verdict #3).  A fully-fresh trickle gets
+                # comp_h == [] and the compacted posting scan drops
+                # out of the pair plan entirely.
+                v = summary_verdict_literal(
+                    self.store, h_lit, self.index_buckets
+                )
+                if v is not None:
+                    comp_h, hit_bks = v
+            else:
+                # BULK batch: the distributed probe join — which
+                # compacted buckets can h-match this batch at all
+                hit_bks = summary_hit_buckets(
+                    self.store, surv_fp, self.index_buckets,
+                    probe_rows=n_fp,
+                )
         index = standing_index_view(
             self.store, surv_fp, self.index_buckets,
             bks=sorted(hb_counts), hit_bks=hit_bks,
-            batch_h=h_lit,
+            batch_h=h_lit, comp_h=comp_h,
         )
         # denominators ride with the index rows (denormalized n_fp,
         # r12) — no counts-table scan in the pair path

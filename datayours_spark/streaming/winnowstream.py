@@ -306,13 +306,57 @@ def _plane_positions(m_p: int, planes: int):
     ])
 
 
+def _plane_positions_py(h: int, m_p: int, planes: int) -> list[int]:
+    """Driver-side replica of :func:`_plane_positions` — the identical
+    md5/substring/conv/pmod arithmetic in pure Python (differentially
+    tested bit-for-bit against the Spark expression, incl. negative h:
+    Python's ``%`` IS pmod, and ``f"{h}"`` matches ``cast(h as
+    string)``).  Lets a SMALL batch's literal h set (≤ the maintainers'
+    one-collect cap) compute its probe positions without any Spark job
+    (:func:`summary_verdict_literal`)."""
+    import hashlib
+
+    out = []
+    for i in range(planes):
+        dig = hashlib.md5(f"{h}:{i // 2}".encode()).hexdigest()
+        lo = 15 * (i % 2)
+        out.append(i * m_p + int(dig[lo:lo + 15], 16) % m_p)
+    return out
+
+
 def summary_words(fp: DataFrame, buckets: int, m_p: int, planes: int) -> DataFrame:
-    """The bloom bitmap of a distinct (…, h) relation: one row per
-    (hb, word) with the OR of the 63-bit word's set bits — the pure
-    build step shared by :func:`rebuild_index_summary` and the
-    oracle-backed registry query."""
+    """The bloom bitmap of a (…, h) relation: one row per (hb, word)
+    with the OR of the 63-bit word's set bits — the pure build step
+    shared by :func:`rebuild_index_summary` and the oracle-backed
+    registry query.  Input rows need not be distinct.
+
+    Scale shape (r12 verdict #2 — the previous form was the 15M
+    rebuild's superlinear term): the raw rows are clustered by ``hb``
+    FIRST, in ONE exchange, and that single partitioning satisfies
+    every downstream requirement — the distinct-h dedup groups by
+    (hb, h) and the bitmap fold groups by (hb, word), and a
+    HashPartitioning on ``hb`` alone satisfies ClusteredDistribution
+    for BOTH key sets (hb is a member of each), so Catalyst inserts no
+    further exchange.  Consequences at corpus scale:
+
+    - the positions explode (planes × distinct-h rows — 4.8G rows at
+      the 15M decade smoke) is never shuffled or spilled: it flows
+      straight into a partition-local aggregate within the same stage;
+    - every hash map is bounded by ONE bucket's key space (distinct h
+      per bucket for the dedup, ``planes × m_p / 63`` words for the
+      fold), independent of how many buckets the corpus has — raise
+      ``index_buckets`` with the corpus and per-task state stays flat.
+
+    The previous form (global distinct → explode → (hb, word) groupBy)
+    shuffled the corpus twice and ran its partial aggregate over the
+    FULL bitmap key space per task — the maps spilled and the exploded
+    relation itself went through an exchange, 417–428 s at 15M vs
+    linear here.  Row values are identical (bit_or is commutative and
+    order-independent); only the physical plan changed."""
     return (
-        _with_hb(fp.select("h").distinct(), buckets)
+        _with_hb(fp.select("h"), buckets)
+        .repartition(buckets, "hb")
+        .dropDuplicates(["hb", "h"])
         .select("hb", F.explode(_plane_positions(m_p, planes)).alias("p"))
         .select(
             "hb",
@@ -409,8 +453,137 @@ def rebuild_index_summary(
         F.lit(m_p).cast("long").alias("m"),
         F.lit(wm).cast("long").alias("wm"),
     )
-    words.coalesce(8).write.mode("overwrite").parquet(path)
+    # write the bitmap CLUSTERED AND SORTED by (hb, word) in a bounded
+    # file count with small parquet row groups: each row group then
+    # covers a tight contiguous (hb, word) range, so the literal-mode
+    # point probe (:func:`summary_verdict_literal`) pushes its
+    # (hb, word) literals down to row-group statistics and reads only
+    # the groups its positions can live in — corpus-size-independent
+    # probe reads, the same discipline the index table gets from
+    # ``sort_within`` h-sorted compaction.  A range exchange of the
+    # bitmap rows (24/63 bits per fingerprint — ~50x smaller than the
+    # index) amortized over a compaction cycle.  NOT coalesce(8): in
+    # the single-exchange build plan a coalesce would collapse the
+    # whole dedup/explode/fold stage to 8 tasks.
+    (
+        words.repartitionByRange(8, "hb", "word")
+        .sortWithinPartitions("hb", "word")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4 * 1024 * 1024)
+        .parquet(path)
+    )
     return m_p
+
+
+def _summary_relation(
+    store: BatchStore,
+) -> tuple[DataFrame, int, int] | None:
+    """The summary's ``(relation, m_p, wm)`` under the in-process memo,
+    or None when no summary exists / it has no rows.  The (m_p, wm)
+    header is constant per summary build — memoized on the marker's
+    freshness signature so steady-state batches skip the per-trigger
+    header job (r11 verdict #1, the trickle floor); the resolved
+    DataFrame rides in the same memo entry, so repeat probes also skip
+    the per-read file-listing job.  The key folds in the dir's
+    write-intent epoch AND the current index watermark alongside the
+    1s-granular _SUCCESS mtime, so a same-tick same-process summary
+    rewrite self-invalidates the memo (a stale m_p under a matching wm
+    would mis-position probe bits and silently skip buckets with real
+    matches; ADVICE r12).  Callers still compare ``wm`` to the live
+    index watermark — a summary the index has moved past degrades to
+    no pruning, never to a wrong answer."""
+    fs = store._filesystem()
+    if not fs.exists(store._path("index_summary", "_SUCCESS")):
+        return None
+    spath = _summary_path(store)
+    skey = (
+        "summary_head",
+        store._success_mtime(spath),
+        store._dir_epoch.get(spath, 0),
+        store.watermark("index"),
+    )
+    memo = store._scalar_cache.get(skey)
+    if memo is None:
+        s = store.spark.read.schema(SUMMARY_SCHEMA).parquet(spath)
+        row = s.select("m", "wm").first()
+        if row is None:
+            return None
+        memo = (s, int(row["m"]), int(row["wm"]))
+        store._scalar_cache[skey] = memo
+    return memo
+
+
+def summary_verdict_literal(
+    store: BatchStore,
+    h_values: list,
+    buckets: int,
+    planes: int = SUMMARY_PLANES,
+) -> tuple[list, list[int]] | None:
+    """Per-h bloom verdicts for a SMALL batch's literal h set — the
+    point-probe prune (r12 verdict #3).  Probe positions are computed
+    DRIVER-SIDE (:func:`_plane_positions_py` — no probe-side Spark
+    plan, no broadcast) and the bitmap words come back through ONE
+    literal-pushdown summary scan.
+
+    Returns ``(surviving_h, hit_buckets)`` — the h values that MIGHT
+    exist in the compacted index (all ``planes`` bits set in their
+    bucket's bloom) and the distinct hb buckets they map to — or None
+    when no summary matches the current index watermark (callers fall
+    back to the distributed probe / unpruned scan).  No false
+    negatives: an h is dropped only when some plane bit is unset,
+    which proves the h never entered its bucket's bloom; dropping it
+    from the compacted side's literal set is therefore an exact
+    rewrite of the pair join, and an all-absent batch (fresh trickle,
+    the common case) eliminates the compacted posting scan entirely.
+
+    Scale shape: ``len(h_values) × planes`` driver-side md5s (the
+    maintainers' one-collect cap bounds it at ~1k h), then a scan that
+    reads only the row groups of the summary's (hb, word)-sorted,
+    small-row-group files whose stat ranges intersect the literal
+    (hb, word) sets — corpus-size-independent reads, vs the posting
+    buckets' index-sized term this replaces for trickles.  The
+    eq-or-chain pushdown needs ``inFilterThreshold`` above the literal
+    counts; it is raised around this read only."""
+    head = _summary_relation(store)
+    if head is None:
+        return None
+    s, m_p, wm = head
+    if wm != store.watermark("index"):
+        return None
+    hs = sorted(set(h_values))
+    if not hs:
+        return [], []
+    pos = {h: _plane_positions_py(h, m_p, planes) for h in hs}
+    hbs = sorted({h % buckets for h in hs})
+    words = sorted({p // 63 for ps in pos.values() for p in ps})
+    spark = store.spark
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    old = spark.conf.get(conf_key, None)
+    try:
+        # push the full eq-or-chains to parquet row-group statistics
+        # (the default threshold of 10 would rewrite each In to a
+        # useless [min, max] range over uniform probe values)
+        spark.conf.set(conf_key, str(max(len(hbs), len(words)) + 1))
+        rows = (
+            s.where(F.col("hb").isin(hbs) & F.col("word").isin(words))
+            .select("hb", "word", "bits")
+            .collect()
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    have = {(r["hb"], r["word"]): r["bits"] for r in rows}
+    surviving = [
+        h
+        for h in hs
+        if all(
+            have.get((h % buckets, p // 63), 0) & (1 << (p % 63))
+            for p in pos[h]
+        )
+    ]
+    return surviving, sorted({h % buckets for h in surviving})
 
 
 def summary_hit_buckets(
@@ -426,37 +599,11 @@ def summary_hit_buckets(
     back to the unpruned scan).  Never loses a match: a bucket is
     skipped only when every batch h misses at least one bloom plane,
     which proves the h is absent from that bucket."""
-    fs = store._filesystem()
-    if not fs.exists(store._path("index_summary", "_SUCCESS")):
-        return None
-    s = store.spark.read.schema(SUMMARY_SCHEMA).parquet(
-        _summary_path(store)
-    )
-    # the (m_p, wm) header is constant per summary build — memo it on
-    # the marker's freshness signature so steady-state batches skip
-    # the per-trigger header job (r11 verdict #1, the trickle floor).
-    # The key folds in the dir's write-intent epoch AND the current
-    # index watermark alongside the 1s-granular _SUCCESS mtime, so a
-    # same-tick same-process summary rewrite self-invalidates the memo
-    # (a stale m_p under a matching wm would mis-position probe bits
-    # and silently skip buckets with real matches; ADVICE r12)
-    spath = _summary_path(store)
-    idx_wm = store.watermark("index")
-    skey = (
-        "summary_head",
-        store._success_mtime(spath),
-        store._dir_epoch.get(spath, 0),
-        idx_wm,
-    )
-    head = store._scalar_cache.get(skey)
+    head = _summary_relation(store)
     if head is None:
-        row = s.select("m", "wm").first()
-        if row is None:
-            return None
-        head = (int(row["m"]), int(row["wm"]))
-        store._scalar_cache[skey] = head
-    m_p, wm = head
-    if wm != idx_wm:
+        return None
+    s, m_p, wm = head
+    if wm != store.watermark("index"):
         return None
     # batch probes join ONE summary scan; a probe row joins iff its
     # word exists, survives iff its bit is set — a probe h "might be
@@ -482,6 +629,7 @@ def standing_index_view(
     bks: list[int] | None = None,
     hit_bks: list[int] | None = None,
     batch_h: list[int] | None = None,
+    comp_h: list | None = None,
 ) -> DataFrame:
     """The LWW standing index view for one batch's pair computation,
     hb-pruned to the batch's fingerprint buckets when that prunes
@@ -519,7 +667,18 @@ def standing_index_view(
     argument as the hb prune: a standing row whose h is outside the
     batch's set can never h-match a batch fingerprint, and the LWW
     bookkeeping (tail_latest/tail_ids) is computed over the UNPRUNED
-    tail, so replacement semantics are untouched."""
+    tail, so replacement semantics are untouched.
+
+    ``comp_h`` optionally narrows the COMPACTED side's literal h set
+    below ``batch_h`` — the bloom point-probe verdict
+    (:func:`summary_verdict_literal`): an h the summary proves absent
+    from every compacted bucket is dropped from the compacted scan's
+    predicate (an exact rewrite — a provably-absent h matches no
+    compacted row), and an EMPTY verdict removes the compacted scan
+    from the plan entirely (false filter → empty relation), the
+    fresh-trickle fast path.  The tail is never narrowed by it: the
+    summary describes only the compacted side at its watermark.
+    Meaningful only alongside ``batch_h``."""
     comp, tail = store.read_split("index", INDEX_SCHEMA)
     tail_latest = tail.groupBy("doc_id").agg(
         F.max("batch").alias("batch")
@@ -533,11 +692,14 @@ def standing_index_view(
         ]
     comp_bks = bks if hit_bks is None else sorted(set(bks) & set(hit_bks))
     if len(comp_bks) < buckets:
-        comp = comp.where(F.col("hb").isin(comp_bks))
+        comp = comp.where(
+            F.col("hb").isin(comp_bks) if comp_bks else F.lit(False)
+        )
     if len(bks) < buckets:
         tail = tail.where(F.col("hb").isin(bks))
     if batch_h is not None:
-        comp = comp.where(F.col("h").isin(batch_h))
+        ch = batch_h if comp_h is None else comp_h
+        comp = comp.where(F.col("h").isin(ch) if ch else F.lit(False))
         tail = tail.where(F.col("h").isin(batch_h))
     tail_lww = tail.join(tail_latest, ["doc_id", "batch"])
     base = comp.join(F.broadcast(tail_ids), "doc_id", "left_anti")
@@ -617,12 +779,16 @@ class WinnowStream:
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     #: maintain the compacted index's bloom summary and use it to skip
-    #: compacted buckets that provably contain no batch h-match — the
-    #: BULK-batch prune (the hb layout already prunes trickle batches).
-    #: Pays one summary-probe job per bulk batch and a summary rebuild
-    #: per compaction; wins when batches are mostly FRESH text (most
-    #: probes miss), degrades to the unpruned scan when batches re-hit
-    #: existing content.  Module header has the full argument.
+    #: compacted state that provably contains no batch h-match.  BULK
+    #: batches pay one distributed probe join each (wins when batches
+    #: are mostly FRESH text; degrades to the unpruned scan when they
+    #: re-hit existing content).  SMALL batches (literal mode, ≤ the
+    #: one-collect cap) instead get the driver-side point probe
+    #: (:func:`summary_verdict_literal`): per-h verdicts from one
+    #: pushdown-pruned summary scan — a fully-fresh trickle drops the
+    #: compacted posting scan from its pair plan entirely (r12 verdict
+    #: #3).  Plus a summary rebuild per compaction (linear, r13).
+    #: Module header has the full argument.
     summary_prune: bool = False
     _store: BatchStore = field(default=None, repr=False)
     _fmt_checked: bool = field(default=False, repr=False)
@@ -711,21 +877,32 @@ class WinnowStream:
             None,
         )
         hit_bks = None
+        comp_h = None
         if self.summary_prune and hb_counts:
-            # ask the bloom summary which compacted buckets can
-            # actually h-match this batch — for a BULK batch (touches
-            # every hb bucket) this is the only prune there is; for a
-            # trickle it composes with the hb dir prune, and a
-            # fresh-content probe can skip the compacted side entirely
-            # (r12 — previously gated to bulk batches only)
-            hit_bks = summary_hit_buckets(
-                self.store, batch_fp, self.index_buckets,
-                probe_rows=sum(hb_counts.values()),
-            )
+            if h_lit is not None:
+                # SMALL batch (literal mode): the point probe — probe
+                # positions md5'd driver-side, bitmap words fetched in
+                # one pushdown-pruned summary scan, per-h verdicts
+                # (r12 verdict #3).  A fully-fresh trickle gets
+                # comp_h == [] and the compacted posting scan drops
+                # out of the pair plan entirely.
+                v = summary_verdict_literal(
+                    self.store, h_lit, self.index_buckets
+                )
+                if v is not None:
+                    comp_h, hit_bks = v
+            else:
+                # BULK batch: the distributed probe join — which
+                # compacted buckets can h-match this batch at all (the
+                # only prune once a batch touches every hb bucket)
+                hit_bks = summary_hit_buckets(
+                    self.store, batch_fp, self.index_buckets,
+                    probe_rows=sum(hb_counts.values()),
+                )
         index = standing_index_view(
             self.store, batch_fp, self.index_buckets,
             bks=sorted(hb_counts), hit_bks=hit_bks,
-            batch_h=h_lit,
+            batch_h=h_lit, comp_h=comp_h,
         )
         # denominators ride with the index rows (denormalized n_fp,
         # r12) — no counts-table scan in the pair path

@@ -429,7 +429,7 @@ class TestBloomSummaryPrune:
         for key in list(ws.store._scalar_cache):
             if key[0] == "summary_head":
                 ws.store._scalar_cache[key] = (
-                    12345, ws.store.watermark("index")
+                    None, 12345, ws.store.watermark("index")
                 )
         epoch_before = ws.store._dir_epoch.get(spath, 0)
         rebuild_index_summary(ws.store, 2)
@@ -513,3 +513,193 @@ class TestBloomSummaryPrune:
         }
         assert got == set()
         shutil.rmtree(TMP / "bloomlww", ignore_errors=True)
+
+    def test_plane_positions_py_matches_spark(self, spark):
+        """The driver-side position replica must be bit-for-bit the
+        Spark expression (the literal point probe depends on it — a
+        drifted position would silently skip buckets holding real
+        matches).  Differential over sign, magnitude and zero."""
+        from datayours_spark.streaming.winnowstream import (
+            _plane_positions,
+            _plane_positions_py,
+        )
+
+        hs = [
+            0, 1, -1, 62, 63, 7919, -7919,
+            2**59, -(2**59), (1 << 60) - 1, -(1 << 60),
+        ]
+        m_p, planes = 63 * 17, 8
+        got = {
+            r["h"]: list(r["pos"])
+            for r in spark.createDataFrame([(h,) for h in hs], "h bigint")
+            .select("h", _plane_positions(m_p, planes).alias("pos"))
+            .collect()
+        }
+        for h in hs:
+            assert got[h] == _plane_positions_py(h, m_p, planes), h
+
+    def test_summary_words_values_and_single_exchange(self, spark):
+        """r12 verdict #2: the bitmap build runs off ONE hb-clustering
+        exchange — the dedup and the (hb, word) bit_or fold both run
+        partition-locally behind it, so the positions explode is never
+        shuffled and every hash map is bounded by one bucket's key
+        space.  Values must equal the naive global-distinct recompute
+        (bit_or is order-independent)."""
+        from datayours_spark.streaming.winnowstream import (
+            _plane_positions,
+            _with_hb,
+            summary_words,
+        )
+
+        m_p, planes, buckets = 63 * 9, 8, 4
+        # duplicate rows on purpose: summary_words must dedup internally
+        fp = spark.createDataFrame(
+            [((i * 2654435761) % 1000003 - 500000,)
+             for i in range(400)] * 2,
+            "h bigint",
+        )
+        words = summary_words(fp, buckets, m_p, planes)
+        naive = (
+            _with_hb(fp.select("h").distinct(), buckets)
+            .select(
+                "hb", F.explode(_plane_positions(m_p, planes)).alias("p")
+            )
+            .select(
+                "hb",
+                F.expr("p div 63").alias("word"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("hb", "word")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+        )
+        assert {tuple(r) for r in words.collect()} == {
+            tuple(r) for r in naive.collect()
+        }
+        # after execution an AQE plan's toString repeats the tree under
+        # an "Initial Plan" section — count the final section only
+        plan = (
+            words._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        shuffles = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert len(shuffles) == 1, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+
+    def test_literal_verdict_semantics(self, spark):
+        """summary_verdict_literal: present h ALL survive (no false
+        negatives), fully-fresh h are all dropped (deterministic at
+        this fixture's fpp), the hit-bucket set matches the survivors'
+        hb values, and a stale summary (index watermark moved without
+        a rebuild) returns None — never a misapplied verdict."""
+        from datayours_spark.streaming.winnowstream import (
+            summary_verdict_literal,
+        )
+
+        schema = "doc_id bigint, text string"
+        ws = self._stream(spark, True, "bloomlit")
+        ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+        present_h = [
+            r["h"]
+            for r in winnow_fingerprints(
+                spark.createDataFrame([DOCS[0]], schema), k=3, w=3
+            ).select("h").distinct().collect()
+        ]
+        v = summary_verdict_literal(ws.store, present_h, 2)
+        assert v is not None
+        surv, hit = v
+        assert sorted(surv) == sorted(present_h)
+        assert set(hit) == {h % 2 for h in present_h}
+        fresh_h = [
+            r["h"]
+            for r in winnow_fingerprints(
+                spark.createDataFrame(
+                    [
+                        (40, "volcano quartz ribbon lantern meadow "
+                             "sparrow velvet"),
+                        (41, "granite whisper copper twilight harbor "
+                             "ember thistle"),
+                    ],
+                    schema,
+                ),
+                k=3, w=3,
+            ).select("h").distinct().collect()
+        ]
+        sv, sh = summary_verdict_literal(ws.store, fresh_h, 2)
+        assert sv == [] and sh == []
+        assert summary_verdict_literal(ws.store, [], 2) == ([], [])
+        # stale summary: watermark moves without a rebuild → None
+        ws.summary_prune = False
+        ws._process(
+            spark.createDataFrame([(42, "totally new island body")],
+                                  schema),
+            1,
+        )
+        assert ws.store.watermark("index") == 1
+        assert summary_verdict_literal(ws.store, present_h, 2) is None
+        shutil.rmtree(TMP / "bloomlit", ignore_errors=True)
+
+    def test_fresh_trickle_drops_compacted_scan_pairs_identical(
+        self, spark
+    ):
+        """The point-probe prune end-to-end (r12 verdict #3): under
+        summary_prune a literal-mode trickle batch consults the bloom
+        driver-side; an all-fresh trickle's pair plan loses the
+        compacted parquet scan ENTIRELY, and across a fresh-then-copy
+        batch sequence the pairs table is byte-identical with the
+        prune on and off (the verdict is an exact rewrite)."""
+        from datayours_spark.streaming.winnowstream import (
+            standing_index_view,
+            summary_verdict_literal,
+        )
+
+        schema = "doc_id bigint, text string"
+        fresh = [(60, "volcano quartz ribbon lantern meadow sparrow "
+                      "velvet")]
+        copy = (61, BASE + " one two eight")
+        got = {}
+        for prune in (False, True):
+            ws = self._stream(spark, prune, f"bloomtrk{prune}")
+            ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+            ws._process(spark.createDataFrame(fresh, schema), 1)
+            ws._process(spark.createDataFrame([copy], schema), 2)
+            got[prune] = {tuple(r) for r in ws.pairs().collect()}
+            if prune:
+                # plan-level: an all-fresh literal probe empties the
+                # compacted side — no parquet scan survives in the
+                # standing view (the tail is empty at compact_every=1)
+                # probe with NEVER-ingested text (doc 60's own h are
+                # in the compacted index by now and must read present)
+                fresh_h = [
+                    r["h"]
+                    for r in winnow_fingerprints(
+                        spark.createDataFrame(
+                            [(99, "granite whisper copper twilight "
+                                  "harbor ember thistle")],
+                            schema,
+                        ),
+                        k=3, w=3,
+                    ).select("h").distinct().collect()
+                ]
+                ch, hb = summary_verdict_literal(ws.store, fresh_h, 2)
+                assert ch == []
+                view = standing_index_view(
+                    ws.store,
+                    None,
+                    2,
+                    bks=sorted({h % 2 for h in fresh_h}),
+                    hit_bks=hb,
+                    batch_h=fresh_h,
+                    comp_h=ch,
+                )
+                plan = (
+                    view._jdf.queryExecution().executedPlan().toString()
+                )
+                assert "Scan parquet" not in plan, plan
+            shutil.rmtree(TMP / f"bloomtrk{prune}", ignore_errors=True)
+        assert got[True] == got[False]
+        assert any(61 in (a, b) for a, b, *_ in got[True])

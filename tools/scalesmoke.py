@@ -43,6 +43,17 @@ N_SERIES = 500
 T0 = 1_704_067_200
 
 
+def cpu_probe_sec() -> float:
+    """Pure-Python CPU probe (sum i*i over 20M; 1.25 s = healthy
+    baseline on this box).  The smokes' wall-clock claims are only
+    comparable across sessions when quoted with the probe that
+    contextualizes them — this host intermittently degrades 2-4x
+    (r10-r12 measurement caveat)."""
+    t0 = time.perf_counter()
+    sum(i * i for i in range(20_000_000))
+    return round(time.perf_counter() - t0, 2)
+
+
 def synthetic_documents(spark, n_docs: int, boilerplate_pct: int = 0):
     """(doc_id, text) with 50 pseudo-random tokens per doc, fully
     column-expression generated (never collected).  Docs with id % 10 in
@@ -2110,6 +2121,7 @@ def smoke_summary() -> None:
     )
     print(json.dumps({
         "metric": "bloom summary smoke",
+        "cpu_probe_sec": cpu_probe_sec(),
         "docs": n_docs,
         "batch_docs": b + 20,
         "standing_ingest_sec": standing_sec,
@@ -2412,9 +2424,44 @@ def smoke_pipeline() -> None:
         - out["trickle_3docs"]["packed_delta"],
     }
 
+    # trickle probe C: 3 genuinely FRESH docs (disjoint alphabet — the
+    # regexp re-prefix guarantees zero true fingerprint overlap, the
+    # summary smoke's saturation-proof shape).  This is the COMMON
+    # steady-crawl trickle: survives every stage, pairs with nothing,
+    # gets packed.  With summary_prune on, the literal bloom verdict
+    # (driver-side positions, one pushdown-pruned summary scan) proves
+    # every h absent and the compacted posting scan drops out of the
+    # pair plan entirely (r12 verdict #3) — the last index-sized term
+    # a fresh trickle paid.
+    trickle_fresh = (
+        _with_gate_cols(
+            synthetic_documents(spark, 3).select(
+                "doc_id",
+                F.regexp_replace("text", "w", "q").alias("text"),
+            ),
+            None,
+        )
+        .select(
+            (F.col("doc_id") + n_docs * 70).alias("doc_id"),
+            "text", "source",
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle_fresh, 6)
+    sec = round(time.perf_counter() - t, 1)
+    out["trickle_3docs_fresh"] = {
+        "sec": sec,
+        "packed_delta": pipe.packed().count()
+        - packed_before
+        - out["trickle_3docs"]["packed_delta"]
+        - out["trickle_3docs_dedup"]["packed_delta"],
+    }
+
     # steady-state compaction, timed as its own amortized op (folds
     # every table, LWW on index/counts)
-    out["compaction"] = _compact(5)
+    out["compaction"] = _compact(6)
 
     # offsets stay contiguous per shard across the whole horizon
     from pyspark.sql import Window as W
@@ -2432,7 +2479,8 @@ def smoke_pipeline() -> None:
     ).count()
     out["pack_contiguity"] = {"offset_gaps": gaps}
     shutil.rmtree(work, ignore_errors=True)
-    print(json.dumps({"metric": "pipeline smoke", "ops": out}))
+    print(json.dumps({"metric": "pipeline smoke",
+                      "cpu_probe_sec": cpu_probe_sec(), "ops": out}))
     spark.stop()
 
 
@@ -2678,7 +2726,37 @@ def smoke_pipeline_scale() -> None:
         - out["trickle_3docs"]["packed_delta"],
     }
 
-    out["compaction"] = _compact(4)
+    # trickle C: 3 genuinely FRESH docs ('q' alphabet — disjoint from
+    # every slice prefix and the batches' 'x') — the common
+    # steady-crawl shape.  With summary_prune on, the literal bloom
+    # verdict proves every h absent from the compacted index and the
+    # posting scan drops out of the pair plan (r12 verdict #3): the
+    # wall should be near the all-drop trickle's corpus-constant
+    # floor, not the dedup trickle's index-sized term.
+    trickle_fresh = (
+        _with_gate_cols(
+            synthetic_documents(spark, 3).select(
+                "doc_id",
+                F.regexp_replace("text", "w", "q").alias("text"),
+            ),
+            None,
+        )
+        .select((F.col("doc_id") + n_docs * 70).alias("doc_id"),
+                "text", "source")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    pipe._process(trickle_fresh, 5)
+    out["trickle_3docs_fresh"] = {
+        "sec": round(time.perf_counter() - t, 1),
+        "packed_delta": pipe.packed().count()
+        - packed_before
+        - out["trickle_3docs"]["packed_delta"]
+        - out["trickle_3docs_dedup"]["packed_delta"],
+    }
+
+    out["compaction"] = _compact(5)
 
     from pyspark.sql import Window as W
 
@@ -2696,7 +2774,7 @@ def smoke_pipeline_scale() -> None:
     out["pack_contiguity"] = {"offset_gaps": gaps}
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"metric": "pipeline scale smoke", "slices": slices,
-                      "ops": out}))
+                      "cpu_probe_sec": cpu_probe_sec(), "ops": out}))
     spark.stop()
 
 
