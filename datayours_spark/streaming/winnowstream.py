@@ -453,21 +453,20 @@ def rebuild_index_summary(
         F.lit(m_p).cast("long").alias("m"),
         F.lit(wm).cast("long").alias("wm"),
     )
-    # write the bitmap CLUSTERED AND SORTED by (hb, word) in a bounded
-    # file count with small parquet row groups: each row group then
-    # covers a tight contiguous (hb, word) range, so the literal-mode
+    # write the bitmap CLUSTERED AND SORTED by (hb, word) with small
+    # parquet row groups: each file covers one-ish bucket (the build's
+    # hb-clustered partitioning writes through unchanged) and each row
+    # group a tight contiguous (hb, word) range, so the literal-mode
     # point probe (:func:`summary_verdict_literal`) pushes its
-    # (hb, word) literals down to row-group statistics and reads only
-    # the groups its positions can live in — corpus-size-independent
-    # probe reads, the same discipline the index table gets from
-    # ``sort_within`` h-sorted compaction.  A range exchange of the
-    # bitmap rows (24/63 bits per fingerprint — ~50x smaller than the
-    # index) amortized over a compaction cycle.  NOT coalesce(8): in
-    # the single-exchange build plan a coalesce would collapse the
-    # whole dedup/explode/fold stage to 8 tasks.
+    # (hb, word) literals down to file/row-group statistics and reads
+    # only the groups its positions can live in — the same discipline
+    # the index table gets from ``sort_within`` h-sorted compaction.
+    # No coalesce (it would collapse the single-exchange build stage's
+    # parallelism) and no repartitionByRange (range-boundary SAMPLING
+    # executes the whole upstream build a second time — measured ~2x
+    # on the rebuild wall); file count is bounded by ``buckets``.
     (
-        words.repartitionByRange(8, "hb", "word")
-        .sortWithinPartitions("hb", "word")
+        words.sortWithinPartitions("hb", "word")
         .write.mode("overwrite")
         .option("parquet.block.size", 4 * 1024 * 1024)
         .parquet(path)
