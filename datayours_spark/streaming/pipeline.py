@@ -75,6 +75,7 @@ from datayours_spark.streaming.winnowstream import (
     ensure_hash_format,
     rebuild_index_summary,
     standing_index_view,
+    bulk_probe_wanted,
     summary_hit_buckets,
     summary_verdict_literal,
     write_counts_batch,
@@ -474,8 +475,13 @@ class IngestPipeline:
     #: fully-fresh trickle drops the compacted posting scan from its
     #: pair plan entirely, r12 verdict #3).  Wins on mostly-fresh
     #: traffic; degrades to the unpruned scan when batches re-hit
-    #: existing content.  Winnowstream module header has the argument.
-    summary_prune: bool = False
+    #: existing content.  ``"auto"`` maintains the summary, probes
+    #: literal-mode batches always, and gates the distributed bulk
+    #: probe on the index being large enough to win
+    #: (`winnowstream.bulk_probe_wanted`, the measured crossover) —
+    #: the recommended setting for long-lived production stores.
+    #: Winnowstream module header has the full argument.
+    summary_prune: bool | str = False
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -746,9 +752,12 @@ class IngestPipeline:
                 )
                 if v is not None:
                     comp_h, hit_bks = v
-            else:
+            elif bulk_probe_wanted(self.store, self.summary_prune):
                 # BULK batch: the distributed probe join — which
-                # compacted buckets can h-match this batch at all
+                # compacted buckets can h-match this batch at all.
+                # Under "auto" it engages only once the index is
+                # large enough for the probe join to pay for itself
+                # (winnowstream.AUTO_BULK_MIN_M_P, measured crossover)
                 hit_bks = summary_hit_buckets(
                     self.store, surv_fp, self.index_buckets,
                     probe_rows=n_fp,

@@ -585,6 +585,35 @@ def summary_verdict_literal(
     return surviving, sorted({h % buckets for h in surviving})
 
 
+# the auto-policy crossover for the DISTRIBUTED bulk probe, in
+# per-plane bitmap bits: measured at 1.5M docs (m_p 125,874) the probe
+# join costs ~5 s against a 17.6% byte skip on a mixed 1% batch — a
+# net loss — while at 15M (m_p ~1.16M) the same batch reads
+# 64.0–67.6 s probed vs ~78 s unprobed — a net win (README round-13
+# bullet).  The threshold sits between the two measured points;
+# m_p is a pure function of the index's distinct-fingerprint count
+# (summary_m_p), so this is an index-size dial, readable from the
+# summary header with no extra job.  Literal-mode point probes are
+# NOT gated by it: their cost is corpus-size-independent.
+AUTO_BULK_MIN_M_P = 500_000
+
+
+def bulk_probe_wanted(store: BatchStore, summary_prune) -> bool:
+    """Whether this batch should run the DISTRIBUTED summary probe
+    join, under the maintainer's ``summary_prune`` policy: True always
+    probes, ``"auto"`` probes only when the summary header's per-plane
+    width says the compacted index is large enough for the probe join
+    to pay for itself (``AUTO_BULK_MIN_M_P``), False never does.  The
+    header read is memoized (:func:`_summary_relation`), so the auto
+    check costs no per-batch job."""
+    if summary_prune is True:
+        return True
+    if summary_prune != "auto":
+        return False
+    head = _summary_relation(store)
+    return head is not None and head[1] >= AUTO_BULK_MIN_M_P
+
+
 def summary_hit_buckets(
     store: BatchStore,
     batch_fp: DataFrame,
@@ -780,15 +809,20 @@ class WinnowStream:
     #: maintain the compacted index's bloom summary and use it to skip
     #: compacted state that provably contains no batch h-match.  BULK
     #: batches pay one distributed probe join each (wins when batches
-    #: are mostly FRESH text; degrades to the unpruned scan when they
-    #: re-hit existing content).  SMALL batches (literal mode, ≤ the
-    #: one-collect cap) instead get the driver-side point probe
-    #: (:func:`summary_verdict_literal`): per-h verdicts from one
-    #: pushdown-pruned summary scan — a fully-fresh trickle drops the
-    #: compacted posting scan from its pair plan entirely (r12 verdict
-    #: #3).  Plus a summary rebuild per compaction (linear, r13).
-    #: Module header has the full argument.
-    summary_prune: bool = False
+    #: are mostly FRESH text or the index is large; degrades to the
+    #: unpruned scan when they re-hit existing content).  SMALL
+    #: batches (literal mode, ≤ the one-collect cap) instead get the
+    #: driver-side point probe (:func:`summary_verdict_literal`):
+    #: per-h verdicts from one pushdown-pruned summary scan — a
+    #: fully-fresh trickle drops the compacted posting scan from its
+    #: pair plan entirely (r12 verdict #3).  Plus a summary rebuild
+    #: per compaction (linear, r13).  ``"auto"`` maintains the summary
+    #: and probes literal-mode batches always (corpus-size-independent
+    #: cost) but gates the distributed bulk probe on the index being
+    #: large enough to win (:func:`bulk_probe_wanted` — the measured
+    #: 1.5M-loss/15M-win crossover); the recommended setting for
+    #: long-lived production stores.  Module header has the argument.
+    summary_prune: bool | str = False
     _store: BatchStore = field(default=None, repr=False)
     _fmt_checked: bool = field(default=False, repr=False)
 
@@ -890,10 +924,13 @@ class WinnowStream:
                 )
                 if v is not None:
                     comp_h, hit_bks = v
-            else:
+            elif bulk_probe_wanted(self.store, self.summary_prune):
                 # BULK batch: the distributed probe join — which
                 # compacted buckets can h-match this batch at all (the
-                # only prune once a batch touches every hb bucket)
+                # only prune once a batch touches every hb bucket).
+                # Under "auto" it engages only once the index is large
+                # enough for the probe join to pay for itself
+                # (AUTO_BULK_MIN_M_P — the measured crossover)
                 hit_bks = summary_hit_buckets(
                     self.store, batch_fp, self.index_buckets,
                     probe_rows=sum(hb_counts.values()),

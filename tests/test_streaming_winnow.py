@@ -703,3 +703,41 @@ class TestBloomSummaryPrune:
             shutil.rmtree(TMP / f"bloomtrk{prune}", ignore_errors=True)
         assert got[True] == got[False]
         assert any(61 in (a, b) for a, b, *_ in got[True])
+
+    def test_auto_policy_gates_bulk_probe_by_index_size(
+        self, spark, monkeypatch
+    ):
+        """summary_prune="auto" (r13): the summary is maintained and
+        literal-mode batches always get the point probe, but the
+        DISTRIBUTED bulk probe engages only once the summary header's
+        per-plane width says the index is past the measured
+        cost-crossover — and pair output is identical to both fixed
+        modes (the policy only toggles exact rewrites)."""
+        import datayours_spark.streaming.winnowstream as wsmod
+
+        schema = "doc_id bigint, text string"
+        fresh = [(40, "volcano quartz ribbon lantern meadow sparrow "
+                      "velvet")]
+        copy = (50, BASE + " one two nine")
+        got = {}
+        for prune in (False, "auto"):
+            ws = self._stream(spark, prune, f"bloomauto{prune}")
+            ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+            ws._process(
+                spark.createDataFrame(fresh + [copy], schema), 1
+            )
+            got[prune] = {tuple(r) for r in ws.pairs().collect()}
+            if prune == "auto":
+                # the summary IS maintained under auto (truthy flag)
+                assert wsmod._summary_relation(ws.store) is not None
+                # tiny store: bulk probe not wanted under auto, wanted
+                # under True, never under False
+                assert wsmod.bulk_probe_wanted(ws.store, "auto") is False
+                assert wsmod.bulk_probe_wanted(ws.store, True) is True
+                assert wsmod.bulk_probe_wanted(ws.store, False) is False
+                # past the crossover the auto gate opens
+                monkeypatch.setattr(wsmod, "AUTO_BULK_MIN_M_P", 1)
+                assert wsmod.bulk_probe_wanted(ws.store, "auto") is True
+            shutil.rmtree(TMP / f"bloomauto{prune}", ignore_errors=True)
+        assert got["auto"] == got[False]
+        assert any(50 in (a, b) for a, b, *_ in got["auto"])
