@@ -78,6 +78,7 @@ from datayours_spark.streaming.winnowstream import (
     bulk_probe_wanted,
     summary_hit_buckets,
     summary_verdict_literal,
+    validate_summary_prune,
     write_counts_batch,
     write_index_batch,
 )
@@ -479,9 +480,12 @@ class IngestPipeline:
     #: literal-mode batches always, and gates the distributed bulk
     #: probe on the index being large enough to win
     #: (`winnowstream.bulk_probe_wanted`, the measured crossover) —
-    #: the recommended setting for long-lived production stores.
-    #: Winnowstream module header has the full argument.
-    summary_prune: bool | str = False
+    #: the DEFAULT since r14 (the point probe is corpus-size-
+    #: independent and the bulk probe self-gates, so "auto" never pays
+    #: the one measured net-loss configuration; pass False to skip
+    #: summary maintenance entirely).  Winnowstream module header has
+    #: the full argument.
+    summary_prune: bool | str = "auto"
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
     _store: BatchStore = field(default=None, repr=False)
@@ -493,6 +497,9 @@ class IngestPipeline:
     #: writes — see the PACK stage comment in :meth:`_process`
     _cursor_starts: dict | None = field(default=None, repr=False)
     _cursor_asof: int | None = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        validate_summary_prune(self.summary_prune)
 
     @property
     def store(self) -> BatchStore:
@@ -593,11 +600,22 @@ class IngestPipeline:
             docs, min_words=self.min_words, max_words=self.max_words,
             carry_cols=("source", "text"),
         ).localCheckpoint(eager=False)
+        # the gates write's observation counts the gate SURVIVORS in
+        # the same job (r13 verdict #5): together with the scores
+        # write's keep count and the contamination write's row count
+        # below, the all-empty early exit needs no stats job at all —
+        # and a batch the gate wholly rejects exits after just its
+        # sink writes
+        obs_gate = Observation()
         scored.select(
             "doc_id", "n_words", "source", "ok_word_count",
             "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
             "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
             "pass_all",
+        ).observe(
+            obs_gate,
+            F.count(F.when(_gate_expr(self.gate_cols), True))
+            .alias("n_surv"),
         ).write.mode("overwrite").parquet(dests["gates"])
         survivors = scored.where(_gate_expr(self.gate_cols)).select(
             "doc_id", "text"
@@ -605,6 +623,7 @@ class IngestPipeline:
         # 1a. MODEL FILTER — per-row scoring, so stream ≡ batch holds
         # with no order dependence; the reject set leaves via the same
         # anti-join shape as the batch form
+        obs_clf = None
         if self.clf_weights is not None:
             from datayours_spark.functions.text import quality_classifier
 
@@ -613,7 +632,14 @@ class IngestPipeline:
                 bias=self.clf_bias, w_scale=self.clf_w_scale,
                 threshold=self.clf_threshold,
             ).localCheckpoint(eager=False)  # scores sink + reject set
-            scores.write.mode("overwrite").parquet(dests["scores"])
+            # every input doc gets a scores row (quality_classifier
+            # contract), so count(keep) IS the post-classifier
+            # survivor count — observed on the write job it rides
+            obs_clf = Observation()
+            scores.observe(
+                obs_clf,
+                F.count(F.when(F.col("keep"), True)).alias("n_keep"),
+            ).write.mode("overwrite").parquet(dests["scores"])
             survivors = survivors.join(
                 scores.where("NOT keep").select("doc_id"),
                 "doc_id",
@@ -645,74 +671,46 @@ class IngestPipeline:
             ).localCheckpoint(eager=False)
         else:
             contamination = self.spark.createDataFrame([], CONTAM_SCHEMA)
-        self._write_batch(contamination, "contamination", batch_id)
+        contam_n = int(
+            self._write_batch(contamination, "contamination", batch_id)["n"]
+        )
 
         # 2. DEDUP — survivors vs the standing LWW index view
         # (batch-proportional: tail-only LWW, hb-pruned pair path,
         # denormalized n_fp denominators — winnowstream docstring).
-        # ONE collect serves every per-batch decision: the hb bucket
-        # set (scan prune), the fingerprint count (broadcast-vs-shuffle
-        # posting join), the lazy surv_fp checkpoint's materialization,
-        # the surviving-doc count (sentinel hb=-1 row) gating the
-        # all-empty early exit, and — for SMALL batches (≤ _LIT_CAP
-        # rows, limit-capped so a bulk batch never bloats an aggregate
-        # buffer) — the batch's literal h values (hb=-2) and survivor
-        # doc_ids (hb=-3), which replace the posting-join broadcasts
-        # with isin() predicates the parquet scan can push down to
-        # row-group statistics (r11 verdict #1, the trickle floor).
-        nulls = F.lit(None).cast("array<bigint>").alias("vals")
-        stat_rows = (
-            _with_hb(surv_fp, self.index_buckets)
-            .groupBy("hb")
-            .agg(F.count("*").alias("n"))
-            .select("hb", "n", nulls)
-            .unionByName(
-                survivors.select(
-                    F.lit(-1).cast("int").alias("hb")
-                ).groupBy("hb").agg(F.count("*").alias("n"))
-                .select("hb", "n", nulls)
-            )
-            .unionByName(
-                surv_fp.select("h").limit(_LIT_CAP + 1)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.collect_list("h").alias("vals"),
-                )
-                .select(F.lit(-2).cast("int").alias("hb"), "n", "vals")
-            )
-            .unionByName(
-                # fingerprint-BEARING doc_ids only (surv_fp, not
-                # survivors): the join path this literal replaces
-                # anti-joins the standing index on new_fp doc_ids, so a
-                # zero-fingerprint survivor (min_words < k) must NOT
-                # enter the literal — its old index rows stay visible to
-                # the batch's pair view in both modes (ADVICE r12)
-                surv_fp.select("doc_id").distinct().limit(_LIT_CAP + 1)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.collect_list("doc_id").alias("vals"),
-                )
-                .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
-            )
-            .collect()
+        # Per-batch decisions cost at most ONE tiny CollectLimit (r13
+        # verdict #5 — the trickle job floor; supersedes the r11
+        # four-branch stats union): the gate/classifier/contamination
+        # writes above observed the exact survivor counts on jobs they
+        # were running anyway, so the all-empty early exit usually
+        # needs no stats job at all — a batch the gate wholly rejects
+        # exits right after its sink writes.  A batch whose
+        # fingerprints fit under _LIT_CAP derives its hb bucket set,
+        # its literal h set and its fingerprint-bearing doc_id set
+        # DRIVER-SIDE from the probe's ≤ cap+1 rows — no aggregation
+        # plan, no exchanges (the probe's first job also materializes
+        # the lazy surv_fp checkpoint; the literals then replace the
+        # posting-join broadcasts with isin() predicates the parquet
+        # scan pushes down to row-group statistics, r11 verdict #1).
+        # Only a bulk batch — seconds of real work anyway — pays a
+        # distributed stats pass, riding the materialized checkpoint.
+        n_after_clf = int(
+            obs_clf.get["n_keep"] if obs_clf is not None
+            else obs_gate.get["n_surv"]
         )
-        hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
-        n_surv = next((r["n"] for r in stat_rows if r["hb"] == -1), 0)
-        n_fp = sum(hb_counts.values())
-        # the limit-capped literal branches are complete iff the TRUE
-        # count (from the authoritative branches) fits under the cap
-        h_lit = next(
-            (list(r["vals"]) for r in stat_rows if r["hb"] == -2), None
-        ) if 0 < n_fp <= _LIT_CAP else None
-        # the -3 branch is complete iff it returned ≤ cap DISTINCT ids
-        # (its own limit-capped count is the gate — n_surv counts ALL
-        # survivors including zero-fingerprint ones, which don't belong
-        # in this literal)
-        ids_lit = next(
-            (list(r["vals"]) for r in stat_rows
-             if r["hb"] == -3 and 0 < r["n"] <= _LIT_CAP),
-            None,
-        )
+        head = None
+        if contam_n == 0:
+            # decontamination dropped nothing: the observed
+            # post-classifier count IS the survivor count
+            n_surv = n_after_clf
+        else:
+            head = surv_fp.limit(_LIT_CAP + 1).collect()
+            # any fingerprint-bearing survivor proves n_surv > 0; an
+            # empty probe under decon drops needs the exact count
+            # (zero-fingerprint survivors are invisible to surv_fp,
+            # and this rare shape — every fp-bearing doc contaminated
+            # — is trickle-sized by construction)
+            n_surv = len(head) or survivors.count()
         if n_surv == 0:
             # nothing survived the gate/classifier/decontamination
             # stages: every downstream table of this batch is provably
@@ -737,6 +735,58 @@ class IngestPipeline:
             if fired and self.summary_prune:
                 rebuild_index_summary(self.store, self.index_buckets)
             return
+        if head is None:
+            head = surv_fp.limit(_LIT_CAP + 1).collect()
+        if len(head) <= _LIT_CAP:
+            # LITERAL mode: the probe returned the complete
+            # fingerprint set — every stat derives driver-side.
+            # _plane_positions_py precedent: Python % IS pmod here
+            # (both operands' signs handled identically)
+            hb_counts = {}
+            for r in head:
+                hb = r["h"] % self.index_buckets
+                hb_counts[hb] = hb_counts.get(hb, 0) + 1
+            n_fp = len(head)
+            h_lit = [r["h"] for r in head] if head else None
+            # fingerprint-BEARING doc_ids only (surv_fp, not
+            # survivors): the join path this literal replaces
+            # anti-joins the standing index on new_fp doc_ids, so a
+            # zero-fingerprint survivor (min_words < k) must NOT
+            # enter the literal — its old index rows stay visible to
+            # the batch's pair view in both modes (ADVICE r12); the
+            # probe reads surv_fp, so they never appear here
+            ids_lit = sorted({r["doc_id"] for r in head}) or None
+        else:
+            # BULK: distributed hb bucket counts (scan prune +
+            # broadcast-vs-shuffle decision), plus the doc_id literal's
+            # limit-capped completeness gate — a mid-size batch can
+            # still be literal on doc_ids (few docs, many
+            # fingerprints) even when the h literal is off the table
+            nulls = F.lit(None).cast("array<bigint>").alias("vals")
+            stat_rows = (
+                _with_hb(surv_fp, self.index_buckets)
+                .groupBy("hb")
+                .agg(F.count("*").alias("n"))
+                .select("hb", "n", nulls)
+                .unionByName(
+                    surv_fp.select("doc_id").distinct()
+                    .limit(_LIT_CAP + 1)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.collect_list("doc_id").alias("vals"),
+                    )
+                    .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
+                )
+                .collect()
+            )
+            hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
+            n_fp = sum(hb_counts.values())
+            h_lit = None
+            ids_lit = next(
+                (list(r["vals"]) for r in stat_rows
+                 if r["hb"] == -3 and 0 < r["n"] <= _LIT_CAP),
+                None,
+            )
         hit_bks = None
         comp_h = None
         if self.summary_prune and hb_counts:

@@ -68,6 +68,7 @@ silent-zero-pairs resume is now impossible).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,29 @@ from datayours_spark.functions.dedup import (
     winnow_incremental_indexed,
 )
 from datayours_spark.streaming.store import BatchStore
+
+#: serializes the literal point probe's session-global
+#: ``inFilterThreshold`` save/set/restore (ADVICE r13) — two concurrent
+#: probes on one SparkSession must not interleave the restore
+_INFILTER_LOCK = threading.Lock()
+
+
+def validate_summary_prune(value) -> None:
+    """Reject any ``summary_prune`` outside {True, False, "auto"} at
+    construction time (ADVICE r13): a typo like ``"always"`` or
+    ``"Auto"`` is truthy, so it would silently maintain the summary and
+    run literal point probes but never the bulk probe
+    (:func:`bulk_probe_wanted` returns False for non-``"auto"``
+    strings) — a surprising hybrid instead of an error.  Identity
+    checks, not ``in``: the int ``1`` equals True but fails
+    ``bulk_probe_wanted``'s ``is True`` test, i.e. it would select the
+    same hybrid."""
+    if not (value is True or value is False or value == "auto"):
+        raise ValueError(
+            "summary_prune must be True, False or 'auto', got "
+            f"{value!r}"
+        )
+
 
 DOC_SCHEMA = "doc_id bigint, text string"
 # ``batch`` stamps the ingesting micro-batch so re-ingestion is
@@ -508,6 +532,12 @@ def _summary_relation(
         if row is None:
             return None
         memo = (s, int(row["m"]), int(row["wm"]))
+        # same cap-and-clear as _df_cache: entries hold resolved
+        # DataFrames (plan + file index), and a long-lived stream
+        # accretes one per compaction cycle — unbounded otherwise
+        # (ADVICE r13)
+        if len(store._scalar_cache) >= 256:
+            store._scalar_cache.clear()
         store._scalar_cache[skey] = memo
     return memo
 
@@ -542,7 +572,14 @@ def summary_verdict_literal(
     (hb, word) sets — corpus-size-independent reads, vs the posting
     buckets' index-sized term this replaces for trickles.  The
     eq-or-chain pushdown needs ``inFilterThreshold`` above the literal
-    counts; it is raised around this read only."""
+    counts; it is raised around this read only (serialized by a
+    process-wide lock: the conf is session-global, so two concurrent
+    literal probes on one SparkSession — e.g. two foreachBatch streams
+    — could otherwise race the save/restore and leave a stale value
+    behind, ADVICE r13; queries planned on OTHER threads during the
+    short set→collect→restore window still observe the raised
+    threshold, which only ever widens pushdown, never changes
+    results)."""
     head = _summary_relation(store)
     if head is None:
         return None
@@ -557,22 +594,24 @@ def summary_verdict_literal(
     words = sorted({p // 63 for ps in pos.values() for p in ps})
     spark = store.spark
     conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-    old = spark.conf.get(conf_key, None)
-    try:
-        # push the full eq-or-chains to parquet row-group statistics
-        # (the default threshold of 10 would rewrite each In to a
-        # useless [min, max] range over uniform probe values)
-        spark.conf.set(conf_key, str(max(len(hbs), len(words)) + 1))
-        rows = (
-            s.where(F.col("hb").isin(hbs) & F.col("word").isin(words))
-            .select("hb", "word", "bits")
-            .collect()
-        )
-    finally:
-        if old is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, old)
+    with _INFILTER_LOCK:
+        old = spark.conf.get(conf_key, None)
+        try:
+            # push the full eq-or-chains to parquet row-group
+            # statistics (the default threshold of 10 would rewrite
+            # each In to a useless [min, max] range over uniform probe
+            # values)
+            spark.conf.set(conf_key, str(max(len(hbs), len(words)) + 1))
+            rows = (
+                s.where(F.col("hb").isin(hbs) & F.col("word").isin(words))
+                .select("hb", "word", "bits")
+                .collect()
+            )
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
     have = {(r["hb"], r["word"]): r["bits"] for r in rows}
     surviving = [
         h
@@ -820,11 +859,18 @@ class WinnowStream:
     #: and probes literal-mode batches always (corpus-size-independent
     #: cost) but gates the distributed bulk probe on the index being
     #: large enough to win (:func:`bulk_probe_wanted` — the measured
-    #: 1.5M-loss/15M-win crossover); the recommended setting for
-    #: long-lived production stores.  Module header has the argument.
-    summary_prune: bool | str = False
+    #: 1.5M-loss/15M-win crossover); the DEFAULT since r14 (the point
+    #: probe is corpus-size-independent and the bulk probe self-gates,
+    #: so "auto" never pays the one measured net-loss configuration;
+    #: pass False to skip summary maintenance entirely, e.g. for
+    #: short-lived stores that never compact).  Module header has the
+    #: full argument.
+    summary_prune: bool | str = "auto"
     _store: BatchStore = field(default=None, repr=False)
     _fmt_checked: bool = field(default=False, repr=False)
+
+    def __post_init__(self) -> None:
+        validate_summary_prune(self.summary_prune)
 
     @property
     def store(self) -> BatchStore:
@@ -856,59 +902,69 @@ class WinnowStream:
         ):
             return
         new = batch.select("doc_id", "text")
-        # fingerprint the batch ONCE (checkpoint feeds the bucket-set
-        # collect, the posting join, the index append and the counts)
-        # lazy checkpoint: the bucket-set collect inside
-        # standing_index_view is the first action and materializes it
-        # (one job instead of an eager-checkpoint job plus the collect)
+        # fingerprint the batch ONCE (checkpoint feeds the stats
+        # probe, the posting join, the index append and the counts)
+        # lazy checkpoint: the stats probe below is the first action
+        # and materializes it (one job instead of an eager-checkpoint
+        # job plus the probe)
         batch_fp = (
             winnow_fingerprints(new, k=self.k, w=self.w)
             .select("doc_id", "h")
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # ONE collect serves the hb bucket set, the broadcast decision,
-        # the lazy batch_fp checkpoint's materialization, and — for
-        # small batches (limit-capped) — the literal h / doc_id sets
-        # that replace the posting-join broadcasts with pushable
-        # isin() predicates (r11 verdict #1, the trickle floor)
+        # Per-batch decisions cost ONE tiny CollectLimit (r13 verdict
+        # #5 — the trickle job floor; supersedes the r11 three-branch
+        # stats union): a batch whose fingerprints fit under the cap
+        # derives its hb bucket set, its literal h set and its doc_id
+        # set DRIVER-SIDE from the probe's ≤ cap+1 rows — no
+        # aggregation plan, no exchanges (the probe's first job also
+        # materializes the lazy batch_fp checkpoint; the literals then
+        # replace the posting-join broadcasts with isin() predicates
+        # the parquet scan pushes down to row-group statistics, r11
+        # verdict #1).  Only a bulk batch — seconds of real work
+        # anyway — pays a distributed stats pass, riding the
+        # materialized checkpoint.
         cap = 1024
-        nulls = F.lit(None).cast("array<bigint>").alias("vals")
-        stat_rows = (
-            _with_hb(batch_fp, self.index_buckets)
-            .groupBy("hb")
-            .agg(F.count("*").alias("n"))
-            .select("hb", "n", nulls)
-            .unionByName(
-                batch_fp.select("h").limit(cap + 1)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.collect_list("h").alias("vals"),
+        head = batch_fp.limit(cap + 1).collect()
+        if len(head) <= cap:
+            # LITERAL mode: the probe returned the complete
+            # fingerprint set (Python % IS pmod — the
+            # _plane_positions_py precedent)
+            hb_counts = {}
+            for r in head:
+                hb = r["h"] % self.index_buckets
+                hb_counts[hb] = hb_counts.get(hb, 0) + 1
+            h_lit = [r["h"] for r in head] if head else None
+            ids_lit = sorted({r["doc_id"] for r in head}) or None
+        else:
+            # BULK: distributed hb counts plus the doc_id literal's
+            # limit-capped completeness gate — a mid-size batch can
+            # still be literal on doc_ids (few docs, many
+            # fingerprints) even when the h literal is off the table
+            nulls = F.lit(None).cast("array<bigint>").alias("vals")
+            stat_rows = (
+                _with_hb(batch_fp, self.index_buckets)
+                .groupBy("hb")
+                .agg(F.count("*").alias("n"))
+                .select("hb", "n", nulls)
+                .unionByName(
+                    batch_fp.select("doc_id").distinct().limit(cap + 1)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.collect_list("doc_id").alias("vals"),
+                    )
+                    .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
                 )
-                .select(F.lit(-2).cast("int").alias("hb"), "n", "vals")
+                .collect()
             )
-            .unionByName(
-                batch_fp.select("doc_id").distinct().limit(cap + 1)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.collect_list("doc_id").alias("vals"),
-                )
-                .select(F.lit(-3).cast("int").alias("hb"), "n", "vals")
+            hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
+            h_lit = None
+            ids_lit = next(
+                (list(r["vals"]) for r in stat_rows
+                 if r["hb"] == -3 and 0 < r["n"] <= cap),
+                None,
             )
-            .collect()
-        )
-        hb_counts = {r["hb"]: r["n"] for r in stat_rows if r["hb"] >= 0}
-        # a limit-capped branch is complete iff it returned ≤ cap rows
-        h_lit = next(
-            (list(r["vals"]) for r in stat_rows
-             if r["hb"] == -2 and 0 < r["n"] <= cap),
-            None,
-        )
-        ids_lit = next(
-            (list(r["vals"]) for r in stat_rows
-             if r["hb"] == -3 and 0 < r["n"] <= cap),
-            None,
-        )
         hit_bks = None
         comp_h = None
         if self.summary_prune and hb_counts:

@@ -741,3 +741,53 @@ class TestBloomSummaryPrune:
             shutil.rmtree(TMP / f"bloomauto{prune}", ignore_errors=True)
         assert got["auto"] == got[False]
         assert any(50 in (a, b) for a, b, *_ in got["auto"])
+
+    def test_summary_prune_validated_at_construction(self, spark):
+        """ADVICE r13: any value outside {True, False, "auto"} raises at
+        construction — a truthy typo like "always" would otherwise run a
+        surprising literal-probe-only hybrid instead of an error."""
+        import pytest
+
+        from datayours_spark.streaming.pipeline import IngestPipeline
+
+        for bad in ("always", "Auto", 1, "true"):
+            with pytest.raises(ValueError, match="summary_prune"):
+                WinnowStream(
+                    spark=spark, input_dir="x", store_dir="y",
+                    checkpoint_dir="z", summary_prune=bad,
+                )
+            with pytest.raises(ValueError, match="summary_prune"):
+                IngestPipeline(
+                    spark=spark, input_dir="x", store_dir="y",
+                    checkpoint_dir="z", summary_prune=bad,
+                )
+        # the three legal values construct fine
+        for ok in (True, False, "auto"):
+            WinnowStream(
+                spark=spark, input_dir="x", store_dir="y",
+                checkpoint_dir="z", summary_prune=ok,
+            )
+
+    def test_scalar_cache_capped(self, spark):
+        """ADVICE r13: the header memo cache wholesale-clears at 256
+        entries (same lifecycle as _df_cache) — a long-lived stream must
+        not accrete one heavy DataFrame-holding entry per compaction."""
+        import datayours_spark.streaming.winnowstream as wsmod
+
+        schema = "doc_id bigint, text string"
+        ws = self._stream(spark, True, "scalarcap")
+        ws._process(spark.createDataFrame(DOCS[:3], schema), 0)
+        store = ws.store
+        assert wsmod._summary_relation(store) is not None
+        # simulate 256 accumulated memo entries: the next insert clears
+        store._scalar_cache.update(
+            {("pad", i): None for i in range(256)}
+        )
+        store._scalar_cache.pop(
+            next(k for k in store._scalar_cache if k[0] == "summary_head"),
+            None,
+        )
+        assert len(store._scalar_cache) >= 256
+        assert wsmod._summary_relation(store) is not None
+        assert len(store._scalar_cache) == 1  # cleared, then one memo
+        shutil.rmtree(TMP / "scalarcap", ignore_errors=True)
