@@ -120,8 +120,9 @@ SCORES_SCHEMA = "doc_id bigint, n_feats bigint, score double, keep boolean"
 # broadcast-join sides — one less broadcast-exchange job each, and the
 # parquet scan gets a pushable predicate (row-group min/max skipping
 # inside the hb buckets the dir prune and bloom summary leave).  The
-# values ride in the one per-batch stats collect, limit-capped so a
-# bulk batch never builds the aggregate buffer at all.
+# values come from the one per-batch CollectLimit stats probe (r14 —
+# cap+1 rows bound the batch), so a bulk batch never collects more
+# than cap+1 rows and never builds an aggregate buffer at all.
 _LIT_CAP = 1024
 
 SCHEMAS = {

@@ -625,16 +625,24 @@ def summary_verdict_literal(
 
 
 # the auto-policy crossover for the DISTRIBUTED bulk probe, in
-# per-plane bitmap bits: measured at 1.5M docs (m_p 125,874) the probe
-# join costs ~5 s against a 17.6% byte skip on a mixed 1% batch — a
-# net loss — while at 15M (m_p ~1.16M) the same batch reads
-# 64.0–67.6 s probed vs ~78 s unprobed — a net win (README round-13
-# bullet).  The threshold sits between the two measured points;
-# m_p is a pure function of the index's distinct-fingerprint count
-# (summary_m_p), so this is an index-size dial, readable from the
-# summary header with no extra job.  Literal-mode point probes are
-# NOT gated by it: their cost is corpus-size-independent.
-AUTO_BULK_MIN_M_P = 500_000
+# per-plane bitmap bits — a THREE-point measured line (the same 150k
+# mixed batch against growing standing indexes, probe-stamped healthy
+# runs):
+#   m_p   125,874 (1.5M docs): probe join ~5 s vs a 17.6% byte skip —
+#                              net LOSS (r11 measurement);
+#   m_p   654,633 (5M docs):   36.7 s probed vs 33.2 s unprobed —
+#                              still a ~10% net loss (r14 smoke);
+#   m_p ~1.16M    (15M docs):  64.0–67.6 s probed vs ~78 s unprobed —
+#                              net WIN (r13 repeats).
+# The threshold sits at the geometric midpoint of the largest measured
+# loss point and the smallest measured win point (√(654,633 × 1.16M) ≈
+# 871k, rounded; was 500,000 before the r14 bracketing run showed 5M
+# still loses).  m_p is a pure function of the index's
+# distinct-fingerprint count (summary_m_p), so this is an index-size
+# dial, readable from the memoized summary header with no extra job.
+# Literal-mode point probes are NOT gated by it: their cost is
+# corpus-size-independent.
+AUTO_BULK_MIN_M_P = 900_000
 
 
 def bulk_probe_wanted(store: BatchStore, summary_prune) -> bool:
