@@ -1,0 +1,74 @@
+"""tools/adjudicate.py — the bench-adjudication reproducibility
+invariant (r13 verdict #1): every summary stat in an adjudication file
+must be recomputable from fields committed in the same file, and
+--check must fail loudly when it is not."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
+
+from adjudicate import _queries, adjudicate, check, recompute
+
+
+class TestRecompute:
+    def test_geomean_and_flags(self):
+        best = {"a": 1.0, "b": 2.0, "c": 3.9}
+        base = {"a": 1.0, "b": 1.0, "c": 3.0, "d": 5.0}
+        shared, geo, flags = recompute(best, base)
+        assert shared == 3
+        assert geo == round(math.exp(
+            (math.log(1.0) + math.log(2.0) + math.log(1.3)) / 3
+        ), 3)
+        # b at 2.0x and c at 1.3x flag; a does not; d is not shared
+        assert set(flags) == {"b", "c"}
+
+    def test_query_key_prefix_stripped(self):
+        # driver BENCH_r files nest under "parsed" and strip the q_
+        # prefix; bench.py full files keep it — both must align
+        driver_doc = {"parsed": {"queries": {"tpch_q1": 2.0}}}
+        full_doc = {"queries": {"q_tpch_q1": 1.0}}
+        assert _queries(driver_doc) == {"tpch_q1": 2.0}
+        assert _queries(full_doc) == {"tpch_q1": 1.0}
+
+    def test_adjudicate_output_self_reproducible(self):
+        base = {"queries": {"q_x": 1.0, "q_y": 2.0}}
+        runs = [
+            {"queries": {"q_x": 1.5, "q_y": 2.2}, "probe_before": 1.2,
+             "probe_after": 1.3},
+            {"queries": {"q_x": 1.2, "q_y": 4.0}, "probe_before": 1.2,
+             "probe_after": 1.2},
+        ]
+        doc = adjudicate(base, runs)
+        assert doc["per_query_best"] == {"x": 1.2, "y": 2.2}
+        # the committed invariant: recompute from the file's own fields
+        shared, geo, flags = recompute(
+            doc["per_query_best"], doc["base_queries"]
+        )
+        assert (shared, geo) == (
+            doc["shared_queries"], doc["geomean_best_vs_base"]
+        )
+        assert set(flags) == set(doc["flags_ge_1p3"])
+        # check() accepts its own output and rejects a doctored headline
+        check(doc)
+        doctored = dict(doc, geomean_best_vs_base=0.866)
+        with pytest.raises(SystemExit):
+            check(doctored)
+
+    def test_committed_r13_file_reproducible(self):
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_ADJUDICATION_r13.json",
+        )
+        with open(path) as fh:
+            check(json.load(fh))
