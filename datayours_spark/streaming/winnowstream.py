@@ -596,22 +596,29 @@ def summary_verdict_literal(
     conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
     with _INFILTER_LOCK:
         old = spark.conf.get(conf_key, None)
+        # push the full eq-or-chains to parquet row-group statistics
+        # (Spark's stock default of 10 would rewrite each In to a
+        # useless [min, max] range over uniform probe values).  Only
+        # RAISE, never lower: the session may already sit above the
+        # need (datayours sessions default to 2048), and a concurrent
+        # query planned mid-probe must never observe a narrower
+        # pushdown than it would without us
+        need = max(len(hbs), len(words)) + 1
+        have = int(old) if old is not None and str(old).isdigit() else 0
         try:
-            # push the full eq-or-chains to parquet row-group
-            # statistics (the default threshold of 10 would rewrite
-            # each In to a useless [min, max] range over uniform probe
-            # values)
-            spark.conf.set(conf_key, str(max(len(hbs), len(words)) + 1))
+            if need > have:
+                spark.conf.set(conf_key, str(need))
             rows = (
                 s.where(F.col("hb").isin(hbs) & F.col("word").isin(words))
                 .select("hb", "word", "bits")
                 .collect()
             )
         finally:
-            if old is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, old)
+            if need > have:
+                if old is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, old)
     have = {(r["hb"], r["word"]): r["bits"] for r in rows}
     surviving = [
         h
