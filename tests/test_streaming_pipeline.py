@@ -812,3 +812,111 @@ class TestPackManifestProperties:
                     total += r.n_tokens
             want_total = sum(len(t.split(" ")) for _i, t in rows)
             assert total == want_total, trial
+
+
+class TestObservedEarlyExit:
+    """The r14 stats-floor rewrite rides the all-empty early exit on
+    write-job observations (gates count, scores keep count,
+    contamination row count) plus a cap+1 CollectLimit probe — these
+    tests pin the two paths where those observed counts are
+    load-bearing for CORRECTNESS, not just job counts."""
+
+    def test_classifier_drops_everything_early_exit(self, spark):
+        """n_keep == 0 with no decon drops must take the early exit:
+        downstream tables committed as markers, nothing packed, and the
+        gates/scores audit rows still present (the record of WHY the
+        batch emptied is never skipped)."""
+        import hashlib
+
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        buckets = 512
+        # killer weight on 'the' — present in every gate-passing doc
+        the_bucket = (
+            int(hashlib.md5(b"the").hexdigest()[:8], 16) % buckets
+        )
+        weights = spark.createDataFrame(
+            [(the_bucket, -1e6)], "bucket long, w double"
+        ).localCheckpoint(eager=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            clf_weights=weights, clf_buckets=buckets, clf_threshold=0.5,
+            **KW,
+        )
+        pipe._process(spark.createDataFrame(DOCS[:3], SCHEMA), 0)
+        for name in ("pairs", "index", "counts", "packed", "cursors"):
+            assert pipe.store.batch_committed(name, 0), name
+        assert pipe.packed().count() == 0
+        assert pipe.pairs().count() == 0
+        # audit rows survive the early exit: gate rows for all three
+        # docs, scores for both gate survivors, keep false everywhere
+        assert {r.doc_id for r in pipe.gates().collect()} == {1, 2, 3}
+        scores = {r.doc_id: r.keep for r in pipe.scores().collect()}
+        assert scores == {1: False, 3: False}
+        # a later batch without the killer token packs normally (the
+        # early exit left the cursor state untouched)
+        clean = [(50, "walrus zebra quokka lemur panda otter and grace "
+                      "of light", "web")]
+        pipe._process(spark.createDataFrame(clean, SCHEMA), 1)
+        assert {r.doc_id for r in pipe.packed().collect()} == {50}
+        shutil.rmtree(TMP, ignore_errors=True)
+
+    def test_decon_drops_all_fp_bearing_keeps_zero_fp_survivor(
+        self, spark
+    ):
+        """When decontamination drops every fingerprint-BEARING doc the
+        stats probe comes back empty, and the exact survivors.count()
+        fallback must distinguish 'nothing left' (early exit) from 'a
+        zero-fingerprint survivor remains' (gate-passing doc shorter
+        than k tokens — it must still be packed)."""
+        long_text = GOOD + " alpha beta gamma"       # 13 words, fp-bearing
+        short_text = "the quick brown fox and that"  # 6 words < k=8: 0 fp
+        kw = dict(min_words=6, max_words=100, k=8, w=3, threshold=0.3,
+                  shards=2, capacity=8)
+        eval_docs = spark.createDataFrame(
+            [(900, long_text)], "doc_id bigint, text string"
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(TMP, ignore_errors=True)
+        (TMP / "in").mkdir(parents=True)
+        pipe = IngestPipeline(
+            spark=spark,
+            input_dir=str(TMP / "in"),
+            store_dir=str(TMP / "store"),
+            checkpoint_dir=str(TMP / "ckpt"),
+            eval_docs=eval_docs, decon_threshold=0.5,
+            **kw,
+        )
+        # batch 0: ONLY the eval twin — everything decon-drops, and the
+        # empty probe + zero survivors.count() must take the early exit
+        pipe._process(
+            spark.createDataFrame([(1, long_text, "web")], SCHEMA), 0
+        )
+        for name in ("pairs", "index", "counts", "packed", "cursors"):
+            assert pipe.store.batch_committed(name, 0), name
+        assert pipe.packed().count() == 0
+        assert {r.doc_id for r in pipe.contamination().collect()} == {1}
+        # batch 1: eval twin + a zero-fingerprint gate survivor — the
+        # probe is again empty but survivors.count() == 1, so the batch
+        # must NOT early-exit and the short doc must pack
+        pipe._process(
+            spark.createDataFrame(
+                [(2, long_text, "web"), (3, short_text, "web")], SCHEMA
+            ),
+            1,
+        )
+        assert {r.doc_id for r in pipe.packed().collect()} == {3}
+        assert pipe.pairs().count() == 0
+        assert {r.doc_id for r in pipe.contamination().collect()} == {1, 2}
+        # stream ≡ batch for the same corpus and config
+        _g, _sc, _c, _p, b_packed, _pl = ingest_pipeline_batch(
+            spark.createDataFrame(
+                [(1, long_text, "web"), (2, long_text, "web"),
+                 (3, short_text, "web")], SCHEMA
+            ),
+            eval_docs=eval_docs, decon_threshold=0.5, **kw,
+        )
+        assert {r.doc_id for r in b_packed.collect()} == {3}
+        shutil.rmtree(TMP, ignore_errors=True)
