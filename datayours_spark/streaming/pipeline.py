@@ -703,16 +703,20 @@ class IngestPipeline:
         if contam_n == 0:
             # decontamination dropped nothing: the observed
             # post-classifier count IS the survivor count
-            n_surv = n_after_clf
+            n_surv_signal = n_after_clf
         else:
             head = surv_fp.limit(_LIT_CAP + 1).collect()
-            # any fingerprint-bearing survivor proves n_surv > 0; an
-            # empty probe under decon drops needs the exact count
+            # any fingerprint-bearing survivor proves survivors exist;
+            # an empty probe under decon drops needs the exact count
             # (zero-fingerprint survivors are invisible to surv_fp,
             # and this rare shape — every fp-bearing doc contaminated
-            # — is trickle-sized by construction)
-            n_surv = len(head) or survivors.count()
-        if n_surv == 0:
+            # — is trickle-sized by construction).  NOTE len(head) is
+            # limit-capped at _LIT_CAP + 1 — n_surv_signal is valid
+            # ONLY as a zero/nonzero signal, never as an exact
+            # survivor count (ADVICE r14; the pre-r14 stats pass WAS
+            # exact here)
+            n_surv_signal = len(head) or survivors.count()
+        if n_surv_signal == 0:
             # nothing survived the gate/classifier/decontamination
             # stages: every downstream table of this batch is provably
             # empty — commit them all as bare markers (zero Spark

@@ -602,9 +602,13 @@ def summary_verdict_literal(
         # RAISE, never lower: the session may already sit above the
         # need (datayours sessions default to 2048), and a concurrent
         # query planned mid-probe must never observe a narrower
-        # pushdown than it would without us
+        # pushdown than it would without us.  An UNSET conf means
+        # Spark's built-in default of 10 is in effect, not 0: treating
+        # it as 0 would let a tiny probe (need 2-10) momentarily set
+        # the threshold BELOW the effective default on a foreign
+        # session that never configured it (ADVICE r14)
         need = max(len(hbs), len(words)) + 1
-        have = int(old) if old is not None and str(old).isdigit() else 0
+        have = int(old) if old is not None and str(old).isdigit() else 10
         try:
             if need > have:
                 spark.conf.set(conf_key, str(need))

@@ -65,6 +65,15 @@ class TestRecompute:
         with pytest.raises(SystemExit):
             check(doctored)
 
+    def test_disjoint_base_raises_descriptive_error(self):
+        # a base file sharing zero query keys with the runs (wrong base
+        # file) must fail with a clear message, not ZeroDivisionError
+        # (ADVICE r14)
+        with pytest.raises(ValueError, match="no shared queries"):
+            recompute({"a": 1.0}, {"b": 1.0})
+        with pytest.raises(ValueError, match="no shared queries"):
+            recompute({"a": 1.0}, {"a": 0.0})  # all base values <= 0
+
     def test_committed_r13_file_reproducible(self):
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

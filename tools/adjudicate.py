@@ -23,13 +23,20 @@ same file.  Concretely:
   transform of the headline.
 
 Usage:
-  python tools/adjudicate.py OUT.json BASE.json RUN1.json [RUN2.json ...]
+  python tools/adjudicate.py OUT.json RUN1.json [RUN2.json ...] \
+      [--base BASE.json]
 
-BASE.json: a driver BENCH_r{N}.json ({"parsed": {"queries": ...}}) or a
-bench.py BENCH_LOCAL_FULL.json ({"queries": ...}).  RUN*.json: bench.py
-full outputs, optionally wrapped {"queries": ..., "probe_before": s,
-"probe_after": s}.  Query keys are matched with the ``q_`` prefix
-stripped (bench_line() convention).
+The base defaults to the repo-root ``BENCH_ANCHOR.json`` — the frozen
+probe-verified-healthy r14 run (probes 1.20/1.12 s, 176.6 s total; r14
+verdict #1) — so cross-round trend claims compare against ONE
+known-healthy host window instead of whichever driver BENCH_r{N}.json
+landed on a degraded (r13, ~1.44x) or unusually fast (r12, ~1.13-1.3x)
+host.  ``--base`` overrides it for driver-gate comparisons: a driver
+BENCH_r{N}.json ({"parsed": {"queries": ...}}) or a bench.py
+BENCH_LOCAL_FULL.json ({"queries": ...}) both parse.  RUN*.json:
+bench.py full outputs, optionally wrapped {"queries": ...,
+"probe_before": s, "probe_after": s}.  Query keys are matched with the
+``q_`` prefix stripped (bench_line() convention).
 
 ``recompute(...)`` is importable and unit-testable; ``--check FILE``
 re-derives an existing adjudication's summary stats from its own
@@ -41,6 +48,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 
 
@@ -65,6 +73,11 @@ def recompute(
         for k in sorted(per_query)
         if k in base and base[k] > 0
     }
+    if not ratios:
+        raise ValueError(
+            "no shared queries between runs and base (or all base "
+            "values <= 0) — wrong base file?"
+        )
     geo = math.exp(sum(math.log(v) for v in ratios.values()) / len(ratios))
     flags = {k: round(v, 3) for k, v in ratios.items() if v >= 1.3}
     return len(ratios), round(geo, 3), flags
@@ -141,7 +154,16 @@ def main() -> None:
         with open(args[1]) as fh:
             check(json.load(fh))
         return
-    out_path, base_path, *run_paths = args
+    if "--base" in args:
+        i = args.index("--base")
+        base_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    else:
+        base_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_ANCHOR.json",
+        )
+    out_path, *run_paths = args
     with open(base_path) as fh:
         base_doc = json.load(fh)
     run_docs = []
