@@ -4383,34 +4383,112 @@ def q_span_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantile_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of q_quantile_profile: percentile_approx
-    (t-digest-style sketch, map-side combinable, bounded state) and
-    approx_count_distinct (HLL) in place of the exact sort-based
-    percentile and two-phase distinct.  Same output shape.  No SQL oracle:
-    sketch internals are engine-specific, so the correctness artifact is
-    the bounded-error differential test against the exact path
-    (tests/test_approx_profiles.py) — exactly the guarantee the sketches
-    advertise."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
+    """The 100 TB variant of q_quantile_profile — percentile_approx
+    (GK-style sketch, map-side combinable, bounded state) and
+    approx_count_distinct (HLL, fixed 2^p registers) in place of the
+    exact sort-based percentile and two-phase distinct — composed with
+    its own tolerance-band check so the sketch's advertised error bound
+    IS the driver-checked output (r14 verdict #5).  Sketch internals
+    are engine-specific, so no SQL oracle can hash-match the raw
+    estimates; instead the query emits booleans asserting the bound
+    each sketch advertises, and the oracle recomputes the exact
+    columns plus literal TRUE flags — a sketch drifting out of band
+    hash-mismatches loudly.  Bands: the HLL estimate within 3·rsd
+    (= 0.15 at the default rsd 0.05, floored at 5 absolute for tiny
+    cardinalities where HLL++ runs exact-sparse); each
+    percentile_approx value RANK-checked — the set of sorted positions
+    the returned value occupies (it is always an actual data value,
+    bracketed by its lt/le counts) must intersect the target rank
+    q·n ± max(1.5, 0.005·n), i.e. 50× the advertised 1/accuracy =
+    1e-4 rank error plus a ±1.5 floor absorbing the q·n vs q·(n−1)+1
+    rank-convention gap.  A value-space bracket would be WRONG here:
+    exact percentiles interpolate between adjacent data values, so a
+    rank-exact sketch answer (an actual datum) can sit outside an
+    interpolated ±δ interval — rank space is where the guarantee
+    lives.  The rank check joins the tiny per-lang sketch row back
+    across the corpus (broadcast) for one extra counting pass; the
+    production shape at 100 TB is the approx-only single-pass
+    aggregate (tools/scalesmoke.py quantile_approx_tdigest measures
+    that form at 30M rows: ~55× rows/s over exact)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars"
+    )
+    ap = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.approx_count_distinct("source").alias("n_sources"),
-        F.round(F.percentile_approx("n_chars", 0.5, 10_000), 4).alias("p50_chars"),
-        F.round(F.percentile_approx("n_chars", 0.9, 10_000), 4).alias("p90_chars"),
+        F.count("n_chars").alias("_n"),
+        F.count_distinct("source").alias("n_sources"),
+        F.approx_count_distinct("source").alias("_hll"),
+        F.percentile_approx(
+            "n_chars", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10_000)
+        ).alias("_ap"),
+    )
+    ranks = (
+        docs.join(F.broadcast(ap.select("lang", "_ap")), "lang")
+        .groupBy("lang")
+        .agg(
+            *[
+                F.sum(
+                    (op(F.col("n_chars"), F.col("_ap")[i])).cast("long")
+                ).alias(name)
+                for i, qlab in ((0, "50"), (1, "90"))
+                for op, name in (
+                    ((lambda c, v: c < v), f"_lt{qlab}"),
+                    ((lambda c, v: c <= v), f"_le{qlab}"),
+                )
+            ]
+        )
+    )
+
+    def rank_band(lt: str, le: str, q: float):
+        target = F.col("_n") * F.lit(q)
+        slack = F.greatest(F.lit(1.5), F.col("_n") * F.lit(0.005))
+        return ((F.col(lt) + 1) <= (target + slack)) & (
+            F.col(le) >= (target - slack)
+        )
+
+    hll_band = F.greatest(F.lit(5.0), F.lit(0.15) * F.col("n_sources"))
+    return ap.join(ranks, "lang").select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        (F.abs(F.col("_hll") - F.col("n_sources")) <= hll_band).alias(
+            "sources_in_band"
+        ),
+        rank_band("_lt50", "_le50", 0.5).alias("p50_in_band"),
+        rank_band("_lt90", "_le90", 0.9).alias("p90_in_band"),
     )
 
 
 def q_daily_active_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of q_daily_active: approx_count_distinct (HLL,
-    fixed 2^p registers per group) keeps the shuffle row-width flat where
-    exact distinct widens partial state with the user-id universe.  Same
-    output shape; correctness artifact = the bounded-error differential
-    test (tests/test_approx_profiles.py), not a SQL oracle."""
+    """The 100 TB variant of q_daily_active — approx_count_distinct
+    (HLL, fixed 2^p registers per group) keeps the shuffle row-width
+    flat where exact distinct widens partial state with the user-id
+    universe — composed with its own tolerance-band check so the HLL's
+    advertised error bound IS the driver-checked output (r14 verdict
+    #5): one groupBy computes the HLL estimate and the exact distinct
+    side by side and emits a boolean asserting |hll − exact| ≤
+    max(5, 3·rsd·exact) (rsd 0.05 default; absolute floor covers the
+    exact-sparse small-cardinality regime).  The oracle recomputes the
+    exact columns and a literal TRUE — an out-of-band estimate
+    hash-mismatches loudly.  The production shape at 100 TB is the
+    approx-only aggregate (tools/scalesmoke.py
+    daily_active_hll_hi_card measures it at 30M rows / 10M-user
+    cardinality: ~4× over exact)."""
     events = load_table(spark, sf_dir, "events")
     day = (F.col("ts_sec") - F.col("ts_sec") % 86_400).alias("day_sec")
-    return events.groupBy(day).agg(
-        F.approx_count_distinct("user_id").alias("n_users"),
+    g = events.groupBy(day).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("_hll"),
         F.count("*").alias("n_events"),
+    )
+    band = F.greatest(F.lit(5.0), F.lit(0.15) * F.col("n_users"))
+    return g.select(
+        "day_sec",
+        "n_users",
+        "n_events",
+        (F.abs(F.col("_hll") - F.col("n_users")) <= band).alias(
+            "users_in_band"
+        ),
     )
 
 
@@ -4879,10 +4957,13 @@ FAMILIES: dict[str, list[str]] = {
 }
 
 
-#: Registry entries with no ANSI-SQL oracle (approximate sketches whose
-#: outputs are estimator-specific, checked rows-only by the driver) —
-#: they must never occupy a driver-window slot.
-NO_ORACLE_QUERIES = ("q_quantile_profile_approx", "q_daily_active_approx")
+#: Registry entries with no ANSI-SQL oracle (checked rows-only by the
+#: driver) — they must never occupy a driver-window slot.  EMPTY since
+#: r15: the two approx-sketch entries became driver-checkable by
+#: emitting their tolerance-band verdicts as boolean columns the oracle
+#: asserts TRUE (r14 verdict #5), so every registry entry now carries a
+#: full value-hash oracle.
+NO_ORACLE_QUERIES: tuple[str, ...] = ()
 
 
 def _green_history() -> tuple[dict[str, int], int]:
@@ -7740,6 +7821,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT ts_sec - ts_sec % 86400 AS day_sec,
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
+            FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
+            GROUP BY 1
+        """,
+        # the approx entries' oracles recompute the EXACT reference
+        # columns and assert the sketch-error band columns TRUE — the
+        # sketches themselves are engine-specific, but their advertised
+        # error bound is the Spark side's emitted verdict, so an
+        # out-of-band estimate hash-mismatches here (r14 verdict #5)
+        "q_quantile_profile_approx": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   TRUE AS sources_in_band,
+                   TRUE AS p50_in_band,
+                   TRUE AS p90_in_band
+            FROM documents GROUP BY lang
+        """,
+        "q_daily_active_approx": """
+            SELECT ts_sec - ts_sec % 86400 AS day_sec,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events,
+                   TRUE AS users_in_band
             FROM (SELECT epoch_us(ts) // 1000000 AS ts_sec, user_id FROM events) e
             GROUP BY 1
         """,
