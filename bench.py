@@ -245,28 +245,60 @@ def _cpu_probe_sec() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+#: queries per session in --fresh-session-per-group mode (below)
+GROUP_SIZE = 12
+
+
 def main() -> None:
+    # --fresh-session-per-group (r14 verdict #4): stateful/streaming
+    # queries drift within ONE long bench session (streaming_rollup
+    # 3.2 -> 4.4 s across a session-history-heavy run vs 2.56-2.8 s
+    # isolated — state-store/GC accumulation in the harness, not the
+    # operator).  This mode stops and recreates the SparkSession every
+    # GROUP_SIZE queries (fresh SparkEnv, fresh state-store providers;
+    # warm-ups re-run per session and stay unbilled), so each group is
+    # measured near the isolated-repeat regime.  The DEFAULT stays one
+    # session: it is what the driver runs (plain `python bench.py`),
+    # what every BENCH_r{N}.json was recorded under, and the stdout
+    # line contract is identical in both modes.  Fresh-mode full
+    # output lands in BENCH_LOCAL_FULL_FRESH.json so a measurement run
+    # never clobbers the round's committed single-session capture;
+    # the back-to-back delta is documented in README "Measured
+    # context".
+    fresh_per_group = "--fresh-session-per-group" in sys.argv[1:]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     probe_before = _cpu_probe_sec()
-    spark = get_spark("datayours-bench")
     registry = entrymod.queries()
 
-    # warm-up: touch the big tables so JVM/codegen startup isn't billed
-    # to the first query
-    registry["q_tally_minmax"](spark, SF_DIR).count()
-    registry["q_text_stats"](spark, SF_DIR).count()
-    _warm_streaming(spark)
-    _warm_arrow(spark)
-
+    groups = (
+        [
+            BENCH_QUERIES[i : i + GROUP_SIZE]
+            for i in range(0, len(BENCH_QUERIES), GROUP_SIZE)
+        ]
+        if fresh_per_group
+        else [BENCH_QUERIES]
+    )
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # noop sink: computes EVERY output column distributed (a bare
-        # .count() would let Catalyst prune the computed projections)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    spark = None
+    for group in groups:
+        spark = get_spark("datayours-bench")
+        # warm-up: touch the big tables so JVM/codegen startup isn't
+        # billed to the first query (re-run per session in fresh mode)
+        registry["q_tally_minmax"](spark, SF_DIR).count()
+        registry["q_text_stats"](spark, SF_DIR).count()
+        _warm_streaming(spark)
+        _warm_arrow(spark)
+        for name in group:
+            fn = registry[name]
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # noop sink: computes EVERY output column distributed (a
+            # bare .count() would let Catalyst prune the computed
+            # projections)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        if fresh_per_group:
+            spark.stop()
     total = round(sum(timings.values()), 3)
     probe_after = _cpu_probe_sec()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -274,14 +306,24 @@ def main() -> None:
     # at 4 chars of worst-case headroom, so the probes ride ONLY here —
     # this file is committed every round and is what adjudications and
     # the judge read for host context)
+    full_name = (
+        "BENCH_LOCAL_FULL_FRESH.json"
+        if fresh_per_group
+        else "BENCH_LOCAL_FULL.json"
+    )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL_FULL.json"), "w"
+                     full_name), "w"
     ) as fh:
         json.dump(
             {"metric": "datayours bench", "value": total, "unit": "sec",
              "queries": timings, "sf": sf_val,
-             "probe_before": probe_before, "probe_after": probe_after},
+             "probe_before": probe_before, "probe_after": probe_after,
+             "session_mode": (
+                 f"fresh_per_group_{GROUP_SIZE}"
+                 if fresh_per_group
+                 else "single_session"
+             )},
             fh,
         )
     # stop FIRST so no shutdown log lands after the JSON line, then print

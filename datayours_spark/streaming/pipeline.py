@@ -76,6 +76,7 @@ from datayours_spark.streaming.winnowstream import (
     rebuild_index_summary,
     standing_index_view,
     bulk_probe_wanted,
+    point_probe_wanted,
     summary_hit_buckets,
     summary_verdict_literal,
     validate_summary_prune,
@@ -477,15 +478,14 @@ class IngestPipeline:
     #: fully-fresh trickle drops the compacted posting scan from its
     #: pair plan entirely, r12 verdict #3).  Wins on mostly-fresh
     #: traffic; degrades to the unpruned scan when batches re-hit
-    #: existing content.  ``"auto"`` maintains the summary, probes
-    #: literal-mode batches always, and gates the distributed bulk
-    #: probe on the index being large enough to win
-    #: (`winnowstream.bulk_probe_wanted`, the measured crossover) —
-    #: the DEFAULT since r14 (the point probe is corpus-size-
-    #: independent and the bulk probe self-gates, so "auto" never pays
-    #: the one measured net-loss configuration; pass False to skip
-    #: summary maintenance entirely).  Winnowstream module header has
-    #: the full argument.
+    #: existing content.  ``"auto"`` maintains the summary and gates
+    #: BOTH probes on the index being large enough to win
+    #: (`winnowstream.bulk_probe_wanted` / `point_probe_wanted`, the
+    #: measured crossovers — the point probe's cost is corpus-size-
+    #: independent but its savings are index-sized, r14 verdict #6) —
+    #: the DEFAULT since r14 ("auto" never pays a measured net-loss
+    #: configuration; pass False to skip summary maintenance
+    #: entirely).  Winnowstream module header has the full argument.
     summary_prune: bool | str = "auto"
     #: fold the per-batch store dirs every N batches (store.BatchStore)
     compact_every: int | None = 64
@@ -801,12 +801,17 @@ class IngestPipeline:
                 # one pushdown-pruned summary scan, per-h verdicts
                 # (r12 verdict #3).  A fully-fresh trickle gets
                 # comp_h == [] and the compacted posting scan drops
-                # out of the pair plan entirely.
-                v = summary_verdict_literal(
-                    self.store, h_lit, self.index_buckets
-                )
-                if v is not None:
-                    comp_h, hit_bks = v
+                # out of the pair plan entirely.  Under "auto" it
+                # engages only once the index is large enough for the
+                # pruned scan to beat the probe's ~2 s/trigger cost
+                # (winnowstream.AUTO_POINT_MIN_M_P — r14 verdict #6;
+                # skipping never changes outputs, only the plan prune)
+                if point_probe_wanted(self.store, self.summary_prune):
+                    v = summary_verdict_literal(
+                        self.store, h_lit, self.index_buckets
+                    )
+                    if v is not None:
+                        comp_h, hit_bks = v
             elif bulk_probe_wanted(self.store, self.summary_prune):
                 # BULK batch: the distributed probe join — which
                 # compacted buckets can h-match this batch at all.

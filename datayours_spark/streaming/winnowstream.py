@@ -651,8 +651,9 @@ def summary_verdict_literal(
 # still loses).  m_p is a pure function of the index's
 # distinct-fingerprint count (summary_m_p), so this is an index-size
 # dial, readable from the memoized summary header with no extra job.
-# Literal-mode point probes are NOT gated by it: their cost is
-# corpus-size-independent.
+# Literal-mode point probes have their own gate (AUTO_POINT_MIN_M_P
+# below — r14 verdict #6): their COST is corpus-size-independent, but
+# their SAVINGS are index-sized, so small indexes lose there too.
 AUTO_BULK_MIN_M_P = 900_000
 
 
@@ -670,6 +671,44 @@ def bulk_probe_wanted(store: BatchStore, summary_prune) -> bool:
         return False
     head = _summary_relation(store)
     return head is not None and head[1] >= AUTO_BULK_MIN_M_P
+
+
+# the auto-policy gate for the LITERAL point probe (r14 verdict #6).
+# The probe's cost is corpus-size-independent (one pushdown-pruned
+# summary scan, ~1-2 s/trigger on this box), but what it SAVES — the
+# compacted posting scan it can drop from a fresh trickle's pair plan —
+# grows with the index, so against a small index the probe can only
+# lose.  Measured (fresh 50-doc trickles, probe-stamped):
+#   m_p   654,633 (5M docs):  11.1 s probed vs 9.2 s unprobed —
+#                             ~2 s/trigger net loss (r14 smoke);
+#   m_p ~1.16M    (15M docs): net WIN (r13/r14 decade smokes — 8.9 s
+#                             fresh trickle WITH the probe; without it
+#                             the pair plan re-acquires the
+#                             index-sized compacted posting scan).
+# Same loss/win bracket as the bulk probe's, so the same geometric
+# midpoint (√(654,633 × 1.16M) ≈ 871k, rounded).  Below the gate the
+# unprobed posting path is already cheap; above it the probe pays for
+# itself every trigger.  summary_prune=True keeps the probe
+# unconditional (the maintainer asked for it); skipping the probe
+# never changes outputs — comp_h stays None and the pair join reads
+# the full posting path (byte-identical-pairs tests pin this).
+AUTO_POINT_MIN_M_P = 900_000
+
+
+def point_probe_wanted(store: BatchStore, summary_prune) -> bool:
+    """Whether a literal-mode batch should run the driver-side point
+    probe (:func:`summary_verdict_literal`), mirroring
+    :func:`bulk_probe_wanted`: True always probes, ``"auto"`` probes
+    only when the summary header's per-plane width says the standing
+    index is large enough for the probe to beat the posting scan it
+    prunes (``AUTO_POINT_MIN_M_P``), False never does.  The header
+    read is memoized, so the auto check costs no per-batch job."""
+    if summary_prune is True:
+        return True
+    if summary_prune != "auto":
+        return False
+    head = _summary_relation(store)
+    return head is not None and head[1] >= AUTO_POINT_MIN_M_P
 
 
 def summary_hit_buckets(
@@ -875,15 +914,16 @@ class WinnowStream:
     #: fully-fresh trickle drops the compacted posting scan from its
     #: pair plan entirely (r12 verdict #3).  Plus a summary rebuild
     #: per compaction (linear, r13).  ``"auto"`` maintains the summary
-    #: and probes literal-mode batches always (corpus-size-independent
-    #: cost) but gates the distributed bulk probe on the index being
-    #: large enough to win (:func:`bulk_probe_wanted` — the measured
-    #: 1.5M-loss/15M-win crossover); the DEFAULT since r14 (the point
-    #: probe is corpus-size-independent and the bulk probe self-gates,
-    #: so "auto" never pays the one measured net-loss configuration;
-    #: pass False to skip summary maintenance entirely, e.g. for
-    #: short-lived stores that never compact).  Module header has the
-    #: full argument.
+    #: and gates BOTH probes on the index being large enough to win:
+    #: the distributed bulk probe via :func:`bulk_probe_wanted`
+    #: (``AUTO_BULK_MIN_M_P``) and, since r15, the literal point probe
+    #: via :func:`point_probe_wanted` (``AUTO_POINT_MIN_M_P`` — the
+    #: probe's cost is corpus-size-independent but its savings are
+    #: index-sized, so a small index pays ~2 s/trigger for nothing,
+    #: r14 verdict #6); the DEFAULT since r14 ("auto" never pays a
+    #: measured net-loss configuration; pass False to skip summary
+    #: maintenance entirely, e.g. for short-lived stores that never
+    #: compact).  Module header has the full argument.
     summary_prune: bool | str = "auto"
     _store: BatchStore = field(default=None, repr=False)
     _fmt_checked: bool = field(default=False, repr=False)
@@ -993,12 +1033,17 @@ class WinnowStream:
                 # one pushdown-pruned summary scan, per-h verdicts
                 # (r12 verdict #3).  A fully-fresh trickle gets
                 # comp_h == [] and the compacted posting scan drops
-                # out of the pair plan entirely.
-                v = summary_verdict_literal(
-                    self.store, h_lit, self.index_buckets
-                )
-                if v is not None:
-                    comp_h, hit_bks = v
+                # out of the pair plan entirely.  Under "auto" it
+                # engages only once the index is large enough for the
+                # pruned scan to beat the probe's ~2 s/trigger cost
+                # (AUTO_POINT_MIN_M_P — r14 verdict #6; skipping never
+                # changes outputs, only the pair plan's prune)
+                if point_probe_wanted(self.store, self.summary_prune):
+                    v = summary_verdict_literal(
+                        self.store, h_lit, self.index_buckets
+                    )
+                    if v is not None:
+                        comp_h, hit_bks = v
             elif bulk_probe_wanted(self.store, self.summary_prune):
                 # BULK batch: the distributed probe join — which
                 # compacted buckets can h-match this batch at all (the

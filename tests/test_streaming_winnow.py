@@ -707,12 +707,13 @@ class TestBloomSummaryPrune:
     def test_auto_policy_gates_bulk_probe_by_index_size(
         self, spark, monkeypatch
     ):
-        """summary_prune="auto" (r13): the summary is maintained and
-        literal-mode batches always get the point probe, but the
-        DISTRIBUTED bulk probe engages only once the summary header's
-        per-plane width says the index is past the measured
-        cost-crossover — and pair output is identical to both fixed
-        modes (the policy only toggles exact rewrites)."""
+        """summary_prune="auto" (r13, point gate added r15): the
+        summary is maintained, and BOTH probes engage only once the
+        summary header's per-plane width says the index is past their
+        measured cost-crossovers (the point probe's cost is
+        corpus-size-independent but its savings are index-sized, r14
+        verdict #6) — and pair output is identical to both fixed modes
+        (the policy only toggles exact rewrites)."""
         import datayours_spark.streaming.winnowstream as wsmod
 
         schema = "doc_id bigint, text string"
@@ -730,14 +731,19 @@ class TestBloomSummaryPrune:
             if prune == "auto":
                 # the summary IS maintained under auto (truthy flag)
                 assert wsmod._summary_relation(ws.store) is not None
-                # tiny store: bulk probe not wanted under auto, wanted
-                # under True, never under False
-                assert wsmod.bulk_probe_wanted(ws.store, "auto") is False
-                assert wsmod.bulk_probe_wanted(ws.store, True) is True
-                assert wsmod.bulk_probe_wanted(ws.store, False) is False
-                # past the crossover the auto gate opens
+                # tiny store: neither probe wanted under auto, both
+                # wanted under True, never under False
+                for wanted in (
+                    wsmod.bulk_probe_wanted, wsmod.point_probe_wanted
+                ):
+                    assert wanted(ws.store, "auto") is False
+                    assert wanted(ws.store, True) is True
+                    assert wanted(ws.store, False) is False
+                # past the crossovers the auto gates open
                 monkeypatch.setattr(wsmod, "AUTO_BULK_MIN_M_P", 1)
+                monkeypatch.setattr(wsmod, "AUTO_POINT_MIN_M_P", 1)
                 assert wsmod.bulk_probe_wanted(ws.store, "auto") is True
+                assert wsmod.point_probe_wanted(ws.store, "auto") is True
             shutil.rmtree(TMP / f"bloomauto{prune}", ignore_errors=True)
         assert got["auto"] == got[False]
         assert any(50 in (a, b) for a, b, *_ in got["auto"])

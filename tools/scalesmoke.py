@@ -54,6 +54,17 @@ def cpu_probe_sec() -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def smoke_prune_policy():
+    """``summary_prune`` for the pipeline smokes from $SMOKE_PRUNE:
+    "1" (default) -> True (both summary probes unconditional), "0" ->
+    False (no summary), "auto" -> the production-default policy (both
+    probes gated on the measured m_p crossovers,
+    winnowstream.AUTO_BULK_MIN_M_P / AUTO_POINT_MIN_M_P — r14 verdict
+    #6)."""
+    v = os.environ.get("SMOKE_PRUNE", "1")
+    return "auto" if v == "auto" else v == "1"
+
+
 def synthetic_documents(spark, n_docs: int, boilerplate_pct: int = 0):
     """(doc_id, text) with 50 pseudo-random tokens per doc, fully
     column-expression generated (never collected).  Docs with id % 10 in
@@ -2276,7 +2287,7 @@ def smoke_pipeline() -> None:
         # bloom bucket pruning of the compacted index (SMOKE_PRUNE=0
         # to measure the unpruned baseline); the summary rebuild runs
         # inside the compaction wall and is timed separately below
-        summary_prune=os.environ.get("SMOKE_PRUNE", "1") == "1",
+        summary_prune=smoke_prune_policy(),
     )
     corpus = _with_gate_cols(
         synthetic_documents(spark, n_docs), fail_mod=97
@@ -2611,7 +2622,7 @@ def smoke_pipeline_scale() -> None:
         decon_threshold=0.8,
         index_buckets=256,
         compact_every=None,
-        summary_prune=os.environ.get("SMOKE_PRUNE", "1") == "1",
+        summary_prune=smoke_prune_policy(),
     )
     out: dict[str, dict] = {}
 
