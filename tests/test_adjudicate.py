@@ -81,3 +81,23 @@ class TestRecompute:
         )
         with open(path) as fh:
             check(json.load(fh))
+
+    def test_anchor_is_verbatim_r14_run3(self):
+        """BENCH_ANCHOR.json (r14 verdict #1) must stay the verbatim
+        probe-verified-healthy run it froze: run 3 (index 2) of the r14
+        adjudication, probes 1.20/1.12, total 176.6 s — an anchor that
+        silently drifted from its provenance would invalidate every
+        cross-round trend claim made against it."""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "BENCH_ANCHOR.json")) as fh:
+            anchor = json.load(fh)
+        with open(
+            os.path.join(repo, "BENCH_ADJUDICATION_r14.json")
+        ) as fh:
+            run3 = json.load(fh)["runs"][2]
+        assert anchor["queries"] == run3["queries"]
+        assert anchor["probe_before"] == run3["probe_before_sec"] == 1.2
+        assert anchor["probe_after"] == run3["probe_after_sec"] == 1.12
+        assert anchor["value"] == run3["total_sec"] == 176.6
+        # and it parses as an adjudication base with the full query set
+        assert len(_queries(anchor)) == len(run3["queries"])
