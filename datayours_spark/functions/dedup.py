@@ -1257,7 +1257,15 @@ def winnow_fingerprints(
     fingerprints.  Output is bounded at ~2/(w+1) of the k-gram count per
     doc (the winnowing density bound), so the fingerprint table is a
     corpus-linear, several-fold-compressed index."""
-    t = F.split(text_col, " ")
+    # The token array is BOUND in its own projection before the k-gram
+    # lambda references it (r15): a lambda body that embeds the
+    # ``split`` expression itself re-evaluates the split once per
+    # ARRAY ELEMENT (O(tokens²) per doc — measured 5.7× on the sibling
+    # n-gram generator at sf0.1); a bound attribute is computed once
+    # per row.  Two references (the size guard + the lambda) keep
+    # CollapseProject from inlining the split back into the lambda.
+    docs = docs.select(F.col(id_col), F.split(text_col, " ").alias("_t"))
+    t = F.col("_t")
     m = F.size(t) - (k - 1)
     gram_idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
         F.array().cast("array<int>")
@@ -1980,6 +1988,12 @@ def winnow_decontaminate(
     # build-once contract the ``fingerprints`` param gives the doc
     # side.  Expected columns: (eval_id, h); normalized defensively
     # like the doc side.
+    # The internally-derived eval fingerprint table feeds TWO plan
+    # branches (the posting join and the eval-denominator count), which
+    # would re-scan + re-fingerprint the eval docs per branch; it is
+    # model-state sized (eval sets are MBs at 100 TB), so materialize
+    # it once (r15).  Standing callers that pass ``eval_fingerprints``
+    # keep their own build-once discipline untouched.
     eval_fp = (
         eval_fingerprints.select("eval_id", "h").distinct()
         if eval_fingerprints is not None
@@ -1989,6 +2003,7 @@ def winnow_decontaminate(
         )
         .select(F.col("doc_id").alias("eval_id"), "h")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     shared = (
         doc_fp.join(F.broadcast(eval_fp), "h")

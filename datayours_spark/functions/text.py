@@ -536,13 +536,21 @@ def dup_ngram_stats(
     guarded sequence+transform — no self-join), one (doc_id, ngram)
     count aggregation, one per-doc rollup; both aggregations map-side
     combine and share the doc_id-prefixed key."""
-    t = F.split(text_col, " ")
+    # Bind the token array before the n-gram lambda references it
+    # (r15): embedding the ``split`` expression in the lambda body
+    # re-evaluates it once per n-gram — O(tokens²) per doc, measured
+    # 3.1 s vs 0.54 s for this generator at sf0.1.  Multiple references
+    # (_n, starts, the lambda) keep CollapseProject from inlining it.
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("_t")
+    )
+    t = F.col("_t")
     starts = F.when(
         F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
+    base = toks.select(
+        "doc_id",
         F.size(t).alias("_n"),
         F.explode(grams).alias("ng"),
     )
@@ -935,6 +943,49 @@ def quality_classifier(
 BPE_EOW = "</w>"
 
 
+#: vocabulary-size gate for the driver-side BPE rounds: at or below
+#: this many distinct words the whole word-frequency table is collected
+#: once (≤ a few MB of strings) and the merge rounds run in Python; above
+#: it the rounds stay distributed.  The merge table itself is model
+#: state either way — this only moves WHERE the bounded per-round
+#: arithmetic happens, exactly like TRAINING_CODEGEN_MIN_ROWS moves
+#: codegen, never what is computed.
+BPE_DRIVER_MAX_VOCAB = 65_536
+
+
+def _bpe_merges_rounds_py(
+    vocab: list[tuple[int, str]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side replay of the distributed merge rounds below —
+    operation-for-operation identical: symbols are the double-spaced
+    string split on two spaces (after trim), pair counts are
+    freq-weighted adjacent occurrences, the winner is (freq DESC, left
+    ASC, right ASC), and the merge is the literal non-overlapping
+    left-to-right ``" a  b " -> " ab "`` string replace (Python
+    ``str.replace`` and Spark/DuckDB ``replace`` share exactly those
+    semantics)."""
+    entries = [(freq, s) for freq, s in vocab]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, s in entries:
+            syms = s.strip().split("  ")
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((a, b, int(cnt)))
+        entries = [
+            (freq, s.replace(f" {a}  {b} ", f" {a}{b} "))
+            for freq, s in entries
+        ]
+    return merges
+
+
 def _bpe_spaced(chars_col):
     """Encode a symbol array as the DOUBLE-SPACED string ``' a  b  c '``
     (two spaces between symbols, one at each end).  Replacing the
@@ -991,7 +1042,24 @@ def bpe_merges(
         _bpe_spaced(
             F.concat(chars, F.array(F.lit(BPE_EOW)))
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    )
+    # r15: the rounds only ever touch the word-frequency table (the
+    # standard BPE reduction) — when that table is model-state sized,
+    # run them DRIVER-SIDE on one collected copy instead of paying
+    # n_merges Spark jobs over a KB-scale relation (measured ~2.5 s of
+    # pure job/plan overhead per induction at sf0.1, ×3 BPE queries).
+    # The cap-bounded `limit(cap+1).collect()` probe is the r14
+    # stats-floor discipline: ≤ cap rows means we hold the WHOLE vocab
+    # and the Python replay is exact (same integer counts, same
+    # string-replace merge semantics, same freq-desc/lex tie-break —
+    # UTF-8 binary order equals code-point order); cap+1 rows means a
+    # big vocabulary, and the distributed rounds below run unchanged.
+    head = vocab.limit(BPE_DRIVER_MAX_VOCAB + 1).collect()
+    if len(head) <= BPE_DRIVER_MAX_VOCAB:
+        return _bpe_merges_rounds_py(
+            [(int(r["freq"]), r["s"]) for r in head], n_merges
+        )
+    vocab = vocab.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
     for r in range(n_merges):

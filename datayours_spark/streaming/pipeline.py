@@ -372,18 +372,36 @@ def ingest_pipeline_batch(
         scores = docs.sparkSession.createDataFrame([], SCORES_SCHEMA)
     # ONE fingerprint pass feeds both the decontamination and the
     # near-dup stages (the naive fingerprint-per-stage formulation
-    # measured ~3x the ingest wall at the 1.5M smoke)
+    # measured ~3x the ingest wall at the 1.5M smoke).  The batch
+    # composition is consumed by ONE action, so the shared relations
+    # are materialized EAGERLY (r15): without the checkpoint every
+    # consumer branch of the single plan re-runs the gate + fingerprint
+    # generator over the corpus (the r15-open q_ingest_pipeline plan
+    # carried 4 full documents scans, q_pipeline_payload 9) — the
+    # streaming path has always checkpointed the same relations
+    # (lazily, because a trigger runs several actions).  The
+    # fingerprint table is the corpus-linear ~2/(w+1)-compressed index,
+    # orders of magnitude narrower than the text it summarizes, so
+    # materializing it once beats re-deriving it per branch at any
+    # scale.
     surv_fp = (
         winnow_fingerprints(survivors, k=k, w=w)
         .select("doc_id", "h")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if eval_docs is not None:
         contamination = winnow_decontaminate(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
             fingerprints=surv_fp, fingerprints_distinct=True,
         )
-        drops0 = contamination.select("doc_id").distinct()
+        # the contaminated-id set is eval-bounded (tiny); checkpointing
+        # it collapses the decon subtree that otherwise re-runs under
+        # BOTH the survivor and the fingerprint anti-joins
+        drops0 = (
+            contamination.select("doc_id").distinct()
+            .localCheckpoint(eager=True)
+        )
         survivors = survivors.join(drops0, "doc_id", "left_anti")
         surv_fp = surv_fp.join(drops0, "doc_id", "left_anti")
     else:
@@ -396,16 +414,28 @@ def ingest_pipeline_batch(
     )
     # the drop set can be corpus-scale on a duplicate-heavy crawl, so
     # the anti-join hash-shuffles instead of broadcasting or sorting
-    # the survivor scan (the edit_verified_pairs precedent)
-    kept = survivors.join(
+    # the survivor scan (the edit_verified_pairs precedent).  It is
+    # checkpointed (ids only, no text) so the posting join behind it
+    # runs once even when ``kept`` feeds both the manifest and the
+    # payload segments.
+    drops2 = (
         pairs.select(F.col("id2").alias("doc_id"))
         .distinct()
-        .hint("shuffle_hash"),
+        .localCheckpoint(eager=True)
+    )
+    kept = survivors.join(
+        drops2.hint("shuffle_hash"),
         "doc_id",
         "left_anti",
     )
     packed = _pack_manifest(kept, shards, capacity)
     if vocab is not None:
+        # the manifest is the narrow (doc_id, shard, n_tokens, offset,
+        # chunk-range) decision table — guide-§8 discipline: materialize
+        # the small plan once, re-scan the heavy text exactly once for
+        # the token stream instead of re-deriving kept + its window per
+        # payload branch
+        packed = packed.localCheckpoint(eager=True)
         payload = merge_payload_segments(
             _payload_segments(kept, packed, vocab, capacity)
             .withColumn("batch", F.lit(0))

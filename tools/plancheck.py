@@ -723,9 +723,17 @@ def main() -> None:
         "pipeline payload broadcasts the vocab into the id stream",
         "BroadcastHashJoin" in plan,
     )
+    # r15: the pack manifest is localCheckpoint-ed inside
+    # ingest_pipeline_batch (narrow decision table, computed once for
+    # the manifest + payload branches instead of twice), so the
+    # shard-partitioned pack window no longer appears in THIS plan —
+    # it is pinned above on q_ingest_pipeline, which shares the
+    # composition.  Here we pin what remains protective: the manifest
+    # enters via the checkpointed scan and no window in the payload
+    # stage has an empty partitionSpec.
     check(
-        "pipeline payload pack window partitions by shard",
-        bool(re.search(r"windowspecdefinition\(shard", plan))
+        "pipeline payload reads the checkpointed pack manifest",
+        "Scan ExistingRDD" in plan
         and not re.search(r"windowspecdefinition\(\s*\)", plan),
     )
     # quality classifier (r10): the weight table broadcasts (model
