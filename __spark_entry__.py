@@ -2918,12 +2918,21 @@ def q_bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose OUTPUT is model-state sized (distinct chars + merge budget),
     so its global rank window is bounded; ids come from a broadcast
     join of that vocabulary back onto the segment stream."""
-    from datayours_spark.functions.text import bpe_merges, bpe_segment
+    from datayours_spark.functions.text import (
+        bpe_merges,
+        bpe_segment,
+        bpe_sym_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_merges(docs, n_merges=BPE_MERGE_BUDGET)
     seg = bpe_segment(docs, merges)
-    counts = seg.groupBy("sym").agg(F.count("*").alias("n"))
+    # r15: symbol counts come from the word-frequency table (segmentation
+    # is word-determined, so Σ freq × per-word multiplicity is integer-
+    # exact equal to counting the corpus segment stream) — the merge-
+    # chain projection now runs ONCE over the token occurrences (the id
+    # join below) instead of twice; hash-verified against the oracle
+    counts = bpe_sym_counts(docs, merges)
     # the counts relation is vocab-sized (≤ distinct chars + merges):
     # a global rank window over it is bounded model state, not a
     # corpus sort
@@ -4248,17 +4257,29 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import token_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    _t = F.col("_toks")
     eval_sh = (
         docs.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0)
-        .select(F.explode(token_shingles("text", CONTAM_SHINGLE_N)).alias("shingle"))
+        .select(F.split("text", " ").alias("_toks"))
+        .select(
+            F.explode(
+                token_shingles("text", CONTAM_SHINGLE_N, tokens=_t)
+            ).alias("shingle")
+        )
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = docs.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
-        "doc_id",
-        F.explode(F.array_distinct(token_shingles("text", CONTAM_SHINGLE_N))).alias(
-            "shingle"
-        ),
+    corpus = (
+        docs.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0)
+        .select("doc_id", F.split("text", " ").alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    token_shingles("text", CONTAM_SHINGLE_N, tokens=_t)
+                )
+            ).alias("shingle"),
+        )
     )
     return (
         corpus.join(F.broadcast(eval_sh), "shingle", "left")
@@ -4857,7 +4878,12 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "lang", F.explode(token_shingles("text", 3)).alias("ngram")
+        "lang", F.split("text", " ").alias("_toks")
+    ).select(
+        "lang",
+        F.explode(token_shingles("text", 3, tokens=F.col("_toks"))).alias(
+            "ngram"
+        ),
     )
     cnt = grams.groupBy("lang", "ngram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "ngram")

@@ -58,7 +58,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def token_shingles(text_col: str, n: int = 3) -> Column:
+def token_shingles(
+    text_col: str, n: int = 3, tokens: Column | None = None
+) -> Column:
     """Token n-gram shingle array ("t1 t2 t3" strings) from a text column.
 
     Built as a zip_with chain over n shifted slices of the token array —
@@ -66,8 +68,13 @@ def token_shingles(text_col: str, n: int = 3) -> Column:
     the per-element work must be a cheap concat; the earlier
     ``transform(idx, i -> concat_ws(slice(toks, i, n)))`` formulation
     allocated an array per shingle and measured ~3× slower.
+
+    ``tokens``: pass an already-BOUND token-array column (from a prior
+    projection) to stop the ``split`` appearing once per slice/size
+    reference of this expression (~5 evaluations per row otherwise —
+    r15); semantics identical.
     """
-    toks = F.split(text_col, " ")
+    toks = tokens if tokens is not None else F.split(text_col, " ")
     sz = F.size(toks)
     m = sz - (n - 1)  # shingle count when sz >= n
     chain = F.slice(toks, 1, m)
@@ -107,7 +114,14 @@ def minhash_signatures(
     """
     hashed = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias("shingle"),
+        F.split(text_col, " ").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                token_shingles(text_col, shingle_n, tokens=F.col("_toks"))
+            )
+        ).alias("shingle"),
     ).select("doc_id", md5_int32(F.col("shingle")).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
@@ -788,7 +802,12 @@ def shingle_postings(
     """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(token_shingles(text_col, k)).alias("off", "shingle"),
+        F.split(text_col, " ").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            token_shingles(text_col, k, tokens=F.col("_toks"))
+        ).alias("off", "shingle"),
     ).select("doc_id", "off", md5_int60(F.col("shingle")).alias("h"))
 
 
@@ -1082,10 +1101,18 @@ def ngram_jaccard_pairs(
     span-level dedup (:func:`repeated_spans`) first, not a bigger join.
     """
     b = list(bucket_cols)
+    # bind the token array first so the shingle chain's ~5 references
+    # to it share one split per row (r15)
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in b],
-        F.array_distinct(token_shingles(text_col, n)).alias("sh"),
+        F.split(text_col, " ").alias("_toks"),
+    ).select(
+        "doc_id",
+        *b,
+        F.array_distinct(
+            token_shingles(text_col, n, tokens=F.col("_toks"))
+        ).alias("sh"),
     ).select("doc_id", *b, "sh", F.size("sh").alias("n_sh"))
     ex = sets.select("doc_id", *b, "n_sh", F.explode("sh").alias("s"))
 
@@ -1903,8 +1930,11 @@ def ngram_novelty(
     deterministic on any engine and any partitioning."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.split(text_col, " ").alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(
-            F.array_distinct(token_shingles(text_col, n))
+            F.array_distinct(token_shingles(text_col, n, tokens=F.col("_toks")))
         ).alias("shingle"),
     )
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))

@@ -612,7 +612,20 @@ def gopher_rules(
     all rules (n_words = 0), never crashes: the ratio denominators are
     double-typed, so the degenerate 0/0 is an IEEE NaN — whose every
     comparison is false — not an ANSI DIVIDE_BY_ZERO."""
-    t = F.split(text_col, " ")
+    # r15: the token and line arrays are BOUND in their own projection —
+    # the rules reference the token array ~11 times (size, char fold,
+    # alpha filter, 8 stop-word membership tests) and the line array 3
+    # times; as inline expressions each reference re-runs the split per
+    # row.  The bound form computes each split once per row; the many
+    # references keep CollapseProject from re-inlining them.  (The
+    # composed pipeline's gate FILTER still inlines via predicate
+    # pushdown into the scan — that path is unchanged by construction.)
+    docs = docs.select(
+        "*",
+        F.split(text_col, " ").alias("_gopher_toks"),
+        F.split(text_col, "\n").alias("_gopher_lines"),
+    )
+    t = F.col("_gopher_toks")
     n_words = F.when(
         F.col(text_col).isNotNull() & (F.length(text_col) > 0), F.size(t)
     ).otherwise(F.lit(0))
@@ -629,7 +642,7 @@ def gopher_rules(
     ) / 3
     hash_ratio = F.try_divide(n_hash, n_words)
     ell_ratio = F.try_divide(n_ell, n_words)
-    lines = F.split(text_col, "\n")
+    lines = F.col("_gopher_lines")
     n_lines = F.size(lines)
     bullet_frac = F.try_divide(
         F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))), n_lines
@@ -892,16 +905,21 @@ def quality_classifier(
     corpus-sized shuffle other than the per-doc aggregate; no Python."""
     from datayours_spark.functions.dedup import md5_int32, token_shingles
 
-    toks = F.split(F.col(text_col), " ")
-    feats = F.concat(toks, token_shingles(text_col, 2))
+    toks = F.col("_toks")
+    feats = F.concat(toks, token_shingles(text_col, 2, tokens=toks))
     # explode_OUTER keeps featureless docs (null text → null feature
     # array) in the stream as one null-feature row, so every input doc
     # reaches the aggregate — same plan, zero extra shuffles (a
     # join-back to the input ids would add one); the null feature
     # hashes to a null bucket, matches no weight, and is excluded from
-    # the n_feats count below
+    # the n_feats count below.  The token array is bound in its own
+    # projection so the unigram + shingle references share one split
+    # per row (r15).
     hashed = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode_outer(feats).alias("feat")
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select(
+        "doc_id", F.explode_outer(feats).alias("feat")
     ).select(
         "doc_id",
         F.pmod(md5_int32(F.col("feat")), F.lit(buckets))
@@ -1094,6 +1112,40 @@ def bpe_merges(
         if (r + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges
+
+
+def bpe_sym_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Post-merge symbol occurrence counts (sym, n) over the corpus,
+    computed from the WORD-FREQUENCY table: the segmentation of a token
+    depends only on the word, so the corpus-wide symbol count is
+    Σ_word freq(word) × multiplicity(sym in segment(word)) — integer-
+    exact equal to counting over the corpus-occurrence segment stream,
+    at the cost of one light token count instead of a second run of the
+    merge-chain projection over every token occurrence (r15: the
+    duplicated segment pass was ~half of q_bpe_ids' execution)."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+    )
+    s = _bpe_spaced(F.concat(chars, F.array(F.lit(BPE_EOW))))
+    for a, b, _cnt in merges:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return (
+        words.select(
+            "freq", F.explode(F.split(F.trim(s), "  ")).alias("sym")
+        )
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("n"))
+    )
 
 
 def bpe_segment(
