@@ -3405,8 +3405,15 @@ def _ann_books(
     books = _ANN_INDEX_CACHE.get(key)
     if books is None:
         emb = load_table(spark, sf_dir, "embeddings")
+        # stored assignments injected: the session's checkpointed
+        # inverted-list membership IS ivf_assign's output, so the
+        # residual projection skips re-deriving the assignment
+        # shuffle (r15)
         train = (
-            residual_vectors(emb, _ann_centroids(spark, sf_dir))
+            residual_vectors(
+                emb, _ann_centroids(spark, sf_dir),
+                assignments=_ann_assignments(spark, sf_dir),
+            )
             if residual
             else emb
         )
@@ -3423,8 +3430,6 @@ def _ann_codes(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
     its ORIGINAL full-vector norm; localCheckpoint-ed once per session
     (this TABLE is the PQ index a real store persists)."""
     from datayours_spark.functions.similarity import (
-        as_double_array,
-        dot,
         pq_encode,
         residual_vectors,
     )
@@ -3434,26 +3439,26 @@ def _ann_codes(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
     if df is None:
         emb = load_table(spark, sf_dir, "embeddings")
         books = _ann_books(spark, sf_dir, residual)
-        base = (
-            residual_vectors(emb, _ann_centroids(spark, sf_dir))
-            if residual
-            else emb
-        )
-        codes = pq_encode(
-            base, books, ANN_DIM, id_col="vec_id", vec_col="embedding"
-        )
         if residual:
-            # residual codes carry the residual's norm; swap in the
-            # original vector's (the scoring contract)
-            nrms = (
-                emb.select(
-                    F.col("vec_id"), as_double_array("embedding").alias("v")
-                )
-                .select(
-                    "vec_id", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
-                )
+            # residual codes store the ORIGINAL vector's norm (the
+            # scoring contract): carry it through the residual
+            # projection instead of re-scanning emb for a norms join
+            # (same sqrt(dot(v, v)) expression on the same source
+            # column — bit-identical), and reuse the stored
+            # assignments (r15)
+            base = residual_vectors(
+                emb, _ann_centroids(spark, sf_dir),
+                assignments=_ann_assignments(spark, sf_dir),
+                carry_nrm=True,
             )
-            codes = codes.select("vec_id", "codes").join(nrms, "vec_id")
+            codes = pq_encode(
+                base, books, ANN_DIM, id_col="vec_id",
+                vec_col="embedding", nrm_col="orig_nrm",
+            )
+        else:
+            codes = pq_encode(
+                emb, books, ANN_DIM, id_col="vec_id", vec_col="embedding"
+            )
         if not _df_cache_enabled():
             return codes
         df = codes.localCheckpoint(eager=True)

@@ -827,6 +827,14 @@ def _training_exec_conf(spark, n_rows: int):
     Scoring and encode paths always keep codegen — they run per-row over
     the corpus.
 
+    AQE is gated by the same threshold: adaptive execution splits every
+    one-shuffle training collect into a shuffle-stage job plus a re-
+    optimized result job (2 scheduling round-trips ≈ 0.3-0.6 s on the
+    measured local floor, r15) to coalesce partitions that are KBs of
+    model state either way.  Above the threshold the input is corpus-
+    sized and AQE's runtime coalescing is exactly what we want — it
+    stays on.
+
     The conf flips are SESSION-GLOBAL for the duration of the training
     collect (a concurrent UNRELATED job sharing the SparkSession would
     run codegen-disabled — harmless but slower; use a cloned
@@ -845,9 +853,11 @@ def _training_exec_conf(spark, n_rows: int):
             saved = (
                 spark.conf.get("spark.sql.codegen.wholeStage", "true"),
                 spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
+                spark.conf.get("spark.sql.adaptive.enabled", "true"),
             )
             spark.conf.set("spark.sql.codegen.wholeStage", "false")
             spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             _training_conf_state[key] = [1, saved]
         else:
             state[0] += 1
@@ -858,10 +868,11 @@ def _training_exec_conf(spark, n_rows: int):
             state = _training_conf_state[key]
             state[0] -= 1
             if state[0] == 0:
-                ws, fm = state[1]
+                ws, fm, aqe = state[1]
                 del _training_conf_state[key]
                 spark.conf.set("spark.sql.codegen.wholeStage", ws)
                 spark.conf.set("spark.sql.codegen.factoryMode", fm)
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def kmeans_centroids(
@@ -902,46 +913,46 @@ def kmeans_centroids(
     """
     # materialize (vec_id, v, nrm) ONCE: every Lloyd iteration re-reads the
     # vectors for the fused assignment+means pass — without the cut each
-    # iteration re-scans the source parquet and recomputes the norms
+    # iteration re-scans the source parquet and recomputes the norms.
+    # LAZY checkpoint + count: the count() action both materializes the
+    # checkpoint blocks and returns n in ONE job (eager=True would spend a
+    # separate materialization job first — ~0.15-0.3 s of pure scheduling
+    # overhead on the measured local floor, r15)
     vecs = (
         emb.select(
             F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
         )
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_vecs = vecs.count()  # checkpointed blocks — a metadata-cheap job
+    n_vecs = vecs.count()  # materializes the checkpoint AND counts
     hk = F.md5(F.concat(F.lit(f"{seed}_"), F.col("vec_id").cast("string")))
-    # the k seed vectors are an explicit driver-side materialization: top-k
-    # by hash is a distributed takeOrdered, and the centroid model state is
-    # driver-side from here on
-    seed_rows = (
-        vecs.withColumn("hk", hk)
-        .select("hk", "vec_id", "v")
-        .orderBy("hk", "vec_id")
-        .take(k)
-    )
-    cents: list[tuple[int, list[float]]] = [
-        (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)
-    ]
+    # ONE training-exec scope around seed selection + every Lloyd
+    # iteration (the gate needs n_vecs, so the count above stays outside):
+    # each of these actions is a tiny model-state collect whose codegen
+    # compile and AQE re-optimization round-trips are pure overhead below
+    # the threshold (see _training_exec_conf)
+    with _training_exec_conf(emb.sparkSession, n_vecs):
+        # the k seed vectors are an explicit driver-side materialization:
+        # top-k by hash is a distributed takeOrdered, and the centroid
+        # model state is driver-side from here on
+        seed_rows = (
+            vecs.withColumn("hk", hk)
+            .select("hk", "vec_id", "v")
+            .orderBy("hk", "vec_id")
+            .take(k)
+        )
+        cents: list[tuple[int, list[float]]] = [
+            (i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)
+        ]
 
-    def _norm(cv: list[float]) -> float:
-        # mirror of dot(cv, cv): sequential left-to-right fold from 0.0 —
-        # identical IEEE operation order, so driver and executors agree
-        acc = 0.0
-        for x in cv:
-            acc = acc + x * x
-        import math
-
-        return math.sqrt(acc)
-
-    for _ in range(iters):
-        # the assignment argmax renders as ONE SQL expression
-        # (_argmax_codeword_sql — shared with the PQ path so there is a
-        # single implementation of the determinism-critical contract)
-        # instead of k×d F.lit py4j round-trips: expression CONSTRUCTION
-        # was ~0.5 s/iteration, ~half the warm runtime (measured at sf0.1)
-        with _training_exec_conf(emb.sparkSession, n_vecs):
+        for _ in range(iters):
+            # the assignment argmax renders as ONE SQL expression
+            # (_argmax_codeword_sql — shared with the PQ path so there is
+            # a single implementation of the determinism-critical
+            # contract) instead of k×d F.lit py4j round-trips: expression
+            # CONSTRUCTION was ~0.5 s/iteration, ~half the warm runtime
+            # (measured at sf0.1)
             rows = (
                 vecs.withColumn(
                     "cluster",
@@ -954,18 +965,28 @@ def kmeans_centroids(
                 .agg(F.round(F.avg("x"), round_dp).alias("m"))
                 .collect()
             )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = float(r["m"])
-        cents = [
-            (
-                cid,
-                [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
-                if cid in by_cluster
-                else cv,  # empty cluster keeps its previous centroid
-            )
-            for cid, cv in cents
-        ]
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = float(r["m"])
+            cents = [
+                (
+                    cid,
+                    [by_cluster[cid][p] for p in sorted(by_cluster[cid])]
+                    if cid in by_cluster
+                    else cv,  # empty cluster keeps its previous centroid
+                )
+                for cid, cv in cents
+            ]
+
+    def _norm(cv: list[float]) -> float:
+        # mirror of dot(cv, cv): sequential left-to-right fold from 0.0 —
+        # identical IEEE operation order, so driver and executors agree
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        import math
+
+        return math.sqrt(acc)
     return emb.sparkSession.createDataFrame(
         [(cid, cv, _norm(cv)) for cid, cv in cents],
         "centroid_id int, cv array<double>, cnorm double",
@@ -1245,9 +1266,11 @@ def pq_codebooks(
         )
         .select("vec_id", F.posexplode(slices).alias("sub", "sv"))
         .withColumn("snrm", F.sqrt(dot(F.col("sv"), F.col("sv"))))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n_subs = subs.count()  # checkpointed blocks — a metadata-cheap job
+    # lazy checkpoint + count in ONE job (same rationale as
+    # kmeans_centroids: the count action materializes the blocks)
+    n_subs = subs.count()
     hk = F.md5(
         F.concat(
             F.lit(f"{seed}_"),
@@ -1265,31 +1288,34 @@ def pq_codebooks(
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(64))
     w1 = Window.partitionBy("sub", salt).orderBy("hk", "vec_id")
     w2 = Window.partitionBy("sub").orderBy("hk", "vec_id")
-    seed_rows = (
-        subs.withColumn("hk", hk)
-        .withColumn("rn1", F.row_number().over(w1))
-        .where(F.col("rn1") <= ks)
-        .withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= ks)
-        .select("sub", "rn", "sv")
-        .collect()
-    )
-    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
-    for r in sorted(seed_rows, key=lambda r: (r["sub"], r["rn"])):
-        books[r["sub"]].append(
-            (r["rn"] - 1, [float(x) for x in r["sv"]])
+    # ONE training-exec scope around seed selection + every Lloyd
+    # iteration (same rationale as kmeans_centroids; the count above
+    # stays outside because the gate needs it)
+    with _training_exec_conf(emb.sparkSession, n_subs):
+        seed_rows = (
+            subs.withColumn("hk", hk)
+            .withColumn("rn1", F.row_number().over(w1))
+            .where(F.col("rn1") <= ks)
+            .withColumn("rn", F.row_number().over(w2))
+            .where(F.col("rn") <= ks)
+            .select("sub", "rn", "sv")
+            .collect()
         )
-
-    for _ in range(iters):
-        branches = " ".join(
-            f"WHEN {j} THEN "
-            + _argmax_codeword_sql(
-                books[j], "sv", "snrm", expand=expand_dots, vec_is_exact=True
+        books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+        for r in sorted(seed_rows, key=lambda r: (r["sub"], r["rn"])):
+            books[r["sub"]].append(
+                (r["rn"] - 1, [float(x) for x in r["sv"]])
             )
-            for j in range(m)
-        )
-        cluster = F.expr(f"CASE sub {branches} END").cast("int")
-        with _training_exec_conf(emb.sparkSession, n_subs):
+
+        for _ in range(iters):
+            branches = " ".join(
+                f"WHEN {j} THEN "
+                + _argmax_codeword_sql(
+                    books[j], "sv", "snrm", expand=expand_dots, vec_is_exact=True
+                )
+                for j in range(m)
+            )
+            cluster = F.expr(f"CASE sub {branches} END").cast("int")
             rows = (
                 subs.withColumn("cluster", cluster)
                 .select("sub", "cluster", F.posexplode("sv").alias("pos", "x"))
@@ -1297,23 +1323,23 @@ def pq_codebooks(
                 .agg(F.round(F.avg("x"), round_dp).alias("mv"))
                 .collect()
             )
-        means: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            means.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = float(
-                r["mv"]
-            )
-        books = [
-            [
-                (
-                    cid,
-                    [means[(j, cid)][p] for p in sorted(means[(j, cid)])]
-                    if (j, cid) in means
-                    else cv,
+            means: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                means.setdefault((r["sub"], r["cluster"]), {})[r["pos"]] = float(
+                    r["mv"]
                 )
-                for cid, cv in books[j]
+            books = [
+                [
+                    (
+                        cid,
+                        [means[(j, cid)][p] for p in sorted(means[(j, cid)])]
+                        if (j, cid) in means
+                        else cv,
+                    )
+                    for cid, cv in books[j]
+                ]
+                for j in range(m)
             ]
-            for j in range(m)
-        ]
     return books
 
 
@@ -1324,10 +1350,16 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expand_dots: bool = False,
+    nrm_col: str | None = None,
 ) -> DataFrame:
     """(vec_id, codes array<int>, nrm): each vector's m codeword ids (the
     m-byte compressed representation) plus its exact norm — the only two
-    things ADC scoring ever reads per candidate."""
+    things ADC scoring ever reads per candidate.
+
+    ``nrm_col`` names an input column to pass through as the stored norm
+    instead of computing sqrt(dot(v, v)) of ``vec_col`` — the residual-PQ
+    path stores the ORIGINAL vector's norm next to codes that encode the
+    residual (see :func:`residual_vectors` ``carry_nrm``)."""
     m = len(codebooks)
     dsub = dim // m
     exprs = []
@@ -1350,6 +1382,12 @@ def pq_encode(
             )
         )
     codes = F.expr("array(" + ",".join(exprs) + ")")
+    if nrm_col is not None:
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            as_double_array(vec_col).alias("v"),
+            F.col(nrm_col).alias("nrm"),
+        ).select("vec_id", codes.cast("array<int>").alias("codes"), "nrm")
     return (
         emb.select(
             F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
@@ -1797,27 +1835,45 @@ def residual_vectors(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+    carry_nrm: bool = False,
 ) -> DataFrame:
     """(vec_id, embedding) where embedding = v - coarse_centroid(v): the
     residuals that FAISS-style IVF-PQ quantizes.  Residuals concentrate
     near the origin regardless of which cluster a vector sits in, so one
     pooled codebook set fits them far better than the raw vectors —
     recall per code byte improves.  Subtraction is exact IEEE arithmetic,
-    so the determinism contract is untouched."""
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    so the determinism contract is untouched.
+
+    ``assignments`` injects stored (vec_id, cluster) index state — the
+    same contract as :func:`ivfpq_topk`: the session's checkpointed
+    inverted-list membership IS ivf_assign's output, so passing it skips
+    re-deriving the assignment shuffle per call (r15).  ``carry_nrm``
+    additionally emits the ORIGINAL vector's norm as ``orig_nrm``
+    (computed in the same projection — the residual-PQ codes table
+    stores exactly this norm, and computing it here saves the encode
+    path a second corpus scan + join)."""
+    assign = (
+        assignments
+        if assignments is not None
+        else ivf_assign(emb, centroids, id_col, vec_col)
+    )
     vecs = emb.select(
         F.col(id_col).alias("vec_id"), as_double_array(vec_col).alias("v")
     )
+    out_cols = [
+        F.col("vec_id"),
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
+    ]
+    if carry_nrm:
+        out_cols.append(F.sqrt(dot(F.col("v"), F.col("v"))).alias("orig_nrm"))
     return (
         vecs.join(assign, "vec_id")
         .join(
             F.broadcast(centroids.select("centroid_id", "cv")),
             F.col("cluster") == F.col("centroid_id"),
         )
-        .select(
-            "vec_id",
-            F.zip_with("v", "cv", lambda a, b: a - b).alias("embedding"),
-        )
+        .select(*out_cols)
     )
 
 
