@@ -567,9 +567,15 @@ def dup_clusters(
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    # LAZY checkpoint: the convergence-sum collect right below is the
+    # materializing action (labels is referenced exactly once in it, so
+    # no branch can recompute the plan), fusing what was a separate
+    # eager-materialization job with the sum into ONE action — the same
+    # fusion is applied per round below (r15; ~2 scheduling round-trips
+    # saved per CC round on the measured local floor)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     if prev_total is None:  # no pairs at all
         return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -589,8 +595,10 @@ def dup_clusters(
         labels = (
             stepped.join(lbl, stepped.label == lbl.lnode, "left")
             .select("node", F.least("label", F.coalesce("llabel", "label")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # materializes the round's checkpoint AND reads the invariant in
+        # one action (see the note above the initial labels checkpoint)
         total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if total == prev_total:
             break
@@ -1150,8 +1158,11 @@ def ngram_jaccard_pairs(
     # per doc) and feeds FOUR consumers (df count, both cold-join sides,
     # candidate metadata) — materialize it once, exactly like the span
     # module's posting lists, instead of recomputing token_shingles per
-    # consumer (measured ~3x wall on the sf0.1 bench line)
-    sets = sets.localCheckpoint(eager=True)
+    # consumer (measured ~3x wall on the sf0.1 bench line).  LAZY mark:
+    # the hot-set collect right below is the first action and references
+    # sets exactly once, so it materializes the checkpoint as a side
+    # effect — no separate materialization job (r15)
+    sets = sets.localCheckpoint(eager=False)
     ex = sets.select("doc_id", *b, "n_sh", F.explode("sh").alias("s"))
     dfreq = ex.groupBy(*b, "s").agg(F.count("*").alias("df"))
     # the hot set is GUARD-BOUNDED (KBs) — collect it and make the hot

@@ -723,14 +723,23 @@ def bm25_topk(
     )
     # the query-term filter sits BELOW the tf aggregate: only matched
     # (doc, tok) rows ever shuffle (the corpus-wide token relation never
-    # does — the one corpus aggregate left is dlen, which partial-aggs
-    # map-side)
+    # does)
     tf = (
         toks.join(qterms.select("tok").distinct(), "tok", "left_semi")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
-    dlen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # |d| is size(split(text)): identical to counting the exploded token
+    # stream (explode of [""] emits one row exactly as size([""]) is 1;
+    # the isNotNull guard reproduces explode's silent drop of null
+    # texts), but a ZERO-SHUFFLE projection — the former
+    # groupBy(doc_id).count() exploded the whole corpus a second time
+    # and shuffled one row per doc for a value the row itself already
+    # determines (r15)
+    dlen = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(text_col, " ")).cast("long").alias("dl"),
+    )
     stats = dlen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
