@@ -1364,6 +1364,7 @@ def winnow_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprints: DataFrame | None = None,
+    fingerprints_distinct: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint containment:
     (id1, id2, shared, containment) for every pair whose shared distinct
@@ -1387,8 +1388,22 @@ def winnow_neardup(
             docs, k=k, w=w, id_col=id_col, text_col=text_col
         )
     )
-    fp = base_fp.select("doc_id", "h").distinct()
-    fp = fp.localCheckpoint(eager=True)
+    # ``fingerprints_distinct=True`` is the caller's promise of an
+    # already-distinct (doc_id, h) relation (same contract as
+    # winnow_decontaminate): `shared` counts rows, so the defensive
+    # distinct is required for positional input, but for the composed
+    # pipeline (which builds `.distinct().localCheckpoint()` itself) it
+    # was a redundant full shuffle of the fingerprint table (r15).
+    if fingerprints is not None and fingerprints_distinct:
+        fp = base_fp.select("doc_id", "h")
+    else:
+        fp = base_fp.select("doc_id", "h").distinct()
+    # fp feeds FOUR consumers (guard, per-doc counts, both posting-join
+    # sides).  LAZY mark when the guard collect below runs: that first()
+    # references fp exactly once and materializes the checkpoint as a
+    # side effect — no separate materialization job (r15); without the
+    # guard the eager checkpoint keeps the multi-consumer reuse.
+    fp = fp.localCheckpoint(eager=max_join_pairs is None)
     if max_join_pairs is not None:
         total = (
             fp.groupBy("h")

@@ -395,12 +395,16 @@ def ingest_pipeline_batch(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
             fingerprints=surv_fp, fingerprints_distinct=True,
         )
-        # the contaminated-id set is eval-bounded (tiny); checkpointing
-        # it collapses the decon subtree that otherwise re-runs under
-        # BOTH the survivor and the fingerprint anti-joins
+        # checkpointing the contaminated-id set collapses the decon
+        # subtree that otherwise re-runs under BOTH the survivor and the
+        # fingerprint anti-joins.  LAZY mark: the very next action — the
+        # winnow_neardup guard collect (or its eager fp checkpoint when
+        # the guard is off) — references drops0 exactly once via the
+        # fingerprint anti-join and materializes it as a side effect,
+        # fusing what was a separate materialization job set (r15)
         drops0 = (
             contamination.select("doc_id").distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         survivors = survivors.join(drops0, "doc_id", "left_anti")
         surv_fp = surv_fp.join(drops0, "doc_id", "left_anti")
@@ -411,6 +415,7 @@ def ingest_pipeline_batch(
     pairs = winnow_neardup(
         survivors, k=k, w=w, threshold=threshold,
         max_join_pairs=max_join_pairs, fingerprints=surv_fp,
+        fingerprints_distinct=True,
     )
     # the drop set can be corpus-scale on a duplicate-heavy crawl, so
     # the anti-join hash-shuffles instead of broadcasting or sorting
@@ -418,10 +423,14 @@ def ingest_pipeline_batch(
     # checkpointed (ids only, no text) so the posting join behind it
     # runs once even when ``kept`` feeds both the manifest and the
     # payload segments.
+    # LAZY mark: the manifest checkpoint below (vocab path) or the
+    # caller's first action over ``packed`` reaches drops2 exactly once
+    # through the ``kept`` anti-join and materializes it in the same
+    # job set (r15); every later consumer reuses the persisted blocks
     drops2 = (
         pairs.select(F.col("id2").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     kept = survivors.join(
         drops2.hint("shuffle_hash"),
