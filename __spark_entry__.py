@@ -2337,16 +2337,18 @@ def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch (new×old via one posting equi-join, new×new within the batch).
     Completes the incremental family for the winnowing dedup form."""
     from datayours_spark.functions.dedup import (
-        winnow_fingerprints, winnow_incremental,
+        winnow_fingerprint_sets, winnow_incremental,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
     old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
-    idx = (
-        winnow_fingerprints(old, k=WINNOW_K, w=WINNOW_W)
-        .select("doc_id", "h")
-        .distinct()
+    # set form (r15): distinct by construction — no index-wide
+    # distinct() exchange — and the stamped n_fp engages
+    # winnow_incremental's denormalized-denominator mode (documented
+    # pair-output-identical; the v2 streaming index format)
+    idx = winnow_fingerprint_sets(
+        old, k=WINNOW_K, w=WINNOW_W, with_count=True
     )
     return winnow_incremental(
         new, idx, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T

@@ -1355,6 +1355,67 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprint_sets(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_count: bool = False,
+) -> DataFrame:
+    """DISTINCT winnowing fingerprint SET per doc — (doc_id, h), plus
+    the doc's distinct-fingerprint count ``n_fp`` when ``with_count``.
+
+    Same selection as :func:`winnow_fingerprints` with positions
+    dropped, but the per-doc distinct (and the count) are computed
+    row-locally in array expressions BEFORE the explode — the
+    ``winnow_fingerprints(...).select('doc_id','h').distinct()``
+    formulation shuffles the whole corpus-linear fingerprint table just
+    to dedup rows that all come from one source row, and its consumers
+    then pay a ``groupBy(doc_id)`` plus two join-backs for the same
+    ``n_fp`` the array already knows (r15; guide §2.4).  Zero shuffle,
+    distinct by construction, and ``n_fp`` rides with every posting row
+    — the denormalized-denominator discipline the streaming winnow
+    index (v2 format) already uses."""
+    # Selection rule parity with winnow_fingerprints: the rightmost-min
+    # rule only affects WHICH POSITION a window's minimal hash is
+    # attributed to — the hash VALUE selected from a window is its
+    # minimum either way, so the distinct-h set (and its size) is
+    # identical to distincting the positional output (pinned by
+    # tests/test_functions_dedup.py::TestWinnowing).
+    docs = docs.select(F.col(id_col), F.split(text_col, " ").alias("_t"))
+    t = F.col("_t")
+    m = F.size(t) - (k - 1)
+    gram_idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        gram_idx, lambda i: md5_int60(F.concat_ws(" ", F.slice(t, i, k)))
+    )
+    d = docs.select(F.col(id_col).alias("doc_id"), hashes.alias("_h"))
+    mh = F.size("_h")
+    win_idx = F.when(
+        mh >= 1, F.sequence(F.lit(1), F.greatest(mh - (w - 1), F.lit(1)))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _rightmost_min_h(j):
+        return F.aggregate(
+            F.sequence(j, F.least(j + (w - 1), mh)),
+            F.lit(1 << 62).cast("bigint"),
+            lambda acc, i: F.least(F.element_at(F.col("_h"), i), acc),
+        )
+
+    hs = F.array_distinct(F.transform(win_idx, _rightmost_min_h))
+    d = d.select("doc_id", hs.alias("_hs"))
+    if with_count:
+        return d.select(
+            "doc_id",
+            F.size("_hs").cast("bigint").alias("n_fp"),
+            F.explode("_hs").alias("h"),
+        ).select("doc_id", "h", "n_fp")
+    return d.select("doc_id", F.explode("_hs").alias("h"))
+
+
 def winnow_neardup(
     docs: DataFrame,
     k: int = 4,
@@ -1395,9 +1456,32 @@ def winnow_neardup(
     # pipeline (which builds `.distinct().localCheckpoint()` itself) it
     # was a redundant full shuffle of the fingerprint table (r15).
     if fingerprints is not None and fingerprints_distinct:
-        fp = base_fp.select("doc_id", "h")
+        # may carry a denormalized n_fp column (the set-form builders
+        # stamp it); the pair aggregate below rides it when present
+        fp = base_fp
+    elif fingerprints is not None:
+        # positional (or otherwise unnormalized) input: ONE
+        # groupBy(doc_id) collect_set computes the distinct h relation
+        # AND its per-doc count together — the former
+        # distinct + groupBy(doc_id).count() + two join-backs paid four
+        # exchanges for the same facts (r15; guide §2.4).  Per-group
+        # state is the doc's winnowed fingerprint set, bounded by the
+        # ~2/(w+1) density bound exactly like the text row itself.
+        sets = base_fp.groupBy("doc_id").agg(
+            F.collect_set("h").alias("_hs")
+        )
+        fp = sets.select(
+            "doc_id",
+            F.explode("_hs").alias("h"),
+            F.size("_hs").cast("bigint").alias("n_fp"),
+        )
     else:
-        fp = base_fp.select("doc_id", "h").distinct()
+        # built from the docs: the set form is distinct by construction
+        # (zero shuffle) and stamps n_fp row-locally
+        fp = winnow_fingerprint_sets(
+            docs, k=k, w=w, id_col=id_col, text_col=text_col,
+            with_count=True,
+        )
     # fp feeds FOUR consumers (guard, per-doc counts, both posting-join
     # sides).  LAZY mark when the guard collect below runs: that first()
     # references fp exactly once and materializes the checkpoint as a
@@ -1418,8 +1502,34 @@ def winnow_neardup(
                 "is boilerplate-dominated — span-dedup or collapse it "
                 "first, or raise max_join_pairs deliberately"
             )
-    cnt = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     a, b = fp.alias("a"), fp.alias("b")
+    cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
+    if "n_fp" in fp.columns:
+        # DENORMALIZED DENOMINATORS: n_fp rides with every posting row
+        # (constant per doc), so the pair aggregate reads both
+        # denominators with min() — no counts relation, no join-backs
+        # (the r12 streaming-index discipline applied to the batch path)
+        shared = (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id1"),
+                F.col("b.doc_id").alias("id2"),
+            )
+            .agg(
+                F.count("*").alias("shared"),
+                F.min(F.col("a.n_fp")).alias("n1"),
+                F.min(F.col("b.n_fp")).alias("n2"),
+            )
+        )
+        return shared.select(
+            "id1", "id2", F.col("shared").cast("bigint").alias("shared"),
+            cont.alias("containment"),
+        ).where(F.col("containment") >= threshold)
+    cnt = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     shared = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -1429,7 +1539,6 @@ def winnow_neardup(
     )
     n1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_fp").alias("n1"))
     n2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_fp").alias("n2"))
-    cont = F.round(F.col("shared") / F.least("n1", "n2"), 4)
     return (
         shared.join(n1, "id1")
         .join(n2, "id2")
@@ -1628,11 +1737,14 @@ def winnow_incremental_indexed(
         new_fp = (
             fingerprints.select("doc_id", "h").distinct()
             if fingerprints is not None
-            else winnow_fingerprints(
-                new_docs, k=k, w=w, id_col=id_col, text_col=text_col
+            # set form (r15): distinct by construction — zero-shuffle
+            # checkpoint materialization; n_fp stamped when the index
+            # carries it (the denormalized mode below then skips the
+            # batch-side window count)
+            else winnow_fingerprint_sets(
+                new_docs, k=k, w=w, id_col=id_col, text_col=text_col,
+                with_count="n_fp" in index_fp.columns,
             )
-            .select("doc_id", "h")
-            .distinct()
         ).localCheckpoint(eager=True)
     # Replacement semantics on re-ingest: drop index rows for batch
     # doc_ids (tiny broadcast side) before the union.  A small batch
@@ -1657,15 +1769,25 @@ def winnow_incremental_indexed(
     # construction.  ``index_counts`` is ignored in this mode.
     carry_nfp = "n_fp" in index_fp.columns
     if carry_nfp:
-        from pyspark.sql import Window as _W
+        if "n_fp" not in new_fp.columns:
+            from pyspark.sql import Window as _W
 
-        new_fp = new_fp.withColumn(
-            "n_fp",
-            F.count("*")
-            .over(_W.partitionBy("doc_id"))
-            .cast("bigint"),
-        )
+            new_fp = new_fp.withColumn(
+                "n_fp",
+                F.count("*")
+                .over(_W.partitionBy("doc_id"))
+                .cast("bigint"),
+            )
+        else:
+            # set-form batch input already stamps n_fp row-locally —
+            # no batch-sized window count needed (r15)
+            new_fp = new_fp.select("doc_id", "h", "n_fp")
         index_fp = index_fp.select("doc_id", "h", "n_fp")
+    elif "n_fp" in new_fp.columns:
+        # batch rows stamped with n_fp against a v1 (count-less) index:
+        # fall back to the counts path — drop the column so the union
+        # below stays schema-consistent
+        new_fp = new_fp.select("doc_id", "h")
     index_sel = index_fp.select(*new_fp.columns)
     both = (
         index_sel.where(~F.col("doc_id").isin(batch_id_values))
@@ -2027,16 +2149,19 @@ def winnow_decontaminate(
     # pipeline builds it `.distinct().localCheckpoint()` itself; the
     # redundant exchange is a full corpus shuffle on bulk batches).
     if fingerprints is not None and fingerprints_distinct:
+        # may carry a denormalized n_fp column (set-form builders stamp
+        # it); the doc-side denominator rides it when present
         doc_fp = fingerprints
     else:
         doc_fp = (
             fingerprints.select("doc_id", "h").distinct()
             if fingerprints is not None
-            else winnow_fingerprints(
-                docs, k=k, w=w, id_col=id_col, text_col=text_col
+            # set form (r15): distinct by construction (zero shuffle),
+            # n_fp stamped row-locally for the denom="doc" ride
+            else winnow_fingerprint_sets(
+                docs, k=k, w=w, id_col=id_col, text_col=text_col,
+                with_count=True,
             )
-            .select("doc_id", "h")
-            .distinct()
         )
     # ``eval_fingerprints`` lets a standing caller (the streaming
     # pipeline decontaminating every batch against one static eval set)
@@ -2053,29 +2178,72 @@ def winnow_decontaminate(
     eval_fp = (
         eval_fingerprints.select("eval_id", "h").distinct()
         if eval_fingerprints is not None
-        else winnow_fingerprints(
+        # set form (r15): distinct by construction — the checkpoint
+        # materialization is a map-only scan, and n_fp rides with the
+        # rows so the eval-denominator count needs no second aggregate
+        # + broadcast join over the checkpoint
+        else winnow_fingerprint_sets(
             eval_docs, k=k, w=w, id_col=eval_id_col,
-            text_col=eval_text_col,
+            text_col=eval_text_col, with_count=True,
         )
-        .select(F.col("doc_id").alias("eval_id"), "h")
-        .distinct()
+        .select(F.col("doc_id").alias("eval_id"), "h", "n_fp")
         .localCheckpoint(eager=True)
     )
-    shared = (
-        doc_fp.join(F.broadcast(eval_fp), "h")
-        .groupBy("doc_id", "eval_id")
-        .agg(F.count("*").alias("shared"))
-    )
+    # DENORMALIZED DENOMINATORS (r15): when the denominator side carries
+    # n_fp on its rows (constant per doc), read it with min() inside the
+    # pair aggregate — no counts relation, no join-back.  Sides without
+    # n_fp keep the legacy aggregate + join.
+    doc_nfp = "n_fp" in doc_fp.columns
+    eval_nfp = "n_fp" in eval_fp.columns
     if denom == "eval":
-        cnt = eval_fp.groupBy("eval_id").count().withColumnRenamed(
-            "count", "n_fp"
-        )
-        scored = shared.join(F.broadcast(cnt), "eval_id")
+        if eval_nfp:
+            ev = eval_fp.select(
+                "eval_id", "h", F.col("n_fp").alias("_eval_nfp")
+            )
+            scored = (
+                doc_fp.select("doc_id", "h")
+                .join(F.broadcast(ev), "h")
+                .groupBy("doc_id", "eval_id")
+                .agg(
+                    F.count("*").alias("shared"),
+                    F.min("_eval_nfp").alias("n_fp"),
+                )
+            )
+        else:
+            shared = (
+                doc_fp.select("doc_id", "h")
+                .join(F.broadcast(eval_fp.select("eval_id", "h")), "h")
+                .groupBy("doc_id", "eval_id")
+                .agg(F.count("*").alias("shared"))
+            )
+            cnt = eval_fp.groupBy("eval_id").count().withColumnRenamed(
+                "count", "n_fp"
+            )
+            scored = shared.join(F.broadcast(cnt), "eval_id")
     else:
-        cnt = doc_fp.groupBy("doc_id").count().withColumnRenamed(
-            "count", "n_fp"
-        )
-        scored = shared.join(cnt, "doc_id")
+        if doc_nfp:
+            dc = doc_fp.select(
+                "doc_id", "h", F.col("n_fp").alias("_doc_nfp")
+            )
+            scored = (
+                dc.join(F.broadcast(eval_fp.select("eval_id", "h")), "h")
+                .groupBy("doc_id", "eval_id")
+                .agg(
+                    F.count("*").alias("shared"),
+                    F.min("_doc_nfp").alias("n_fp"),
+                )
+            )
+        else:
+            shared = (
+                doc_fp.select("doc_id", "h")
+                .join(F.broadcast(eval_fp.select("eval_id", "h")), "h")
+                .groupBy("doc_id", "eval_id")
+                .agg(F.count("*").alias("shared"))
+            )
+            cnt = doc_fp.groupBy("doc_id").count().withColumnRenamed(
+                "count", "n_fp"
+            )
+            scored = shared.join(cnt, "doc_id")
     return (
         scored.withColumn(
             "containment",

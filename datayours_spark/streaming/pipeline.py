@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import (
     winnow_decontaminate,
-    winnow_fingerprints,
+    winnow_fingerprint_sets,
     winnow_incremental_indexed,
     winnow_neardup,
 )
@@ -384,12 +384,17 @@ def ingest_pipeline_batch(
     # orders of magnitude narrower than the text it summarizes, so
     # materializing it once beats re-deriving it per branch at any
     # scale.
-    surv_fp = (
-        winnow_fingerprints(survivors, k=k, w=w)
-        .select("doc_id", "h")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Set-form build (r15): the per-doc distinct and the n_fp
+    # denominator are computed row-locally in the generator projection —
+    # the former explode → corpus-wide distinct() shuffled the whole
+    # fingerprint table to dedup rows that all come from one source row,
+    # and the near-dup stage then re-derived n_fp with a groupBy + two
+    # join-backs.  n_fp rides with the rows (the streaming v2 index
+    # discipline), staying per-doc-consistent through the doc-level
+    # anti-joins below.
+    surv_fp = winnow_fingerprint_sets(
+        survivors, k=k, w=w, with_count=True
+    ).localCheckpoint(eager=True)
     if eval_docs is not None:
         contamination = winnow_decontaminate(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
@@ -602,10 +607,12 @@ class IngestPipeline:
         if self.eval_docs is None:
             return None
         if self._eval_fp is None:
+            # set form (r15): distinct by construction, no exchange
             self._eval_fp = (
-                winnow_fingerprints(self.eval_docs, k=self.k, w=self.w)
+                winnow_fingerprint_sets(
+                    self.eval_docs, k=self.k, w=self.w
+                )
                 .select(F.col("doc_id").alias("eval_id"), "h")
-                .distinct()
                 .localCheckpoint(eager=True)
             )
         return self._eval_fp
@@ -686,13 +693,13 @@ class IngestPipeline:
                 "left_anti",
             )
         # ONE fingerprint pass (checkpointed) feeds the decontamination
-        # stage, the dedup stage AND the index append
-        surv_fp = (
-            winnow_fingerprints(survivors, k=self.k, w=self.w)
-            .select("doc_id", "h")
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        # stage, the dedup stage AND the index append.  Set-form build
+        # (r15): per-doc distinct computed row-locally in the generator
+        # projection — no corpus-wide distinct() exchange per trigger;
+        # rows (and the index format) identical.
+        surv_fp = winnow_fingerprint_sets(
+            survivors, k=self.k, w=self.w
+        ).localCheckpoint(eager=False)
 
         # 1b. DECONTAMINATE — survivors vs the static eval set (its
         # fingerprints broadcast into the batch's posting join)

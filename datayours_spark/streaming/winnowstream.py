@@ -75,7 +75,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datayours_spark.functions.dedup import (
-    winnow_fingerprints,
+    winnow_fingerprint_sets,
     winnow_incremental_indexed,
 )
 from datayours_spark.streaming.store import BatchStore
@@ -966,12 +966,12 @@ class WinnowStream:
         # lazy checkpoint: the stats probe below is the first action
         # and materializes it (one job instead of an eager-checkpoint
         # job plus the probe)
-        batch_fp = (
-            winnow_fingerprints(new, k=self.k, w=self.w)
-            .select("doc_id", "h")
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
+        # set-form build (r15): per-doc distinct computed row-locally in
+        # the generator projection — no batch-wide distinct() exchange
+        # per trigger; rows (and the index format) identical
+        batch_fp = winnow_fingerprint_sets(
+            new, k=self.k, w=self.w
+        ).localCheckpoint(eager=False)
         # Per-batch decisions cost ONE tiny CollectLimit (r13 verdict
         # #5 — the trickle job floor; supersedes the r11 three-branch
         # stats union): a batch whose fingerprints fit under the cap

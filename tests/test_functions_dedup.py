@@ -799,6 +799,83 @@ class TestWinnowing:
         with pytest.raises(ExpandedPairsTooLarge):
             winnow_neardup(boiler, k=3, w=3, max_join_pairs=100)
 
+    def test_fingerprint_sets_match_distincted_positional(self, spark):
+        """r15 set-form parity pin: winnow_fingerprint_sets must emit
+        exactly the distinct (doc_id, h) relation of the positional
+        builder — the rightmost-min rule only moves WHICH position a
+        window's minimal hash is attributed to, never the hash value —
+        and its row-local n_fp must equal the per-doc distinct count."""
+        from pyspark.sql import functions as F
+
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprint_sets, winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"),       # plain doc
+             (2, "a b a b a b a b a"),     # heavy hash ties/repeats
+             (3, "a b c d"),               # short-doc tail window
+             (4, "a b"),                   # under k tokens -> empty
+             (5, None),                    # null guard
+             (6, "x y a b c d e f")],      # overlap with doc 1
+            "doc_id bigint, text string",
+        )
+        for k, w in ((3, 3), (2, 4)):
+            ref = {
+                (r.doc_id, r.h)
+                for r in winnow_fingerprints(docs, k=k, w=w)
+                .select("doc_id", "h").distinct().collect()
+            }
+            got = winnow_fingerprint_sets(docs, k=k, w=w).collect()
+            assert {(r.doc_id, r.h) for r in got} == ref
+            assert len(got) == len(ref)  # distinct by construction
+            counted = winnow_fingerprint_sets(
+                docs, k=k, w=w, with_count=True
+            ).collect()
+            assert {(r.doc_id, r.h) for r in counted} == ref
+            per_doc = {}
+            for d, _ in ref:
+                per_doc[d] = per_doc.get(d, 0) + 1
+            assert all(r.n_fp == per_doc[r.doc_id] for r in counted)
+
+    def test_neardup_paths_agree_on_pairs(self, spark):
+        """r15 denormalized-denominator pin: the default (set-form)
+        path, the positional-fingerprints path (groupBy collect_set),
+        and the pre-distincted path must produce identical pair rows."""
+        from datayours_spark.functions.dedup import (
+            winnow_fingerprint_sets, winnow_fingerprints, winnow_neardup,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"),
+             (2, "a b c d e f g h i k"),
+             (3, "q r s t u v w x y z"),
+             (4, "a b c d e f g h i j")],   # exact dup of 1
+            "doc_id bigint, text string",
+        )
+        want = {
+            (r.id1, r.id2, r.shared, r.containment)
+            for r in winnow_neardup(docs, k=3, w=3, threshold=0.3).collect()
+        }
+        pos = winnow_fingerprints(docs, k=3, w=3)
+        via_positional = {
+            (r.id1, r.id2, r.shared, r.containment)
+            for r in winnow_neardup(
+                docs, k=3, w=3, threshold=0.3, fingerprints=pos
+            ).collect()
+        }
+        pre = winnow_fingerprint_sets(docs, k=3, w=3, with_count=True)
+        via_distincted = {
+            (r.id1, r.id2, r.shared, r.containment)
+            for r in winnow_neardup(
+                docs, k=3, w=3, threshold=0.3,
+                fingerprints=pre, fingerprints_distinct=True,
+            ).collect()
+        }
+        assert via_positional == want
+        assert via_distincted == want
+        assert {(i, j) for i, j, _, _ in want} >= {(1, 4)}
+
     def test_matches_localize_the_overlap(self, spark):
         from datayours_spark.functions.dedup import winnow_matches, winnow_neardup
 
