@@ -1406,14 +1406,30 @@ def winnow_fingerprint_sets(
         )
 
     hs = F.array_distinct(F.transform(win_idx, _rightmost_min_h))
-    d = d.select("doc_id", hs.alias("_hs"))
+    # The set array is exploded as a RAW EXPRESSION, never pre-projected
+    # to an attribute: explode(attribute) lets InferFiltersFromGenerate
+    # add a `size(attr) > 0` filter that PushDownPredicates then
+    # substitutes through the projections all the way to the scan —
+    # re-evaluating the whole hash chain (with `split` inlined) inside
+    # an interpreted per-row filter, O(tokens²·w) per doc (measured: a
+    # single sf0.1 task burned >435 s there).  A non-cheap generator
+    # input is exempt from that rule (the positional builder above has
+    # always exploded the expression), so the plan stays the linear
+    # 3-project + Generate shape.
     if with_count:
-        return d.select(
-            "doc_id",
-            F.size("_hs").cast("bigint").alias("n_fp"),
-            F.explode("_hs").alias("h"),
-        ).select("doc_id", "h", "n_fp")
-    return d.select("doc_id", F.explode("_hs").alias("h"))
+        # n_fp is bound to an attribute in its own projection BELOW the
+        # Generate: selecting `size(hs)` alongside the explode would
+        # place it in the Project ABOVE the Generate, re-evaluating the
+        # whole window scan once per exploded OUTPUT row (O(set²) per
+        # doc) instead of once per doc.  The set expression is thus
+        # evaluated twice per doc (size + explode) — both linear.
+        d = d.select(
+            "doc_id", "_h", F.size(hs).cast("bigint").alias("n_fp")
+        )
+        return d.select("doc_id", F.explode(hs).alias("h"), "n_fp").select(
+            "doc_id", "h", "n_fp"
+        )
+    return d.select("doc_id", F.explode(hs).alias("h"))
 
 
 def winnow_neardup(
