@@ -28,7 +28,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datayours_spark.io import epoch_range_pred, epoch_us_col, load_table
+from datayours_spark.io import (
+    epoch_range_pred,
+    epoch_us_col,
+    load_table,
+    small_df,
+)
 from datayours_spark.operators.align import apply_null_policy, asof_resample
 from datayours_spark.operators.fetch import fetch_grid, lww_slots, time_grid
 from datayours_spark.operators.rollup import rollup
@@ -214,7 +219,8 @@ def q_maxpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_clamp_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: per-channel DataOffset + [FilterMinimum, FilterMaximum] clamp."""
     dp = datapoints_from_events(spark, sf_dir, per_user=False)
-    cfg = spark.createDataFrame(
+    cfg = small_df(
+        spark,
         CHANNEL_CONFIG,
         "path string, offset double, enable int, lo double, hi double",
     )
@@ -1822,7 +1828,7 @@ def q_store_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: multi-store find federation with path dedup."""
     dp = datapoints_from_events(spark, sf_dir)
     whisper_catalog = dp.select("path").distinct()
-    dm_catalog = spark.createDataFrame(DATAMINE_CHANNELS, "path string")
+    dm_catalog = small_df(spark, DATAMINE_CHANNELS, "path string")
     return (
         whisper_catalog.unionByName(dm_catalog)
         .dropDuplicates(["path"])
@@ -2887,7 +2893,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_merges(docs, n_merges=BPE_MERGE_BUDGET)
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank bigint, lhs string, rhs string, pair_freq bigint",
     )
@@ -3249,7 +3256,8 @@ def _ann_centroid_rows(
 
 
 def _ann_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.createDataFrame(
+    return small_df(
+        spark,
         _ann_centroid_rows(spark, sf_dir),
         "centroid_id int, cv array<double>, cnorm double",
     )
@@ -3959,8 +3967,8 @@ def _corpus_now(spark: SparkSession, sf_dir: str) -> int:
 def _corpus_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The series catalog as a LOCAL relation from the memoized stats —
     target resolution over it plans no scan and no shuffle."""
-    return spark.createDataFrame(
-        [(row[0],) for row in _corpus_stats(spark, sf_dir)], "path string"
+    return small_df(
+        spark, [(row[0],) for row in _corpus_stats(spark, sf_dir)], "path string"
     )
 
 

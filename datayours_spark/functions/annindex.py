@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datayours_spark.io import small_df
+
 
 def save_ann_index(
     out_dir: str,
@@ -47,7 +49,8 @@ def save_ann_index(
     layout)."""
     spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
-    cb = spark.createDataFrame(
+    cb = small_df(
+        spark,
         [
             (sub, code, cw)
             for sub, book in enumerate(codebooks)
@@ -175,7 +178,8 @@ def save_sq_index(
     partition key is joined in from ``assignments``."""
     spark = centroids.sparkSession
     centroids.write.mode("overwrite").parquet(f"{out_dir}/centroids")
-    b = spark.createDataFrame(
+    b = small_df(
+        spark,
         [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(bounds)],
         "dim int, vmin double, vmax double",
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datayours_spark.io import small_df
+
 def as_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -854,10 +856,20 @@ def _training_exec_conf(spark, n_rows: int):
                 spark.conf.get("spark.sql.codegen.wholeStage", "true"),
                 spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
                 spark.conf.get("spark.sql.adaptive.enabled", "true"),
+                spark.conf.get("spark.sql.shuffle.partitions", "200"),
             )
             spark.conf.set("spark.sql.codegen.wholeStage", "false")
             spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # model-state aggregates: the reduce side holds k×d (or
+            # m×ks×dsub) rows — KB-scale BY THE SAME ROW GATE that
+            # scopes codegen/AQE here, so one reduce partition is the
+            # right shape wherever this scope applies (above the gate
+            # the scope is a no-op and the session default + AQE
+            # coalescing stay in charge).  32 near-empty reduce tasks
+            # per Lloyd collect were pure scheduling (~0.2-0.4 s per
+            # iteration on the measured local floor, r15).
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
             _training_conf_state[key] = [1, saved]
         else:
             state[0] += 1
@@ -868,11 +880,12 @@ def _training_exec_conf(spark, n_rows: int):
             state = _training_conf_state[key]
             state[0] -= 1
             if state[0] == 0:
-                ws, fm, aqe = state[1]
+                ws, fm, aqe, sp = state[1]
                 del _training_conf_state[key]
                 spark.conf.set("spark.sql.codegen.wholeStage", ws)
                 spark.conf.set("spark.sql.codegen.factoryMode", fm)
                 spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                spark.conf.set("spark.sql.shuffle.partitions", sp)
 
 
 def kmeans_centroids(
@@ -987,7 +1000,8 @@ def kmeans_centroids(
         import math
 
         return math.sqrt(acc)
-    return emb.sparkSession.createDataFrame(
+    return small_df(
+        emb.sparkSession,
         [(cid, cv, _norm(cv)) for cid, cv in cents],
         "centroid_id int, cv array<double>, cnorm double",
     )
@@ -1468,7 +1482,8 @@ def ivfpq_topk(
     )
 
     # per-query ADC lookup table: dot(q_sub, codeword) for all (sub, code)
-    cb = spark.createDataFrame(
+    cb = small_df(
+        spark,
         [
             (j, cid, cv)
             for j, book in enumerate(codebooks)
@@ -1968,7 +1983,8 @@ def ivfpq_residual_topk(
         )
     )
 
-    cb = spark.createDataFrame(
+    cb = small_df(
+        spark,
         [
             (j, cid, cv)
             for j, book in enumerate(books)
@@ -2665,8 +2681,8 @@ def knn_predict_routed(
     if shortlist is None:
         shortlist = max(2 * k, 15)
     spark = emb.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(q),) for q in query_ids], "vec_id bigint"
+    qdf = small_df(
+        spark, [(int(q),) for q in query_ids], "vec_id bigint"
     )
     if assignments is None:
         assignments = ivf_assign(emb, centroids, id_col, vec_col)

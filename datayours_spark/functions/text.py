@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datayours_spark.io import small_df
+
 from datayours_spark.functions.dedup import md5_int32
 
 #: BPE-ish tokenizer: word pieces, numbers, or single non-space symbols —
@@ -715,7 +717,7 @@ def bm25_topk(
              for t in dict.fromkeys(qtext.split(" ")) if t]
     spark = docs.sparkSession
     qterms = F.broadcast(
-        spark.createDataFrame(qrows, "query_id bigint, tok string")
+        small_df(spark, qrows, "query_id bigint, tok string")
     )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),

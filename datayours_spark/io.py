@@ -49,6 +49,27 @@ TABLES = [
 NANOS_PER_SECOND = 1_000_000_000
 
 
+def small_df(spark: SparkSession, data, schema) -> DataFrame:
+    """``createDataFrame`` for KB-scale driver-local model/config state
+    (centroid tables, codebooks, query-id lists, rule configs) in ONE
+    partition.  The default ``parallelize`` slices a tiny literal relation
+    into ``defaultParallelism`` near-empty partitions (32 on the local
+    harness), so every broadcast build or collect over it schedules 32
+    no-op tasks — measured 0.4-0.6 s of pure scheduling per broadcast
+    build on the r15 local floor, repeated in EVERY query that touches
+    the model state.  These relations are by definition driver-resident
+    (they are built from a Python list), so one partition is the right
+    shape at any corpus scale.
+
+    Implementation note: ``createDataFrame(data).coalesce(1)`` is NOT
+    equivalent — the coalesced task evaluates the 32 pickled parent
+    slices sequentially, each paying its own Python-runner round
+    (measured ~5 s per collect vs 0.4 s for a 1-slice parallelize)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(data), 1), schema
+    )
+
+
 def epoch_us_col(df: DataFrame, col: str) -> F.Column:
     """Epoch-microseconds BIGINT from either physical encoding of `col`:
     long nanos (TIMESTAMP(NANOS) under nanosAsLong) → integer floor-div;
