@@ -4389,8 +4389,13 @@ def q_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % INCR_BATCH_MOD == 0)
     old = docs.where(F.col("doc_id") % INCR_BATCH_MOD != 0)
+    # the standing index is MATERIALIZED here (localCheckpoint), matching
+    # the persisted posting table the incremental contract documents —
+    # handed lazily, the old-corpus explode re-ran inside each of the
+    # function's four consumers of the posting union (the r15-open plan
+    # carried 5 full documents scans / 72 operator nodes)
     return repeated_spans_incremental(
-        new, shingle_postings(old, SPAN_K),
+        new, shingle_postings(old, SPAN_K).localCheckpoint(eager=True),
         k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
     )
 

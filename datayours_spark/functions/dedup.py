@@ -933,7 +933,17 @@ def repeated_spans_incremental(
        spans.  Appending the batch postings to the index keeps it current
        (`old_posts ∪ new postings`), like minhash_index maintenance.
     """
-    new_posts = shingle_postings(new_docs, k, text_col=text_col, id_col=id_col)
+    # the union feeds FOUR consumers (rep_batch probe, affected set,
+    # affected postings, rep_all probe): without a cut the batch explode
+    # re-runs per consumer — and when the caller hands a lazily-derived
+    # old_posts (instead of the persisted standing table this function
+    # is documented against), the full-corpus explode re-runs with it
+    # (the r15-open q_span_incremental plan carried 5 documents scans).
+    # The batch postings are batch-proportional, so the checkpoint is
+    # scale-safe; old_posts stays the caller's relation untouched.
+    new_posts = shingle_postings(
+        new_docs, k, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     posts = old_posts.select("doc_id", "off", "h").unionByName(new_posts)
     batch_hs = new_posts.select("h").distinct()
     rep_batch = (
