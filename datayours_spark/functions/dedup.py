@@ -562,11 +562,24 @@ def dup_clusters(
     edge directions re-read the checkpointed rows, so an expensive upstream
     (the MinHash-LSH pipeline) is not evaluated twice.
     """
+    from pyspark.sql import Observation
+
+    from datayours_spark.functions.similarity import _training_exec_conf
+
     fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst")).localCheckpoint(
         eager=True
     )
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    # the edge count rides an Observation on the checkpoint job that runs
+    # anyway; it gates the round-loop exec scope below
+    obs = Observation()
+    edges = (
+        fwd.union(rev)
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = int(obs.get["n"])
     # LAZY checkpoint: the convergence-sum collect right below is the
     # materializing action (labels is referenced exactly once in it, so
     # no branch can recompute the plan), fusing what was a separate
@@ -576,33 +589,46 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=False)
-    prev_total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    if prev_total is None:  # no pairs at all
-        return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-        )
-        # pointer jump: label ← label's label (labels are node ids, so this
-        # is a self-join); halves the remaining path length every round
-        lbl = stepped.select(F.col("node").alias("lnode"), F.col("label").alias("llabel"))
-        labels = (
-            stepped.join(lbl, stepped.label == lbl.lnode, "left")
-            .select("node", F.least("label", F.coalesce("llabel", "label")).alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        # materializes the round's checkpoint AND reads the invariant in
-        # one action (see the note above the initial labels checkpoint)
-        total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        if total == prev_total:
-            break
-        prev_total = total
+    # every round is a model-state-sized collect when the edge set is
+    # small: the same row-gated scope the ANN training loops use (AQE
+    # off so a round is ONE job instead of 2-4 adaptive stage-jobs, one
+    # reduce partition, no codegen for once-evaluated round plans).
+    # Above the row gate the scope is a no-op and AQE/defaults stay in
+    # charge — a corpus-scale dup graph keeps its parallelism.
+    with _training_exec_conf(pairs.sparkSession, n_edges):
+        prev_total = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if prev_total is None:  # no pairs at all
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            # pointer jump: label ← label's label (labels are node ids, so this
+            # is a self-join); halves the remaining path length every round
+            lbl = stepped.select(F.col("node").alias("lnode"), F.col("label").alias("llabel"))
+            labels = (
+                stepped.join(lbl, stepped.label == lbl.lnode, "left")
+                .select("node", F.least("label", F.coalesce("llabel", "label")).alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            # materializes the round's checkpoint AND reads the invariant in
+            # one action (see the note above the initial labels checkpoint)
+            total = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if total == prev_total:
+                break
+            prev_total = total
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
