@@ -1595,16 +1595,27 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders_f = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    l1 = (
+    # the late-line slice feeds BOTH the driving side (l1) and the
+    # NOT-EXISTS side (l3): materialized once, so the md5 date
+    # derivation runs ONE lineitem pass instead of two (the derivation
+    # is ~2 md5/row — half this query's scan compute).  The slice is
+    # the narrow (orderkey, suppkey) projection of late lines only —
+    # at scale the same fraction of the fact table every Q21 engine
+    # carries through this decorrelation.
+    late = (
         li.where(F.col("receipt_day") > F.col("commit_day"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)
+    )
+    l1 = (
+        late
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     l2 = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = li.where(F.col("receipt_day") > F.col("commit_day")).select(
+    l3 = late.select(
         F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
     )
     qual = l1.join(
