@@ -392,6 +392,9 @@ def ingest_pipeline_batch(
     # join-backs.  n_fp rides with the rows (the streaming v2 index
     # discipline), staying per-doc-consistent through the doc-level
     # anti-joins below.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        survivors = survivors.repartition(par)
     surv_fp = winnow_fingerprint_sets(
         survivors, k=k, w=w, with_count=True
     ).localCheckpoint(eager=True)
