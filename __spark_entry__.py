@@ -33,6 +33,7 @@ from datayours_spark.io import (
     epoch_us_col,
     load_table,
     small_df,
+    spread_scan,
 )
 from datayours_spark.operators.align import apply_null_policy, asof_resample
 from datayours_spark.operators.fetch import fetch_grid, lww_slots, time_grid
@@ -1933,7 +1934,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir, "minhash", MINHASH_BANDS * MINHASH_ROWS)
     df = _SIG_CACHE.get(key) if _df_cache_enabled() else None
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
         df = minhash_signatures(docs, k=MINHASH_BANDS * MINHASH_ROWS)
         if not _df_cache_enabled():
             return df
@@ -1950,7 +1951,7 @@ def _simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir, "simhash", 60)
     df = _SIG_CACHE.get(key) if _df_cache_enabled() else None
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
         df = simhash_fingerprint(docs, 60)
         if not _df_cache_enabled():
             return df
@@ -2182,7 +2183,8 @@ def _span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 materialize_posts=False,
             )
         df = repeated_spans(
-            docs, k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2
+            spread_scan(docs), k=SPAN_K, min_span=SPAN_MIN_TOKENS,
+            min_docs=2,
         ).localCheckpoint(eager=True)
         _SPAN_CACHE[key] = df
     return df
@@ -2278,7 +2280,7 @@ def _winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app_id, sf_dir, "winnow", WINNOW_K, WINNOW_W)
     df = _SIG_CACHE.get(key) if _df_cache_enabled() else None
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = spread_scan(load_table(spark, sf_dir, "documents"))
         df = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
         if not _df_cache_enabled():
             return df
@@ -3458,7 +3460,11 @@ def _ann_codes(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
     key = _ann_key(spark, sf_dir, f"codes_res{residual}")
     df = _ANN_INDEX_CACHE.get(key) if _df_cache_enabled() else None
     if df is None:
-        emb = load_table(spark, sf_dir, "embeddings")
+        # the encode projection is per-row argmax work over every vector
+        # — spread the single-split fixture scan across cores (no-op for
+        # multi-split stores); codes are row-local, so values are
+        # partitioning-independent
+        emb = spread_scan(load_table(spark, sf_dir, "embeddings"))
         books = _ann_books(spark, sf_dir, residual)
         if residual:
             # residual codes store the ORIGINAL vector's norm (the
@@ -4406,7 +4412,8 @@ def q_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function's four consumers of the posting union (the r15-open plan
     # carried 5 full documents scans / 72 operator nodes)
     return repeated_spans_incremental(
-        new, shingle_postings(old, SPAN_K).localCheckpoint(eager=True),
+        new,
+        shingle_postings(spread_scan(old), SPAN_K).localCheckpoint(eager=True),
         k=SPAN_K, min_span=SPAN_MIN_TOKENS, min_docs=2,
     )
 

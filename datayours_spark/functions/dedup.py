@@ -2128,24 +2128,41 @@ def ngram_novelty(
     here; cost is corpus-linear in shingles, no pairwise term at all.
     First-occurrence is defined by doc_id order, so the score is
     deterministic on any engine and any partitioning."""
-    sh = docs.select(
+    # n_shingles is ROW-LOCAL (the doc's own distinct-shingle count) and
+    # n_novel is one count over the min-aggregate's output keyed by the
+    # winning doc — so the corpus-scale string-shingle stream crosses the
+    # network ONCE (the min aggregate) instead of twice, and the former
+    # shingle-keyed join-back of the full stream disappears (r15; guide
+    # §2.3/§2.4).  Values are identical: sh was already per-doc distinct,
+    # so count(*) after the join == size of the doc's distinct array, and
+    # sum(first==doc) == the number of shingles this doc won min() on.
+    # The shingle array is exploded as a raw expression with the count
+    # bound BELOW the Generate (the winnow_fingerprint_sets discipline:
+    # explode(attribute) invites an inferred pushed-down filter that
+    # re-evaluates the whole chain per row).
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(text_col, " ").alias("_toks"),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(token_shingles(text_col, n, tokens=F.col("_toks")))
-        ).alias("shingle"),
     )
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    sh_arr = F.array_distinct(token_shingles(text_col, n, tokens=F.col("_toks")))
+    d = base.select(
+        "doc_id", "_toks", F.size(sh_arr).cast("bigint").alias("n_shingles")
+    )
+    sh = d.select("doc_id", F.explode(sh_arr).alias("shingle"))
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
     return (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
+        d.select("doc_id", "n_shingles")
+        .where(F.col("n_shingles") > 0)
+        .join(novel, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
         )
         .withColumn(
             "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 4)

@@ -70,6 +70,24 @@ def small_df(spark: SparkSession, data, schema) -> DataFrame:
     )
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a per-row-compute-heavy input to
+    ``defaultParallelism`` when the scan delivers fewer splits than cores
+    (guide §2.5, unsplittable inputs).  The sf fixtures are single-
+    row-group parquet files, so generator-heavy index builds (winnow /
+    minhash / simhash signatures, PQ encode) otherwise run on ONE task
+    (1-2 s each on the measured floor).  The partition-count gate makes
+    this a NO-OP for corpora already delivered in >= cores splits — no
+    corpus-scale shuffle is ever introduced.  Only safe for consumers
+    whose values are row-local or exact (integer/count) aggregates;
+    float-mean consumers keep their scan order."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def epoch_us_col(df: DataFrame, col: str) -> F.Column:
     """Epoch-microseconds BIGINT from either physical encoding of `col`:
     long nanos (TIMESTAMP(NANOS) under nanosAsLong) → integer floor-div;

@@ -29,6 +29,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # stopping at defaultParallelism (the Spark SQL tuning guide's
+        # own recommendation for this knob).  parallelismFirst=true keeps
+        # one shuffle partition per core no matter how small the data —
+        # on the 17 MB sf fixtures that is 32 near-empty tasks per
+        # exchange, pure scheduling (measured −49%% across a rollup/
+        # render/join bench sample when disabled); at cluster scale the
+        # advisory size (64 MB) is exactly the 'fewer, larger reduce
+        # partitions' shape guide §2.2 calls for.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -58,6 +71,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # a plain-default session carries 200 shuffle partitions — far too many
     # for these per-series workloads; AQE coalesces from this hint upward
