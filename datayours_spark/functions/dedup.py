@@ -25,6 +25,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datayours_spark.io import one_job_collect
+
 #: prime just above 2^32 — modulus for the permutation universe
 MINHASH_PRIME = 4_294_967_311
 
@@ -269,9 +271,9 @@ def _expand_collapsed(
     the check."""
     extra = extra_cols or []
     if max_group is not None:
-        widest = (
-            members.groupBy("rep").count().agg(F.max("count")).first()[0]
-        )
+        bound = members.groupBy("rep").count().agg(F.max("count"))
+        with one_job_collect(members.sparkSession):
+            widest = bound.first()[0]
         if widest is not None and widest > max_group:
             raise ExpandedPairsTooLarge(
                 f"widest identical-signature group has {widest} members "
@@ -1203,12 +1205,13 @@ def ngram_jaccard_pairs(
     dfreq = ex.groupBy(*b, "s").agg(F.count("*").alias("df"))
     # the hot set is GUARD-BOUNDED (KBs) — collect it and make the hot
     # test a literal in-list predicate: no join, no broadcast exchange
-    hot_rows = (
+    hot_q = (
         dfreq.where(F.col("df") > df_cap)
         .select(*b, "s")
         .limit(max_hot_shingles + 1)
-        .collect()
     )
+    with one_job_collect(docs.sparkSession):
+        hot_rows = hot_q.collect()
     if len(hot_rows) > max_hot_shingles:
         raise ExpandedPairsTooLarge(
             f"over {max_hot_shingles} shingles exceed df_cap={df_cap} "
@@ -1234,11 +1237,12 @@ def ngram_jaccard_pairs(
     hot_heavy = meta.where(
         (F.size("hs") > 0) & (F.size("hs") >= F.col("n_sh") * t_eff)
     )
-    pair_volume = (
+    pv_q = (
         hot_heavy.groupBy(*b).agg(F.count("*").alias("c"))
         .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("p"))
-        .collect()[0]["p"]
     )
+    with one_job_collect(docs.sparkSession):
+        pair_volume = pv_q.collect()[0]["p"]
     if pair_volume and pair_volume > max_hot_heavy_pairs:
         raise ExpandedPairsTooLarge(
             f"hot-heavy all-pairs volume {int(pair_volume)} > "
@@ -1541,12 +1545,13 @@ def winnow_neardup(
     # guard the eager checkpoint keeps the multi-consumer reuse.
     fp = fp.localCheckpoint(eager=max_join_pairs is None)
     if max_join_pairs is not None:
-        total = (
+        bound = (
             fp.groupBy("h")
             .count()
             .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
-            .first()["p"]
         )
+        with one_job_collect(fp.sparkSession):
+            total = bound.first()["p"]
         if total is not None and total > max_join_pairs:
             raise ExpandedPairsTooLarge(
                 f"winnowing posting-list join would compare ~{int(total):,} "
@@ -1873,11 +1878,12 @@ def winnow_incremental_indexed(
     if max_join_pairs is not None:
         nw = new_fp.groupBy("h").count().withColumnRenamed("count", "nc")
         bw = pair_src.groupBy("h").count().withColumnRenamed("count", "bc")
-        total = (
+        bound = (
             nw.join(bw, "h")
             .agg(F.sum(F.col("nc") * F.col("bc")).alias("p"))
-            .first()["p"]
         )
+        with one_job_collect(new_fp.sparkSession):
+            total = bound.first()["p"]
         if total is not None and total > max_join_pairs:
             raise ExpandedPairsTooLarge(
                 f"batch-vs-index winnow join would compare ~{int(total):,} "

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datayours_spark.io import small_df
+from datayours_spark.io import one_job_collect, small_df
 
 def as_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -209,7 +209,18 @@ def _guard_totals(checks: list[tuple[str, DataFrame]]) -> dict[str, float | None
             F.lit(key).alias("k"), F.col("val").cast("double").alias("val")
         )
         u = one if u is None else u.unionByName(one)
-    return {r["k"]: r["val"] for r in u.collect()}
+    # AQE would split this fused action into a stage-job per branch
+    # exchange (measured: 9 jobs for one banded-guard collect) — the
+    # reduce output is rows-per-branch, so the scope is scale-neutral
+    with one_job_collect(u.sparkSession):
+        return {r["k"]: r["val"] for r in u.collect()}
+
+
+def _one_row_val(df: DataFrame):
+    """first()[0] of a single-row bound aggregate under one_job_collect
+    (AQE otherwise splits the tiny action into 2-3 stage-jobs)."""
+    with one_job_collect(df.sparkSession):
+        return df.first()[0]
 
 
 def _raise_hot_self(total: float | None, max_bucket_pairs: int) -> None:
@@ -343,7 +354,7 @@ def _rep_self_pairs(
     Σ bucket-pairs fail-fast ahead of any quadratic work."""
     if max_bucket_pairs is not None:
         _raise_hot_self(
-            _bucket_pairs_check(tagged_reps).first()[0], max_bucket_pairs
+            _one_row_val(_bucket_pairs_check(tagged_reps)), max_bucket_pairs
         )
     a, b = tagged_reps.alias("a"), tagged_reps.alias("b")
     pairs = a.join(
@@ -375,7 +386,7 @@ def _expand_member_pairs(
     plus member products ACROSS each rep pair; ``max_group`` fail-fasts
     the quadratic intra expansion from one linear aggregation."""
     if max_group is not None:
-        _raise_wide_group(_max_group_check(members).first()[0], max_group)
+        _raise_wide_group(_one_row_val(_max_group_check(members)), max_group)
     m1, m2 = members.alias("m1"), members.alias("m2")
     intra = (
         m1.join(
@@ -1655,10 +1666,12 @@ def semdedup(
         else ivf_assign(emb, centroids, id_col, vec_col)
     )
     if max_cluster is not None:
-        top = (
+        bound = (
             assign.groupBy("cluster").count()
-            .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+            .agg(F.max("count").alias("mx"))
         )
+        with one_job_collect(assign.sparkSession):
+            top = bound.collect()[0]["mx"]
         if top is not None and top > max_cluster:
             raise SemdedupClusterTooLarge(
                 f"largest cluster has {top} members > max_cluster="
@@ -2061,12 +2074,14 @@ def sq_train(
     comps = emb.select(
         F.posexplode(as_double_array(vec_col)).alias("dim", "x")
     )
-    rows = (
+    agg = (
         comps.groupBy("dim")
         .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
         .orderBy("dim")
-        .collect()
     )
+    # dim-sized model-state collect: one job, not 4 AQE stage-jobs
+    with one_job_collect(emb.sparkSession):
+        rows = agg.collect()
     return [(float(r["vmin"]), float(r["vmax"])) for r in rows]
 
 

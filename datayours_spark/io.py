@@ -18,6 +18,7 @@ driver's unpartitioned fixtures, so the loaders only normalize columns.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +69,25 @@ def small_df(spark: SparkSession, data, schema) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(list(data), 1), schema
     )
+
+
+@contextmanager
+def one_job_collect(spark: SparkSession):
+    """AQE off for ONE tiny collect.  Adaptive execution turns a fused
+    guard action (a union of single-row fail-fast aggregates, or one
+    single-row bound) into a stage-job per exchange plus a re-optimized
+    result job — 2-9 scheduling round-trips for aggregates whose reduce
+    output is a handful of rows.  Map-side parallelism and codegen are
+    untouched, so the scope is scale-neutral (unlike the row-gated
+    training scope, which also drops codegen and reduce parallelism);
+    nested/overlapping use is safe because each scope restores the value
+    it saw."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def spread_scan(df: DataFrame) -> DataFrame:
