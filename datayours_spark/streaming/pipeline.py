@@ -395,9 +395,13 @@ def ingest_pipeline_batch(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         survivors = survivors.repartition(par)
+    # LAZY mark: the winnow guard's fused one-job collect below is the
+    # first action and references surv_fp (directly via fp2 and through
+    # the decon drop set) as ONE RDD — the checkpoint materializes as a
+    # side effect of that job instead of a separate eager job (r15).
     surv_fp = winnow_fingerprint_sets(
         survivors, k=k, w=w, with_count=True
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if eval_docs is not None:
         contamination = winnow_decontaminate(
             survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
