@@ -1784,6 +1784,11 @@ def q_resolution_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # _fuse_small was tried here (19 AQE stage-jobs at fixture scale)
+    # and REVERTED: the statically-compiled cascade changes the float
+    # partial-sum merge order and flipped a 4-dp avg rounding at sf0.1
+    # (selfcheck value mismatch, r16) — the fusion is only safe for
+    # queries whose aggregates are integer/rank-valued.
     return out
 
 
@@ -2460,7 +2465,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(emb, HYBRID_QUERY_IDS, HYBRID_TOP_K)
         .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     )
-    return rrf_fuse([lex, vec], HYBRID_TOP_K)
+    # gated single-action fusion (r16): the fused 38-exchange plan ran
+    # as 18 AQE stage-jobs at fixture scale — pure scheduling
+    return _fuse_small(spark, sf_dir, rrf_fuse([lex, vec], HYBRID_TOP_K))
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3240,6 +3247,58 @@ def _purge_stale(cache: dict, app_id: str) -> None:
         del cache[key]
 
 
+#: (applicationId, sf_dir, table) → bool memo for _small_input (the
+#: plan→RDD conversion it gates on is per-call driver work, r15 #6)
+_SMALL_INPUT_CACHE: dict[tuple, bool] = {}
+
+
+def _small_input(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> bool:
+    """True when ``table``'s scan delivers fewer splits than
+    ``defaultParallelism`` — the gate the composed-query fusion below
+    shares with ``io.spread_scan``/``io.static_construct``: below it,
+    adaptive re-optimization has nothing to coalesce and every exchange
+    costs a stage-job scheduling round-trip; above it (any real corpus)
+    the gated rewrites are no-ops."""
+    app_id = spark.sparkContext.applicationId
+    _purge_stale(_SMALL_INPUT_CACHE, app_id)
+    key = (app_id, sf_dir, table)
+    hit = _SMALL_INPUT_CACHE.get(key)
+    if hit is None:
+        hit = (
+            load_table(spark, sf_dir, table).rdd.getNumPartitions()
+            < spark.sparkContext.defaultParallelism
+        )
+        _SMALL_INPUT_CACHE[key] = hit
+    return hit
+
+
+def _fuse_small(
+    spark: SparkSession, sf_dir: str, df: DataFrame,
+    table: str = "documents",
+) -> DataFrame:
+    """Gated single-action fusion for a compositional query's FINAL
+    relation: when the driving input is below cluster parallelism
+    (``_small_input``), compile the plan NON-adaptively and hand back a
+    lazy localCheckpoint — the consumer's one action (the bench noop
+    sink / oracle collect) then executes the whole DAG as ordinary
+    stages of ONE job, instead of AQE's stage-job per exchange
+    (measured r16: q_hybrid_rrf ran 18 stage-jobs for one 38-exchange
+    plan at sf0.1, ~30-600 ms scheduling apiece).  Above the gate this
+    returns ``df`` unchanged: corpus-scale plans keep AQE's runtime
+    coalescing, skew handling and broadcast conversion.  Values are
+    unchanged either way — same operators, same data, one plan compile
+    mode — pinned by the driver-gate oracles for every query that uses
+    it."""
+    from datayours_spark.io import static_construct
+
+    if not _small_input(spark, sf_dir, table):
+        return df
+    with static_construct(spark, True):
+        return df.localCheckpoint(eager=False)
+
+
 def _ann_key(spark: SparkSession, sf_dir: str, part: str) -> tuple:
     app_id = spark.sparkContext.applicationId
     _purge_stale(_ANN_INDEX_CACHE, app_id)
@@ -3782,8 +3841,15 @@ def q_render_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic multimodal asset table derived from `documents`: the
     text bytes stand in for an opaque media payload (no media libs in this
-    container); kind/width/height/duration are derived metadata."""
-    docs = load_table(spark, sf_dir, "documents")
+    container); kind/width/height/duration are derived metadata.
+
+    The scan is spread (gated round-robin, io.spread_scan) because the
+    consumers run per-row Arrow decode work (extract_features) that
+    otherwise lands on ONE task over the single-row-group fixture file
+    (measured r16: 0.65 s single-task MapInPandas in
+    q_multimodal_neardup); features are row-local, so values are
+    partitioning-independent."""
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),

@@ -20,6 +20,7 @@ embedded as literals into the plan; hash domain is 32-bit (md5 prefix) so
 
 from __future__ import annotations
 
+import contextlib
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -536,6 +537,31 @@ def minhash_dedup(
     return jaccard_pairs(cand, docs).where(F.col("jaccard") >= threshold)
 
 
+def _observed_or_count(obs, key: str, df: DataFrame, timeout: float = 60.0):
+    """Read an :class:`Observation` metric that should already be
+    available (its action just completed), guarded so a hang cannot
+    occur: ``Observation.get`` blocks indefinitely when the
+    materializing action was not tracked as a SQL execution (ADVICE r15
+    — classic-mode-only pattern, sensitive to ``localCheckpoint`` no
+    longer running as a tracked action).  On timeout fall back to
+    ``df.count()`` — one cheap job over the just-checkpointed blocks."""
+    import threading as _th
+
+    box: dict = {}
+
+    def _read() -> None:
+        box["v"] = obs.get
+
+    # daemon thread: a pathologically hung Observation.get can neither
+    # block this caller nor interpreter exit
+    t = _th.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    if "v" in box:
+        return int(box["v"][key])
+    return int(df.count())
+
+
 def dup_clusters(
     pairs: DataFrame,
     id1: str = "id1",
@@ -581,7 +607,7 @@ def dup_clusters(
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = int(obs.get["n"])
+    n_edges = _observed_or_count(obs, "n", edges)
     # LAZY checkpoint: the convergence-sum collect right below is the
     # materializing action (labels is referenced exactly once in it, so
     # no branch can recompute the plan), fusing what was a separate
@@ -1482,6 +1508,7 @@ def winnow_neardup(
     text_col: str = "text",
     fingerprints: DataFrame | None = None,
     fingerprints_distinct: bool = False,
+    guard_one_job: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by winnowing-fingerprint containment:
     (id1, id2, shared, containment) for every pair whose shared distinct
@@ -1497,7 +1524,16 @@ def winnow_neardup(
     in ONE tiny aggregation BEFORE the join and raises
     :class:`ExpandedPairsTooLarge` on a boilerplate-dominated corpus
     (route those through span dedup / collapse first, the same guidance
-    as :func:`ngram_jaccard_pairs`)."""
+    as :func:`ngram_jaccard_pairs`).
+
+    ``guard_one_job`` wraps the fail-fast collect in ``one_job_collect``
+    (AQE off for that one action).  Keep the default only when the
+    fingerprint relation is already materialized (the session index
+    tables) or the corpus is known-small; pass ``False`` when handing in
+    lazily-derived corpus-scale fingerprints — the guard's materializing
+    collect then keeps AQE for the corpus-scale groupBy('h') shuffle
+    (ADVICE r15: the 'scale-neutral' claim does not hold when the tiny
+    collect transitively materializes corpus-scale lazy checkpoints)."""
     base_fp = (
         fingerprints
         if fingerprints is not None
@@ -1550,7 +1586,12 @@ def winnow_neardup(
             .count()
             .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
         )
-        with one_job_collect(fp.sparkSession):
+        scope = (
+            one_job_collect(fp.sparkSession)
+            if guard_one_job
+            else contextlib.nullcontext()
+        )
+        with scope:
             total = bound.first()["p"]
         if total is not None and total > max_join_pairs:
             raise ExpandedPairsTooLarge(
@@ -2244,25 +2285,24 @@ def winnow_decontaminate(
     # build-once contract the ``fingerprints`` param gives the doc
     # side.  Expected columns: (eval_id, h); normalized defensively
     # like the doc side.
-    # The internally-derived eval fingerprint table feeds TWO plan
-    # branches (the posting join and the eval-denominator count), which
-    # would re-scan + re-fingerprint the eval docs per branch; it is
-    # model-state sized (eval sets are MBs at 100 TB), so materialize
-    # it once (r15).  Standing callers that pass ``eval_fingerprints``
-    # keep their own build-once discipline untouched.
+    # The internally-derived eval fingerprint table is consumed ONCE in
+    # the set-form era: n_fp rides with the rows, so the eval-side
+    # denominator is min(n_fp) inside the pair aggregate — no second
+    # branch, no counts join.  The r15 eager checkpoint here protected a
+    # two-branch plan that no longer exists; dropping it removes one
+    # blocking pre-action job per composed-pipeline call (r16), and the
+    # single broadcast build evaluates the (MB-scale at 100 TB) eval
+    # generator exactly once per action that includes this subtree.
+    # Standing callers that pass ``eval_fingerprints`` keep their own
+    # build-once discipline untouched.
     eval_fp = (
         eval_fingerprints.select("eval_id", "h").distinct()
         if eval_fingerprints is not None
-        # set form (r15): distinct by construction — the checkpoint
-        # materialization is a map-only scan, and n_fp rides with the
-        # rows so the eval-denominator count needs no second aggregate
-        # + broadcast join over the checkpoint
+        # set form (r15): distinct by construction, zero-shuffle
         else winnow_fingerprint_sets(
             eval_docs, k=k, w=w, id_col=eval_id_col,
             text_col=eval_text_col, with_count=True,
-        )
-        .select(F.col("doc_id").alias("eval_id"), "h", "n_fp")
-        .localCheckpoint(eager=True)
+        ).select(F.col("doc_id").alias("eval_id"), "h", "n_fp")
     )
     # DENORMALIZED DENOMINATORS (r15): when the denominator side carries
     # n_fp on its rows (constant per doc), read it with min() inside the

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datayours_spark.io import one_job_collect, small_df
+from datayours_spark.io import one_job_collect, small_df, spread_scan
 
 def as_double_array(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -356,6 +356,14 @@ def _rep_self_pairs(
         _raise_hot_self(
             _one_row_val(_bucket_pairs_check(tagged_reps)), max_bucket_pairs
         )
+    # the verify stage's per-task work is candidate-pairs × dim dot
+    # products, but the collapse checkpoint lands in very few partitions
+    # when the corpus is small (AQE coalesces the window shuffle to KBs
+    # → the whole exact-cosine verify ran on ≤2 tasks, measured r16
+    # q_multimodal_neardup 2.0 s single-stage).  Round-robin spread the
+    # probe side — gated no-op for reps already in ≥ cores splits; pair
+    # set and sims are partitioning-independent (deterministic per pair)
+    tagged_reps = spread_scan(tagged_reps)
     a, b = tagged_reps.alias("a"), tagged_reps.alias("b")
     pairs = a.join(
         b,

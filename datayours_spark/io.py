@@ -18,7 +18,8 @@ driver's unpartitioned fixtures, so the loaders only normalize columns.
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager
+import threading
+from contextlib import contextmanager, nullcontext
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,23 +72,77 @@ def small_df(spark: SparkSession, data, schema) -> DataFrame:
     )
 
 
+#: interleaved-scope bookkeeping for the AQE-off scopes below: per-session
+#: [depth, saved_value], guarded by the lock (held only while flipping the
+#: conf, never across a collect) — the _training_exec_conf discipline, so
+#: overlapping scopes on different threads of one session restore the
+#: ORIGINAL value instead of a stale intermediate (ADVICE r15)
+_aqe_scope_lock = threading.Lock()
+_aqe_scope_state: dict[int, list] = {}
+
+
 @contextmanager
+def _aqe_off(spark: SparkSession):
+    key = id(spark)
+    with _aqe_scope_lock:
+        state = _aqe_scope_state.get(key)
+        if state is None:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            state = _aqe_scope_state[key] = [1, saved]
+        else:
+            state[0] += 1
+    try:
+        yield
+    finally:
+        with _aqe_scope_lock:
+            state = _aqe_scope_state[key]
+            state[0] -= 1
+            if state[0] == 0:
+                del _aqe_scope_state[key]
+                spark.conf.set("spark.sql.adaptive.enabled", state[1])
+
+
 def one_job_collect(spark: SparkSession):
     """AQE off for ONE tiny collect.  Adaptive execution turns a fused
     guard action (a union of single-row fail-fast aggregates, or one
     single-row bound) into a stage-job per exchange plus a re-optimized
     result job — 2-9 scheduling round-trips for aggregates whose reduce
     output is a handful of rows.  Map-side parallelism and codegen are
-    untouched, so the scope is scale-neutral (unlike the row-gated
-    training scope, which also drops codegen and reduce parallelism);
-    nested/overlapping use is safe because each scope restores the value
-    it saw."""
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+    untouched.
+
+    Scale contract (ADVICE r15): only wrap collects whose INPUTS are
+    already materialized (checkpointed index/signature tables) or whose
+    reduce keyspace is bounded (buckets/planes/model state) — a collect
+    that transitively materializes corpus-scale lazy plans, or shuffles
+    a corpus-cardinality keyspace, must keep AQE (see
+    ``winnow_neardup(guard_one_job=False)``).  Nested/overlapping use is
+    safe via a per-session depth counter + lock (outermost scope saves
+    and restores)."""
+    return _aqe_off(spark)
+
+
+def static_construct(spark: SparkSession, small: bool):
+    """Compile DataFrame plans (and their ``localCheckpoint`` RDDs)
+    NON-adaptively for a construction region — gated by ``small``.
+
+    Why this exists: ``localCheckpoint(eager=False)`` over an adaptive
+    plan is NOT lazy — ``AdaptiveSparkPlanExec`` materializes every
+    exchange stage at the checkpoint call itself (measured r16: each
+    'lazy' checkpoint in the batch ingest pipeline ran 1-7 stage-jobs at
+    construct time), so a composed pipeline pays a blocking scheduling
+    barrier per checkpoint.  Plans compiled with AQE off defer
+    completely: the whole checkpoint chain then executes inside the
+    FIRST consuming action as ordinary shuffle-map stages of one job.
+
+    Gate contract: pass ``small=True`` only when the driving input is
+    below cluster parallelism (fewer scan splits than
+    ``defaultParallelism`` — micro-batches, trickle triggers, the sf
+    fixtures), where AQE's runtime re-optimization has nothing to
+    coalesce and its stage-job round-trips are pure overhead.  At corpus
+    scale the gate is off and this is a no-op: plans stay adaptive
+    (runtime coalescing + skew handling), exactly as before."""
+    return _aqe_off(spark) if small else nullcontext()
 
 
 def spread_scan(df: DataFrame) -> DataFrame:

@@ -68,6 +68,7 @@ from datayours_spark.functions.dedup import (
 )
 from datayours_spark.functions.sampling import hash_bucket
 from datayours_spark.functions.text import gopher_rules
+from datayours_spark.io import spread_scan, static_construct
 from datayours_spark.streaming.store import BatchStore
 from datayours_spark.streaming.winnowstream import (
     _index_lww,
@@ -372,99 +373,105 @@ def ingest_pipeline_batch(
         scores = docs.sparkSession.createDataFrame([], SCORES_SCHEMA)
     # ONE fingerprint pass feeds both the decontamination and the
     # near-dup stages (the naive fingerprint-per-stage formulation
-    # measured ~3x the ingest wall at the 1.5M smoke).  The batch
-    # composition is consumed by ONE action, so the shared relations
-    # are materialized EAGERLY (r15): without the checkpoint every
-    # consumer branch of the single plan re-runs the gate + fingerprint
+    # measured ~3x the ingest wall at the 1.5M smoke).  The shared
+    # relations are localCheckpointed: without the cut every consumer
+    # branch of the single plan re-runs the gate + fingerprint
     # generator over the corpus (the r15-open q_ingest_pipeline plan
-    # carried 4 full documents scans, q_pipeline_payload 9) — the
-    # streaming path has always checkpointed the same relations
-    # (lazily, because a trigger runs several actions).  The
+    # carried 4 full documents scans, q_pipeline_payload 9).  The
     # fingerprint table is the corpus-linear ~2/(w+1)-compressed index,
     # orders of magnitude narrower than the text it summarizes, so
     # materializing it once beats re-deriving it per branch at any
     # scale.
     # Set-form build (r15): the per-doc distinct and the n_fp
-    # denominator are computed row-locally in the generator projection —
-    # the former explode → corpus-wide distinct() shuffled the whole
-    # fingerprint table to dedup rows that all come from one source row,
-    # and the near-dup stage then re-derived n_fp with a groupBy + two
-    # join-backs.  n_fp rides with the rows (the streaming v2 index
-    # discipline), staying per-doc-consistent through the doc-level
-    # anti-joins below.
+    # denominator are computed row-locally in the generator projection;
+    # n_fp rides with the rows (the streaming v2 index discipline),
+    # staying per-doc-consistent through the doc-level anti-joins below.
+    #
+    # STATIC CONSTRUCTION under the small-input gate (r16): a 'lazy'
+    # localCheckpoint over an ADAPTIVE plan is not lazy — AQE
+    # materializes every exchange stage at the checkpoint call itself,
+    # so this chain of checkpoints (surv_fp → drops0 → guard → drops2 →
+    # packed) paid SIX sequential blocking job barriers (29 jobs for
+    # q_pipeline_payload, measured r16).  When the input scan delivers
+    # fewer splits than defaultParallelism (micro-batch / fixture
+    # scale — AQE has nothing to coalesce), the checkpoints are
+    # compiled non-adaptively instead: the whole pre-guard chain then
+    # executes inside the guard's single fail-fast job, and the
+    # post-guard chain inside the caller's first action.  Above the
+    # gate this is a no-op: plans stay adaptive, the guard keeps AQE
+    # (guard_one_job=False — ADVICE r15), exactly the at-scale shape.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        survivors = survivors.repartition(par)
-    # LAZY mark: the winnow guard's fused one-job collect below is the
-    # first action and references surv_fp (directly via fp2 and through
-    # the decon drop set) as ONE RDD — the checkpoint materializes as a
-    # side effect of that job instead of a separate eager job (r15).
-    surv_fp = winnow_fingerprint_sets(
-        survivors, k=k, w=w, with_count=True
-    ).localCheckpoint(eager=False)
-    if eval_docs is not None:
-        contamination = winnow_decontaminate(
-            survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
-            fingerprints=surv_fp, fingerprints_distinct=True,
+    small = docs.rdd.getNumPartitions() < par
+    with static_construct(docs.sparkSession, small):
+        # round-robin spread for the per-row-heavy fingerprint
+        # generator, gated on the survivors relation itself (ADVICE
+        # r15: docs' split count can differ from survivors' once the
+        # classifier anti-join reshuffles it)
+        survivors = spread_scan(survivors)
+        surv_fp = winnow_fingerprint_sets(
+            survivors, k=k, w=w, with_count=True
+        ).localCheckpoint(eager=False)
+        if eval_docs is not None:
+            contamination = winnow_decontaminate(
+                survivors, eval_docs, k=k, w=w, threshold=decon_threshold,
+                fingerprints=surv_fp, fingerprints_distinct=True,
+            )
+            # checkpointing the contaminated-id set collapses the decon
+            # subtree that otherwise re-runs under BOTH the survivor
+            # and the fingerprint anti-joins
+            drops0 = (
+                contamination.select("doc_id").distinct()
+                .localCheckpoint(eager=False)
+            )
+            survivors = survivors.join(drops0, "doc_id", "left_anti")
+            surv_fp = surv_fp.join(drops0, "doc_id", "left_anti")
+        else:
+            contamination = docs.sparkSession.createDataFrame(
+                [], CONTAM_SCHEMA
+            )
+        # the guard's fail-fast collect is the first action: under the
+        # small gate it materializes the whole statically-compiled
+        # pre-guard chain as ONE job; above the gate it keeps AQE for
+        # the corpus-scale groupBy('h') shuffle it contains
+        pairs = winnow_neardup(
+            survivors, k=k, w=w, threshold=threshold,
+            max_join_pairs=max_join_pairs, fingerprints=surv_fp,
+            fingerprints_distinct=True, guard_one_job=small,
         )
-        # checkpointing the contaminated-id set collapses the decon
-        # subtree that otherwise re-runs under BOTH the survivor and the
-        # fingerprint anti-joins.  LAZY mark: the very next action — the
-        # winnow_neardup guard collect (or its eager fp checkpoint when
-        # the guard is off) — references drops0 exactly once via the
-        # fingerprint anti-join and materializes it as a side effect,
-        # fusing what was a separate materialization job set (r15)
-        drops0 = (
-            contamination.select("doc_id").distinct()
+        # the drop set can be corpus-scale on a duplicate-heavy crawl,
+        # so the anti-join hash-shuffles instead of broadcasting or
+        # sorting the survivor scan (the edit_verified_pairs
+        # precedent).  It is checkpointed (ids only, no text) so the
+        # posting join behind it runs once even when ``kept`` feeds
+        # both the manifest and the payload segments.
+        drops2 = (
+            pairs.select(F.col("id2").alias("doc_id"))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        survivors = survivors.join(drops0, "doc_id", "left_anti")
-        surv_fp = surv_fp.join(drops0, "doc_id", "left_anti")
-    else:
-        contamination = docs.sparkSession.createDataFrame(
-            [], CONTAM_SCHEMA
+        kept = survivors.join(
+            drops2.hint("shuffle_hash"),
+            "doc_id",
+            "left_anti",
         )
-    pairs = winnow_neardup(
-        survivors, k=k, w=w, threshold=threshold,
-        max_join_pairs=max_join_pairs, fingerprints=surv_fp,
-        fingerprints_distinct=True,
-    )
-    # the drop set can be corpus-scale on a duplicate-heavy crawl, so
-    # the anti-join hash-shuffles instead of broadcasting or sorting
-    # the survivor scan (the edit_verified_pairs precedent).  It is
-    # checkpointed (ids only, no text) so the posting join behind it
-    # runs once even when ``kept`` feeds both the manifest and the
-    # payload segments.
-    # LAZY mark: the manifest checkpoint below (vocab path) or the
-    # caller's first action over ``packed`` reaches drops2 exactly once
-    # through the ``kept`` anti-join and materializes it in the same
-    # job set (r15); every later consumer reuses the persisted blocks
-    drops2 = (
-        pairs.select(F.col("id2").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    kept = survivors.join(
-        drops2.hint("shuffle_hash"),
-        "doc_id",
-        "left_anti",
-    )
-    packed = _pack_manifest(kept, shards, capacity)
-    if vocab is not None:
-        # the manifest is the narrow (doc_id, shard, n_tokens, offset,
-        # chunk-range) decision table — guide-§8 discipline: materialize
-        # the small plan once, re-scan the heavy text exactly once for
-        # the token stream instead of re-deriving kept + its window per
-        # payload branch
-        packed = packed.localCheckpoint(eager=True)
-        payload = merge_payload_segments(
-            _payload_segments(kept, packed, vocab, capacity)
-            .withColumn("batch", F.lit(0))
-        )
-    else:
-        payload = docs.sparkSession.createDataFrame(
-            [], "shard int, chunk bigint, n_ids bigint, ids string"
-        )
+        packed = _pack_manifest(kept, shards, capacity)
+        if vocab is not None:
+            # the manifest is the narrow (doc_id, shard, n_tokens,
+            # offset, chunk-range) decision table — guide-§8
+            # discipline: checkpoint the small plan once, re-scan the
+            # heavy text exactly once for the token stream instead of
+            # re-deriving kept + its window per payload branch.  Lazy
+            # (r16): the caller's payload action materializes it —
+            # under the small gate as stages of that one job
+            packed = packed.localCheckpoint(eager=False)
+            payload = merge_payload_segments(
+                _payload_segments(kept, packed, vocab, capacity)
+                .withColumn("batch", F.lit(0))
+            )
+        else:
+            payload = docs.sparkSession.createDataFrame(
+                [], "shard int, chunk bigint, n_ids bigint, ids string"
+            )
     return gates, scores, contamination, pairs, packed, payload
 
 

@@ -109,14 +109,33 @@ def main() -> None:
             if e == "SparkListenerJobStart":
                 jid = ev["Job ID"]
                 props = ev.get("Properties") or {}
+                stages = ev.get("Stage Infos", [])
+                site = props.get("callSite.short", "?")
+                if site == "?" and stages:
+                    # SQL executions rarely set callSite; the RESULT
+                    # stage's name (callsite of its final RDD) plus its
+                    # RDD scope names still identify the action
+                    last = max(
+                        stages, key=lambda s: s.get("Stage ID", 0)
+                    )
+                    site = last.get("Stage Name", "?")
+                    scopes = []
+                    for r in last.get("RDD Info", []):
+                        sc_ = r.get("Scope")
+                        if sc_:
+                            try:
+                                scopes.append(json.loads(sc_)["name"])
+                            except Exception:
+                                pass
+                    if scopes:
+                        site += "  [" + ",".join(scopes[:4]) + "]"
                 jobinfo[jid] = {
                     "start": ev["Submission Time"],
-                    "stages": len(ev.get("Stage Infos", [])),
+                    "stages": len(stages),
                     "tasks": sum(
-                        s.get("Number of Tasks", 0)
-                        for s in ev.get("Stage Infos", [])
+                        s.get("Number of Tasks", 0) for s in stages
                     ),
-                    "site": props.get("callSite.short", "?"),
+                    "site": site,
                 }
             elif e == "SparkListenerJobEnd":
                 jid = ev["Job ID"]
