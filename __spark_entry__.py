@@ -1731,7 +1731,11 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import sq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return sq_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
+    return _fuse_small(
+        spark, sf_dir,
+        sq_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K),
+        table="embeddings",
+    )
 
 
 def q_metrics_find(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,10 +1975,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(
+    return _fuse_small(spark, sf_dir, minhash_dedup(
         docs, bands=MINHASH_BANDS, rows=MINHASH_ROWS, threshold=MINHASH_THRESHOLD,
         signatures=_minhash_sigs(spark, sf_dir),
-    )
+    ))
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,10 +2132,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import simhash_neardup
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup(
+    return _fuse_small(spark, sf_dir, simhash_neardup(
         docs, max_hamming=SIMHASH_MAX_HAMMING,
         fingerprints=_simhash60(spark, sf_dir),
-    )
+    ))
 
 
 def q_simhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2251,10 +2255,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
+    return _fuse_small(spark, sf_dir, ngram_jaccard_pairs(
         docs, n=3, threshold=NGRAM_JACCARD_MIN,
         bucket_cols=("lang", "source"), df_cap=NGRAM_DF_CAP,
-    )
+    ))
 
 
 #: winnowing (MOSS) fingerprint parameters: 4-token k-grams, window 4 —
@@ -2351,7 +2355,10 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = winnow_neardup(
         docs, k=WINNOW_K, w=WINNOW_W, threshold=WINNOW_T, fingerprints=fp
     )
-    return winnow_dedup(docs, pairs, k=WINNOW_K, w=WINNOW_W, fingerprints=fp)
+    return _fuse_small(
+        spark, sf_dir,
+        winnow_dedup(docs, pairs, k=WINNOW_K, w=WINNOW_W, fingerprints=fp),
+    )
 
 
 def q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,13 +2582,13 @@ def q_knn_label_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import knn_predict_routed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_predict_routed(
+    return _fuse_small(spark, sf_dir, knn_predict_routed(
         emb, list(range(KNN_N_QUERIES)), KNN_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM, shortlist=KNN_ROUTED_SHORTLIST,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3037,10 +3044,10 @@ def q_dedup_embed_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import cosine_neardup_banded
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_banded(
+    return _fuse_small(spark, sf_dir, cosine_neardup_banded(
         emb, n_planes=NEARDUP_BAND_PLANES, n_bands=NEARDUP_BANDS,
         threshold=NEARDUP_THRESHOLD, dim=_emb_dim(sf_dir),
-    )
+    ), table="embeddings")
 
 
 #: incremental embedding near-dup fixture: the "new batch" is every
@@ -3068,9 +3075,9 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + NEARDUP_INC_OFFSET).alias("vec_id"), "embedding"
     )
     members, reps = cosine_collapse_index(emb, NEARDUP_PLANES, dim=dim)
-    return cosine_neardup_incremental(
+    return _fuse_small(spark, sf_dir, cosine_neardup_incremental(
         batch, members, reps, NEARDUP_PLANES, NEARDUP_THRESHOLD, dim=dim
-    )
+    ), table="embeddings")
 
 
 TFIDF_TOP_K = 5
@@ -3293,7 +3300,9 @@ def _fuse_small(
     it."""
     from datayours_spark.io import static_construct
 
-    if not _small_input(spark, sf_dir, table):
+    # plan-inspection mode (plancheck/dumpplans) must see the full
+    # lineage, not a checkpoint scan — same gate as the index caches
+    if not _df_cache_enabled() or not _small_input(spark, sf_dir, table):
         return df
     with static_construct(spark, True):
         return df.localCheckpoint(eager=False)
@@ -3362,10 +3371,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _ann_centroids(spark, sf_dir)
-    return ivf_topk(
+    return _fuse_small(spark, sf_dir, ivf_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent,
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def _sq_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
@@ -3441,10 +3450,10 @@ def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx_dir, _bounds = _sq_index_dir(spark, sf_dir)
     idx = load_sq_index(spark, idx_dir)
-    return ivfsq_topk_pruned(
+    return _fuse_small(spark, sf_dir, ivfsq_topk_pruned(
         emb, idx["codes"], idx["bounds"], idx["centroids"],
         list(range(N_ANN_QUERIES)), ANN_TOP_K,
-    )
+    ), table="embeddings")
 
 
 ANN_IVF_NPROBE = 2
@@ -3460,11 +3469,11 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _ann_centroids(spark, sf_dir)
-    return ivf_topk(
+    return _fuse_small(spark, sf_dir, ivf_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         centroids=cent, nprobe=ANN_IVF_NPROBE,
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 ANN_PQ_M = 4      # PQ subspaces (64-dim -> 16-dim sub-vectors)
@@ -3564,13 +3573,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
+    return _fuse_small(spark, sf_dir, ivfpq_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3580,13 +3589,13 @@ def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(
+    return _fuse_small(spark, sf_dir, ivfpq_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM, nprobe=ANN_IVF_NPROBE,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3598,7 +3607,7 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_residual_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_residual_topk(
+    return _fuse_small(spark, sf_dir, ivfpq_residual_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir),
         m=ANN_PQ_M, ks=ANN_PQ_KS, iters=ANN_PQ_ITERS,
@@ -3606,7 +3615,7 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
         books=_ann_books(spark, sf_dir, True),
         codes=_ann_codes(spark, sf_dir, True),
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 ANN_RERANK_SHORTLIST = 15
@@ -3620,13 +3629,13 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_rerank_topk(
+    return _fuse_small(spark, sf_dir, ivfpq_rerank_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM, shortlist=ANN_RERANK_SHORTLIST,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3659,12 +3668,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").count()
     base = exact.groupBy("query_id").count().withColumnRenamed("count", "k")
-    return base.join(hits, "query_id", "left").select(
+    return _fuse_small(spark, sf_dir, base.join(hits, "query_id", "left").select(
         "query_id",
         F.round(F.coalesce(F.col("count"), F.lit(0)) / F.col("k"), 4).alias(
             "recall"
         ),
-    )
+    ), table="embeddings")
 
 
 CLUSTER_TOPIC_K = 3
@@ -3719,10 +3728,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(
+    return _fuse_small(spark, sf_dir, semdedup(
         emb, _ann_centroids(spark, sf_dir), tau=SEMDEDUP_TAU,
         assignments=_ann_assignments(spark, sf_dir),
-    )
+    ), table="embeddings")
 
 
 def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4779,7 +4788,7 @@ def q_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hb")
         .agg(F.count("*").cast("long").alias("n_might"))
     )
-    return (
+    out = (
         per_bucket.join(n_probe, "hb", "left")
         .join(n_might, "hb", "left")
         .select(
@@ -4791,6 +4800,11 @@ def q_index_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hb")
     )
+    # gated single-action fusion (r16): 14 jobs at fixture scale, three
+    # of them separate exchange materializations over the same
+    # fingerprint checkpoint; all aggregates here are integer-valued
+    # (counts / bit_or), so the static compile cannot flip a rounding
+    return _fuse_small(spark, sf_dir, out)
 
 
 def q_chunk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
