@@ -155,7 +155,12 @@ def spread_scan(df: DataFrame) -> DataFrame:
     this a NO-OP for corpora already delivered in >= cores splits — no
     corpus-scale shuffle is ever introduced.  Only safe for consumers
     whose values are row-local or exact (integer/count) aggregates;
-    float-mean consumers keep their scan order."""
+    float-mean consumers keep their scan order.
+
+    ``DATAYOURS_NO_SPREAD=1`` disables the spread (measurement knob for
+    the scale A/B in tools/confab.py; production default is on)."""
+    if os.environ.get("DATAYOURS_NO_SPREAD", "") == "1":
+        return df
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     if df.rdd.getNumPartitions() < par:

@@ -40,7 +40,7 @@ def get_spark(
         # partitions' shape guide §2.2 calls for.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
+            os.environ.get("DATAYOURS_AQE_PARALLELISM_FIRST", "false"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -72,7 +72,8 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        os.environ.get("DATAYOURS_AQE_PARALLELISM_FIRST", "false"),
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # a plain-default session carries 200 shuffle partitions — far too many

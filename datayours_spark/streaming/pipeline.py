@@ -647,7 +647,35 @@ class IngestPipeline:
         ):
             return
         docs = batch.select("doc_id", "text", "source")
+        # STATIC CONSTRUCTION under the micro-batch gate (r16, the same
+        # discipline as ingest_pipeline_batch): a 'lazy' localCheckpoint
+        # over an adaptive plan materializes its exchange stages at the
+        # checkpoint call, so every per-trigger stage paid a blocking
+        # scheduling barrier.  A micro-batch below one scan split per
+        # core compiles its plans non-adaptively instead — checkpoints
+        # defer into the sink writes they feed.  Bulk batches (gate
+        # off) keep adaptive plans.  The store-sized compaction folds
+        # run OUTSIDE the scope: their input is the accumulated store,
+        # not the batch, so they must keep AQE regardless of batch size.
+        par = self.spark.sparkContext.defaultParallelism
+        small = docs.rdd.getNumPartitions() < par
+        with static_construct(self.spark, small):
+            self._run_batch(docs, batch_id, schemas, dests)
+        fired = self.store.maybe_compact(
+            batch_id,
+            schemas,
+            folds={
+                "index": _index_lww,
+                "counts": _index_lww,
+                "payload": _payload_fold,
+            },
+        )
+        if fired and self.summary_prune:
+            rebuild_index_summary(self.store, self.index_buckets)
 
+    def _run_batch(
+        self, docs: DataFrame, batch_id: int, schemas: dict, dests: dict
+    ) -> None:
         # 1. GATE — score once (checkpoint), feed the gates sink and the
         # survivor filter without re-projecting; text rides through the
         # projection so no join back to docs is needed
@@ -788,18 +816,7 @@ class IngestPipeline:
             if self.vocab is not None:
                 self.store.write_empty_marker("payload", batch_id)
             self.store.write_empty_marker("cursors", batch_id)
-            fired = self.store.maybe_compact(
-                batch_id,
-                schemas,
-                folds={
-                    "index": _index_lww,
-                    "counts": _index_lww,
-                    "payload": _payload_fold,
-                },
-            )
-            if fired and self.summary_prune:
-                rebuild_index_summary(self.store, self.index_buckets)
-            return
+            return  # compaction runs in _process, outside the scope
         if head is None:
             head = surv_fp.limit(_LIT_CAP + 1).collect()
         if len(head) <= _LIT_CAP:
@@ -1015,17 +1032,6 @@ class IngestPipeline:
         # batch it reflects (a replay of THIS batch re-seeds from disk)
         self._cursor_starts = {s: e for s, e, _ in cursor_rows} or starts_map
         self._cursor_asof = batch_id
-        fired = self.store.maybe_compact(
-            batch_id,
-            schemas,
-            folds={
-                "index": _index_lww,
-                "counts": _index_lww,
-                "payload": _payload_fold,
-            },
-        )
-        if fired and self.summary_prune:
-            rebuild_index_summary(self.store, self.index_buckets)
 
     def start(self):
         docs = (

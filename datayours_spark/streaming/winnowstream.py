@@ -78,6 +78,7 @@ from datayours_spark.functions.dedup import (
     winnow_fingerprint_sets,
     winnow_incremental_indexed,
 )
+from datayours_spark.io import static_construct
 from datayours_spark.streaming.store import BatchStore
 
 #: serializes the literal point probe's session-global
@@ -961,6 +962,27 @@ class WinnowStream:
         ):
             return
         new = batch.select("doc_id", "text")
+        # STATIC CONSTRUCTION under the micro-batch gate (r16, the
+        # ingest-pipeline discipline): checkpoints over adaptive plans
+        # materialize their exchanges at the checkpoint call, so each
+        # trigger paid blocking stage-job barriers.  A batch below one
+        # scan split per core compiles non-adaptively — bulk batches
+        # keep AQE.  Store-sized compaction runs outside the scope.
+        par = self.spark.sparkContext.defaultParallelism
+        small = new.rdd.getNumPartitions() < par
+        with static_construct(self.spark, small):
+            self._run_batch(new, batch_id, dests)
+        fired = self.store.maybe_compact(
+            batch_id,
+            SCHEMAS,
+            folds={"index": _index_lww, "counts": _index_lww},
+        )
+        if fired and self.summary_prune:
+            rebuild_index_summary(self.store, self.index_buckets)
+
+    def _run_batch(
+        self, new: DataFrame, batch_id: int, dests: dict
+    ) -> None:
         # fingerprint the batch ONCE (checkpoint feeds the stats
         # probe, the posting join, the index append and the counts)
         # lazy checkpoint: the stats probe below is the first action
@@ -1085,16 +1107,9 @@ class WinnowStream:
             batch_fp_n, batch_id, dests["index"], self.index_buckets
         )
         write_counts_batch(batch_fp, batch_id, dests["counts"])
-        # compaction folds with the same LWW rule, so superseded rows
-        # are physically dropped (storage stays bounded by live docs);
-        # the fold is a no-op on the reader view, which filters anyway
-        fired = self.store.maybe_compact(
-            batch_id,
-            SCHEMAS,
-            folds={"index": _index_lww, "counts": _index_lww},
-        )
-        if fired and self.summary_prune:
-            rebuild_index_summary(self.store, self.index_buckets)
+        # compaction (LWW fold) happens in _process, outside the
+        # static-construction scope: its input is the accumulated
+        # store, not the batch
 
     def start(self):
         docs = (
