@@ -2666,10 +2666,18 @@ ANN_LSH_PLANES = 8
 
 def _emb_dim(sf_dir: str) -> int:
     """Embedding width from the parquet footer + one row-group peek —
-    driver-side, no Spark job at plan-build time (ADVICE r1)."""
+    driver-side, no Spark job at plan-build time (ADVICE r1).  Handles
+    both layouts: a single parquet file (the driver fixtures) and a
+    Spark-written directory of part files (any real store)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        path = parts[0]
+    pf = pq.ParquetFile(path)
     return len(pf.read_row_group(0, columns=["embedding"]).column(0)[0])
 
 
@@ -3024,10 +3032,10 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import cosine_neardup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup(
+    return _fuse_small(spark, sf_dir, cosine_neardup(
         emb, n_planes=NEARDUP_PLANES, threshold=NEARDUP_THRESHOLD,
         dim=_emb_dim(sf_dir),
-    )
+    ), table="embeddings")
 
 
 #: banded (OR-amplified) variant: 3 independent 4-plane signatures —

@@ -69,14 +69,11 @@ def build_fixture() -> None:
 
     from datayours_spark.session import get_spark
 
-    spark = get_spark("confab-build")
+    spark = get_spark("confab-build", driver_memory=os.environ.get("CONFAB_DRIVER_MEM", "24g"))
     # documents: ~60 tokens/doc drawn deterministically from a 50k-word
-    # vocabulary; every 50th doc is a planted near-copy of its
-    # neighbour (same token stream, one token changed) so winnow /
-    # minhash / simhash emit linear real pairs
-    # every 50th doc re-emits its neighbour's token stream with ONE
-    # token changed — a planted near-dup pair per 50 docs, so winnow /
-    # minhash / simhash emit linear real pairs
+    # vocabulary; every 50th doc re-emits its neighbour's token stream
+    # with ONE token changed — a planted near-dup pair per 50 docs, so
+    # winnow / minhash / simhash emit linear real pairs
     src = F.when(
         F.pmod(F.col("id"), F.lit(50)) == 49, F.col("id") - 1
     ).otherwise(F.col("id"))
@@ -139,14 +136,17 @@ import json, os, sys, time
 sys.path.insert(0, {root!r})
 import __spark_entry__ as em
 from datayours_spark.session import get_spark
-spark = get_spark("confab-run")
+spark = get_spark("confab-run", driver_memory=os.environ.get("CONFAB_DRIVER_MEM", "24g"))
 timings = {{}}
 for name in {queries!r}:
     fn = em.queries()[name]
     t0 = time.perf_counter()
-    df = fn(spark, {fix!r})
-    df.write.format("noop").mode("overwrite").save()
-    timings[name] = round(time.perf_counter() - t0, 2)
+    try:
+        df = fn(spark, {fix!r})
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+    except Exception as e:  # keep the line: one query must not void the A/B
+        timings[name] = "ERR " + type(e).__name__
 print("CONFAB " + json.dumps(timings))
 spark.stop()
 """
