@@ -1731,11 +1731,7 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import sq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _fuse_small(
-        spark, sf_dir,
-        sq_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K),
-        table="embeddings",
-    )
+    return sq_topk(emb, list(range(N_ANN_QUERIES)), ANN_TOP_K)
 
 
 def q_metrics_find(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2472,9 +2468,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk(emb, HYBRID_QUERY_IDS, HYBRID_TOP_K)
         .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     )
-    # gated single-action fusion (r16): the fused 38-exchange plan ran
-    # as 18 AQE stage-jobs at fixture scale — pure scheduling
-    return _fuse_small(spark, sf_dir, rrf_fuse([lex, vec], HYBRID_TOP_K))
+    # _fuse_small was tried here (20 -> 9 jobs) and reverted: the
+    # same-window wall A/B read flat-to-negative (the static plan's
+    # sort-merge joins cost what the stage-job round-trips saved)
+    return rrf_fuse([lex, vec], HYBRID_TOP_K)
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,9 +3080,9 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + NEARDUP_INC_OFFSET).alias("vec_id"), "embedding"
     )
     members, reps = cosine_collapse_index(emb, NEARDUP_PLANES, dim=dim)
-    return _fuse_small(spark, sf_dir, cosine_neardup_incremental(
+    return cosine_neardup_incremental(
         batch, members, reps, NEARDUP_PLANES, NEARDUP_THRESHOLD, dim=dim
-    ), table="embeddings")
+    )
 
 
 TFIDF_TOP_K = 5
@@ -3309,8 +3306,14 @@ def _fuse_small(
     from datayours_spark.io import static_construct
 
     # plan-inspection mode (plancheck/dumpplans) must see the full
-    # lineage, not a checkpoint scan — same gate as the index caches
-    if not _df_cache_enabled() or not _small_input(spark, sf_dir, table):
+    # lineage, not a checkpoint scan — same gate as the index caches;
+    # DATAYOURS_NO_FUSE=1 is the measurement knob for A/B-ing the
+    # fusion itself (tools/isorepeat.py runs)
+    if (
+        os.environ.get("DATAYOURS_NO_FUSE", "") == "1"
+        or not _df_cache_enabled()
+        or not _small_input(spark, sf_dir, table)
+    ):
         return df
     with static_construct(spark, True):
         return df.localCheckpoint(eager=False)
@@ -3379,10 +3382,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _ann_centroids(spark, sf_dir)
-    return _fuse_small(spark, sf_dir, ivf_topk(
+    return ivf_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K, centroids=cent,
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 def _sq_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
@@ -3458,10 +3461,10 @@ def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx_dir, _bounds = _sq_index_dir(spark, sf_dir)
     idx = load_sq_index(spark, idx_dir)
-    return _fuse_small(spark, sf_dir, ivfsq_topk_pruned(
+    return ivfsq_topk_pruned(
         emb, idx["codes"], idx["bounds"], idx["centroids"],
         list(range(N_ANN_QUERIES)), ANN_TOP_K,
-    ), table="embeddings")
+    )
 
 
 ANN_IVF_NPROBE = 2
@@ -3477,11 +3480,11 @@ def q_ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = _ann_centroids(spark, sf_dir)
-    return _fuse_small(spark, sf_dir, ivf_topk(
+    return ivf_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         centroids=cent, nprobe=ANN_IVF_NPROBE,
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 ANN_PQ_M = 4      # PQ subspaces (64-dim -> 16-dim sub-vectors)
@@ -3581,13 +3584,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _fuse_small(spark, sf_dir, ivfpq_topk(
+    return ivfpq_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3597,13 +3600,13 @@ def q_ann_ivfpq_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _fuse_small(spark, sf_dir, ivfpq_topk(
+    return ivfpq_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM, nprobe=ANN_IVF_NPROBE,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3615,7 +3618,7 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_residual_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _fuse_small(spark, sf_dir, ivfpq_residual_topk(
+    return ivfpq_residual_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir),
         m=ANN_PQ_M, ks=ANN_PQ_KS, iters=ANN_PQ_ITERS,
@@ -3623,7 +3626,7 @@ def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
         books=_ann_books(spark, sf_dir, True),
         codes=_ann_codes(spark, sf_dir, True),
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 ANN_RERANK_SHORTLIST = 15
@@ -3637,13 +3640,13 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datayours_spark.functions.similarity import ivfpq_rerank_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return _fuse_small(spark, sf_dir, ivfpq_rerank_topk(
+    return ivfpq_rerank_topk(
         emb, list(range(N_ANN_QUERIES)), ANN_TOP_K,
         _ann_centroids(spark, sf_dir), _ann_books(spark, sf_dir, False),
         ANN_DIM, shortlist=ANN_RERANK_SHORTLIST,
         codes=_ann_codes(spark, sf_dir, False),
         assignments=_ann_assignments(spark, sf_dir),
-    ), table="embeddings")
+    )
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3676,12 +3679,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = approx.join(exact, ["query_id", "vec_id"]).groupBy("query_id").count()
     base = exact.groupBy("query_id").count().withColumnRenamed("count", "k")
-    return _fuse_small(spark, sf_dir, base.join(hits, "query_id", "left").select(
+    return base.join(hits, "query_id", "left").select(
         "query_id",
         F.round(F.coalesce(F.col("count"), F.lit(0)) / F.col("k"), 4).alias(
             "recall"
         ),
-    ), table="embeddings")
+    )
 
 
 CLUSTER_TOPIC_K = 3
